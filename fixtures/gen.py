@@ -1,0 +1,281 @@
+"""Deterministic synthetic web fixture (FIXTURES.md §1).
+
+Builds the interleaved span-document ``pages`` table: a small multi-host
+site with every SURVEY.md §2 operator and §2.4 quirk planted. Pure
+Python + deterministic (no RNG needed — content is hand-authored), plus
+a parameterized frontier generator for the scale bench (FIXTURES.md §6).
+
+The "web" is a table: URL absent ⇒ fetch failure ⇒ 'dummy' sentinel
+(reference core/requester.py:58,67,70).
+"""
+
+from __future__ import annotations
+
+ROOT = "http://h0.fixture.test"
+HOST = "h0.fixture.test"
+
+# Hand-authored page bodies. One anchor per physical line everywhere
+# except the explicit Q2 multi-anchor line.
+_BODIES: dict[str, str] = {}
+
+
+def _page(url: str, body: str) -> None:
+    _BODIES[url] = body
+
+
+_page(ROOT, """<html><head><title>Root</title></head>
+<body>
+<a href="/a.html">A</a>
+<a href="/b.html">B</a>
+<a href=page2.html>P2</a>
+<a href="/dir/c.html">C</a>
+<a href="/d1.html">D1</a>
+<a href="/c/c">Q10</a>
+<a href="/search?q=1&id=2">S</a>
+<a href="#frag">anchor-only</a>
+<a href="javascript:void(0)">jslink</a>
+<a href="/logo.png">logo</a>
+<a href="/style.css">css</a>
+<a href="/mapjs">map-no-dot</a>
+<a href="http://h0.fixture.test/abs.html">ABS</a>
+<a href="http://h1.fixture.test/ext1.html">EXT1</a>
+<a href="//h0.fixture.test/proto.html">PROTO-IN</a>
+<a href="//h2.fixture.test/ext2.html">PROTO-OUT</a>
+<a href="https://github.com/s0md3v">GH</a>
+<a href="/x1.html">x1</a> <a href="/x2.html">x2</a>
+<a href="/notes">NOTES</a>
+<script src="/static/app.js"></script>
+<script src=app2.js></script>
+<script src="//cdn.fixture.test/lib.js"></script>
+<script src="http://h0.fixture.test/static/abs.js"></script>
+<p>Contact: alice@example.com</p>
+<p>Backup contact: user(at)example(dot)com</p>
+<p>Origin server 10.1.2.3 here</p>
+<p>v6 gateway 2001:db8::1 online</p>
+<p>Mirror at http://mirror.fixture.test/pkg today</p>
+<p>Encoded https%3A%2F%2Fencoded%2Efixture%2Etest path</p>
+<p>md5sum d41d8cd98f00b204e9800998ecf8427e recorded</p>
+<p>sha1 da39a3ee5e6b4b0d3255bfef95601890afd80709 recorded</p>
+<p>pan 4111111111111111 ok</p>
+<p>pan 4111 1111 1111 1111 spaced</p>
+<p>pan 1234567812345678 invalid</p>
+<p>token aB3xK9mQzR7pW2vY8tL5 key</p>
+<p>token aaaaaaaaaaaaaaaaaaaa lowent</p>
+<script>var hidden = "scriptonly@example.com";</script>
+</body></html>
+""")
+
+_page(ROOT + "/robots.txt", """User-agent: *
+Allow: /public
+Disallow: /private
+Disallow: /tmp/*
+""")
+
+_page(ROOT + "/sitemap.xml", """<?xml version="1.0" encoding="UTF-8"?>
+<urlset>
+<url><loc>http://h0.fixture.test/sm1.html</loc></url>
+<url><loc>http://h0.fixture.test/sm2.html</loc></url>
+</urlset>
+""")
+
+_page(ROOT + "/a.html", """<html><body>
+<a href="/a2.html">A2</a>
+<a href="/q'uote.html">QUOTE</a>
+<p>Reach bob@sub.example.org for a-page</p>
+<script src="/static/app.js"></script>
+</body></html>
+""")
+
+# Zero-intel page (Q9 negative direction lives in unit tests; here it
+# contributes links only).
+_page(ROOT + "/b.html", """<html><body>
+<a href="/b2.html">B2</a>
+<a href="https://facebook.com/photonpage">FB</a>
+</body></html>
+""")
+
+_page(ROOT + "/page2.html", """<html><body>
+<a href="/p2a.html">P2A</a>
+<p>sha256 checksum e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855 listed</p>
+</body></html>
+""")
+
+_page(ROOT + "/dir/c.html", """<html><body>
+<a href="/c2.html">C2</a>
+<a href=c3.html>C3-rel</a>
+</body></html>
+""")
+
+# Q10: remove_file replace-ALL — '/c' stripped twice.
+_page(ROOT + "/c/c", """<html><body>
+<a href="/q10.html">Q10-target</a>
+</body></html>
+""")
+
+_page(ROOT + "/d1.html", """<html><body>
+<a href="/d2.html">D2</a>
+</body></html>
+""")
+_page(ROOT + "/d2.html", """<html><body>
+<a href="/d3.html">D3</a>
+</body></html>
+""")
+_page(ROOT + "/d3.html", """<html><body>
+<a href="/d4.html">D4</a>
+</body></html>
+""")
+
+_page(ROOT + "/public", """<html><body>
+<p>Public page. Write to pub@allowed.example.net today</p>
+</body></html>
+""")
+
+# Exercises the remaining intel patterns (hex/bracket/backslash/b64/
+# SHA512/YARA) in one tag-stripped view.
+_page(ROOT + "/notes", """<html><body>
+<p>hex 687474703a2f2f6578616d706c652e636f6d stored</p>
+<p>bracket example[.]com/path noted</p>
+<p>backslash srv\\.example\\.com listed</p>
+<p>b64 aHR0cDovL2V4YW1wbGUuY29tLw== !</p>
+<p>sha512 """ + "ab01" * 32 + """ archived</p>
+rule photon_test { condition: true }
+</body></html>
+""")
+
+_page(ROOT + "/sm1.html", """<html><body>
+<a href="/sm1b.html">SM1B</a>
+</body></html>
+""")
+
+# JS bodies (fetched by the jscanner secondary pipeline only).
+_page(ROOT + "/static/app.js", """var api = "/api/v1/users";
+var abs = "http://h0.fixture.test/api";
+var root = "/";
+var junk = "{bad}";
+var tpl = "/tmpl/<x>";
+fetch(api);
+""")
+
+_page(ROOT + "/static/abs.js", """var p = "/api/v2/items";
+""")
+
+# app2.js intentionally missing → 'dummy' fetch in jscanner.
+
+# External-host pages exist in the table but are never fetched by a
+# crawl rooted at h0 (out of scope) — they model the wider web.
+_page("http://h1.fixture.test/ext1.html", """<html><body>
+<a href="/never-crawled.html">NC</a>
+</body></html>
+""")
+
+
+def page_bodies() -> dict[str, str]:
+    """url -> body, the oracle's 'network'."""
+    return dict(_BODIES)
+
+
+def _spanify(doc_id: str, body: str) -> list[dict]:
+    """Split a body into interleaved text+media spans (input_hint shape).
+
+    Deterministic: text is chunked on line boundaries into ~3 spans;
+    HTML pages get a media span interleaved after the first chunk.
+    Reassembled text (kernels.reassemble_text) == body exactly.
+    """
+    lines = body.splitlines(keepends=True)
+    n = max(1, len(lines) // 3)
+    chunks = ["".join(lines[i:i + n]) for i in range(0, len(lines), n)]
+    spans: list[dict] = []
+    offset = 0
+    for i, chunk in enumerate(chunks):
+        spans.append(
+            {"kind": "text", "text": chunk, "media_ref": "", "offset": offset}
+        )
+        offset += 1
+        if i == 0 and doc_id.endswith((".html", "/")) or i == 0 and doc_id == ROOT:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": doc_id.rstrip("/") + "/img0.png",
+                    "offset": offset,
+                }
+            )
+            offset += 1
+    return spans
+
+
+def pages_rows() -> list[dict]:
+    """Rows for the pages table: (doc_id, spans)."""
+    return [
+        {"doc_id": url, "spans": _spanify(url, body)}
+        for url, body in sorted(_BODIES.items())
+    ]
+
+
+PAGES_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def pages_df(spark):
+    """The pages table as a Spark DataFrame."""
+    return spark.createDataFrame(pages_rows(), schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scale bench input (FIXTURES.md §6): synthetic frontier, Zipf host skew.
+
+
+def frontier_df(spark, n_urls: int, n_hosts: int = 1000, zipf_s: float = 1.2,
+                seen_fraction: float = 0.3):
+    """(candidates, seen) DataFrames for the frontier-throughput bench.
+
+    Deterministic: built from spark.range — no RNG. Host assignment is
+    Zipf-ish via a power transform of a hash-derived uniform variate, so
+    host 0 is heavily skewed (the salting test case). ``seen_fraction``
+    of the URL id space overlaps the seen set (realistic dedup ratio).
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_urls).withColumn(
+        "u", (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0)
+    )
+    # Inverse-CDF power transform → Zipf-ish rank skew over hosts.
+    cand = (
+        base.withColumn(
+            "host_rank",
+            F.least(
+                F.lit(n_hosts - 1),
+                F.floor(F.lit(n_hosts) * F.pow(F.col("u"), F.lit(zipf_s * 2.5))),
+            ).cast("int"),
+        )
+        .withColumn("host", F.concat(F.lit("h"), F.col("host_rank"), F.lit(".bench.test")))
+        .withColumn(
+            "url",
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")),
+        )
+        .withColumn("level", F.lit(1))
+        .select("url", "host", "level")
+    )
+    seen = (
+        spark.range(int(n_urls * seen_fraction))
+        .withColumn("id2", (F.col("id") * 3) % n_urls)  # scattered overlap
+        .withColumn(
+            "u", (F.pmod(F.xxhash64("id2"), F.lit(1_000_000)) / 1_000_000.0)
+        )
+        .withColumn(
+            "host_rank",
+            F.least(
+                F.lit(n_hosts - 1),
+                F.floor(F.lit(n_hosts) * F.pow(F.col("u"), F.lit(zipf_s * 2.5))),
+            ).cast("int"),
+        )
+        .withColumn("host", F.concat(F.lit("h"), F.col("host_rank"), F.lit(".bench.test")))
+        .withColumn(
+            "url",
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id2")),
+        )
+        .select("url")
+    )
+    return cand, seen

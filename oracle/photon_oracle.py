@@ -1,0 +1,170 @@
+"""Golden oracle — the reference's crawl semantics over a fixture table.
+
+A deterministic, single-threaded re-derivation of the reference crawl
+loop (reference photon.py:305-403) with the network replaced by a
+``pages: dict[url, body]`` lookup and the thread pool replaced by a
+sorted loop. Set semantics make the reference's thread-interleaving
+invisible in the final datasets (SURVEY.md §2.4 Q12), so this oracle's
+output is exactly what the reference produces on the same fixture.
+
+All per-string semantics come from photon_spark.kernels — the same
+kernels the Spark engine's pandas UDFs use — so each quirk (Q1-Q26) is
+encoded once and the oracle/engine comparison tests the *dataflow*, not
+the kernels.
+
+This is NOT a copy of the reference: it is the test oracle required by
+SURVEY.md §5.2(1), structured around the fixture table.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+from photon_spark import kernels as K
+from photon_spark.config import DUMMY, INTELS
+
+DATASET_NAMES = (
+    "files", "intel", "robots", "custom", "failed", "internal",
+    "scripts", "external", "fuzzable", "endpoints", "keys",
+)
+
+
+@dataclass
+class OracleResult:
+    datasets: dict[str, set]
+    waves: dict[str, int]          # url -> wave index (0-based)
+    processed: set = field(default_factory=set)
+
+
+def _remove_regex(urls, pattern):
+    """Reference core/utils.py:51-75."""
+    if not pattern:
+        return set(urls)
+    return {u for u in urls if not re.search(pattern, u)}
+
+
+def crawl(
+    pages: dict[str, str],
+    main_url: str,
+    seeds: tuple[str, ...] = (),
+    crawl_level: int = 2,
+    only_urls: bool = False,
+    extract_keys: bool = False,
+    custom_regex: str | None = None,
+    exclude: str | None = None,
+    faithful_py3: bool = True,
+) -> OracleResult:
+    if main_url.endswith("/"):          # photon.py:110-112
+        main_url = main_url[:-1]
+    schema = main_url.split("//")[0]    # photon.py:186
+    host = urlparse(main_url).netloc    # photon.py:190
+
+    files: set = set()
+    intel: set = set()
+    robots: set = set()
+    custom: set = set()
+    failed: set = set()                 # stays empty on the html path (Q5)
+    scripts: set = set()
+    external: set = set()
+    fuzzable: set = set()
+    endpoints: set = set()
+    keys: set = set()
+    processed: set = {DUMMY}            # sentinel, photon.py:158 (Q11)
+    internal: set = set(seeds)
+    internal.add(main_url)              # photon.py:188
+    bad_scripts: set = set()
+    bad_intel: set = set()
+    waves: dict[str, int] = {}
+
+    def fetch(url: str) -> str:
+        processed.add(url)              # at request time, requester.py:31
+        return pages.get(url, DUMMY)
+
+    def extractor(url: str) -> None:    # photon.py:239-287
+        body = fetch(url)
+        for link in K.find_links(body):
+            # is_link gate (utils.py:26-48): processed check is a no-op
+            # for set membership (SURVEY §2.4) but files side-effect is
+            # real, and gated behind it.
+            if link in processed:
+                continue
+            if K.is_skippable_link(link):
+                continue
+            if K.is_file_link(link):
+                files.add(link)
+                continue
+            resolved, scope = K.classify_link(link, url, main_url, host, schema)
+            (internal if scope == "internal" else external).add(resolved)
+        if not only_urls:
+            for match, name in K.find_intel(body):
+                bad_intel.add((match, name, url))
+            for src in K.find_script_srcs(body):
+                bad_scripts.add(src)
+        if custom_regex:
+            custom.update(K.find_custom(body, custom_regex))
+        if extract_keys:
+            keys.update(K.find_keys(body, url, faithful_py3))
+
+    # Step 1 — zap: robots.txt + sitemap.xml seeds (core/zap.py:10-57).
+    robots_body = pages.get(main_url + "/robots.txt", DUMMY)
+    for path in K.robots_paths(robots_body):
+        internal.add(main_url + path)
+        robots.add(main_url + path)
+    sitemap_body = pages.get(main_url + "/sitemap.xml", DUMMY)
+    for loc in K.sitemap_locs(sitemap_body):
+        internal.add(loc)
+
+    internal = _remove_regex(internal, exclude)     # photon.py:312
+
+    # Step 2 — level-synchronous BFS (photon.py:315-330).
+    for level in range(crawl_level):
+        links = _remove_regex(internal - processed, exclude)
+        if not links:
+            break
+        if len(internal) <= len(processed) and len(internal) > 2 + len(seeds):
+            break                                    # Q25
+        for url in sorted(links):
+            waves[url] = level
+            extractor(url)
+
+    if not only_urls:
+        # script normalization T6 (photon.py:333-339, Q20).
+        for src in bad_scripts:
+            norm = K.normalize_script(src, main_url)
+            if norm is not None:
+                scripts.add(norm)
+        # Step 3 — jscanner (photon.py:341-342, 290-302).
+        for surl in sorted(scripts):
+            body = fetch(surl)
+            endpoints.update(K.find_endpoints(body))
+
+        for url in internal:                         # photon.py:344-346
+            if "=" in url:
+                fuzzable.add(url)
+
+        # intel assembly T12/T13 (photon.py:348-368, Q8/Q9).
+        for match, name, page_url in bad_intel:
+            if isinstance(match, tuple):
+                for x in match:
+                    if x != "":
+                        if name == "CREDIT_CARD" and not K.luhn(match):
+                            continue                 # Q8a: always drops
+                        intel.add("%s:%s" % (name, x))
+            else:
+                if name == "CREDIT_CARD" and not K.luhn(match):
+                    continue                         # Q8b
+                intel.add("%s:%s:%s" % (page_url, name, match))
+            for ext_url in external:                 # Q9: nested loop
+                tl = K.etld1(ext_url)
+                if tl is not None and tl in INTELS:
+                    intel.add(ext_url)
+
+    datasets = {
+        "files": files, "intel": intel, "robots": robots, "custom": custom,
+        "failed": failed, "internal": internal, "scripts": scripts,
+        "external": external, "fuzzable": fuzzable, "endpoints": endpoints,
+        "keys": keys,
+    }
+    return OracleResult(datasets=datasets, waves=waves, processed=processed)

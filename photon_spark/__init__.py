@@ -1,0 +1,23 @@
+"""photon_spark — a PySpark-native distributed crawl/extraction engine.
+
+A from-scratch reimplementation of the *capabilities* of s0md3v/Photon
+(reference at /root/reference, v1.3.2) as a distributed URL-frontier +
+fetch scheduler over interleaved text+media span documents:
+
+* Data model: ``pages(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+  (BASELINE.json input_hint); every dataset the reference keeps as a
+  Python set (reference photon.py:147-164) is a DataFrame here.
+* Extraction: Photon's regex semantics byte-for-byte (reference
+  core/regex.py:214-234) inside Arrow-vectorized pandas UDFs — never
+  Java regex on the golden path.
+* Frontier: canonicalized+hashed URL seen-set with a Bloom pre-filter
+  and an exact left-anti-join backstop; per-host politeness window;
+  level-synchronous BFS waves, each a DataFrame batch job.
+* Storage: parquet tables behind a thin interface (Iceberg-shaped,
+  parquet fallback since the sandbox has no Iceberg jars).
+
+Everything here derives from public knowledge only: the Apache Spark /
+PySpark API and the reference repo's observable behavior.
+"""
+
+__version__ = "0.1.0"

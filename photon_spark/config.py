@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+Constants mirror the reference's semantics contract:
+* ``BAD_TYPES``: file extensions treated as non-crawlable files,
+  matched WITHOUT a leading dot (reference core/config.py:12-27,
+  core/utils.py:43 — quirk Q4 in SURVEY.md §2.4).
+* ``INTELS``: external domains promoted to intel (reference
+  core/config.py:5-10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Reference core/config.py:12-27. Tuple order preserved; matching is a
+# plain suffix test with NO leading dot (quirk Q4: '/mapjs' is a "file").
+BAD_TYPES: tuple[str, ...] = (
+    "bmp", "css", "csv", "docx", "ico", "jpeg", "jpg",
+    "js", "json", "pdf", "png", "svg", "xls", "xml",
+)
+
+# Reference core/config.py:5-10.
+INTELS: tuple[str, ...] = (
+    "facebook.com",
+    "github.com",
+    "instagram.com",
+    "youtube.com",
+)
+
+# The reference marks a never-fetched sentinel URL as processed
+# (photon.py:158) and returns this literal body on failed fetches
+# (core/requester.py:58,67,70) — quirk Q11.
+DUMMY = "dummy"
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for a crawl run.
+
+    Defaults reproduce the reference's defaults (photon.py:121-144)
+    and its *observed Python-3 behavior* (SURVEY.md §2.4):
+
+    * ``faithful_py3=True``: secret-key extraction yields the empty
+      set, because the reference's entropy() raises TypeError on
+      Python 3 and the thread pool swallows it (Q6). Set False for
+      the corrected byte-histogram entropy the code intended.
+    * ``per_host_budget=None``: no per-host cap — degenerates to the
+      reference's global-delay politeness (Q26).
+    """
+
+    crawl_level: int = 2          # photon.py:142
+    only_urls: bool = False       # photon.py:144
+    extract_keys: bool = False    # --keys, photon.py:124
+    custom_regex: str | None = None    # -r, photon.py:61
+    exclude: str | None = None         # --exclude, photon.py:77
+    seeds: tuple[str, ...] = ()        # -s, photon.py:72-73
+    faithful_py3: bool = True
+    per_host_budget: int | None = None
+    # Spark-side knobs (scale levers, not semantics):
+    shuffle_partitions: int = 32
+    host_salts: int = 8           # salting factor for skewed hosts
+    bloom_expected: int = 1_000_000
+    bloom_fpp: float = 0.01
+    extra_datasets: dict = field(default_factory=dict)

@@ -1,0 +1,283 @@
+"""Scalar semantic kernels — the single place each reference quirk lives.
+
+Every function here is pure Python over plain strings, shared by BOTH
+the golden oracle (oracle/photon_oracle.py) and the engine's
+Arrow-vectorized pandas UDFs (photon_spark/operators/extract.py), so
+the semantics contract (SURVEY.md §2.4 Q1-Q26) is encoded exactly once.
+
+Reference citations are inline; nothing here is copied code — each
+function re-derives the observable behavior of the cited lines.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from urllib.parse import urlparse
+
+from photon_spark import regexes as rx
+from photon_spark.config import BAD_TYPES, DUMMY
+
+# ---------------------------------------------------------------------------
+# Document views
+
+
+def reassemble_text(spans: list) -> str:
+    """Page body = concat of text spans ordered by offset (FIXTURES.md §1).
+
+    ``spans`` is a list of dicts/Rows with kind/text/media_ref/offset.
+    Media spans contribute nothing to the body view.
+    """
+    texts = sorted(
+        (s for s in spans if s["kind"] == "text"), key=lambda s: s["offset"]
+    )
+    return "".join(s["text"] for s in texts)
+
+
+def strip_tags(body: str) -> str:
+    """Intel view: drop <script> blocks, then all tags.
+
+    Reference photon.py:211-212 (Q13: DOTALL hoisted, Q14: intel runs on
+    this view while link/JS extraction runs on the raw body).
+    """
+    res = rx.SCRIPT_BLOCK.sub("", body)
+    return rx.ANY_TAG.sub("", res)
+
+
+# ---------------------------------------------------------------------------
+# T1 / T5 / T7 / T8 / T9 — flat-map extractors over one body
+
+
+def find_links(body: str) -> list[str]:
+    """Anchor hrefs, cleaned. Reference photon.py:244-247.
+
+    Q1: group 2 with ALL quotes removed then fragment dropped.
+    Q2: at most one (the last) href per physical line.
+    """
+    out = []
+    for groups in rx.HREF.findall(body):
+        link = groups[1].replace("'", "").replace('"', "").split("#")[0]
+        out.append(link)
+    return out
+
+
+def find_script_srcs(body: str) -> list[str]:
+    """Raw script srcs ("bad_scripts"). Reference photon.py:220-227."""
+    out = []
+    for groups in rx.SCRIPT_SRC.findall(body):
+        out.append(groups[2].replace("'", "").replace('"', ""))
+    return out
+
+
+def find_endpoints(js_body: str) -> list[str]:
+    """Quoted endpoints in JS. Reference photon.py:290-302."""
+    out = []
+    for g in rx.JS_ENDPOINT.findall(js_body):
+        m = g[0] + g[1]  # one side is always empty
+        if not rx.ENDPOINT_JUNK.search(m) and m != "/":
+            out.append(m)
+    return out
+
+
+def find_intel(body: str) -> list[tuple[object, str]]:
+    """All intel matches over the tag-stripped view.
+
+    Returns [(match, NAME)]; match is a str, or a tuple when the
+    pattern has >1 capturing group (re.findall contract). Reference
+    photon.py:208-217.
+    """
+    res = strip_tags(body)
+    out = []
+    for pattern, name in rx.INTEL_PATTERNS:
+        for m in pattern.findall(res):
+            out.append((m, name))
+    return out
+
+
+def shannon_entropy_bytes(s: str) -> float:
+    """Corrected byte-histogram entropy (what reference utils.py:101-109
+    intended; on Python 3 the reference raises TypeError instead — Q6)."""
+    data = s.encode("utf-8")
+    n = len(data)
+    ent = 0.0
+    counts: dict[int, int] = {}
+    for b in data:
+        counts[b] = counts.get(b, 0) + 1
+    for c in counts.values():
+        p = c / n
+        ent -= p * math.log(p, 2)
+    return ent
+
+
+def find_keys(body: str, url: str, faithful_py3: bool = True) -> list[str]:
+    """High-entropy tokens, formatted '<url>: <token>'.
+
+    Reference photon.py:282-287. Q6: on Python 3 the reference's
+    entropy() raises and the result is always empty — ``faithful_py3``
+    reproduces that; False enables the corrected behavior.
+    """
+    if faithful_py3:
+        return []
+    out = []
+    for m in rx.HIGH_ENTROPY_TOKEN.findall(body):
+        if shannon_entropy_bytes(m) >= 4:
+            out.append(url + ": " + m)
+    return out
+
+
+def find_custom(body: str, pattern: str) -> list:
+    """User-regex matches. Reference core/utils.py:15-23 (Q18: errors
+    suppress silently; matches may be tuples if the pattern groups)."""
+    try:
+        return list(re.findall(pattern, body))
+    except re.error:
+        return []
+
+
+# ---------------------------------------------------------------------------
+# T2 — crawlability / file classification
+
+
+def is_file_link(link: str) -> bool:
+    """BAD_TYPES suffix match WITHOUT a dot (Q4). Reference utils.py:43."""
+    return link.endswith(BAD_TYPES)
+
+
+def is_skippable_link(link: str) -> bool:
+    """In-page anchors and javascript: pseudo-links (Q3).
+    Reference utils.py:41-42."""
+    return link.startswith("#") or link.startswith("javascript:")
+
+
+# ---------------------------------------------------------------------------
+# T3 — URL resolution + scope classification
+
+
+def remove_file_segment(url: str) -> str:
+    """Strip the last path segment — with the reference's replace-ALL
+    quirk (Q10): 'http://a.com/c/c' → 'http://a.com'.
+    Reference photon.py:229-237."""
+    if url.count("/") > 2:
+        seg = re.search(r"/[^/]*?$", url).group()
+        if seg != "/":
+            return url.replace(seg, "")
+        return url
+    return url
+
+
+def classify_link(
+    link: str, page_url: str, main_url: str, host: str, schema: str
+) -> tuple[str, str] | None:
+    """Resolve one cleaned link against its page → (url, scope).
+
+    scope ∈ {'internal', 'external'}. Reference photon.py:250-275.
+    Returns None never (every crawlable link lands somewhere); callers
+    must pre-filter with is_skippable_link/is_file_link.
+    """
+    if link[:4] == "http":
+        if link.startswith(main_url):
+            return link, "internal"
+        return link, "external"
+    if link[:2] == "//":
+        # reference photon.py:257-263: netloc prefix test against host
+        parts = link.split("/")
+        netloc = parts[2] if len(parts) > 2 else ""
+        if netloc.startswith(host):
+            return schema + "://" + link, "internal"
+        return link, "external"
+    if link[:1] == "/":
+        return remove_file_segment(page_url) + link, "internal"
+    usable = remove_file_segment(page_url)
+    if usable.endswith("/"):
+        return usable + link, "internal"
+    # (reference rechecks link.startswith('/') here — unreachable after
+    # the '/'-branch above; preserved shape, photon.py:272-273)
+    return usable + "/" + link, "internal"
+
+
+def normalize_script(src: str, main_url: str) -> str | None:
+    """bad_scripts → scripts normalization (T6). Reference
+    photon.py:333-339. Q20: protocol-relative '//x' srcs drop (None)."""
+    if src.startswith(main_url):
+        return src
+    if src.startswith("/") and not src.startswith("//"):
+        return main_url + src
+    if not src.startswith("http") and not src.startswith("//"):
+        return main_url + "/" + src
+    return None
+
+
+# ---------------------------------------------------------------------------
+# T12 / T13 — intel assembly helpers
+
+
+def luhn(purported: object) -> bool:
+    """Luhn check with the reference's exact failure modes (Q8).
+
+    Non-str input is str()-ed (a tuple therefore contains '(' and
+    fails int() → False); separators (spaces/dashes) fail int() →
+    False. Reference core/utils.py:182-194.
+    """
+    odd_lookup = (0, 2, 4, 6, 8, 1, 3, 5, 7, 9)
+    if not isinstance(purported, str):
+        purported = str(purported)
+    try:
+        evens = sum(int(p) for p in purported[-1::-2])
+        odds = sum(odd_lookup[int(p)] for p in purported[-2::-2])
+        return (evens + odds) % 10 == 0
+    except ValueError:
+        return False
+
+
+def etld1(url: str) -> str | None:
+    """Approximate eTLD+1: last two labels of the netloc.
+
+    The reference uses `tld.get_tld(url, fix_protocol=True)`
+    (core/utils.py:140-145); for the fixture/test universe (\\*.test,
+    \\*.com single-suffix domains) last-two-labels is equivalent.
+    fix_protocol prepends a scheme when the url has none — which turns
+    protocol-relative '//x' into 'https:////x' with an EMPTY netloc, so
+    those raise in the reference and are swallowed (photon.py:367-368).
+    Raising cases return None here.
+    """
+    if not url.startswith(("http://", "https://", "ftp://")):
+        url = "https://" + url  # tld fix_protocol behavior
+    netloc = urlparse(url).netloc
+    labels = netloc.split(".")
+    if len(labels) < 2 or not labels[-1] or not labels[-2]:
+        return None
+    return ".".join(labels[-2:])
+
+
+# ---------------------------------------------------------------------------
+# S2 / S3 — robots.txt, sitemap.xml
+
+
+def robots_paths(body: str) -> list[str]:
+    """Allow/Disallow paths, wildcards skipped. Reference core/zap.py:24-42.
+    The '<body' gate (fancy-404 detection, zap.py:27) is applied here."""
+    if "<body" in body:
+        return []
+    out = []
+    for groups in rx.ROBOTS_RULE.findall(body):
+        path = "".join(groups)  # one side is always empty
+        if "*" not in path:
+            out.append(path)
+    return out
+
+
+def sitemap_locs(body: str) -> list[str]:
+    """<loc> entries. Reference core/zap.py:45-57, core/utils.py:112-115."""
+    if "<body" in body:
+        return []
+    return rx.SITEMAP_LOC.findall(body)
+
+
+# ---------------------------------------------------------------------------
+# Fetch modeling (S1) — the sandbox "network" is the pages table
+
+
+def fetch_from_pages(url: str, pages: dict[str, str]) -> str:
+    """Fixture fetch: body if the URL is a known page else the 'dummy'
+    sentinel (reference core/requester.py:58,67,70 — Q11)."""
+    return pages.get(url, DUMMY)

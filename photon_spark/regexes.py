@@ -1,0 +1,147 @@
+"""Extraction patterns — Photon-parity regex kernel.
+
+These reproduce, byte-for-byte in match behavior, the 19 precompiled
+patterns the reference uses (reference core/regex.py:14-234; the intel
+patterns originate from the public InQuest/python-iocextract project,
+per the reference's own attribution at core/regex.py:3). The reference
+writes them in ``re.VERBOSE`` layout; whitespace there is insignificant,
+so they are compacted to one-liners here — identical automata, different
+text. Tests gated on the presence of ``/root/reference`` verify parity
+empirically (tests/test_regex_parity.py).
+
+Quirk Q13 (SURVEY.md §2.4): the reference strips <script> blocks with a
+mid-pattern ``(?s)`` (photon.py:211) which is a re.error on Python ≥3.11
+but applied DOTALL globally on ≤3.10. We freeze the ≤3.10 semantics by
+hoisting DOTALL into the compile flags.
+
+These run inside Arrow-vectorized pandas UDFs only — never Java regex —
+because Python/Java regex dialects differ on these patterns (SURVEY.md
+§2.2 T1).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Shared fragments (reference core/regex.py:5-11).
+_END_PUNCT = r"[\.\?>\"'\)!,}:;”’＞＜\]]*"
+_DEFANGS = r"[\(\)\[\]{}<>\\]"
+
+GENERIC_URL = re.compile(
+    r"([fhstu]\S\S?[px]s?(?::\/\/|:\\\\|:?__)(?:\x20|" + _DEFANGS + r")*"
+    r"\w\S+?(?:\x20[\/\.][^\.\/\s]\S*?)*)" + _END_PUNCT + r"(?=\s|$)",
+    re.IGNORECASE,
+)
+
+BRACKET_URL = re.compile(
+    r"\b([\.\:\/\\\w\[\]\(\)-]+(?:\x20?[\(\[]\x20?\.\x20?[\]\)]\x20?\S*?)+)"
+    + _END_PUNCT + r"(?=\s|$)"
+)
+
+BACKSLASH_URL = re.compile(
+    r"\b([\:\/\\\w\[\]\(\)-]+(?:\x20?\\?\.\x20?\S*?)*?"
+    r"(?:\x20?\\\.\x20?\S*?)(?:\x20?\\?\.\x20?\S*?)*)"
+    + _END_PUNCT + r"(?=\s|$)"
+)
+
+HEXENCODED_URL = re.compile(
+    r"([46][86](?:[57]4)?[57]4[57]0(?:[57]3)?3a2f2f"
+    r"(?:2[356def]|3[0-9adf]|[46][0-9a-f]|[57][0-9af])+)"
+    r"(?:[046]0|2[0-2489a-c]|3[bce]|[57][b-e]|[8-f][0-9a-f]|0a|0d|09|"
+    r"[\x5b-\x5d\x7b\x7d\x0a\x0d\x20]|$)",
+    re.IGNORECASE,
+)
+
+URLENCODED_URL = re.compile(
+    r"(s?[hf]t?tps?%3A%2F%2F\w[\w%-]*?)(?:[^\w%-]|$)", re.IGNORECASE
+)
+
+_B64_ALTS = "|".join(
+    (
+        # b64 of 'https://', 'http://', 'ftp://' at the three bit offsets,
+        # whitespace-tolerant (reference core/regex.py:113-121).
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x2b\x2f-\x39A-Za-z]\s*[\x31\x35\x39BFJNRVZdhlptx]\s*[Gm]\s*[Vd]\s*[FH]\s*[A]\s*\x36\s*L\s*y\s*[\x2b\x2f\x38-\x39]\s*",
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x2b\x2f-\x39A-Za-z]\s*[\x31\x35\x39BFJNRVZdhlptx]\s*[Io]\s*[Vd]\s*[FH]\s*[R]\s*[Qw]\s*[O]\s*i\s*\x38\s*v\s*[\x2b\x2f-\x39A-Za-z]\s*",
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x2b\x2f-\x39A-Za-z]\s*[\x31\x35\x39BFJNRVZdhlptx]\s*[Io]\s*[Vd]\s*[FH]\s*[R]\s*[Qw]\s*[Uc]\s*[z]\s*o\s*v\s*L\s*[\x2b\x2f-\x39w-z]\s*",
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x30\x32EGUWkm]\s*[Z]\s*[\x30U]\s*[Uc]\s*[D]\s*o\s*v\s*L\s*[\x2b\x2f-\x39w-z]\s*",
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x30\x32EGUWkm]\s*[h]\s*[\x30U]\s*[Vd]\s*[FH]\s*[A]\s*\x36\s*L\s*y\s*[\x2b\x2f\x38-\x39]\s*",
+        r"[\x2b\x2f-\x39A-Za-z]\s*[\x30\x32EGUWkm]\s*[h]\s*[\x30U]\s*[Vd]\s*[FH]\s*[B]\s*[Tz]\s*[O]\s*i\s*\x38\s*v\s*[\x2b\x2f-\x39A-Za-z]\s*",
+        r"[RZ]\s*[ln]\s*[R]\s*[Qw]\s*[O]\s*i\s*\x38\s*v\s*[\x2b\x2f-\x39A-Za-z]\s*",
+        r"[Sa]\s*[FH]\s*[R]\s*[\x30U]\s*[Uc]\s*[D]\s*o\s*v\s*L\s*[\x2b\x2f-\x39w-z]\s*",
+        r"[Sa]\s*[FH]\s*[R]\s*[\x30U]\s*[Uc]\s*[FH]\s*[M]\s*\x36\s*L\s*y\s*[\x2b\x2f\x38-\x39]\s*",
+    )
+)
+B64ENCODED_URL = re.compile(
+    r"((?:" + _B64_ALTS + r")[A-Za-z0-9+/=\s]{1,357})(?=[^A-Za-z0-9+/=\s]|$)"
+)
+
+IPV4 = re.compile(
+    r"(?:^|(?![^\d\.]))"
+    r"(?:(?:[1-9]?\d|1\d\d|2[0-4]\d|25[0-5])[\[\(\\]*?\.[\]\)]*?){3}"
+    r"(?:[1-9]?\d|1\d\d|2[0-4]\d|25[0-5])"
+    r"(?:(?=[^\d\.])|$)"
+)
+
+IPV6 = re.compile(r"\b(?:[a-f0-9]{1,4}:|:){2,7}(?:[a-f0-9]{1,4}|:)\b", re.IGNORECASE)
+
+EMAIL = re.compile(
+    r"([a-z0-9_.+-]+[\(\[{\x20]*(?:@|\Wat\W)[\)\]}\x20]*[a-z0-9-]+"
+    r"(?:(?:(?:\x20*" + _DEFANGS + r"\x20*)*\.(?:\x20*" + _DEFANGS + r"\x20*)*"
+    r"|\W+dot\W+)[a-z0-9-]+?)+)" + _END_PUNCT + r"(?=\s|$)",
+    re.IGNORECASE,
+)
+
+MD5 = re.compile(r"(?:[^a-fA-F\d]|\b)([a-fA-F\d]{32})(?:[^a-fA-F\d]|\b)")
+SHA1 = re.compile(r"(?:[^a-fA-F\d]|\b)([a-fA-F\d]{40})(?:[^a-fA-F\d]|\b)")
+SHA256 = re.compile(r"(?:[^a-fA-F\d]|\b)([a-fA-F\d]{64})(?:[^a-fA-F\d]|\b)")
+SHA512 = re.compile(r"(?:[^a-fA-F\d]|\b)([a-fA-F\d]{128})(?:[^a-fA-F\d]|\b)")
+
+YARA_PARSE = re.compile(
+    r"(?:^|\s)((?:\s*?import\s+?\"[^\r\n]*?[\r\n]+|\s*?include\s+?\"[^\r\n]*?[\r\n]+"
+    r"|\s*?//[^\r\n]*[\r\n]+|\s*?/\*.*?\*/\s*?)*"
+    r"(?:\s*?private\s+|\s*?global\s+)*"
+    r"rule\s*?\w+\s*?(?::[\s\w]+)?\s+\{.*?condition\s*?:.*?\s*\})(?:$|\s)",
+    re.MULTILINE | re.DOTALL,
+)
+
+CREDIT_CARD = re.compile(r"[0-9]{4}[ ]?[-]?[0-9]{4}[ ]?[-]?[0-9]{4}[ ]?[-]?[0-9]{4}")
+
+# Ordered exactly as the reference iterates them (core/regex.py:214-228).
+INTEL_PATTERNS: tuple[tuple[re.Pattern, str], ...] = (
+    (GENERIC_URL, "GENERIC_URL"),
+    (BRACKET_URL, "BRACKET_URL"),
+    (BACKSLASH_URL, "BACKSLASH_URL"),
+    (HEXENCODED_URL, "HEXENCODED_URL"),
+    (URLENCODED_URL, "URLENCODED_URL"),
+    (B64ENCODED_URL, "B64ENCODED_URL"),
+    (IPV4, "IPV4"),
+    (IPV6, "IPV6"),
+    (EMAIL, "EMAIL"),
+    (MD5, "MD5"),
+    (SHA1, "SHA1"),
+    (SHA256, "SHA256"),
+    (SHA512, "SHA512"),
+    (YARA_PARSE, "YARA_PARSE"),
+    (CREDIT_CARD, "CREDIT_CARD"),
+)
+
+# Structural patterns (reference core/regex.py:231-234). The greedy
+# ``.*`` without DOTALL makes these match at most once per physical
+# line, capturing the LAST href/src on that line — quirk Q2.
+SCRIPT_SRC = re.compile(r"<(script|SCRIPT).*(src|SRC)=([^\s>]+)")
+HREF = re.compile(r"<[aA].*(href|HREF)=([^\s>]+)")
+JS_ENDPOINT = re.compile(r"['\"](/.*?)['\"]|['\"](http.*?)['\"]")
+HIGH_ENTROPY_TOKEN = re.compile(r"[\w-]{16,45}")
+
+# Tag stripping for the intel view (reference photon.py:211-212; Q13:
+# DOTALL hoisted to a flag to freeze Python ≤3.10 semantics).
+SCRIPT_BLOCK = re.compile(r"<(script).*?</\1>", re.DOTALL)
+ANY_TAG = re.compile(r"<[^<]+?>")
+
+# robots.txt / sitemap.xml parsing (reference core/zap.py:29,
+# core/utils.py:115).
+ROBOTS_RULE = re.compile(r"Allow: (.*)|Disallow: (.*)")
+SITEMAP_LOC = re.compile(r"<loc>(.*?)</loc>")
+
+# jscanner junk filter (reference photon.py:300).
+ENDPOINT_JUNK = re.compile(r"[}{><\"\']")

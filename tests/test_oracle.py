@@ -1,0 +1,159 @@
+"""Pinned expectations for the golden oracle on the fixture site.
+
+These assertions encode hand-verified reference behavior (SURVEY.md
+§2.4) — if the fixture or oracle drifts, this catches it independently
+of the Spark engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.gen import ROOT, page_bodies, pages_rows
+from oracle.photon_oracle import crawl
+from photon_spark.kernels import reassemble_text
+
+
+@pytest.fixture(scope="module")
+def result():
+    return crawl(page_bodies(), ROOT, crawl_level=2)
+
+
+def test_span_reassembly_invariant():
+    bodies = page_bodies()
+    for row in pages_rows():
+        assert reassemble_text(row["spans"]) == bodies[row["doc_id"]]
+
+
+def test_files(result):
+    assert result.datasets["files"] == {"/logo.png", "/style.css", "/mapjs"}
+
+
+def test_robots(result):
+    assert result.datasets["robots"] == {ROOT + "/public", ROOT + "/private"}
+
+
+def test_wave_membership(result):
+    w = result.waves
+    assert w[ROOT] == 0
+    assert w[ROOT + "/public"] == 0          # robots seed
+    assert w[ROOT + "/sm1.html"] == 0        # sitemap seed
+    assert w[ROOT + "/a.html"] == 1
+    assert w[ROOT + "/sm1b.html"] == 1       # discovered in wave 0
+    assert ROOT + "/d2.html" not in w        # discovered wave 1, level cutoff
+    assert ROOT + "/d2.html" in result.datasets["internal"]
+
+
+def test_q2_only_last_anchor_of_line(result):
+    assert ROOT + "/x2.html" in result.datasets["internal"]
+    assert ROOT + "/x1.html" not in result.datasets["internal"]
+
+
+def test_q10_replace_all_resolution(result):
+    assert ROOT + "/q10.html" in result.datasets["internal"]
+    assert ROOT + "/c/q10.html" not in result.datasets["internal"]
+
+
+def test_q27_fragment_link_yields_dir_slash(result):
+    assert ROOT + "/" in result.datasets["internal"]
+
+
+def test_q28_garbled_protocol_relative_internal(result):
+    assert "http:://" + "//h0.fixture.test/proto.html" in result.datasets["internal"]
+
+
+def test_scripts_t6_normalization(result):
+    assert result.datasets["scripts"] == {
+        ROOT + "/static/app.js",
+        ROOT + "/static/abs.js",
+        ROOT + "/app2.js",
+    }  # //cdn dropped (Q20)
+
+
+def test_endpoints(result):
+    assert result.datasets["endpoints"] == {
+        "/api/v1/users", "http://h0.fixture.test/api", "/api/v2/items"
+    }
+
+
+def test_external_and_intel_gate(result):
+    ext = result.datasets["external"]
+    assert "http://h1.fixture.test/ext1.html" in ext
+    assert "//h2.fixture.test/ext2.html" in ext
+    intel = result.datasets["intel"]
+    assert "https://github.com/s0md3v" in intel          # INTELS gate (T13)
+    assert "https://facebook.com/photonpage" in intel
+    assert "http://h1.fixture.test/ext1.html" not in intel
+
+
+def test_q8_credit_card_gates(result):
+    intel = result.datasets["intel"]
+    assert ROOT + ":CREDIT_CARD:4111111111111111" in intel
+    assert not any("4111 1111" in v for v in intel)      # separators dropped
+    assert not any("1234567812345678" in v for v in intel)  # luhn-invalid
+
+
+def test_q14_script_block_intel_hidden(result):
+    assert not any("scriptonly" in v for v in result.datasets["intel"])
+
+
+def test_q9_external_intel_requires_bad_intel():
+    # A site with INTELS externals but zero intel matches: the nested
+    # loop never runs → external INTELS urls do NOT reach intel.
+    pages = {
+        "http://q9.test": '<html><body>\n<a href="https://github.com/x">g</a>\n</body></html>\n'
+    }
+    res = crawl(pages, "http://q9.test", crawl_level=2)
+    assert "https://github.com/x" in res.datasets["external"]
+    assert res.datasets["intel"] == set()
+
+
+def test_q5_failed_always_empty(result):
+    assert result.datasets["failed"] == set()
+
+
+def test_q6_keys_empty_in_faithful_mode():
+    res = crawl(page_bodies(), ROOT, crawl_level=2, extract_keys=True)
+    assert res.datasets["keys"] == set()
+    res2 = crawl(
+        page_bodies(), ROOT, crawl_level=2, extract_keys=True, faithful_py3=False
+    )
+    assert res2.datasets["keys"] == {
+        ROOT + ": aB3xK9mQzR7pW2vY8tL5",
+        ROOT + "/notes: aHR0cDovL2V4YW1wbGUuY29tLw",  # b64 token, entropy ≥ 4
+    }
+
+
+def test_exclude_filter():
+    res = crawl(page_bodies(), ROOT, crawl_level=2, exclude=r"/d\d")
+    # excluded URLs are never crawled (photon.py:317) but ones discovered
+    # DURING the loop still land in internal (only the pre-loop filter at
+    # photon.py:312 purges internal itself).
+    assert ROOT + "/d1.html" not in res.waves
+    assert ROOT + "/d1.html" in res.datasets["internal"]
+    assert ROOT + "/d2.html" not in res.datasets["internal"]  # never discovered
+
+
+def test_custom_regex():
+    res = crawl(page_bodies(), ROOT, crawl_level=2, custom_regex=r"pan \d{16}")
+    assert res.datasets["custom"] == {"pan 4111111111111111", "pan 1234567812345678"}
+
+
+def test_only_urls_skips_intel_js():
+    res = crawl(page_bodies(), ROOT, crawl_level=2, only_urls=True)
+    assert res.datasets["intel"] == set()
+    assert res.datasets["scripts"] == set()
+    assert res.datasets["endpoints"] == set()
+    assert res.datasets["fuzzable"] == set()  # photon.py:332-346 all gated
+    assert res.datasets["internal"]           # links still crawled
+
+
+def test_deeper_level_reaches_chain_until_q25_break():
+    res = crawl(page_bodies(), ROOT, crawl_level=4)
+    assert res.waves[ROOT + "/d2.html"] == 2
+    # Q25: at level-3 start len(internal)=27 <= len(processed)=27 (incl.
+    # the 'dummy' sentinel) and 27 > 2+len(seeds) → the quirky secondary
+    # break fires; d3 was discovered but is never crawled.
+    assert ROOT + "/d3.html" in res.datasets["internal"]
+    assert ROOT + "/d3.html" not in res.waves
+    assert ROOT + "/d4.html" not in res.datasets["internal"]
