@@ -1,0 +1,337 @@
+"""The crawl driver — level-synchronous BFS, each wave one batch job.
+
+Replaces the reference's thread-pool loop (reference photon.py:315-330,
+core/flash.py) with: per-wave dedup (Bloom + exact anti-join) →
+exclusion filter → politeness schedule → fetch join against the pages
+table → one Arrow extract pass → state merge → snapshot. The driver
+loop carries only scalar counters; all data stays in DataFrames.
+
+Dataflow per wave (SURVEY.md §3.1 Spark lifecycle):
+
+    internal ∖ processed ── exclude ── schedule(host, budget)
+        ── left join pages (fetch; miss ⇒ 'dummy', Q11)
+        ── mapInPandas extract (T1,T3,T4,T5,T8,T9 — one Python pass)
+        ── merge: internal/external/files/bad_intel/bad_scripts/…
+
+Termination reproduces photon.py:318-324 exactly, including the Q25
+secondary break and the 'dummy' sentinel in the processed count.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.config import DUMMY, INTELS, EngineConfig
+from photon_spark.operators.extract import (
+    body_expr,
+    etld1_udf,
+    extract_endpoints,
+    extract_wave,
+    luhn_valid,
+    normalize_scripts_col,
+)
+from photon_spark.plans.frontier import UrlBloom, dedup_candidates
+from photon_spark.plans.schedule import schedule_wave
+from photon_spark.plans.storage import STATE_SCHEMAS, CrawlStore
+
+DATASET_NAMES = (
+    "files", "intel", "robots", "custom", "failed", "internal",
+    "scripts", "external", "fuzzable", "endpoints", "keys",
+)
+
+
+@dataclass
+class CrawlResult:
+    datasets: dict[str, DataFrame]
+    waves: DataFrame                    # (url, level)
+    metrics: list[dict] = field(default_factory=list)
+    processed_count: int = 0            # includes the 'dummy' sentinel
+
+    @property
+    def results(self) -> DataFrame:
+        """Single (dataset, value) table — the reference's output dir
+        as one relation (SURVEY.md §1.2 K1)."""
+        parts = []
+        for name in DATASET_NAMES:
+            df = self.datasets[name]
+            parts.append(df.select(F.lit(name).alias("dataset"), F.col("value")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def to_sets(self) -> dict[str, set]:
+        """Collect every dataset — test/CLI helper, not for big runs."""
+        return {
+            name: {r["value"] for r in df.collect()}
+            for name, df in self.datasets.items()
+        }
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema=schema)
+
+
+def _urls(spark: SparkSession, urls, colname: str = "url") -> DataFrame:
+    return spark.createDataFrame([(u,) for u in urls], schema=f"{colname} string")
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    main_url: str,
+    cfg: EngineConfig | None = None,
+    store: Optional[CrawlStore] = None,
+    resume: bool = False,
+    stop_after_wave: Optional[int] = None,
+    use_bloom: bool = False,
+) -> Optional[CrawlResult]:
+    """Run a crawl over the ``pages`` span-document table.
+
+    ``stop_after_wave`` simulates a crash for resume tests: state is
+    committed to ``store`` and the function returns None.
+    ``use_bloom`` switches the per-wave dedup to the Bloom-prefiltered
+    path (always exact; worth it once `processed` is large).
+    """
+    cfg = cfg or EngineConfig()
+    if main_url.endswith("/"):
+        main_url = main_url[:-1]
+
+    body = (
+        pages.select(F.col("doc_id"), body_expr().alias("body"))
+        .persist()
+    )
+
+    def fetch(wave_df: DataFrame) -> DataFrame:
+        """Fetch = left equi-join against the pages table (S1); in
+        production this stage is a mapInPandas HTTP fetch per host
+        partition — same interface, different body source."""
+        return wave_df.join(body, wave_df.url == body.doc_id, "left").select(
+            wave_df.url,
+            wave_df.level,
+            F.coalesce(F.col("body"), F.lit(DUMMY)).alias("body"),
+        )
+
+    start_wave = 0
+    meta: dict = {}
+    if resume and store is not None and store.latest() is not None:
+        last_wave, meta = store.latest()
+        state = store.load(spark, last_wave)
+        start_wave = last_wave + 1
+        processed_count = meta["processed_count"]
+        robots_urls = meta["robots_urls"]
+    else:
+        # ---- zap stage (S2/S3): robots.txt + sitemap.xml seeds.
+        special = {
+            r["doc_id"]: r["body"]
+            for r in body.filter(
+                F.col("doc_id").isin(
+                    [main_url + "/robots.txt", main_url + "/sitemap.xml"]
+                )
+            ).collect()
+        }
+        from photon_spark import kernels as K
+
+        robots_urls = [
+            main_url + p
+            for p in K.robots_paths(special.get(main_url + "/robots.txt", DUMMY))
+        ]
+        sitemap_urls = K.sitemap_locs(special.get(main_url + "/sitemap.xml", DUMMY))
+
+        internal0 = set(cfg.seeds) | {main_url} | set(robots_urls) | set(sitemap_urls)
+        state = {name: _empty(spark, sch) for name, sch in STATE_SCHEMAS.items()}
+        state["internal"] = _urls(spark, sorted(internal0))
+        if cfg.exclude:
+            state["internal"] = state["internal"].filter(
+                ~F.col("url").rlike(cfg.exclude)
+            )  # photon.py:312
+        processed_count = 1  # the 'dummy' sentinel (Q11)
+
+    metrics: list[dict] = list(meta.get("metrics", []))
+
+    # Accumulators start from loaded state; per-wave pieces are unioned in.
+    acc = {k: state[k] for k in STATE_SCHEMAS}
+
+    for level in range(start_wave, cfg.crawl_level):
+        t0 = time.time()
+        internal_count = acc["internal"].count()
+
+        bloom = None
+        if use_bloom and processed_count > 1:
+            bloom = UrlBloom.build(
+                acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
+            )
+        links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
+        if cfg.exclude:
+            links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
+        links = links.persist()
+        n = links.count()
+        if n == 0:
+            break
+        if internal_count <= processed_count and internal_count > 2 + len(cfg.seeds):
+            break  # Q25
+
+        wave = links.withColumn("level", F.lit(level))
+        scheduled = schedule_wave(
+            wave,
+            budget=cfg.per_host_budget,
+            partitions=cfg.shuffle_partitions,
+            salts=cfg.host_salts,
+        ).select("url", "level").persist()
+        # Budget-capped URLs are deferred, not dropped: they stay out of
+        # `processed`, remain in `internal`, and re-candidate next wave.
+        n_sched = scheduled.count() if cfg.per_host_budget is not None else n
+        ext = extract_wave(fetch(scheduled), cfg, main_url).persist()
+
+        part_counts = [
+            (r["pid"], r["count"])
+            for r in ext.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        ]
+
+        def exploded(col: str, out: str = "value") -> DataFrame:
+            return ext.select(F.explode(col).alias(out))
+
+        acc["internal"] = (
+            acc["internal"].unionByName(exploded("internal_new", "url")).distinct()
+        )
+        acc["external"] = (
+            acc["external"].unionByName(exploded("external_new", "url")).distinct()
+        )
+        # files side-effect is gated on the processed check (utils.py:40-46):
+        # anti-join against processed as of wave start.
+        acc["files"] = (
+            acc["files"]
+            .unionByName(
+                exploded("file_links")
+                .join(acc["processed"], F.col("value") == F.col("url"), "left_anti")
+            )
+            .distinct()
+        )
+        acc["bad_intel"] = (
+            acc["bad_intel"]
+            .unionByName(
+                ext.select(
+                    "url",
+                    F.explode("intel").alias("i"),
+                ).select("url", "i.name", "i.parts", "i.is_tuple")
+            )
+            .dropDuplicates()
+        )
+        acc["bad_scripts"] = (
+            acc["bad_scripts"].unionByName(exploded("script_srcs")).distinct()
+        )
+        acc["custom"] = acc["custom"].unionByName(exploded("custom")).distinct()
+        acc["keys"] = acc["keys"].unionByName(exploded("keys")).distinct()
+        acc["processed"] = acc["processed"].unionByName(scheduled.select("url"))
+        acc["waves"] = acc["waves"].unionByName(scheduled.select("url", "level"))
+        processed_count += n_sched
+
+        # ---- snapshot: parquet commit (resumable) or lineage truncation.
+        if store is not None:
+            meta = {
+                "processed_count": processed_count,
+                "robots_urls": robots_urls,
+                "metrics": metrics,
+            }
+            store.commit(level, acc, meta)
+            acc = store.load(spark, level)
+        else:
+            for k in ("internal", "processed"):
+                acc[k] = acc[k].localCheckpoint(eager=True)
+
+        elapsed = time.time() - t0
+        metrics.append(
+            {
+                "wave": level,
+                "internal_before": internal_count,
+                "urls_candidates": n,
+                "urls_scheduled": n_sched,
+                "fetched": n_sched,
+                "elapsed_s": round(elapsed, 4),
+                "urls_per_s": round(n_sched / elapsed, 2) if elapsed > 0 else None,
+                "partitions": part_counts,
+            }
+        )
+        # ext/links/scheduled stay persisted: the accumulators reference
+        # them lazily; everything is dropped when `body` unpersists at
+        # the end (store-mode reloads from parquet instead).
+
+        if stop_after_wave is not None and level >= stop_after_wave:
+            return None
+
+    # ------------------------------------------------------------------
+    # Post-loop stages (photon.py:332-368), all skipped under only_urls.
+    empty_vals = _empty(spark, "value string")
+    scripts = empty_vals
+    endpoints = empty_vals
+    fuzzable = empty_vals
+    intel = empty_vals
+    if not cfg.only_urls:
+        scripts = (
+            acc["bad_scripts"]
+            .select(normalize_scripts_col(F.col("value"), main_url).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+            .persist()
+        )
+        sfetched = fetch(scripts.select(F.col("value").alias("url"), F.lit(-1).alias("level")))
+        endpoints = (
+            extract_endpoints(sfetched)
+            .select(F.explode("endpoints").alias("value"))
+            .distinct()
+        )
+        processed_count += scripts.count()
+
+        fuzzable = (
+            acc["internal"].filter(F.col("url").contains("="))
+            .select(F.col("url").alias("value"))
+        )
+
+        # ---- T12 intel assembly + T13 INTELS gate (Q8/Q9).
+        bi = acc["bad_intel"]
+        scalar = bi.filter(~F.col("is_tuple")).withColumn("match", F.col("parts")[0])
+        scalar = scalar.filter(
+            (F.col("name") != "CREDIT_CARD") | luhn_valid(F.col("match"))
+        ).select(
+            F.concat_ws(":", F.col("url"), F.col("name"), F.col("match")).alias("value")
+        )
+        tuples = (
+            bi.filter(F.col("is_tuple") & (F.col("name") != "CREDIT_CARD"))  # Q8a
+            .select(F.col("name"), F.explode("parts").alias("x"))
+            .filter(F.col("x") != "")
+            .select(F.concat_ws(":", F.col("name"), F.col("x")).alias("value"))
+        )
+        intel = scalar.unionByName(tuples)
+        if bi.limit(1).count() > 0:  # Q9: gate on bad_intel non-empty
+            intel = intel.unionByName(
+                acc["external"]
+                .filter(etld1_udf(F.col("url")).isin(list(INTELS)))
+                .select(F.col("url").alias("value"))
+            )
+        intel = intel.distinct()
+
+    datasets = {
+        "files": acc["files"].select("value"),
+        "intel": intel,
+        "robots": _urls(spark, robots_urls, "value"),
+        "custom": acc["custom"].select("value"),
+        "failed": empty_vals,  # Q5: unreachable on the html path
+        "internal": acc["internal"].select(F.col("url").alias("value")),
+        "scripts": scripts.select("value") if not cfg.only_urls else empty_vals,
+        "external": acc["external"].select(F.col("url").alias("value")),
+        "fuzzable": fuzzable,
+        "endpoints": endpoints,
+        "keys": acc["keys"].select("value"),
+    }
+    body.unpersist()
+    return CrawlResult(
+        datasets=datasets,
+        waves=acc["waves"],
+        metrics=metrics,
+        processed_count=processed_count,
+    )

@@ -1,0 +1,182 @@
+"""Extraction operators — Arrow-vectorized pandas UDF stages.
+
+The hot path is ONE ``mapInPandas`` pass per crawl wave that runs all
+Photon extractors (T1 links + T3 classification, T4 intel, T5 script
+srcs, T8 keys, T9 custom) over each fetched body. Python regex runs
+inside the UDF to preserve the reference's exact match semantics
+(SURVEY.md §2.2 T1 — Java regex is not byte-identical on these
+patterns); transport is Arrow batches, never per-row Python.
+
+Everything that CAN be a built-in column expression is one — body
+reassembly from spans, BAD_TYPES suffix tests, script normalization —
+see body_expr()/files_pred()/normalize_scripts_col() below.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from photon_spark import kernels as K
+from photon_spark.config import BAD_TYPES, DUMMY, EngineConfig
+
+# Output schema of the per-wave extract pass.
+EXTRACT_SCHEMA = (
+    "url string, level int, "
+    "internal_new array<string>, external_new array<string>, "
+    "file_links array<string>, "
+    "intel array<struct<name:string,parts:array<string>,is_tuple:boolean>>, "
+    "script_srcs array<string>, custom array<string>, keys array<string>"
+)
+
+ENDPOINT_SCHEMA = "url string, endpoints array<string>"
+
+
+def body_expr(spans_col: str = "spans") -> Column:
+    """Reassembled page body from interleaved spans — pure JVM.
+
+    concat of text-span texts ordered by offset (FIXTURES.md §1);
+    media spans contribute nothing to the body view.
+    """
+    text_spans = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("text"))
+    ordered = F.array_sort(
+        F.transform(
+            text_spans, lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))
+        )
+    )
+    return F.concat_ws("", F.transform(ordered, lambda st: st["t"]))
+
+
+def files_pred(col: Column) -> Column:
+    """BAD_TYPES suffix predicate, JVM-side (literal alternation is
+    dialect-safe). No leading dot — quirk Q4."""
+    return col.rlike("(?:" + "|".join(BAD_TYPES) + ")$")
+
+
+def _extract_one(url: str, body: str, cfg: EngineConfig, main_url: str,
+                 host: str, schema: str) -> dict:
+    """All extractors for one page. Pure kernels; no Spark."""
+    internal_new: list[str] = []
+    external_new: list[str] = []
+    file_links: list[str] = []
+    for link in K.find_links(body):
+        if K.is_skippable_link(link):
+            continue
+        if K.is_file_link(link):
+            file_links.append(link)
+            continue
+        resolved, scope = K.classify_link(link, url, main_url, host, schema)
+        (internal_new if scope == "internal" else external_new).append(resolved)
+    intel: list[dict] = []
+    script_srcs: list[str] = []
+    if not cfg.only_urls:
+        for match, name in K.find_intel(body):
+            if isinstance(match, tuple):
+                intel.append({"name": name, "parts": list(match), "is_tuple": True})
+            else:
+                intel.append({"name": name, "parts": [match], "is_tuple": False})
+        script_srcs = K.find_script_srcs(body)
+    custom = (
+        [m for m in K.find_custom(body, cfg.custom_regex) if isinstance(m, str)]
+        if cfg.custom_regex
+        else []
+    )
+    keys = K.find_keys(body, url, cfg.faithful_py3) if cfg.extract_keys else []
+    return {
+        "internal_new": internal_new,
+        "external_new": external_new,
+        "file_links": file_links,
+        "intel": intel,
+        "script_srcs": script_srcs,
+        "custom": custom,
+        "keys": keys,
+    }
+
+
+def extract_wave(fetched: DataFrame, cfg: EngineConfig, main_url: str) -> DataFrame:
+    """The per-wave extract stage.
+
+    ``fetched``: (url, level, body) — body already 'dummy'-coalesced.
+    Returns EXTRACT_SCHEMA. One Arrow round-trip for the whole wave.
+    """
+    from urllib.parse import urlparse
+
+    host = urlparse(main_url).netloc
+    schema = main_url.split("//")[0]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, level, body in zip(pdf["url"], pdf["level"], pdf["body"]):
+                out = _extract_one(url, body if body else DUMMY, cfg, main_url, host, schema)
+                out["url"] = url
+                out["level"] = level
+                rows.append(out)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "level", "internal_new", "external_new", "file_links",
+                    "intel", "script_srcs", "custom", "keys",
+                ],
+            )
+
+    return fetched.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def extract_endpoints(fetched_scripts: DataFrame) -> DataFrame:
+    """jscanner stage (T7): (url, body) → endpoints arrays."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "endpoints": [
+                        K.find_endpoints(b if b else DUMMY) for b in pdf["body"]
+                    ],
+                }
+            )
+
+    return fetched_scripts.mapInPandas(run, schema=ENDPOINT_SCHEMA)
+
+
+def normalize_scripts_col(src: Column, main_url: str) -> Column:
+    """T6 script normalization as a JVM expression (photon.py:333-339;
+    Q20: protocol-relative srcs → NULL → dropped by the caller)."""
+    starts_proto_rel = src.startswith("//")
+    return (
+        F.when(src.startswith(main_url), src)
+        .when(src.startswith("/") & ~starts_proto_rel, F.concat(F.lit(main_url), src))
+        .when(
+            ~src.startswith("http") & ~starts_proto_rel,
+            F.concat(F.lit(main_url), F.lit("/"), src),
+        )
+        .otherwise(F.lit(None))
+    )
+
+
+# pandas UDFs are created lazily: the decorator parses its DDL return
+# type against the ACTIVE session, so module import must not require one.
+
+
+def luhn_valid(col: Column) -> Column:
+    """Vectorized Luhn gate with the reference's failure modes (Q8b)."""
+
+    @F.pandas_udf("boolean")
+    def _luhn(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: K.luhn(v) if v is not None else False)
+
+    return _luhn(col)
+
+
+def etld1_udf(col: Column) -> Column:
+    """Approximate eTLD+1 (kernel semantics — see kernels.etld1)."""
+
+    @F.pandas_udf("string")
+    def _etld1(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: K.etld1(v) if v is not None else None)
+
+    return _etld1(col)

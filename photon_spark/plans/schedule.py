@@ -1,0 +1,64 @@
+"""Wave scheduling — politeness window, priority, host partitioning.
+
+The reference's scheduler is a thread pool over an unordered set with a
+single global delay (reference core/flash.py:6-17, requester.py:33).
+The engine's contract (SURVEY.md §2.3 F3/F4):
+
+* ``score`` column orders URLs within a host (level-based BFS priority;
+  deterministic tie-break on url asc — quirk Q12's ordering contract).
+* per-host budget: ``row_number() over (partition by host order by
+  score desc, url)`` ≤ budget. With budget=None this is skipped and the
+  engine degenerates to the reference's behavior (Q26).
+* fetch locality: repartition by host so one host's URLs land in one
+  partition (politeness + connection reuse per north_rule); the
+  extract stage instead salts the host key because Zipf-skewed hosts
+  would straggle (SURVEY.md §4 skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host column via parse_url; unparseable URLs fall back to the raw
+    string (still a stable partition key)."""
+    return df.withColumn(
+        "host", F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.col(url_col))
+    )
+
+
+def schedule_wave(
+    wave: DataFrame,
+    budget: int | None = None,
+    partitions: int | None = None,
+    salts: int = 1,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply priority + per-host budget, then host-partition the wave.
+
+    The budget cap runs BEFORE any wide per-host operation so window
+    skew is bounded (SURVEY.md §4). Salting >1 spreads one hot host
+    over `salts` partitions for the extract stage (fetch politeness is
+    then enforced within the UDF per sub-partition budget).
+    """
+    out = with_host(wave, url_col)
+    if budget is not None:
+        w = Window.partitionBy("host").orderBy(
+            F.col("score").desc() if "score" in out.columns else F.lit(0),
+            F.col(url_col).asc(),
+        )
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= budget
+        ).drop("_rn")
+    if partitions:
+        if salts > 1:
+            out = out.repartition(
+                partitions,
+                F.col("host"),
+                F.pmod(F.xxhash64(F.col(url_col)), F.lit(salts)),
+            )
+        else:
+            out = out.repartition(partitions, F.col("host"))
+    return out

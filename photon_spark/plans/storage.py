@@ -1,0 +1,74 @@
+"""Crawl state persistence — parquet snapshots + manifest, resumable.
+
+Iceberg-shaped (one snapshot per wave, read-latest to resume — SURVEY.md
+§7 M2) with a plain-parquet fallback since the sandbox has no Iceberg
+jars. The interface is deliberately thin so an Iceberg backend can drop
+in: commit(wave, tables) / latest() / load(). Each wave commit is
+atomic-enough via write-then-rename of the manifest.
+
+State tables per snapshot: internal, processed, external, files,
+bad_intel, bad_scripts, custom, keys, waves — plus scalar counters in
+the manifest (processed_count includes the reference's 'dummy'
+sentinel, Q11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+STATE_SCHEMAS = {
+    "internal": "url string",
+    "processed": "url string",
+    "external": "url string",
+    "files": "value string",
+    "bad_intel": "url string, name string, parts array<string>, is_tuple boolean",
+    "bad_scripts": "value string",
+    "custom": "value string",
+    "keys": "value string",
+    "waves": "url string, level int",
+}
+
+
+class CrawlStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_wave_manifest.json")
+
+    def commit(self, wave: int, tables: dict[str, DataFrame], meta: dict) -> None:
+        snap_dir = os.path.join(self.root, f"wave={wave}")
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(snap_dir, name))
+        manifest = {"latest_wave": wave, "meta": meta}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+
+    def latest(self) -> tuple[int, dict] | None:
+        try:
+            with open(self._manifest_path()) as f:
+                m = json.load(f)
+            return m["latest_wave"], m["meta"]
+        except FileNotFoundError:
+            return None
+
+    def load(self, spark: SparkSession, wave: int) -> dict[str, DataFrame]:
+        snap_dir = os.path.join(self.root, f"wave={wave}")
+        out = {}
+        for name, schema in STATE_SCHEMAS.items():
+            path = os.path.join(snap_dir, name)
+            if os.path.exists(path):
+                out[name] = spark.read.parquet(path)
+            else:
+                out[name] = spark.createDataFrame([], schema=schema)
+        return out
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "photon_spark",
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Local session tuned for the sandbox; on a real cluster the same
+    engine code runs under spark-submit with cluster conf instead.
+
+    AQE stays on (runtime coalescing + skew-join splitting — SURVEY.md
+    §4); Arrow is on because every extractor is a pandas UDF.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    shuffle_partitions = shuffle_partitions or max(8, cores)
+    # Executor Python workers must import this package. On a cluster
+    # that's `spark-submit --py-files`; in local mode we export the
+    # repo root on PYTHONPATH before the JVM forks workers.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from photon_spark.session import get_spark
+
+    s = get_spark(cores=4, shuffle_partitions=8, app_name="photon_spark_tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_pages(spark):
+    from fixtures.gen import pages_df
+
+    df = pages_df(spark).persist()
+    df.count()
+    return df

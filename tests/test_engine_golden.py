@@ -1,0 +1,108 @@
+"""Golden end-to-end tests: the Spark engine vs the pure-Python oracle.
+
+The primary correctness gate (SURVEY.md §5.2(1)): for the same fixture
+site + config, every dataset must be set-equal, wave membership equal
+per URL, and emitted span sequences byte-equal.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.gen import ROOT, page_bodies, pages_df
+from oracle.photon_oracle import crawl as oracle_crawl
+from photon_spark.config import EngineConfig
+from photon_spark.crawl import run_crawl
+
+
+def assert_match(engine_result, oracle_result):
+    got = engine_result.to_sets()
+    want = {k: set(map(str, v)) for k, v in oracle_result.datasets.items()}
+    for name in want:
+        assert got[name] == want[name], (
+            f"dataset {name!r} mismatch:\n"
+            f"  engine-only: {sorted(got[name] - want[name])[:10]}\n"
+            f"  oracle-only: {sorted(want[name] - got[name])[:10]}"
+        )
+    got_waves = {
+        r["url"]: r["level"] for r in engine_result.waves.collect()
+    }
+    assert got_waves == oracle_result.waves
+    assert engine_result.processed_count == len(oracle_result.processed)
+
+
+@pytest.mark.parametrize("level", [1, 2, 4])
+def test_golden_crawl_levels(spark, fixture_pages, level):
+    cfg = EngineConfig(crawl_level=level)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(page_bodies(), ROOT, crawl_level=level)
+    assert_match(eng, ora)
+
+
+def test_golden_only_urls(spark, fixture_pages):
+    cfg = EngineConfig(only_urls=True)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(page_bodies(), ROOT, only_urls=True)
+    assert_match(eng, ora)
+
+
+def test_golden_exclude(spark, fixture_pages):
+    cfg = EngineConfig(exclude=r"/d\d")
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(page_bodies(), ROOT, exclude=r"/d\d")
+    assert_match(eng, ora)
+
+
+def test_golden_custom_regex_and_keys(spark, fixture_pages):
+    cfg = EngineConfig(custom_regex=r"pan \d{16}", extract_keys=True)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(
+        page_bodies(), ROOT, custom_regex=r"pan \d{16}", extract_keys=True
+    )
+    assert_match(eng, ora)
+
+
+def test_golden_corrected_entropy_mode(spark, fixture_pages):
+    cfg = EngineConfig(extract_keys=True, faithful_py3=False)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(
+        page_bodies(), ROOT, extract_keys=True, faithful_py3=False
+    )
+    assert_match(eng, ora)
+
+
+def test_golden_seeds(spark, fixture_pages):
+    seeds = ("http://h0.fixture.test/a2.html",)
+    cfg = EngineConfig(seeds=seeds)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(page_bodies(), ROOT, seeds=seeds)
+    assert_match(eng, ora)
+
+
+def test_golden_trailing_slash_root(spark, fixture_pages):
+    eng = run_crawl(spark, fixture_pages, ROOT + "/")
+    ora = oracle_crawl(page_bodies(), ROOT)
+    assert_match(eng, ora)
+
+
+def test_bloom_path_identical(spark, fixture_pages):
+    eng = run_crawl(spark, fixture_pages, ROOT, use_bloom=True)
+    ora = oracle_crawl(page_bodies(), ROOT)
+    assert_match(eng, ora)
+
+
+def test_span_sequences_byte_equal(spark, fixture_pages):
+    """input_hint invariant: span sequences of every emitted (fetched)
+    document equal the source (kind, text, media_ref, order)."""
+    eng = run_crawl(spark, fixture_pages, ROOT)
+    fetched_urls = {r["url"] for r in eng.waves.collect()}
+    emitted = (
+        fixture_pages.filter(fixture_pages.doc_id.isin(list(fetched_urls)))
+        .collect()
+    )
+    src = {r["doc_id"]: r["spans"] for r in pages_df(spark.sparkSession if hasattr(spark, 'sparkSession') else spark).collect()}
+    assert len(emitted) > 0
+    for row in emitted:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in src[row["doc_id"]]]
+        assert got == want, row["doc_id"]

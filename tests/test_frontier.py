@@ -1,0 +1,112 @@
+"""Frontier dedup (Bloom + anti-join), scheduler, storage/resume tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.plans.frontier import UrlBloom, dedup_candidates
+from photon_spark.plans.schedule import schedule_wave, with_host
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = spark.range(5000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    bloom = UrlBloom.build(seen, "url", expected=5000, fpp=0.01)
+    hashes = np.array(
+        [r["h"] for r in seen.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    assert bloom.might_contain(hashes).all()
+
+
+def test_bloom_fpp_bound(spark):
+    seen = spark.range(5000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    bloom = UrlBloom.build(seen, "url", expected=5000, fpp=0.01)
+    fresh = spark.range(5000, 25000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    hashes = np.array(
+        [r["h"] for r in fresh.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    fp_rate = bloom.might_contain(hashes).mean()
+    assert fp_rate < 0.03, fp_rate
+
+
+def test_dedup_exact_with_and_without_bloom(spark):
+    cand = spark.range(1000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    seen = spark.range(0, 1000, 2).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    plain = {r["url"] for r in dedup_candidates(cand, seen).collect()}
+    bloom = UrlBloom.build(seen, "url", expected=500, fpp=0.01)
+    with_bloom = {r["url"] for r in dedup_candidates(cand, seen, bloom=bloom).collect()}
+    want = {f"http://h/{i}" for i in range(1, 1000, 2)}
+    assert plain == want
+    assert with_bloom == want          # bloom path must stay EXACT
+
+
+def test_politeness_budget_caps_per_host(spark):
+    rows = [(f"http://h{i % 3}.test/p{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string")
+    capped = schedule_wave(df, budget=4, partitions=4)
+    counts = (
+        with_host(capped.select("url"))
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 4 for r in counts)
+    assert sum(r["count"] for r in counts) == 12
+    # deterministic: lexicographically-first URLs win the tie-break
+    got = sorted(r["url"] for r in capped.collect() if r["url"].startswith("http://h0"))
+    want = sorted(f"http://h0.test/p{i}" for i in range(30) if i % 3 == 0)[:4]
+    assert got == want
+
+
+def test_host_partition_locality(spark):
+    rows = [(f"http://h{i % 5}.test/p{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "url string")
+    parts = (
+        schedule_wave(df, partitions=8)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # each host maps to exactly one partition (politeness locality)
+    per_host = (
+        with_host(parts.select("url", "pid"))
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_host)
+
+
+def test_resume_from_snapshot(spark, fixture_pages, tmp_path):
+    """Kill after wave 0, resume, final state identical to a full run."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    cfg = EngineConfig(crawl_level=2)
+    full = run_crawl(spark, fixture_pages, ROOT, cfg)
+
+    store = CrawlStore(str(tmp_path / "crawlstate"))
+    killed = run_crawl(
+        spark, fixture_pages, ROOT, cfg, store=store, stop_after_wave=0
+    )
+    assert killed is None
+    resumed = run_crawl(spark, fixture_pages, ROOT, cfg, store=store, resume=True)
+
+    assert resumed.to_sets() == full.to_sets()
+    full_waves = {(r["url"], r["level"]) for r in full.waves.collect()}
+    res_waves = {(r["url"], r["level"]) for r in resumed.waves.collect()}
+    assert full_waves == res_waves
+    assert resumed.processed_count == full.processed_count
