@@ -1,38 +1,85 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(): flagship crawl-wave pipeline on sf0.001.
+queries()/oracle_sql(): one entry per implemented operator family —
+see photon_spark/queries.py for the registry (Spark build + colocated
+DuckDB oracle SQL, aliases matched on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from photon_spark.queries import Q  # noqa: E402
+
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_py_files(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers of a session WE did
+    not create (the driver builds its own). addPyFile is the in-session
+    equivalent of `spark-submit --py-files` and reaches live executors.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "photon_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(os.path.join(_REPO, "photon_spark")):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier pipeline (synthesize URL universe from
+    sf0.001 events → bloom-assisted dedup vs seen → per-host politeness
+    schedule), i.e. one crawl wave's scheduling stage end-to-end."""
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.frontier import UrlBloom, dedup_candidates
+    from photon_spark.plans.schedule import schedule_wave
+
+    _ensure_py_files(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    urls = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".test/p/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id"),
+    )
+    seen = urls.filter(F.col("event_id") % 5 == 0).select("url")
+    bloom = UrlBloom.build(seen, "url", expected=10_000, fpp=0.01)
+    fresh = dedup_candidates(urls.select("url"), seen, bloom=bloom)
+    return schedule_wave(fresh, budget=50, partitions=8).select("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_py_files(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, (fn, _) in Q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in Q.items() if sql is not None}

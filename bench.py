@@ -1,0 +1,139 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline queries from the registry at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule metric: frontier
+throughput (URLs scheduled+deduped/sec) on a synthetic Zipf-skewed
+frontier, and a full fixture-site crawl.
+
+Scaling protocol (north rule, run separately — see
+scripts/bench_scaling.py): same frontier job at local[8] vs local[32],
+efficiency = (T8/T32)·(8/32) reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "topk_per_group",
+    "window_tumbling_counts",
+    "j1_seen_antijoin",
+    "t1_token_extract",
+    "t12_luhn_gate",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_jaccard_verify",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embed_centroids",
+    "lang_id_stopword",
+    "quality_score",
+    "multimodal_binary_stats",
+    "frontier_dedup_schedule",
+]
+
+FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))
+
+
+def bench_frontier(spark, n_urls: int) -> dict:
+    """North-rule metric: URLs scheduled+deduped per second on a
+    Zipf-skewed synthetic frontier (bloom pre-filter + exact anti-join
+    + per-host politeness window)."""
+    from fixtures.gen import frontier_df
+    from photon_spark.plans.frontier import UrlBloom, dedup_candidates
+    from photon_spark.plans.schedule import schedule_wave
+
+    cand, seen = frontier_df(spark, n_urls)
+    cand = cand.persist()
+    seen = seen.persist()
+    n_cand = cand.count()
+    n_seen = seen.count()
+
+    t0 = time.time()
+    bloom = UrlBloom.build(seen, "url", expected=n_seen, fpp=0.01)
+    fresh = dedup_candidates(cand.select("url"), seen, bloom=bloom)
+    scheduled = schedule_wave(
+        fresh, budget=100_000, partitions=spark.sparkContext.defaultParallelism
+    )
+    n_out = scheduled.count()
+    elapsed = time.time() - t0
+    cand.unpersist()
+    seen.unpersist()
+    return {
+        "urls_in": n_cand,
+        "seen": n_seen,
+        "scheduled": n_out,
+        "sec": round(elapsed, 3),
+        "urls_per_s": round(n_cand / elapsed, 1),
+    }
+
+
+def bench_crawl(spark) -> dict:
+    """Full fixture-site crawl end-to-end (wave-loop overhead metric)."""
+    from fixtures.gen import ROOT, pages_df
+    from photon_spark.crawl import run_crawl
+
+    pages = pages_df(spark)
+    t0 = time.time()
+    res = run_crawl(spark, pages, ROOT)
+    n = res.results.count()
+    elapsed = time.time() - t0
+    return {"result_rows": n, "sec": round(elapsed, 3)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from photon_spark.queries import Q
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name="bench")
+
+    # JVM/Arrow warmup (not counted)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _ = Q[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    frontier = bench_frontier(spark, FRONTIER_URLS)
+    crawl = bench_crawl(spark)
+    total += frontier["sec"] + crawl["sec"]
+    queries["frontier_throughput"] = frontier["sec"]
+    queries["fixture_crawl"] = crawl["sec"]
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier_urls_per_s": frontier["urls_per_s"],
+                "frontier_detail": frontier,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

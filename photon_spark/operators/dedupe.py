@@ -1,0 +1,177 @@
+"""Deduplication operators — exact and near-dup, built to shuffle once.
+
+* exact_dedup: hash-groupBy on content fingerprint. One shuffle on
+  md5(text); partial aggregation (map-side combine) comes free from
+  groupBy.
+* minhash_lsh_pairs: shingle → minhash signature → band buckets →
+  candidate pairs via self-join *within buckets only*. The classic
+  scale path: the O(n²) pair space never materializes; the only wide
+  ops are one groupBy per band bucket. Hashes are md5-based so the
+  DuckDB oracle can reproduce them bit-for-bit (no JVM/duckdb hash
+  dialect dependency).
+* ngram_jaccard_verify: exact Jaccard on candidate pairs only
+  (explode-join-count, no cross join).
+
+At 100 TB: shingling is narrow (scan-side); the band groupBy shuffles
+|docs|·BANDS rows of (band_key ~16 bytes, doc_id); skewed buckets
+(boilerplate shingles) are capped by `max_bucket` to bound the
+quadratic within-bucket pairing — the standard LSH skew guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_WORDS = 3
+MINHASHES = 8
+BANDS = 4  # rows per band = MINHASHES // BANDS = 2
+
+
+def shingles_col(text, k: int = SHINGLE_WORDS):
+    """k-word shingles as an array column (distinct, order-free)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def minhash_signature(text, n_hashes: int = MINHASHES):
+    """Array of n lexicographic-min md5(seed|shingle) hex strings.
+
+    min over hex strings == min over uniform 128-bit ints, and md5 is
+    identical in Spark and DuckDB — the oracle reproduces this exactly.
+    """
+    sh = shingles_col(text)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical docs: (fp, keeper=min doc_id, n_dups)."""
+    return (
+        documents.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    bands: int = BANDS,
+    n_hashes: int = MINHASHES,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket."""
+    rows_per_band = n_hashes // bands
+    sig = documents.select(
+        "doc_id", minhash_signature(F.col("text"), n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    # skew guard: drop degenerate buckets (boilerplate shingles)
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
+    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
+    return pairs
+
+
+def ngram_jaccard_verify(
+    documents: DataFrame, pairs: DataFrame, k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (no cross join)."""
+    sh = documents.select(
+        "doc_id", shingles_col(F.col("text"), k).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document — Arrow-vectorized pandas stage.
+
+    Bit-majority over md5(token) 64-bit prefixes. Per-document work is
+    token-local (narrow, no shuffle); Python is justified here because
+    per-bit majority voting has no clean built-in expression. Signature
+    returned as signed int64 (two's complement) for a compact column.
+    Near-dup query = group by band of the signature or hamming-
+    distance join downstream.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                toks = set((text or "").split(" "))
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hs = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in sorted(toks)),
+                    dtype=">u8",
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                sig = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                )
+                sigs.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": pd.array(sigs, dtype="int64")})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, simhash long"
+    )

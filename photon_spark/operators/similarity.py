@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns.
+
+* brute_force_topk: exact cosine top-k — broadcast the (small) query
+  set against the corpus; the corpus side streams (one narrow pass +
+  one shuffle for the per-query top-k window). The dot product is a
+  built-in `aggregate(zip_with(...))` — JVM, no Python.
+* lsh_bucket_topk: the scale path — random-hyperplane LSH buckets
+  (deterministic planes derived from md5 of (plane, dim)), candidates
+  restricted to bucket collisions, exact cosine re-rank within. At
+  10^9 vectors the bucket join replaces the full scan per query.
+
+Embeddings are pre-normalized once (norm stored) so cosine = dot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_vectors(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast to double + L2-normalize (cosine ⇒ dot thereafter)."""
+    v = F.transform(F.col(col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return embeddings.withColumn(
+        "unit", F.transform(v, lambda x: x / n)
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries``: subset of the embeddings table (same schema). The
+    query side is broadcast — the corpus is scanned exactly once
+    regardless of |queries|; the only shuffle is the top-k window
+    keyed on query_id.
+    """
+    corpus = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
+    )
+    qs = with_unit_vectors(queries).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    )
+    scored = corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _plane(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dims, derived
+    from md5(plane:dim) — computed driver-side once (a literal array in
+    the plan) instead of a 512-node md5 expression tree."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0
+        - 1.0
+        for d in range(dims)
+    ]
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signature buckets,
+    exact re-rank within each bucket. Recall < 1 by design; the win is
+    that candidates shrink from |corpus| to the bucket population."""
+    def signature(unit_col):
+        bits = [
+            F.when(
+                _dot(
+                    unit_col,
+                    F.array(*[F.lit(w) for w in _plane(p, dims)]),
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    corpus = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("unit").alias("cv"),
+    ).withColumn("sig", signature(F.col("cv")))
+    qs = with_unit_vectors(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("unit").alias("qv"),
+    ).withColumn("sig", signature(F.col("qv")))
+    scored = corpus.join(F.broadcast(qs), "sig").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid, exploded shape (label, pos, c) — one shuffle
+    keyed (label, pos), partial-aggregated map-side."""
+    return (
+        embeddings.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )

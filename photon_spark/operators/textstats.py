@@ -1,0 +1,77 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting — all pure built-in column expressions (JVM,
+whole-stage codegen; no Python in the hot path), designed so the same
+logic is expressible in ANSI SQL for the DuckDB oracle.
+
+These run over a ``documents(doc_id, text, ...)`` table and scale
+linearly: no shuffle at all (narrow transforms only), so they pipeline
+with the parquet scan and prune to the two columns they read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword list — shared with the SQL oracle (keep sorted).
+STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+             "in", "is", "it", "of", "on", "or", "the", "to", "was", "with")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+
+
+def stopword_stats(text: Column) -> tuple[Column, Column]:
+    """(n_tokens, n_stopwords) — duplicate-preserving counts."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n, n_stop
+
+
+def lang_id(documents: DataFrame, threshold: float = 0.12) -> DataFrame:
+    """n-gram-free heuristic language ID: stopword density ≥ threshold
+    ⇒ 'en'. (A real pipeline swaps in charset n-grams; the shape —
+    narrow scan-side classify — is the point.)"""
+    n, n_stop = stopword_stats(F.col("text"))
+    ratio = n_stop.cast("double") / n.cast("double")
+    return documents.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: length, mean token length, stopword
+    ratio → score in [0,1]. All arithmetic, reproducible in SQL."""
+    n, n_stop = stopword_stats(F.col("text"))
+    text_len = F.length("text")
+    mean_tok = (text_len - (n - 1)).cast("double") / n.cast("double")
+    stop_ratio = n_stop.cast("double") / n.cast("double")
+    score = (
+        F.least(text_len / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(mean_tok / F.lit(8.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio / F.lit(0.3), F.lit(1.0)) * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Exact content fingerprint (md5 — dialect-portable)."""
+    return documents.select("doc_id", F.md5(F.col("text")).alias("fp"))

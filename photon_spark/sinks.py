@@ -1,0 +1,66 @@
+"""Output sinks — the reference's writer/exporter surface (K1/K2/K4).
+
+* write_txt: one <name>.txt per non-empty dataset, newline-joined with
+  a trailing newline (reference core/utils.py:78-86; empty datasets
+  produce no file). Values are sorted for deterministic goldens —
+  comparisons stay order-insensitive (SURVEY.md §2.3).
+* export: exported.json / exported.csv with the reference's shapes
+  (plugins/exporter.py:6-24 — json dict-of-lists indent=4; csv rows of
+  [name, *values]).
+* write_results_table: the scale path — a single (dataset, value)
+  parquet table partitioned by dataset, instead of driver-side files.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+from photon_spark.crawl import DATASET_NAMES, CrawlResult
+
+
+def write_results_table(result: CrawlResult, path: str) -> None:
+    result.results.write.mode("overwrite").partitionBy("dataset").parquet(path)
+
+
+def _collected(result: CrawlResult) -> dict[str, list[str]]:
+    return {name: sorted(vals) for name, vals in result.to_sets().items()}
+
+
+def write_txt(result: CrawlResult, output_dir: str) -> list[str]:
+    """Returns the files written (non-empty datasets only)."""
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for name in DATASET_NAMES:
+        values = sorted(result.to_sets()[name]) if name in result.datasets else []
+        if not values:
+            continue
+        path = os.path.join(output_dir, f"{name}.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(values))
+            f.write("\n")
+        written.append(path)
+    return written
+
+
+def export(result: CrawlResult, output_dir: str, method: str) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    datasets = _collected(result)
+    if method.lower() == "json":
+        path = os.path.join(output_dir, "exported.json")
+        with open(path, "w") as f:
+            f.write(json.dumps(datasets, indent=4))
+        return path
+    if method.lower() == "csv":
+        path = os.path.join(output_dir, "exported.csv")
+        with open(path, "w") as f:
+            w = csv.writer(f, delimiter=",", quoting=csv.QUOTE_MINIMAL)
+            for key, values in datasets.items():
+                w.writerow([key] + values)
+        return path
+    raise ValueError(f"unknown export method: {method}")
+
+
+def to_stdout(result: CrawlResult, dataset: str) -> str:
+    return "".join(v + "\n" for v in sorted(result.to_sets()[dataset]))

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names, and the order-insensitive multiset of
+stringified row values. Usage:
+
+    python scripts/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(round(v, 9))
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=8, shuffle_partitions=16, app_name="check_oracles")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows-only: {len(srows):6d} rows   [{spark_t:5.1f}s]")
+            if len(srows) == 0:
+                failures.append((name, "zero rows (rows-only check)"))
+            continue
+        t0 = time.time()
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        duck_t = time.time() - t0
+        status = "OK"
+        if sorted(scols) != sorted(dcols):
+            status = f"SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}"
+        elif len(srows) != len(drows):
+            status = f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}"
+        else:
+            a = normalize([tuple(r) for r in srows], scols)
+            b = normalize(drows, dcols)
+            if a != b:
+                diff = [
+                    (x, y) for x, y in zip(a, b) if x != y
+                ][:3]
+                status = f"VALUE MISMATCH e.g. {diff}"
+        print(
+            f"  {name:28s} {len(srows):6d} rows   spark {spark_t:5.1f}s duck {duck_t:5.1f}s  {status}"
+        )
+        if status != "OK":
+            failures.append((name, status))
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why[:300]}")
+        sys.exit(1)
+    print(f"all {len([n for n in qs if not only or n in only])} queries match")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Operator-level tests for the training-data-pipeline operators:
+planted near-duplicates, ANN recall, simhash locality, multimodal
+plumbing over interleaved media spans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.operators import dedupe, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")      # 1-word edit → near-dup
+    other = "completely different content about spark shuffles and joins here now"
+    rows = [
+        (0, base), (1, base),                    # exact dups
+        (2, near),                               # near dup of 0/1
+        (3, other),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {(r["keeper"], r["n_docs"]) for r in dedupe.exact_dedup(docs).collect()}
+    assert (0, 2) in got                         # docs 0,1 merged
+    assert len(got) == 4
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedupe.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs                       # identical → all bands match
+    assert (0, 2) in pairs or (1, 2) in pairs    # near-dup caught by ≥1 band
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_jaccard_verify_scores(docs):
+    pairs = dedupe.minhash_lsh_pairs(docs)
+    scored = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedupe.ngram_jaccard_verify(docs, pairs).collect()
+    }
+    assert scored[(0, 1)] == 1.0
+    if (0, 2) in scored:
+        assert 0.5 < scored[(0, 2)] < 1.0
+
+
+def test_simhash_locality(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedupe.simhash64(docs).collect()}
+    assert sh[0] == sh[1]                        # identical text
+    ham = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far                         # near-dup closer than unrelated
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, qs, k=5).collect()
+    lsh = similarity.lsh_bucket_topk(emb, qs, k=5, n_planes=4).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    lsh_set = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    assert len(bf_set) == 25
+    # LSH returns a subset of true scores; recall is config-dependent but
+    # must be non-trivial at 4 planes on 64-dim clustered data.
+    assert lsh_set, "LSH produced no candidates"
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.2, recall
+    # LSH cosines are exact for the pairs it does return
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert abs(r["cosine"] - bf_cos[key]) < 1e-9
+
+
+def test_multimodal_media_span_pipeline(spark, fixture_pages):
+    refs = multimodal.media_refs(fixture_pages)
+    n_refs = refs.count()
+    assert n_refs > 0
+    feats = multimodal.extract_features(multimodal.attach_payload(refs))
+    rows = feats.collect()
+    assert len(rows) == n_refs
+    for r in rows:
+        assert r["n_bytes"] == len(b"IMG:" + r["media_ref"].encode())
+        assert r["format"] in ("png", "jpeg")
+        assert r["width"] > 0 and r["height"] > 0
+        assert len(r["sha1"]) == 40
+
+
+def test_multimodal_decode_stub_raises_on_real_payload(spark):
+    df = spark.createDataFrame(
+        [("d", "m.png", bytearray(b"\x89PNG...."))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.extract_features(df).collect()

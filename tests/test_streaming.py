@@ -1,0 +1,62 @@
+"""Structured Streaming path: the tumbling-window aggregation running
+as a real readStream → writeStream(memory) query, checked against the
+batch equivalent (which itself is DuckDB-oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_tumbling_counts_match_batch(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    schema = batch.schema
+
+    # the file stream source requires a DIRECTORY to watch
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf}/events.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(stream_dir))
+        # parquet stores TIMESTAMP_NTZ; event-time watermarks need LTZ
+        # (session TZ is pinned UTC so the cast is a no-op in value)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
