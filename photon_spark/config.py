@@ -57,7 +57,8 @@ class EngineConfig:
     faithful_py3: bool = True
     per_host_budget: int | None = None
     # Spark-side knobs (scale levers, not semantics):
-    shuffle_partitions: int = 32
+    shuffle_partitions: int = 32   # ceiling; waves scale down to size
+    urls_per_partition: int = 500  # target wave-partition granularity
     host_salts: int = 8           # salting factor for skewed hosts
     bloom_expected: int = 1_000_000
     bloom_fpp: float = 0.01

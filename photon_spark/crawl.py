@@ -176,12 +176,18 @@ def run_crawl(
         if internal_count <= processed_count and internal_count > 2 + len(cfg.seeds):
             break  # Q25
 
+        # Partition count scales with the wave: cfg.shuffle_partitions
+        # is the ceiling (the cluster-width knob), but a small wave gets
+        # few partitions — task + Python-worker spin-up would otherwise
+        # dominate tiny waves (the explicit repartition below is exempt
+        # from AQE coalescing, so we size it ourselves).
+        wave_parts = max(1, min(cfg.shuffle_partitions, -(-n // cfg.urls_per_partition)))
         wave = links.withColumn("level", F.lit(level))
         scheduled = schedule_wave(
             wave,
             budget=cfg.per_host_budget,
-            partitions=cfg.shuffle_partitions,
-            salts=cfg.host_salts,
+            partitions=wave_parts,
+            salts=cfg.host_salts if wave_parts > 1 else 1,
         ).select("url", "level").persist()
         # Budget-capped URLs are deferred, not dropped: they stay out of
         # `processed`, remain in `internal`, and re-candidate next wave.

@@ -42,6 +42,11 @@ def minhash_signature(text, n_hashes: int = MINHASHES):
 
     min over hex strings == min over uniform 128-bit ints, and md5 is
     identical in Spark and DuckDB — the oracle reproduces this exactly.
+
+    NOTE: prefer `minhash_signatures` (exploded-agg form) on real data —
+    this expression form re-evaluates the shingle array per hash and
+    produces a whole-stage-codegen blob that scales badly with
+    n_hashes. Kept for tiny inputs and as the semantics reference.
     """
     sh = shingles_col(text)
     return F.array(
@@ -52,6 +57,24 @@ def minhash_signature(text, n_hashes: int = MINHASHES):
             for i in range(n_hashes)
         ]
     )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = MINHASHES) -> DataFrame:
+    """(doc_id, h0..h{n-1}) minhash signature via explode + groupBy-min.
+
+    Scale path: shingling is a narrow flat-map; the min-per-hash
+    aggregation partial-aggregates map-side, so the shuffle carries at
+    most |docs|·n_hashes tiny rows — not |docs|·|shingles|. Values are
+    bit-identical to `minhash_signature` (same md5('i|shingle') family).
+    """
+    sh = documents.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -71,9 +94,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket."""
     rows_per_band = n_hashes // bands
-    sig = documents.select(
-        "doc_id", minhash_signature(F.col("text"), n_hashes).alias("sig")
-    )
+    sig = minhash_signatures(documents, n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -83,7 +104,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.concat_ws(
                             "|",
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
                         ).alias("key"),
                     )
                     for b in range(bands)

@@ -163,11 +163,38 @@ def normalize_scripts_col(src: Column, main_url: str) -> Column:
 
 
 def luhn_valid(col: Column) -> Column:
-    """Vectorized Luhn gate with the reference's failure modes (Q8b)."""
+    """Vectorized Luhn gate with the reference's failure modes (Q8b).
+
+    ASCII-digit strings take the numpy matrix path (right-aligned
+    zero-padding is Luhn-neutral: both digit maps send 0 → 0); anything
+    else — separators, tuples-as-strings, empty — falls back to the
+    scalar kernel, which encodes the reference's int() failure modes.
+    """
 
     @F.pandas_udf("boolean")
     def _luhn(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: K.luhn(v) if v is not None else False)
+        import numpy as np
+
+        out = pd.Series(False, index=s.index)
+        ascii_digits = s.notna() & s.str.fullmatch(r"[0-9]+", na=False)
+        vs = s[ascii_digits]
+        if len(vs):
+            maxlen = int(vs.str.len().max())
+            padded = "".join(vs.str.rjust(maxlen, "0"))
+            arr = (
+                np.frombuffer(padded.encode("ascii"), dtype=np.uint8)
+                .reshape(len(vs), maxlen)
+                - 48
+            )
+            rev = arr[:, ::-1]
+            evens = rev[:, 0::2].sum(axis=1)
+            odd_lookup = np.array([0, 2, 4, 6, 8, 1, 3, 5, 7, 9])
+            odds = odd_lookup[rev[:, 1::2]].sum(axis=1) if maxlen > 1 else 0
+            out[ascii_digits] = (evens + odds) % 10 == 0
+        rest = s.notna() & ~ascii_digits
+        if rest.any():
+            out[rest] = s[rest].map(K.luhn).astype(bool)
+        return out
 
     return _luhn(col)
 

@@ -78,11 +78,16 @@ class UrlBloom:
             if any_rows:
                 yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-        parts = (
-            df.select(F.xxhash64(F.col(col)).alias("h"))
-            .mapInPandas(partial, schema="bits binary")
-            .collect()
-        )
+        hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
+        # Few fat partials beat many: each partial is m/8 bytes on the
+        # driver regardless of row count, and Python-worker spin-up is
+        # per-partition. 8 partials keeps the build parallel enough
+        # locally while bounding collect size; at cluster scale the
+        # bloom is sharded per bucket instead (module docstring).
+        nparts = hashes.rdd.getNumPartitions()
+        if nparts > 8:
+            hashes = hashes.coalesce(8)
+        parts = hashes.mapInPandas(partial, schema="bits binary").collect()
         bits = np.zeros(nbytes, dtype=np.uint8)
         for row in parts:
             bits |= np.frombuffer(row["bits"], dtype=np.uint8)
