@@ -32,8 +32,12 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_jaccard_verify",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "embed_centroids",
+    "session_windows",
+    "rollup_lineitem_counts",
+    "q4_order_priority",
     "lang_id_stopword",
     "quality_score",
     "multimodal_binary_stats",

@@ -175,8 +175,8 @@ def luhn_valid(col: Column) -> Column:
     def _luhn(s: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = pd.Series(False, index=s.index)
-        ascii_digits = s.notna() & s.str.fullmatch(r"[0-9]+", na=False)
+        out = np.zeros(len(s), dtype=bool)
+        ascii_digits = (s.notna() & s.str.fullmatch(r"[0-9]+", na=False)).to_numpy()
         vs = s[ascii_digits]
         if len(vs):
             maxlen = int(vs.str.len().max())
@@ -191,12 +191,44 @@ def luhn_valid(col: Column) -> Column:
             odd_lookup = np.array([0, 2, 4, 6, 8, 1, 3, 5, 7, 9])
             odds = odd_lookup[rev[:, 1::2]].sum(axis=1) if maxlen > 1 else 0
             out[ascii_digits] = (evens + odds) % 10 == 0
-        rest = s.notna() & ~ascii_digits
+        rest = (s.notna()).to_numpy() & ~ascii_digits
         if rest.any():
-            out[rest] = s[rest].map(K.luhn).astype(bool)
-        return out
+            out[rest] = [K.luhn(v) for v in s[rest]]
+        return pd.Series(out, index=s.index)
 
     return _luhn(col)
+
+
+def entropy_udf(col: Column) -> Column:
+    """Corrected-mode Shannon entropy over utf-8 bytes (T8; the
+    behavior reference core/utils.py:101-109 intended — Q6)."""
+
+    @F.pandas_udf("double")
+    def _ent(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: K.shannon_entropy_bytes(v) if v is not None else None)
+
+    return _ent(col)
+
+
+def custom_regex_over_docs(documents: DataFrame, pattern: str) -> DataFrame:
+    """T9 — user regex flat-mapped over document bodies through the
+    engine's Python-`re` Arrow stage (reference core/utils.py:15-23;
+    Q18 error suppression lives in kernels.find_custom)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            ms: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for m in K.find_custom(text or "", pattern):
+                    if isinstance(m, str):
+                        ids.append(did)
+                        ms.append(m)
+            yield pd.DataFrame({"doc_id": ids, "m": ms}, columns=["doc_id", "m"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, m string"
+    )
 
 
 def etld1_udf(col: Column) -> Column:

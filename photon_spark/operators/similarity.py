@@ -136,6 +136,41 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking group.
+
+    The self-join is equi-keyed on ``group_col`` so the pair space is
+    per-group quadratic, never global — the standard blocked near-dup
+    pass. At unbounded scale swap the block key for the hyperplane LSH
+    signature (lsh_bucket_topk's bucketing); semantics are identical.
+    The threshold compares the ROUNDED cosine so float summation order
+    can't flip boundary pairs between engine and oracle.
+    """
+    unit = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_g"), "unit"
+    )
+    a = unit.select(
+        F.col("_id").alias("vec_a"), F.col("_g").alias("ga"), F.col("unit").alias("ua")
+    )
+    b = unit.select(
+        F.col("_id").alias("vec_b"), F.col("_g").alias("gb"), F.col("unit").alias("ub")
+    )
+    return (
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid, exploded shape (label, pos, c) — one shuffle
     keyed (label, pos), partial-aggregated map-side."""

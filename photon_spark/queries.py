@@ -578,3 +578,7 @@ def frontier_q(spark, sf):
     seen = urls.filter(F.col("event_id") % 5 == 0).select("url")
     fresh = dedup_candidates(urls.select("url"), seen)
     return schedule_wave(fresh, budget=20, partitions=8).select("url")
+
+
+# Part 2 of the registry (registers into this module's Q on import).
+from photon_spark import queries_ext  # noqa: E402,F401

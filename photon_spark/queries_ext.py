@@ -1,0 +1,434 @@
+"""Driver-contract registry, part 2 — the remaining SURVEY.md §2 rows
+plus OLAP-breadth and training-pipeline additions.
+
+Same contract as photon_spark/queries.py (registered into the same Q
+dict): each entry is (spark_fn, DuckDB oracle SQL), aliases matched on
+both sides. The HTML/robots/sitemap-shaped inputs are synthesized
+deterministically from the `documents` table with IDENTICAL expressions
+on both sides, so extraction semantics — not input parsing — is what
+the oracle checks. Photon-exact (Python-`re`) extractor semantics are
+separately pinned by the golden fixture tests; these entries use the
+regex subset where Java/RE2 agree (same caveat as t1, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.operators import similarity
+from photon_spark.operators.extract import (
+    custom_regex_over_docs,
+    entropy_udf,
+    normalize_scripts_col,
+)
+from photon_spark.queries import _t, q
+
+# ---------------------------------------------------------------------------
+# S2 — robots.txt rule extraction (reference core/zap.py:24-43)
+
+_ROBOTS_DOC_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit("User-agent: *\nAllow: /a/"),
+    F.col("doc_id").cast("string"),
+    F.when(F.col("doc_id") % 5 == 0, F.lit("*")).otherwise(F.lit("")),
+    F.lit("\nDisallow: /d/"),
+    F.col("doc_id").cast("string"),
+)
+_ROBOTS_DOC_SQL = (
+    "'User-agent: *' || chr(10) || 'Allow: /a/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '*' ELSE '' END"
+    " || chr(10) || 'Disallow: /d/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@q(
+    "s2_robots_parse",
+    f"SELECT 'http://src0.test' || path AS url FROM ("
+    f"SELECT unnest(regexp_extract_all({_ROBOTS_DOC_SQL},"
+    f" '(?:Allow|Disallow): (.*)', 1)) AS path FROM documents) t"
+    f" WHERE path NOT LIKE '%*%'",
+)
+def s2(spark, sf):
+    """Allow/Disallow paths → seed URLs; wildcard rules skipped
+    (reference core/zap.py:29-42; engine kernel: kernels.robots_paths)."""
+    docs = _t(spark, sf, "documents").select(_ROBOTS_DOC_SPARK().alias("content"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("content", F.lit("(?:Allow|Disallow): (.*)"), F.lit(1))
+            ).alias("path")
+        )
+        .filter(~F.col("path").contains("*"))
+        .select(F.concat(F.lit("http://src0.test"), F.col("path")).alias("url"))
+    )
+
+
+# S3 — sitemap <loc> extraction (reference core/zap.py:45-57, utils.py:112-115)
+_SITEMAP_DOC_SQL = (
+    "'<urlset><loc>http://' || source || '.test/s/' || CAST(doc_id AS VARCHAR) ||"
+    " '</loc><loc>http://' || source || '.test/sm/' || CAST(doc_id AS VARCHAR) ||"
+    " '</loc></urlset>'"
+)
+
+
+@q(
+    "s3_sitemap_locs",
+    f"SELECT doc_id, unnest(regexp_extract_all({_SITEMAP_DOC_SQL},"
+    f" '<loc>(.*?)</loc>', 1)) AS loc FROM documents",
+)
+def s3(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<urlset><loc>http://"), F.col("source"), F.lit(".test/s/"),
+            F.col("doc_id").cast("string"), F.lit("</loc><loc>http://"),
+            F.col("source"), F.lit(".test/sm/"), F.col("doc_id").cast("string"),
+            F.lit("</loc></urlset>"),
+        ).alias("content"),
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("content", F.lit("<loc>(.*?)</loc>"), F.lit(1))
+        ).alias("loc"),
+    )
+
+
+# T5 — script src extraction + quote strip (reference photon.py:220-227)
+_HTML_DOC_SQL = (
+    "'<html>' || chr(10) || '<script src=\"/js/app' || CAST(doc_id AS VARCHAR) ||"
+    " '.js\"></script>' || chr(10) || '<script src=lib' || CAST(doc_id AS VARCHAR) ||"
+    " '.js></script>' || chr(10) || '</html>'"
+)
+
+
+@q(
+    "t5_script_src_extract",
+    f"SELECT doc_id, replace(replace(src, '\"', ''), '''', '') AS src FROM ("
+    f"SELECT doc_id, unnest(regexp_extract_all({_HTML_DOC_SQL},"
+    f" 'src=([^\\s>]+)', 1)) AS src FROM documents) t",
+)
+def t5(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html>\n<script src="/js/app'), F.col("doc_id").cast("string"),
+            F.lit('.js"></script>\n<script src=lib'), F.col("doc_id").cast("string"),
+            F.lit(".js></script>\n</html>"),
+        ).alias("content"),
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("content", F.lit("src=([^\\s>]+)"), F.lit(1))
+        ).alias("raw"),
+    ).select(
+        "doc_id",
+        F.translate(F.col("raw"), "\"'", "").alias("src"),
+    )
+
+
+# T6 — script URL normalization when-chain (reference photon.py:333-339;
+# Q20: protocol-relative '//x' srcs drop)
+_SRC_CASE_SQL = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN 'http://src0.test/own' || CAST(doc_id AS VARCHAR) || '.js'"
+    " WHEN 1 THEN '/rel' || CAST(doc_id AS VARCHAR) || '.js'"
+    " WHEN 2 THEN '//cdn.test/p' || CAST(doc_id AS VARCHAR) || '.js'"
+    " ELSE 'plain' || CAST(doc_id AS VARCHAR) || '.js' END"
+)
+
+
+@q(
+    "t6_script_normalize",
+    f"SELECT doc_id, CASE"
+    f" WHEN starts_with(src, 'http://src0.test') THEN src"
+    f" WHEN starts_with(src, '/') AND NOT starts_with(src, '//')"
+    f"   THEN 'http://src0.test' || src"
+    f" WHEN NOT starts_with(src, 'http') AND NOT starts_with(src, '//')"
+    f"   THEN 'http://src0.test' || '/' || src"
+    f" ELSE NULL END AS script_url"
+    f" FROM (SELECT doc_id, {_SRC_CASE_SQL} AS src FROM documents) t"
+    f" WHERE CASE"
+    f" WHEN starts_with(src, 'http://src0.test') THEN src"
+    f" WHEN starts_with(src, '/') AND NOT starts_with(src, '//')"
+    f"   THEN 'http://src0.test' || src"
+    f" WHEN NOT starts_with(src, 'http') AND NOT starts_with(src, '//')"
+    f"   THEN 'http://src0.test' || '/' || src"
+    f" ELSE NULL END IS NOT NULL",
+)
+def t6(spark, sf):
+    src = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("http://src0.test/own"), F.col("doc_id").cast("string"), F.lit(".js")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/rel"), F.col("doc_id").cast("string"), F.lit(".js")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("//cdn.test/p"), F.col("doc_id").cast("string"), F.lit(".js")),
+        )
+        .otherwise(F.concat(F.lit("plain"), F.col("doc_id").cast("string"), F.lit(".js")))
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", src.alias("src"))
+    return (
+        docs.select(
+            "doc_id", normalize_scripts_col(F.col("src"), "http://src0.test").alias("script_url")
+        )
+        .filter(F.col("script_url").isNotNull())
+    )
+
+
+# T7 — JS endpoint scan: quoted strings, junk-filtered (photon.py:290-302)
+_JS_DOC_SQL = (
+    "'var a=\"/api/v' || CAST(doc_id AS VARCHAR) || '\";var b=\"http://x.test/e' ||"
+    " CAST(doc_id AS VARCHAR) || '\";var c=\"/\";var d=\"/ba}d\";'"
+)
+
+
+@q(
+    "t7_endpoint_filter",
+    f"SELECT doc_id, ep FROM (SELECT doc_id,"
+    f" unnest(regexp_extract_all({_JS_DOC_SQL}, '\"([^\"]*)\"', 1)) AS ep"
+    f" FROM documents) t"
+    f" WHERE (starts_with(ep, '/') OR starts_with(ep, 'http'))"
+    f" AND NOT regexp_matches(ep, '[}}{{><\"'']') AND ep <> '/'",
+)
+def t7(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('var a="/api/v'), F.col("doc_id").cast("string"),
+            F.lit('";var b="http://x.test/e'), F.col("doc_id").cast("string"),
+            F.lit('";var c="/";var d="/ba}d";'),
+        ).alias("content"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("content", F.lit('"([^"]*)"'), F.lit(1))
+            ).alias("ep"),
+        )
+        .filter(
+            (F.col("ep").startswith("/") | F.col("ep").startswith("http"))
+            & ~F.col("ep").rlike("[}{><\"']")
+            & (F.col("ep") != "/")
+        )
+    )
+
+
+# T8 — corrected-mode entropy (the byte-histogram Shannon entropy the
+# reference intended; faithful-py3 mode keys≡∅ is pinned by goldens — Q6)
+@q(
+    "t8_entropy_corrected",
+    "WITH tok AS (SELECT doc_id, md5(text) AS t FROM documents),"
+    " ch AS (SELECT doc_id, t, unnest(string_split(t, '')) AS c FROM tok),"
+    " cnt AS (SELECT doc_id, t, c, count(*) AS n FROM ch GROUP BY doc_id, t, c)"
+    " SELECT doc_id, round(-sum((n / CAST(length(t) AS DOUBLE)) *"
+    " log2(n / CAST(length(t) AS DOUBLE))), 6) AS entropy"
+    " FROM cnt GROUP BY doc_id, t",
+)
+def t8(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(entropy_udf(F.md5("text")), 6).alias("entropy")
+    )
+
+
+# T9 — user custom regex over document bodies (core/utils.py:15-23),
+# through the engine's Python-`re` pandas stage (the real T9 code path).
+@q(
+    "t9_custom_regex",
+    "SELECT doc_id, unnest(regexp_extract_all(text, 'ta[a-z]+')) AS m FROM documents",
+)
+def t9(spark, sf):
+    return custom_regex_over_docs(_t(spark, sf, "documents"), "ta[a-z]+")
+
+
+# ---------------------------------------------------------------------------
+# U1 — set operators (photon.py:317 is the only reference except;
+# intersect has no reference counterpart — engine breadth)
+
+
+@q(
+    "u1_except",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0"
+    " EXCEPT SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0",
+)
+def u1e(spark, sf):
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    b = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    return a.subtract(b)
+
+
+@q(
+    "u1_intersect",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0"
+    " INTERSECT SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0",
+)
+def u1i(spark, sf):
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    b = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    return a.intersect(b)
+
+
+# A3 — frontier cardinality monitoring (exact form; the 10^10-scale
+# variant is approx_count_distinct, which has no deterministic oracle)
+@q(
+    "a3_cardinality",
+    "SELECT count(DISTINCT user_id) AS n_users,"
+    " count(DISTINCT event_type) AS n_types, count(*) AS n_events FROM events",
+)
+def a3(spark, sf):
+    return _t(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# K2 — exporter shape: dataset → sorted value list (plugins/exporter.py:6-24)
+@q(
+    "k2_export_shape",
+    "SELECT event_type, array_to_string(list(DISTINCT CAST(user_id AS VARCHAR)"
+    " ORDER BY CAST(user_id AS VARCHAR)), ',') AS users"
+    " FROM events GROUP BY event_type",
+)
+def k2(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("users")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth — semi-join-exists, filter-agg, rollup, having
+
+
+@q(
+    "q4_order_priority",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    " AND o_orderdate < TIMESTAMP '1996-04-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+    " AND l_quantity >= 45)"
+    " GROUP BY o_orderpriority",
+)
+def q4(spark, sf):
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    " AND l_shipdate < TIMESTAMP '1997-01-01'"
+    " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+)
+def q6(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@q(
+    "rollup_lineitem_counts",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
+    " GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def rollup_li(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "having_repeat_customers",
+    "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey"
+    " HAVING count(*) >= 12",
+)
+def having_q(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 12)
+    )
+
+
+# Session windows — batch twin of the streaming session-window operator.
+# Oracle = gaps-and-islands; break at gap >= 30min matches Spark's
+# half-open [start, last+gap) session merge rule.
+@q(
+    "session_windows",
+    "WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id"
+    " ORDER BY ts) AS pts FROM events),"
+    " m AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts >="
+    " INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM o),"
+    " s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+    " ROWS UNBOUNDED PRECEDING) AS sid FROM m)"
+    " SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,"
+    " count(*) AS n FROM s GROUP BY user_id, sid",
+)
+def sessions(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline addition: embedding-cosine near-dup pairs
+# (group-bounded exact pass; the unbounded-scale variant goes through
+# similarity.lsh_bucket_topk's hyperplane buckets instead of `label`)
+
+
+@q(
+    "dedup_embedding_cosine",
+    "WITH unit AS (SELECT vec_id, label, list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,"
+    " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u FROM embeddings)"
+    " SELECT vec_a, vec_b, cosine FROM ("
+    " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+    " round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6)"
+    " AS cosine FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id) t"
+    " WHERE cosine >= 0.3",
+)
+def emb_neardup(spark, sf):
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, group_col="label"
+    )
