@@ -251,9 +251,24 @@ def frontier_df(spark, n_urls: int, n_hosts: int = 1000, zipf_s: float = 1.2,
             ).cast("int"),
         )
         .withColumn("host", F.concat(F.lit("h"), F.col("host_rank"), F.lit(".bench.test")))
+        # Deterministic non-canonical variants (uppercase scheme/host,
+        # fragments, default ports) — the canonicalization stage must do
+        # real work before dedup, as in a live crawl.
         .withColumn(
             "url",
-            F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")),
+            F.when(
+                F.col("id") % 4 == 1,
+                F.concat(F.lit("HTTP://"), F.upper("host"), F.lit("/p/"), F.col("id")),
+            )
+            .when(
+                F.col("id") % 4 == 2,
+                F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id"), F.lit("#frag")),
+            )
+            .when(
+                F.col("id") % 4 == 3,
+                F.concat(F.lit("http://"), F.col("host"), F.lit(":80/p/"), F.col("id")),
+            )
+            .otherwise(F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id"))),
         )
         .withColumn("level", F.lit(1))
         .select("url", "host", "level")

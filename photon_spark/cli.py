@@ -1,0 +1,110 @@
+"""spark-submit entrypoint mirroring Photon's CLI surface.
+
+In-scope options map 1:1 to the reference's argparse (photon.py:57-99):
+-u/--url, -l/--level, -s/--seeds, -r/--regex, --exclude, --only-urls,
+--keys, -e/--export, -o/--output, --stdout. Out of scope (network or
+interactive plumbing, documented in SURVEY.md §7 M5): proxies, --dns,
+--wayback, --clone, --headers, --update, -t/-d/--timeout (fetch-stage
+tuning replaced by Spark parallelism + per-host budget).
+
+The sandbox "web" is a parquet table of interleaved span documents
+(--pages); in production the fetch join is swapped for the HTTP
+mapInPandas stage (SURVEY.md §2.1 S1) and this same entrypoint runs
+under `spark-submit --py-files photon_spark.zip`:
+
+    spark-submit --py-files photon_spark.zip photon_spark/cli.py \
+        -u http://h0.fixture.test --pages pages.parquet -o out/
+
+Extra engine knobs: --partitions (ceiling), --budget (per-host
+politeness cap), --salts (host-skew salting), --store (resumable
+snapshot dir), --resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="photon-spark", description="PySpark-native Photon-capability crawler"
+    )
+    p.add_argument("-u", "--url", required=True, help="root URL (reference -u)")
+    p.add_argument("--pages", required=True, help="parquet span-document table (the sandbox web)")
+    p.add_argument("-l", "--level", type=int, default=2, help="crawl depth (reference -l, default 2)")
+    p.add_argument("-s", "--seeds", nargs="*", default=[], help="additional seed URLs")
+    p.add_argument("-r", "--regex", default=None, help="custom regex (reference -r)")
+    p.add_argument("--exclude", default=None, help="exclude URLs matching this regex")
+    p.add_argument("--only-urls", action="store_true", help="skip intel/JS stages")
+    p.add_argument("--keys", action="store_true", help="extract secret keys (corrected-entropy mode)")
+    p.add_argument("-o", "--output", default="photon_spark_out", help="output directory")
+    p.add_argument("-e", "--export", choices=["json", "csv"], default=None)
+    p.add_argument("--stdout", dest="stdout_set", default=None, help="print one dataset to stdout")
+    p.add_argument("--parquet-results", action="store_true",
+                   help="write the single partitioned results table instead of .txt files")
+    # Spark-side knobs
+    p.add_argument("--cores", type=int, default=None, help="local[<cores>] (default: env/4)")
+    p.add_argument("--partitions", type=int, default=32, help="shuffle-partition ceiling")
+    p.add_argument("--budget", type=int, default=None, help="per-host politeness budget/wave")
+    p.add_argument("--salts", type=int, default=8, help="host-skew salting factor")
+    p.add_argument("--store", default=None, help="snapshot dir (resumable state)")
+    p.add_argument("--resume", action="store_true", help="resume from --store's latest wave")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.session import get_spark
+    from photon_spark.sinks import export, write_results_table, write_txt
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(cores=args.cores, shuffle_partitions=args.partitions,
+                          app_name="photon-spark-cli")
+    pages = spark.read.parquet(args.pages)
+    cfg = EngineConfig(
+        crawl_level=args.level,
+        only_urls=args.only_urls,
+        extract_keys=args.keys,
+        faithful_py3=not args.keys,  # --keys implies the corrected-entropy fork (Q6)
+        custom_regex=args.regex,
+        exclude=args.exclude,
+        seeds=tuple(args.seeds),
+        per_host_budget=args.budget,
+        shuffle_partitions=args.partitions,
+        host_salts=args.salts,
+    )
+    store = CrawlStore(args.store) if args.store else None
+    result = run_crawl(spark, pages, args.url, cfg=cfg, store=store, resume=args.resume)
+
+    if args.parquet_results:
+        write_results_table(result, args.output)
+    else:
+        write_txt(result, args.output)
+    if args.export:
+        export(result, args.output, args.export)
+    if args.stdout_set:
+        for v in sorted(result.to_sets().get(args.stdout_set, ())):
+            print(v)
+
+    counts = {k: v.count() for k, v in result.datasets.items()}
+    print(
+        "datasets: "
+        + ", ".join(f"{k}={n}" for k, n in sorted(counts.items()) if n),
+        file=sys.stderr,
+    )
+    for m in result.metrics:
+        print(f"wave {m['wave']}: scheduled={m['urls_scheduled']} "
+              f"({m['urls_per_s']}/s)", file=sys.stderr)
+    if own_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

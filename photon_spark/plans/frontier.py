@@ -102,22 +102,60 @@ class UrlBloom:
         return out
 
 
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Vectorized URL canonicalization before any dedup (SURVEY.md §4
+    item 1): lowercase scheme+host, strip the fragment (the Q1 cleanup
+    contract), drop the scheme's default port. Pure pandas str ops over
+    Arrow batches — no per-row Python.
+
+    URLs that don't parse as scheme://host... fall back to fragment
+    stripping only (still a stable dedup key).
+    """
+
+    @F.pandas_udf("string")
+    def _canon(s: pd.Series) -> pd.Series:
+        ext = s.str.extract(
+            r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>[^#]*)"
+        )
+        scheme = ext["scheme"].str.lower()
+        host = ext["host"].str.lower()
+        host = host.mask(
+            (scheme == "http") & host.str.endswith(":80"),
+            host.str.replace(r":80$", "", regex=True),
+        )
+        host = host.mask(
+            (scheme == "https") & host.str.endswith(":443"),
+            host.str.replace(r":443$", "", regex=True),
+        )
+        out = scheme + "://" + host + ext["rest"].fillna("")
+        return out.where(ext["scheme"].notna(), s.str.split("#").str[0])
+
+    return df.withColumn(url_col, _canon(F.col(url_col)))
+
+
 def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
     bloom: UrlBloom | None = None,
+    broadcast_seen: bool = False,
 ) -> DataFrame:
     """candidates ∖ seen, exactly.
 
-    Without a bloom: plain left_anti (correct everywhere; fine when
-    either side is small — AQE will broadcast the small side).
-    With a bloom built over ``seen``: bloom-negative rows skip the
-    shuffle entirely; only bloom-positive rows (true dups + ~fpp of the
-    new) go through the exact anti-join.
+    Strategy ladder by |seen| (all produce the identical exact result):
+    * ``broadcast_seen=True`` — broadcast-hash anti-join: the candidate
+      side is never shuffled; the probe parallelizes perfectly. Right
+      whenever `seen` fits executor memory (beyond AQE's conservative
+      10 MB autoBroadcast default).
+    * default — shuffled left_anti; AQE broadcasts if small enough.
+    * ``bloom`` built over ``seen`` — bloom-negative rows skip the
+      shuffle entirely; only bloom-positive rows (true dups + ~fpp of
+      the new) pay the exact anti-join. The 10^10-frontier path, where
+      `seen` fits neither broadcast nor memory.
     """
     if bloom is None:
-        return candidates.join(seen, url_col, "left_anti")
+        rhs = F.broadcast(seen) if broadcast_seen else seen
+        return candidates.join(rhs, url_col, "left_anti")
 
     bits_bc = candidates.sparkSession.sparkContext.broadcast(
         (bloom.bits.tobytes(), bloom.k, bloom.m)

@@ -45,10 +45,27 @@ def schedule_wave(
     """
     out = with_host(wave, url_col)
     if budget is not None:
-        w = Window.partitionBy("host").orderBy(
+        order = [
             F.col("score").desc() if "score" in out.columns else F.lit(0),
             F.col(url_col).asc(),
-        )
+        ]
+        if salts > 1:
+            # Two-stage top-k for Zipf-skewed hosts: a single
+            # partitionBy(host) window serializes the hottest host on
+            # one core. Stage 1 caps within (host, salt) — balanced
+            # partitions; any row with global rank ≤ budget also has
+            # salt-local rank ≤ budget, so stage 2's exact global cap
+            # over ≤ salts·budget survivors/host returns the identical
+            # row set to the single-stage window.
+            salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salts))
+            w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+            out = (
+                out.withColumn("_salt", salt)
+                .withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") <= budget)
+                .drop("_rn", "_salt")
+            )
+        w = Window.partitionBy("host").orderBy(*order)
         out = out.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= budget
         ).drop("_rn")

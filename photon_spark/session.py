@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Large heaps GC rarely → the ContextCleaner never runs → old
+        # shuffle files pile up across iterative wave jobs. Force a
+        # periodic GC so cleanup keeps pace with the wave loop.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")

@@ -32,8 +32,9 @@ def write_txt(result: CrawlResult, output_dir: str) -> list[str]:
     """Returns the files written (non-empty datasets only)."""
     os.makedirs(output_dir, exist_ok=True)
     written = []
+    collected = result.to_sets()
     for name in DATASET_NAMES:
-        values = sorted(result.to_sets()[name]) if name in result.datasets else []
+        values = sorted(collected[name]) if name in collected else []
         if not values:
             continue
         path = os.path.join(output_dir, f"{name}.txt")

@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator — per-user sessionization via
+``applyInPandasWithState``.
+
+The reference is strictly batch (SURVEY.md §2.3: level-synchronous BFS,
+no streaming counterpart), so this operator is engine breadth for the
+training-pipeline/eventstream side: the same session semantics as the
+batch `session_windows` driver query (photon_spark/queries_ext.py,
+DuckDB-oracle-checked) — a session breaks when the gap to the previous
+event is >= ``gap``.
+
+State per user = the open session (start, last, n). An incoming batch
+folds its events in event-time order; every session CLOSED by a later
+event is emitted. The still-open session stays in state (emitted only
+when a later event or state timeout closes it) — exactly Spark's own
+session-window finalization contract, built here on the raw GroupState
+API to exercise the custom-stateful-operator path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, s_start timestamp, s_end timestamp, n long"
+STATE_SCHEMA = "start long, last long, n long"
+
+_US = 1_000_000  # micros per second
+
+
+def _fold(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = n = None
+
+    closed: list[tuple[int, int, int]] = []
+    for pdf in pdf_iter:
+        ts = pd.to_datetime(pdf["ts"])
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        # normalize to ns resolution first — Arrow may hand back µs
+        ts_us = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        ts_us.sort()
+        for t in ts_us:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last >= gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+
+    if start is not None:
+        state.update((start, last, n))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "s_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "s_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization over (user_id, ts) event stream.
+
+    Works on a readStream DataFrame (the intended use) — each
+    micro-batch advances per-user session state; closed sessions are
+    appended downstream. Scale shape: state is partitioned by user hash
+    (one shuffle per micro-batch), state size O(open sessions), and the
+    fold is Arrow-batched per group.
+    """
+    gap_us = gap_minutes * 60 * _US
+    sel = events.selectExpr(f"{user_col} as user_id", f"cast({ts_col} as timestamp) as ts")
+
+    def fold(key, pdfs, state):
+        return _fold(key, pdfs, state, gap_us)
+
+    return sel.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

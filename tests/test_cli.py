@@ -1,0 +1,51 @@
+"""CLI surface: the spark-submit entrypoint end-to-end on the fixture
+site — outputs must equal the golden oracle's datasets (K1 writer
+semantics: non-empty datasets only, sorted, trailing newline)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from fixtures.gen import ROOT, pages_df
+from oracle.photon_oracle import crawl as oracle_crawl
+from fixtures.gen import page_bodies
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from photon_spark.cli import main
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out")
+
+    rc = main(
+        [
+            "-u", ROOT,
+            "--pages", pages_path,
+            "-o", out_dir,
+            "--export", "json",
+            "--partitions", "4",
+            "--salts", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    golden = oracle_crawl(page_bodies(), ROOT, crawl_level=2).datasets
+
+    # K1: exactly the non-empty datasets exist as .txt
+    txt_files = {f[:-4] for f in os.listdir(out_dir) if f.endswith(".txt")}
+    assert txt_files == {k for k, v in golden.items() if v}
+
+    for name in txt_files:
+        with open(os.path.join(out_dir, f"{name}.txt")) as f:
+            content = f.read()
+        assert content.endswith("\n")
+        assert set(content.splitlines()) == golden[name]
+
+    # K2: exported.json has every dataset key with sorted values
+    with open(os.path.join(out_dir, "exported.json")) as f:
+        exported = json.load(f)
+    for name, vals in golden.items():
+        assert set(exported[name]) == vals

@@ -1,6 +1,7 @@
-"""Structured Streaming path: the tumbling-window aggregation running
-as a real readStream → writeStream(memory) query, checked against the
-batch equivalent (which itself is DuckDB-oracle-checked)."""
+"""Structured Streaming paths: tumbling-window aggregation, the
+applyInPandasWithState sessionizer, and the foreachBatch wave
+scheduler — each run as a real readStream query and checked against
+its batch equivalent (which is DuckDB-oracle-checked)."""
 
 from __future__ import annotations
 
@@ -60,3 +61,112 @@ def test_streaming_tumbling_counts_match_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions must equal
+    the batch gaps-and-islands sessions minus each user's final
+    (still-open-in-state) session."""
+    from photon_spark.streaming.sessionize import sessionize
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    schema = batch.schema
+
+    stream_dir = tmp_path / "ev_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf}/events.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    q = (
+        sessionize(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], str(r["s_start"]), r["n"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch twin: same break rule (gap >= 30 min), drop the last
+    # session per user (still open in streaming state, never emitted)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            >= 30 * 60,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = (
+        batch.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.count("*").alias("n"))
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed = sess.join(last_sid, ["user_id", "sid"], "left_anti")
+    want = {
+        (r["user_id"], str(r["s_start"]), r["n"]) for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 100
+
+
+def test_streaming_wave_scheduler(spark, tmp_path):
+    """foreachBatch wave scheduler: two micro-batches of candidate
+    URLs; batch 2 must dedup against batch 1's scheduled set via the
+    parquet seen-state, matching the batch-engine computation."""
+    from photon_spark.streaming.wave_stream import StreamingScheduler
+
+    in_dir = tmp_path / "urls_in"
+    in_dir.mkdir()
+    urls1 = spark.createDataFrame(
+        [(f"http://h{i % 5}.test/p/{i}",) for i in range(100)], "url string"
+    )
+    urls2 = spark.createDataFrame(
+        # 50 repeats of batch 1 (+ fragments → same canonical url) + 50 new
+        [(f"http://h{i % 5}.test/p/{i}#frag",) for i in range(50)]
+        + [(f"http://h{i % 5}.test/p/{i}",) for i in range(100, 150)],
+        "url string",
+    )
+    urls1.coalesce(1).write.parquet(str(in_dir / "b0"))
+    urls2.coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    sched = StreamingScheduler(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        budget=1000,
+        partitions=2,
+        salts=2,
+    )
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    q = sched.start(stream, checkpoint_dir=str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    urls_out = {r["url"] for r in out.collect()}
+    # every candidate canonical url exactly once — repeats deduped
+    want = {f"http://h{i % 5}.test/p/{i}" for i in range(150)}
+    assert urls_out == want
+    assert out.count() == 150  # no double-scheduling across batches
