@@ -170,6 +170,10 @@ def dedup_candidates(
     with_flag = candidates.withColumn(
         "_maybe", maybe_seen(F.xxhash64(F.col(url_col)))
     )
+    # Both union branches read the flagged frame; checkpoint it so the
+    # upstream (canonicalization + bloom probe) computes exactly once
+    # instead of once per branch per downstream stage.
+    with_flag = with_flag.localCheckpoint(eager=False)
     definitely_new = with_flag.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = with_flag.filter(F.col("_maybe")).drop("_maybe")
     return definitely_new.unionByName(needs_check.join(seen, url_col, "left_anti"))

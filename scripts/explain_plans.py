@@ -1,0 +1,97 @@
+"""Physical-plan audit → PLANS.md.
+
+Dumps `.explain(formatted)` for the headline queries and asserts the
+plan properties the engine's design promises (SURVEY.md §4): parquet
+filter pushdown + column pruning where a filter/projection exists,
+broadcast joins for dim tables, whole-stage codegen coverage, and no
+superfluous exchanges. Run: python scripts/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query → properties we assert on its physical plan
+EXPECT: dict[str, dict] = {
+    "q1_pricing_summary": {"pushed": True, "codegen": True},
+    "q3_top_revenue_orders": {"pushed": True, "broadcast": True},
+    "q5_nation_revenue": {"broadcast": True},
+    "t13_semi_gate": {"broadcast": True},
+    "t2_file_filter": {"codegen": True},
+    "j1_seen_antijoin": {},
+    "topk_per_group": {"codegen": True},
+    "dedup_minhash_pairs": {},
+    "ann_cosine_topk": {"broadcast": True},
+    "frontier_dedup_schedule": {},
+    "q4_order_priority": {"pushed": True},
+    "session_windows": {},
+}
+
+
+def audit(name: str, plan: str, simple: str) -> list[str]:
+    problems = []
+    want = EXPECT.get(name, {})
+    if want.get("pushed") and "PushedFilters: []" in plan and "PushedFilters: [" not in plan.replace("PushedFilters: []", ""):
+        problems.append("no parquet filter pushdown")
+    if want.get("broadcast") and "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan:
+        problems.append("expected a broadcast join, none in plan")
+    # codegen stars (*(n)) only show in the simple plan under AQE
+    if want.get("codegen") and "WholeStageCodegen" not in plan and "*(" not in simple:
+        problems.append("no WholeStageCodegen span")
+    # generic smells — count physical Exchange operators (the formatted
+    # detail headers "(n) Exchange"), not textual mentions
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    if n_exchanges > 6:
+        problems.append(f"{n_exchanges} exchanges — suspicious shuffle count")
+    if "CartesianProduct" in plan:
+        problems.append("CartesianProduct in plan")
+    return problems
+
+
+def main() -> None:
+    import io
+    from contextlib import redirect_stdout
+
+    from photon_spark.queries import Q
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=8, shuffle_partitions=16, app_name="explain")
+    sf_dir = "/root/testdata/sf0.01"
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    failures = []
+    with open(out_path, "w") as out:
+        out.write(
+            "# PLANS — physical-plan audit of headline queries\n\n"
+            "`.explain(formatted)` at sf0.01, with asserted properties per\n"
+            "query (scripts/explain_plans.py). Regenerate: "
+            "`python scripts/explain_plans.py`.\n"
+        )
+        for name in EXPECT:
+            df = Q[name][0](spark, sf_dir)
+            df.collect()  # finalize AQE so codegen spans appear in the plan
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            final = df._jdf.queryExecution().executedPlan().toString()
+            problems = audit(name, plan, final)
+            plan += "\n== Final AQE plan ==\n" + final
+            status = "OK" if not problems else "; ".join(problems)
+            print(f"  {name:28s} {status}")
+            if problems:
+                failures.append((name, problems))
+            out.write(f"\n## {name} — {status}\n\n```\n{plan}\n```\n")
+    print(f"\nwrote PLANS.md ({len(EXPECT)} plans)")
+    if failures:
+        print(f"{len(failures)} plan-audit failures")
+        sys.exit(1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
