@@ -40,6 +40,9 @@ HEADLINE = [
     "q4_order_priority",
     "lang_id_stopword",
     "quality_score",
+    "token_count_bpe",
+    "fingerprint_winnow",
+    "ann_ivf_topk",
     "multimodal_binary_stats",
     "frontier_dedup_schedule",
 ]

@@ -56,6 +56,9 @@ class EngineConfig:
     seeds: tuple[str, ...] = ()        # -s, photon.py:72-73
     faithful_py3: bool = True
     per_host_budget: int | None = None
+    # Opt-in robots.txt Disallow gating (north-star capability; the
+    # reference only SEEDS from robots.txt — default preserves parity).
+    respect_robots: bool = False
     # Spark-side knobs (scale levers, not semantics):
     shuffle_partitions: int = 32   # ceiling; waves scale down to size
     urls_per_partition: int = 500  # target wave-partition granularity

@@ -125,6 +125,7 @@ def run_crawl(
         start_wave = last_wave + 1
         processed_count = meta["processed_count"]
         robots_urls = meta["robots_urls"]
+        disallow_rules = [tuple(r) for r in meta.get("disallow_rules", [])]
     else:
         # ---- zap stage (S2/S3): robots.txt + sitemap.xml seeds.
         special = {
@@ -137,9 +138,14 @@ def run_crawl(
         }
         from photon_spark import kernels as K
 
-        robots_urls = [
-            main_url + p
-            for p in K.robots_paths(special.get(main_url + "/robots.txt", DUMMY))
+        robots_body = special.get(main_url + "/robots.txt", DUMMY)
+        robots_urls = [main_url + p for p in K.robots_paths(robots_body)]
+        from urllib.parse import urlparse
+
+        disallow_rules = [
+            (urlparse(main_url).netloc, p)
+            for rule, p in K.robots_rules(robots_body)
+            if rule == "disallow"
         ]
         sitemap_urls = K.sitemap_locs(special.get(main_url + "/sitemap.xml", DUMMY))
 
@@ -169,6 +175,13 @@ def run_crawl(
         links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
         if cfg.exclude:
             links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
+        if cfg.respect_robots and disallow_rules:
+            from photon_spark.plans.schedule import robots_gate
+
+            disallows = spark.createDataFrame(
+                disallow_rules, schema="host string, prefix string"
+            )
+            links = robots_gate(links, disallows)
         links = links.persist()
         n = links.count()
         if n == 0:
@@ -242,6 +255,7 @@ def run_crawl(
             meta = {
                 "processed_count": processed_count,
                 "robots_urls": robots_urls,
+                "disallow_rules": [list(r) for r in disallow_rules],
                 "metrics": metrics,
             }
             store.commit(level, acc, meta)

@@ -266,6 +266,23 @@ def robots_paths(body: str) -> list[str]:
     return out
 
 
+def robots_rules(body: str) -> list[tuple[str, str]]:
+    """(rule, path) pairs with rule ∈ {'allow','disallow'}, wildcards
+    skipped, same '<body' gate as robots_paths. The reference only
+    SEEDS from robots.txt (zap.py:38-42 — both Allow and Disallow
+    paths become crawl candidates); this separated view powers the
+    engine's opt-in `respect_robots` gate (north-star capability, off
+    by default for reference parity)."""
+    if "<body" in body:
+        return []
+    out = []
+    for allow, disallow in rx.ROBOTS_RULE.findall(body):
+        path = allow or disallow
+        if "*" not in path:
+            out.append(("allow" if allow else "disallow", path))
+    return out
+
+
 def sitemap_locs(body: str) -> list[str]:
     """<loc> entries. Reference core/zap.py:45-57, core/utils.py:112-115."""
     if "<body" in body:

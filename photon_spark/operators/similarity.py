@@ -136,6 +136,108 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Deterministic k-means (init = the n_cells lowest-id unit vectors;
+    `iters` Lloyd rounds with centroid means collected driver-side —
+    n_cells × dims scalars, tiny) partitions the corpus into cells;
+    each query probes its n_probe nearest cells and re-ranks exactly
+    within them. n_probe == n_cells degenerates to brute force (tested).
+
+    Scale shape: assignment is a narrow pass (argmax over n_cells
+    broadcast-literal dots, JVM expressions); the index is the cell
+    column; search joins queries×probed-cells to corpus on the cell key
+    — the per-query candidate set shrinks from |corpus| to the probed
+    cells' population, and the only wide ops are that equi-join and the
+    final per-query top-k window.
+    """
+    corpus = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
+    ).persist()
+
+    # --- deterministic k-means on unit vectors
+    init = [
+        r["cv"]
+        for r in corpus.orderBy("neighbor_id").limit(n_cells).collect()
+    ]
+    centroids = init
+    for _ in range(iters):
+        cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        dots = F.array(*[_dot(F.col("cv"), cl) for cl in cent_lits])
+        assigned = corpus.withColumn(
+            "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * len(centroids[0]))[r["pos"]] = r["m"]
+        new = []
+        for i, old in enumerate(centroids):
+            v = by_cell.get(i)
+            if v is None:
+                new.append(old)  # empty cell keeps its centroid
+                continue
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            new.append([x / n for x in v])
+        centroids = new
+
+    cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    dots = F.array(*[_dot(F.col("cv"), cl) for cl in cent_lits])
+    indexed = corpus.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+    # --- queries probe their n_probe nearest cells
+    qs = with_unit_vectors(queries).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    )
+    qdots = F.array(
+        *[
+            F.struct((-_dot(F.col("qv"), cl)).alias("nd"), F.lit(i).alias("idx"))
+            for i, cl in enumerate(cent_lits)
+        ]
+    )
+    probed = qs.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(qdots), 1, n_probe), lambda s: s["idx"]
+            )
+        ),
+    )
+
+    scored = indexed.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )  # each corpus vector lives in exactly one cell → no dup pairs
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    return out
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -75,3 +75,59 @@ def quality_score(documents: DataFrame) -> DataFrame:
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Exact content fingerprint (md5 — dialect-portable)."""
     return documents.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+# BPE-ish tokenization: word pieces + standalone punctuation — the
+# standard pre-tokenizer regex shape (letters+digits runs | single
+# non-space symbol). Java and RE2 agree on this subset.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Token counts under a BPE-ish pre-tokenizer regex, next to the
+    whitespace count — scan-side, zero shuffle."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    shape): hash every k-char gram, slide a w-hash window, keep each
+    window's minimum — the classic local fingerprint set for
+    plagiarism/near-dup detection. Hashes are md5 hex (min over hex ==
+    min over uniform ints; dialect-portable so the DuckDB oracle
+    reproduces values bit-for-bit). Pure array expressions — narrow,
+    no shuffle; output exploded (doc_id, fp) distinct per doc.
+    """
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    # materialize each k-gram hash exactly once (posexplode), then a
+    # sliding row-window min per start position — linear in |text|,
+    # one shuffle keyed on doc_id. (The pure-array-expression form
+    # re-inlines the gram array per window start → O(n²) md5s; don't.)
+    h = documents.select(
+        "doc_id", F.posexplode(_gram_hashes(text, k)).alias("pos", "h")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wslide = wdoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    return (
+        h.withColumn("nh", F.count("*").over(wdoc))
+        .withColumn("wmin", F.min("h").over(wslide))
+        .filter(F.col("pos") <= F.greatest(F.col("nh") - w, F.lit(0)))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def _gram_hashes(text: Column, k: int) -> Column:
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.md5(F.substring(text, i, k)))

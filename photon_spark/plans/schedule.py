@@ -29,6 +29,31 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def robots_gate(
+    wave: DataFrame,
+    disallows: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop URLs whose path falls under a disallowed prefix for their
+    host. ``disallows``: (host string, prefix string) — small (one row
+    per robots rule), so the anti-join broadcasts; the gate is a
+    host-equi + startswith non-equi condition. Opt-in via
+    EngineConfig.respect_robots (the reference never gates — SURVEY.md
+    §2.1 S2 seeds from robots.txt instead)."""
+    w = with_host(wave, url_col) if "host" not in wave.columns else wave
+    d = disallows.select(
+        F.col("host").alias("_r_host"), F.col("prefix").alias("_r_prefix")
+    )
+    # path = everything from the first '/' after the authority
+    path = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$", 1)
+    gated = w.join(
+        F.broadcast(d),
+        (F.col("host") == F.col("_r_host")) & path.startswith(F.col("_r_prefix")),
+        "left_anti",
+    )
+    return gated if "host" in wave.columns else gated.drop("host")
+
+
 def schedule_wave(
     wave: DataFrame,
     budget: int | None = None,

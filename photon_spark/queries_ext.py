@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from photon_spark.operators import similarity
+from photon_spark.operators import similarity, textstats
 from photon_spark.operators.extract import (
     custom_regex_over_docs,
     entropy_udf,
@@ -415,6 +415,38 @@ def sessions(spark, sf):
 # Training-pipeline addition: embedding-cosine near-dup pairs
 # (group-bounded exact pass; the unbounded-scale variant goes through
 # similarity.lsh_bucket_topk's hyperplane buckets instead of `label`)
+
+
+@q(
+    "token_count_bpe",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
+    " len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+    " AS n_bpe_tokens FROM documents",
+)
+def tok_bpe(spark, sf):
+    return textstats.token_count_bpe(_t(spark, sf, "documents"))
+
+
+@q(
+    "fingerprint_winnow",
+    "WITH h AS (SELECT doc_id, list_transform("
+    " range(1, greatest(length(text) - 7, 1) + 1),"
+    " i -> md5(text[i : i + 7])) AS hs FROM documents)"
+    " SELECT doc_id, unnest(list_distinct(list_transform("
+    " range(1, greatest(len(hs) - 3, 1) + 1),"
+    " s -> list_min(hs[s : s + 3])))) AS fp FROM h",
+)
+def fp_winnow(spark, sf):
+    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+
+
+# IVF ANN — k-means cells + probed exact re-rank. The deterministic
+# Lloyd iterations have no tractable SQL twin → rows-only here; recall
+# and the n_probe==n_cells ≡ brute-force equivalence are pytest-pinned.
+@q("ann_ivf_topk", None)
+def ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
 @q(

@@ -110,3 +110,48 @@ def test_resume_from_snapshot(spark, fixture_pages, tmp_path):
     res_waves = {(r["url"], r["level"]) for r in resumed.waves.collect()}
     assert full_waves == res_waves
     assert resumed.processed_count == full.processed_count
+
+
+def test_robots_gate(spark):
+    """Opt-in Disallow gating: host-scoped prefix anti-join."""
+    from photon_spark.plans.schedule import robots_gate
+
+    wave = spark.createDataFrame(
+        [
+            ("http://a.test/private/x",),
+            ("http://a.test/privateer",),   # prefix match → gated too
+            ("http://a.test/public/x",),
+            ("http://b.test/private/x",),   # other host → kept
+            ("http://a.test/",),
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.test", "/private")], "host string, prefix string"
+    )
+    kept = {r["url"] for r in robots_gate(wave, rules).collect()}
+    assert kept == {
+        "http://a.test/public/x",
+        "http://b.test/private/x",
+        "http://a.test/",
+    }
+
+
+def test_crawl_respect_robots(spark):
+    """respect_robots=True keeps /private out of the fetched set while
+    the default crawl (reference parity) fetches it."""
+    from fixtures.gen import ROOT, pages_df
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages = pages_df(spark)
+    default = run_crawl(spark, pages, ROOT)
+    gated = run_crawl(
+        spark, pages, ROOT, cfg=EngineConfig(respect_robots=True)
+    )
+    default_fetched = {r["url"] for r in default.waves.collect()}
+    gated_fetched = {r["url"] for r in gated.waves.collect()}
+    assert ROOT + "/private" in default_fetched
+    assert ROOT + "/private" not in gated_fetched
+    # gating only removes disallowed paths
+    assert default_fetched - gated_fetched == {ROOT + "/private"}

@@ -102,3 +102,36 @@ def test_multimodal_decode_stub_raises_on_real_payload(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         multimodal.extract_features(df).collect()
+
+
+def test_ivf_equals_brute_force_when_probing_all_cells(spark):
+    """n_probe == n_cells searches every cell → must return exactly the
+    brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qs, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qs, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_recall_reasonable(spark):
+    """Probing a quarter of the cells on label-clustered vectors keeps
+    most of the true neighbors."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, qs, k=5).collect()
+    ivf = similarity.ivf_topk(emb, qs, k=5, n_cells=8, n_probe=2).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, recall
