@@ -123,7 +123,9 @@ def bench_frontier(
 
 
 def bench_crawl(spark) -> dict:
-    """Full fixture-site crawl end-to-end (wave-loop overhead metric)."""
+    """Full fixture-site crawl end-to-end (wave-loop overhead metric).
+    cold = first run (codegen + Python-worker spin-up); sec = warm
+    steady state, consistent with the frontier protocol."""
     from fixtures.gen import ROOT, pages_df
     from photon_spark.crawl import run_crawl
 
@@ -131,8 +133,12 @@ def bench_crawl(spark) -> dict:
     t0 = time.time()
     res = run_crawl(spark, pages, ROOT)
     n = res.results.count()
+    cold = time.time() - t0
+    t0 = time.time()
+    res = run_crawl(spark, pages, ROOT)
+    n = res.results.count()
     elapsed = time.time() - t0
-    return {"result_rows": n, "sec": round(elapsed, 3)}
+    return {"result_rows": n, "sec": round(elapsed, 3), "cold_sec": round(cold, 3)}
 
 
 def main() -> None:

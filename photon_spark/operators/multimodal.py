@@ -96,6 +96,91 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, resized binary"
+)
+FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sha1 string"
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFrame:
+    """Resize stage over Arrow batches — real plumbing, stubbed decode.
+
+    STUB: no image library in this container; the 'resized' payload is
+    a deterministic function of (payload, width, height). In production
+    the body of `_resize_stub` is the only thing that changes (PIL /
+    libvips over the same batch iterator).
+    """
+
+    def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+        if payload[:4] != b"IMG:":
+            raise NotImplementedError(
+                "real image decoding requires an image library; "
+                "only IMG: fake payloads are decodable in this sandbox"
+            )
+        return b"RSZ:%dx%d:" % (w, h) + payload[4:]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized": [
+                        _resize_stub(bytes(p), width, height) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling — the one-to-many decode shape.
+
+    STUB decode (no ffmpeg here): each payload deterministically yields
+    `n_frames` pseudo-frames, identified by sha1(payload || idx). The
+    Spark-side plumbing is the real thing: a fan-out mapInPandas whose
+    output row count is a multiple of its input — the shape a real
+    ffmpeg frame sampler has — partition-local, no shuffle.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, refs, idxs, shas = [], [], [], []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if b[:4] != b"IMG:":
+                    raise NotImplementedError(
+                        "real video decoding requires ffmpeg; only IMG: "
+                        "fake payloads are decodable in this sandbox"
+                    )
+                for i in range(n_frames):
+                    ids.append(did)
+                    refs.append(ref)
+                    idxs.append(i)
+                    shas.append(hashlib.sha1(b + bytes([i])).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "frame_idx": idxs,
+                    "frame_sha1": shas,
+                },
+                columns=["doc_id", "media_ref", "frame_idx", "frame_sha1"],
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def binary_stats(documents: DataFrame) -> DataFrame:
     """Oracle-friendly binary plumbing over the sf documents table:
     utf-8 payload length + md5 — exercised end-to-end through a pandas

@@ -135,3 +135,26 @@ def test_ivf_recall_reasonable(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(want & got) / len(want)
     assert recall >= 0.5, recall
+
+
+def test_multimodal_resize_and_frame_sample(spark, fixture_pages):
+    """Resize (1:1) and frame-sample (1:N fan-out) stages: real Arrow
+    plumbing, deterministic stub decode."""
+    media = multimodal.attach_payload(multimodal.media_refs(fixture_pages))
+    n_media = media.count()
+    assert n_media > 0
+
+    resized = multimodal.resize_images(media, width=32, height=18).collect()
+    assert len(resized) == n_media
+    for r in resized:
+        assert (r["width"], r["height"]) == (32, 18)
+        assert bytes(r["resized"]).startswith(b"RSZ:32x18:")
+
+    frames = multimodal.sample_frames(media, n_frames=3)
+    assert frames.count() == 3 * n_media
+    per_ref = frames.groupBy("doc_id", "media_ref").count().collect()
+    assert all(r["count"] == 3 for r in per_ref)
+    # determinism
+    a = sorted(r["frame_sha1"] for r in frames.collect())
+    b = sorted(r["frame_sha1"] for r in multimodal.sample_frames(media, 3).collect())
+    assert a == b
