@@ -141,6 +141,31 @@ def bench_crawl(spark) -> dict:
     return {"result_rows": n, "sec": round(elapsed, 3), "cold_sec": round(cold, 3)}
 
 
+def bench_big_crawl(spark, n_pages: int = 11111) -> dict:
+    """Full wave-driver throughput on the parametric fanout-10 site:
+    pages fetched+extracted+deduped+scheduled per second across 5 BFS
+    waves (warm steady state)."""
+    from fixtures.gen import BIG_ROOT, big_site_df
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages = big_site_df(spark, n_pages).persist()
+    pages.count()
+    cfg = EngineConfig(crawl_level=6, only_urls=True, shuffle_partitions=32)
+    run_crawl(spark, pages, BIG_ROOT, cfg=cfg).waves.count()  # warmup
+    t0 = time.time()
+    res = run_crawl(spark, pages, BIG_ROOT, cfg=cfg)
+    n = res.waves.count()
+    elapsed = time.time() - t0
+    pages.unpersist()
+    return {
+        "pages": n,
+        "waves": len(res.metrics),
+        "sec": round(elapsed, 3),
+        "pages_per_s": round(n / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -165,9 +190,11 @@ def main() -> None:
 
     frontier = bench_frontier(spark, FRONTIER_URLS)
     crawl = bench_crawl(spark)
-    total += frontier["sec"] + crawl["sec"]
+    big = bench_big_crawl(spark)
+    total += frontier["sec"] + crawl["sec"] + big["sec"]
     queries["frontier_throughput"] = frontier["sec"]
     queries["fixture_crawl"] = crawl["sec"]
+    queries["big_crawl_11k_pages"] = big["sec"]
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -180,6 +207,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier_urls_per_s": frontier["urls_per_s"],
                 "frontier_detail": frontier,
+                "crawl_pages_per_s": big["pages_per_s"],
+                "big_crawl_detail": big,
                 "cores": cores,
             }
         )

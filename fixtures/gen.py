@@ -294,3 +294,61 @@ def frontier_df(spark, n_urls: int, n_hosts: int = 1000, zipf_s: float = 1.2,
         .select("url")
     )
     return cand, seen
+
+
+BIG_ROOT = "http://big.bench.test"
+
+
+def big_site_df(spark, n_pages: int = 11111, fanout: int = 10):
+    """Parametric single-host site as a span-document DataFrame, built
+    with pure column expressions (no driver-side rows): page i links to
+    children i*fanout+1 .. i*fanout+fanout (< n_pages), one anchor per
+    physical line (Q2-clean). BFS from page 0 (served at the site root)
+    discovers every page in ceil(log_fanout(n_pages)) waves — the
+    wave-driver scale input.
+
+    Hrefs are directory-relative ('x<c>' inside /p/, 'p/x<c>' from the
+    root) because that's the link shape Photon's T3 resolution
+    (remove_file + '/' + link, photon.py:265-275) maps back onto the
+    same /p/ directory from any page.
+    """
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_pages)
+    url = F.when(F.col("id") == 0, F.lit(BIG_ROOT)).otherwise(
+        F.concat(F.lit(BIG_ROOT + "/p/x"), F.col("id"))
+    )
+    href_prefix = F.when(F.col("id") == 0, F.lit("p/x")).otherwise(F.lit("x"))
+    children = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(fanout)),
+            lambda j: F.col("id") * fanout + j,
+        ),
+        lambda c: c < n_pages,
+    )
+    body = F.concat(
+        F.lit("<html><body>\n"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                children,
+                lambda c: F.concat(
+                    F.lit('<a href="'), href_prefix, c, F.lit('">c</a>')
+                ),
+            ),
+        ),
+        F.lit("\n<p>page "),
+        F.col("id"),
+        F.lit("</p>\n</body></html>\n"),
+    )
+    return ids.select(
+        url.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                body.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )

@@ -1,0 +1,33 @@
+"""Wave-driver scale test: an 11k-page single-host site crawled through
+the real engine — full BFS discovery, wave sizes as the fanout tree
+predicts, no URL lost or duplicated."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fixtures.gen import BIG_ROOT, big_site_df
+from photon_spark.config import EngineConfig
+from photon_spark.crawl import run_crawl
+
+
+def test_big_site_full_discovery(spark):
+    n = 11111  # 1 + 10 + 100 + 1000 + 10000 — exactly 5 fanout-10 levels
+    pages = big_site_df(spark, n_pages=n, fanout=10)
+    cfg = EngineConfig(crawl_level=6, only_urls=True, shuffle_partitions=16)
+    res = run_crawl(spark, pages, BIG_ROOT, cfg=cfg)
+
+    assert res.datasets["internal"].count() == n
+    # every page fetched exactly once
+    waves = res.waves
+    assert waves.count() == n
+    assert waves.select("url").distinct().count() == n
+    # wave membership = BFS depth in the fanout tree
+    sizes = {
+        r["level"]: r["count"]
+        for r in waves.groupBy("level").count().collect()
+    }
+    assert sizes == {0: 1, 1: 10, 2: 100, 3: 1000, 4: 10000}
+    # per-wave metrics recorded with per-partition lineage
+    assert [m["urls_scheduled"] for m in res.metrics] == [1, 10, 100, 1000, 10000]
+    assert all(m["partitions"] for m in res.metrics)
