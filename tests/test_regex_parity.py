@@ -83,3 +83,37 @@ def test_structural_patterns_match_reference(ref_ns, ours_name, ref_name):
     ref = ref_ns[ref_name]
     for probe in PROBES:
         assert ours.findall(probe) == ref.findall(probe), probe
+
+
+# Property fuzz: random strings over a URL/HTML-ish alphabet must give
+# identical findall() on every pattern. Catches edge behavior the hand
+# probes miss (quantifier boundaries, partial schemes, stray quotes).
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_FRAGMENTS = list("abcxz019 .:/\\%=@()[]<>\"'#?&-_\n\t") + [
+    "http", "https", "://", "href=", "<a ", "<A HREF=", "src=", "<script ",
+    ".com", "[.]", "%2F", "==", "aHR0", "@ex.co", "4111", " Allow: ",
+    "Disallow: ", "<loc>", "</loc>", "::", "e80:", "d41d8cd98f00b204",
+]
+
+
+@st.composite
+def _probe(draw):
+    return "".join(draw(st.lists(st.sampled_from(_FRAGMENTS), max_size=40)))
+
+
+@given(_probe())
+@settings(max_examples=250, deadline=None)
+def test_fuzz_all_patterns_match_reference(ref_ns, s):
+    ref_map = {name: pat for pat, name in ref_ns["rintels"]}
+    ours = {name: pat for pat, name in rx.INTEL_PATTERNS}
+    for name, pat in ours.items():
+        assert pat.findall(s) == ref_map[name].findall(s), (name, s)
+    for ours_name, ref_name in [
+        ("HREF", "rhref"), ("SCRIPT_SRC", "rscript"),
+        ("JS_ENDPOINT", "rendpoint"), ("HIGH_ENTROPY_TOKEN", "rentropy"),
+    ]:
+        assert getattr(rx, ours_name).findall(s) == ref_ns[ref_name].findall(s), (
+            ours_name,
+            s,
+        )
