@@ -2,8 +2,9 @@
 
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
-see photon_spark/queries.py for the registry (Spark build + colocated
-DuckDB oracle SQL, aliases matched on both sides).
+photon_spark/queries.py + queries_ext.py hold the registry (51
+queries, 48 with colocated DuckDB oracle SQL; aliases matched on both
+sides; COVERAGE.md maps them to SURVEY.md §2 rows).
 """
 
 from __future__ import annotations
@@ -33,14 +34,16 @@ def _ensure_py_files(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "photon_spark_pyfiles.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(os.path.join(_REPO, "photon_spark")):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, _REPO))
+    # always rebuild: a zip left over from an earlier run would ship
+    # stale code to executors (addPyFile caches by path, so the fresh
+    # build must happen before the first send in this process)
+    zpath = os.path.join(tempfile.gettempdir(), f"photon_spark_pyfiles_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(os.path.join(_REPO, "photon_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zpath)
     _PYFILES_SENT.add(key)
 
