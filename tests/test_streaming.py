@@ -170,3 +170,57 @@ def test_streaming_wave_scheduler(spark, tmp_path):
     want = {f"http://h{i % 5}.test/p/{i}" for i in range(150)}
     assert urls_out == want
     assert out.count() == 150  # no double-scheduling across batches
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling agg with a 30-min watermark: an event
+    arriving after its window is finalized must be dropped, and windows
+    are emitted exactly once when the watermark passes their end."""
+    import datetime as dt
+
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, *hm), v) for hm, v in rows],
+            "ts timestamp, v int",
+        ).coalesce(1).write.parquet(str(stream_dir / name))
+
+    write_batch("b0", [((10, 0), 1), ((10, 10), 1), ((10, 59), 1), ((11, 30), 1)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("w_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE event into the already-finalized 10:00 window
+        # (watermark is 11:00 after batch 1) + one event advancing the
+        # watermark past 12:00 so the 11:00 window finalizes.
+        write_batch("b1", [((10, 20), 1), ((13, 0), 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["w_start"], r["n"])
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 10:00 window: 3 events — the late 10:20 arrival is dropped;
+    # 11:00 window: the 11:30 event only.
+    assert ("10:00", 3) in got
+    assert ("11:00", 1) in got
+    assert ("10:00", 4) not in got
