@@ -384,6 +384,46 @@ def having_q(spark, sf):
     )
 
 
+# Aggregate-then-join shape (TPC-H Q17 family): per-key average feeds a
+# filter on the fact side — the classic small-agg broadcast pattern.
+@q(
+    "q17_small_quantity_revenue",
+    "WITH pa AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem"
+    " GROUP BY l_partkey)"
+    " SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly"
+    " FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey"
+    " WHERE l_quantity < 0.5 * aq",
+)
+def q17(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# Exact interpolated quantiles (Spark `percentile` == DuckDB
+# quantile_cont). The sketch path (approx_percentile/t-digest) has no
+# deterministic oracle — exact is the gate; approx is a runtime knob.
+@q(
+    "quantile_values",
+    "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,"
+    " round(quantile_cont(value, 0.95), 4) AS p95"
+    " FROM events GROUP BY event_type",
+)
+def quantiles(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+    )
+
+
 # Session windows — batch twin of the streaming session-window operator.
 # Oracle = gaps-and-islands; break at gap >= 30min matches Spark's
 # half-open [start, last+gap) session merge rule.
