@@ -90,6 +90,7 @@ def run_crawl(
     resume: bool = False,
     stop_after_wave: Optional[int] = None,
     use_bloom: bool = False,
+    fetcher=None,
 ) -> Optional[CrawlResult]:
     """Run a crawl over the ``pages`` span-document table.
 
@@ -97,6 +98,11 @@ def run_crawl(
     committed to ``store`` and the function returns None.
     ``use_bloom`` switches the per-wave dedup to the Bloom-prefiltered
     path (always exact; worth it once `processed` is large).
+    ``fetcher``: optional replacement fetch stage — a callable
+    (url, level) DataFrame → (url, level, body) DataFrame. The
+    production HTTP stage is ``sources.fetch_http.fetch_stage``; the
+    default is the sandbox pages-table join. ``pages`` is still used
+    for the zap (robots/sitemap) seed stage either way.
     """
     cfg = cfg or EngineConfig()
     if main_url.endswith("/"):
@@ -109,8 +115,11 @@ def run_crawl(
 
     def fetch(wave_df: DataFrame) -> DataFrame:
         """Fetch = left equi-join against the pages table (S1); in
-        production this stage is a mapInPandas HTTP fetch per host
-        partition — same interface, different body source."""
+        production this stage is the mapInPandas HTTP fetch per host
+        partition (sources/fetch_http.py) — same interface, different
+        body source (pass ``fetcher`` to swap it in)."""
+        if fetcher is not None:
+            return fetcher(wave_df).select("url", "level", "body")
         return wave_df.join(body, wave_df.url == body.doc_id, "left").select(
             wave_df.url,
             wave_df.level,

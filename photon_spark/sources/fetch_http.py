@@ -1,0 +1,105 @@
+"""S1 production fetch stage — per-partition HTTP GET over Arrow
+batches (the stage the sandbox's pages-table join stands in for).
+
+Reproduces the reference requester's observable semantics
+(reference core/requester.py:11-72):
+
+* per-request politeness delay before EVERY request (requester.py:33;
+  Q26: a single global delay, applied here within each partition —
+  partitions are host-keyed by schedule_wave, so this is per-host
+  pacing with cross-host parallelism, a strict superset).
+* user-agent rotation (requester.py:40; the reference uses
+  random.choice — we rotate deterministically by url hash so runs are
+  reproducible).
+* content-type gate: body only for text/html or text/plain, else the
+  'dummy' sentinel (requester.py:58-70, Q11).
+* any transport failure ⇒ 'dummy' (the reference swallows exceptions
+  in flash, Q6; and its 404 check never fires, Q5 — `failed` stays
+  empty, so errors map to the sentinel body here too).
+* session reuse: one transport per partition (requester.py:8 SESSION —
+  TCP connection reuse per executor task).
+
+``transport(url, user_agent, timeout) -> (status, content_type, text)``
+is injectable: tests drive the stage with a fixture-backed fake (no
+network in this sandbox); production uses `requests_transport`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from photon_spark.config import DUMMY
+
+Transport = Callable[[str, str, float], Tuple[int, str, str]]
+
+FETCH_SCHEMA = "url string, level int, status int, body string"
+
+DEFAULT_USER_AGENTS = (
+    # public UA strings, same rotation role as the reference's
+    # core/user-agents.txt pool (photon.py:199-203)
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15",
+)
+
+
+def requests_transport() -> Transport:
+    """Production transport: persistent requests.Session per partition
+    (connection reuse), ≤3 redirects like the reference
+    (requester.py:8-9). Imported lazily — absent/offline environments
+    use an injected transport instead."""
+    import requests  # deferred: not needed in the sandbox
+
+    session = requests.Session()
+    session.max_redirects = 3
+
+    def do(url: str, user_agent: str, timeout: float):
+        resp = session.get(url, headers={"User-Agent": user_agent}, timeout=timeout)
+        return resp.status_code, resp.headers.get("Content-Type", ""), resp.text
+
+    return do
+
+
+def fetch_stage(
+    wave: DataFrame,
+    transport_factory: Callable[[], Transport] | None = None,
+    delay: float = 0.0,
+    timeout: float = 6.0,
+    user_agents: tuple[str, ...] = DEFAULT_USER_AGENTS,
+) -> DataFrame:
+    """(url, level) wave → (url, level, status, body); body is the
+    'dummy' sentinel for non-text responses and failures. Run AFTER
+    schedule_wave so partitions are host-local (politeness + connection
+    reuse)."""
+    factory = transport_factory or requests_transport
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory()  # one session per partition (task)
+        for pdf in batches:
+            statuses, bodies = [], []
+            for url in pdf["url"]:
+                if delay:
+                    time.sleep(delay)  # requester.py:33 — before EVERY request
+                ua = user_agents[hash(url) % len(user_agents)]
+                try:
+                    status, ctype, text = transport(url, ua, timeout)
+                except Exception:
+                    status, ctype, text = 0, "", ""
+                ctype = (ctype or "").lower()
+                ok = "text/html" in ctype or "text/plain" in ctype
+                statuses.append(status)
+                bodies.append(text if ok else DUMMY)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "level": pdf["level"],
+                    "status": statuses,
+                    "body": bodies,
+                }
+            )
+
+    return wave.select("url", "level").mapInPandas(run, schema=FETCH_SCHEMA)

@@ -1,0 +1,77 @@
+"""S1 production fetch stage: the mapInPandas HTTP fetcher driven by a
+fixture-backed fake transport must reproduce the join-fetch crawl
+EXACTLY, plus unit semantics (content-type gate, failure sentinel,
+deterministic UA rotation)."""
+
+from __future__ import annotations
+
+from fixtures.gen import ROOT, page_bodies, pages_df
+from photon_spark.config import DUMMY
+from photon_spark.crawl import run_crawl
+from photon_spark.sources.fetch_http import fetch_stage
+
+
+def _fake_transport_factory():
+    bodies = page_bodies()  # closure-shipped to executors
+
+    def make():
+        def do(url, user_agent, timeout):
+            assert user_agent  # UA always set
+            if url in bodies:
+                return 200, "text/html; charset=utf-8", bodies[url]
+            raise ConnectionError(url)
+
+        return do
+
+    return make
+
+
+def test_fetch_stage_semantics(spark):
+    wave = spark.createDataFrame(
+        [(ROOT, 0), (ROOT + "/nope", 0)], "url string, level int"
+    )
+    rows = {
+        r["url"]: r
+        for r in fetch_stage(wave, transport_factory=_fake_transport_factory()).collect()
+    }
+    assert rows[ROOT]["status"] == 200
+    assert "<html" in rows[ROOT]["body"]
+    # failure → sentinel body (Q5/Q6/Q11 mapping)
+    assert rows[ROOT + "/nope"]["body"] == DUMMY
+    assert rows[ROOT + "/nope"]["status"] == 0
+
+
+def test_fetch_stage_content_type_gate(spark):
+    def factory():
+        def do(url, ua, t):
+            if url.endswith("bin"):
+                return 200, "application/octet-stream", "BINARY"
+            return 200, "text/plain", "PLAIN"
+
+        return do
+
+    wave = spark.createDataFrame(
+        [("http://x.test/a.bin", 0), ("http://x.test/a.txt", 0)],
+        "url string, level int",
+    )
+    rows = {r["url"]: r["body"] for r in fetch_stage(wave, transport_factory=lambda: factory()).collect()}
+    assert rows["http://x.test/a.bin"] == DUMMY
+    assert rows["http://x.test/a.txt"] == "PLAIN"
+
+
+def test_http_crawl_equals_join_crawl(spark):
+    """Full crawl through the HTTP stage == full crawl through the
+    pages-table join, dataset for dataset."""
+    pages = pages_df(spark)
+    factory = _fake_transport_factory()
+
+    def http_fetcher(wave_df):
+        return fetch_stage(wave_df, transport_factory=factory)
+
+    a = run_crawl(spark, pages, ROOT)
+    b = run_crawl(spark, pages, ROOT, fetcher=http_fetcher)
+    sa, sb = a.to_sets(), b.to_sets()
+    assert sa == sb
+    wa = {(r["url"], r["level"]) for r in a.waves.collect()}
+    wb = {(r["url"], r["level"]) for r in b.waves.collect()}
+    assert wa == wb
