@@ -128,7 +128,9 @@ def run_crawl(
 
     start_wave = 0
     meta: dict = {}
+    fresh_start = True
     if resume and store is not None and store.latest() is not None:
+        fresh_start = False
         last_wave, meta = store.latest()
         state = store.load(spark, last_wave)
         start_wave = last_wave + 1
@@ -224,42 +226,39 @@ def run_crawl(
         def exploded(col: str, out: str = "value") -> DataFrame:
             return ext.select(F.explode(col).alias(out))
 
-        acc["internal"] = (
-            acc["internal"].unionByName(exploded("internal_new", "url")).distinct()
-        )
-        acc["external"] = (
-            acc["external"].unionByName(exploded("external_new", "url")).distinct()
-        )
-        # files side-effect is gated on the processed check (utils.py:40-46):
-        # anti-join against processed as of wave start.
-        acc["files"] = (
-            acc["files"]
-            .unionByName(
-                exploded("file_links")
-                .join(acc["processed"], F.col("value") == F.col("url"), "left_anti")
+        # ---- this wave's NEW rows per table (the store commits ONLY
+        # these — append-only snapshots, never a full-state rewrite).
+        # files side-effect is gated on the processed check
+        # (utils.py:40-46): anti-join against processed as of wave start.
+        delta = {
+            "internal": exploded("internal_new", "url").distinct(),
+            "external": exploded("external_new", "url").distinct(),
+            "files": exploded("file_links")
+            .join(acc["processed"], F.col("value") == F.col("url"), "left_anti")
+            .distinct(),
+            "bad_intel": ext.select("url", F.explode("intel").alias("i"))
+            .select("url", "i.name", "i.parts", "i.is_tuple")
+            .dropDuplicates(),
+            "bad_scripts": exploded("script_srcs").distinct(),
+            "custom": exploded("custom").distinct(),
+            "keys": exploded("keys").distinct(),
+            "processed": scheduled.select("url"),
+            "waves": scheduled.select("url", "level"),
+        }
+        if store is not None and level == start_wave and fresh_start:
+            # first commit carries the seed state (wave -1 has no dir)
+            delta["internal"] = delta["internal"].unionByName(state["internal"])
+
+        for k in delta:
+            acc[k] = (
+                acc[k].unionByName(delta[k]).dropDuplicates()
+                if k not in ("processed", "waves")
+                else acc[k].unionByName(delta[k])
             )
-            .distinct()
-        )
-        acc["bad_intel"] = (
-            acc["bad_intel"]
-            .unionByName(
-                ext.select(
-                    "url",
-                    F.explode("intel").alias("i"),
-                ).select("url", "i.name", "i.parts", "i.is_tuple")
-            )
-            .dropDuplicates()
-        )
-        acc["bad_scripts"] = (
-            acc["bad_scripts"].unionByName(exploded("script_srcs")).distinct()
-        )
-        acc["custom"] = acc["custom"].unionByName(exploded("custom")).distinct()
-        acc["keys"] = acc["keys"].unionByName(exploded("keys")).distinct()
-        acc["processed"] = acc["processed"].unionByName(scheduled.select("url"))
-        acc["waves"] = acc["waves"].unionByName(scheduled.select("url", "level"))
         processed_count += n_sched
 
-        # ---- snapshot: parquet commit (resumable) or lineage truncation.
+        # ---- snapshot: append-delta commit (resumable) or lineage
+        # truncation.
         if store is not None:
             meta = {
                 "processed_count": processed_count,
@@ -267,7 +266,7 @@ def run_crawl(
                 "disallow_rules": [list(r) for r in disallow_rules],
                 "metrics": metrics,
             }
-            store.commit(level, acc, meta)
+            store.commit(level, delta, meta)
             acc = store.load(spark, level)
         else:
             for k in ("internal", "processed"):

@@ -1,15 +1,22 @@
-"""Crawl state persistence — parquet snapshots + manifest, resumable.
+"""Crawl state persistence — append-only per-wave deltas + manifest.
 
-Iceberg-shaped (one snapshot per wave, read-latest to resume — SURVEY.md
-§7 M2) with a plain-parquet fallback since the sandbox has no Iceberg
-jars. The interface is deliberately thin so an Iceberg backend can drop
-in: commit(wave, tables) / latest() / load(). Each wave commit is
-atomic-enough via write-then-rename of the manifest.
+Iceberg-shaped (SURVEY.md §7 M2): every crawl state table is monotone
+(the wave loop only ever adds rows), so each wave commits ONLY its new
+rows — an append snapshot, O(|delta|) I/O like an Iceberg MERGE/append
+commit — never a full-state rewrite (O(|state|) per wave is untenable
+at a 10^10-URL frontier). `load(wave)` reconstructs state as the
+dedup'd union of all deltas ≤ wave, i.e. snapshot-as-of semantics; a
+delta may repeat rows from earlier waves (e.g. a URL re-discovered
+later), which the per-table dropDuplicates at load absorbs.
 
-State tables per snapshot: internal, processed, external, files,
-bad_intel, bad_scripts, custom, keys, waves — plus scalar counters in
-the manifest (processed_count includes the reference's 'dummy'
-sentinel, Q11).
+The interface stays thin so an Iceberg backend can drop in:
+commit(wave, deltas, meta) / latest() / load(). Commit is atomic-enough
+via write-then-rename of the manifest — a torn commit leaves the
+manifest at the previous wave and the orphan delta dir is overwritten
+on retry.
+
+Scalar counters ride in the manifest meta (processed_count includes
+the reference's 'dummy' sentinel, Q11).
 """
 
 from __future__ import annotations
@@ -41,10 +48,22 @@ class CrawlStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_wave_manifest.json")
 
-    def commit(self, wave: int, tables: dict[str, DataFrame], meta: dict) -> None:
-        snap_dir = os.path.join(self.root, f"wave={wave}")
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(os.path.join(snap_dir, name))
+    def _delta_dir(self, wave: int, name: str) -> str:
+        return os.path.join(self.root, f"wave={wave}", name)
+
+    def commit(self, wave: int, deltas: dict[str, DataFrame], meta: dict) -> None:
+        """Append this wave's NEW rows per table. Absent/empty tables
+        write nothing. The manifest records which tables each wave
+        touched so load() lists only real paths."""
+        written: list[str] = []
+        for name, df in deltas.items():
+            df.write.mode("overwrite").parquet(self._delta_dir(wave, name))
+            written.append(name)
+        prev = self.latest()
+        waves_index = dict(prev[1].get("_waves_index", {})) if prev else {}
+        waves_index[str(wave)] = written
+        meta = dict(meta)
+        meta["_waves_index"] = waves_index
         manifest = {"latest_wave": wave, "meta": meta}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -60,12 +79,20 @@ class CrawlStore:
             return None
 
     def load(self, spark: SparkSession, wave: int) -> dict[str, DataFrame]:
-        snap_dir = os.path.join(self.root, f"wave={wave}")
+        """Snapshot-as-of `wave`: union of all committed deltas ≤ wave,
+        deduplicated per table."""
+        latest = self.latest()
+        waves_index = latest[1].get("_waves_index", {}) if latest else {}
         out = {}
         for name, schema in STATE_SCHEMAS.items():
-            path = os.path.join(snap_dir, name)
-            if os.path.exists(path):
-                out[name] = spark.read.parquet(path)
+            paths = [
+                self._delta_dir(w, name)
+                for w_str, tables in waves_index.items()
+                if (w := int(w_str)) <= wave and name in tables
+            ]
+            paths = [p for p in paths if os.path.exists(p)]
+            if paths:
+                out[name] = spark.read.parquet(*paths).dropDuplicates()
             else:
                 out[name] = spark.createDataFrame([], schema=schema)
         return out

@@ -155,3 +155,27 @@ def test_crawl_respect_robots(spark):
     assert ROOT + "/private" not in gated_fetched
     # gating only removes disallowed paths
     assert default_fetched - gated_fetched == {ROOT + "/private"}
+
+
+def test_store_commits_are_deltas(spark, fixture_pages, tmp_path):
+    """Each wave commit holds only that wave's new rows (append-only
+    snapshots), and load(w) is snapshot-as-of semantics."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    store = CrawlStore(str(tmp_path / "delta_store"))
+    res = run_crawl(spark, fixture_pages, ROOT, cfg=EngineConfig(), store=store)
+    total_internal = res.datasets["internal"].count()
+
+    w0 = spark.read.parquet(store._delta_dir(0, "internal")).count()
+    w1 = spark.read.parquet(store._delta_dir(1, "internal")).count()
+    # wave 1's delta is strictly smaller than the accumulated state
+    assert w1 < total_internal
+    # snapshot-as-of monotonicity and final equality
+    s0 = store.load(spark, 0)["internal"].count()
+    s1 = store.load(spark, 1)["internal"].count()
+    assert s0 == w0  # wave-0 delta includes the seeds
+    assert s0 < s1 <= total_internal
+    assert s1 == total_internal
