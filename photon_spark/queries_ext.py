@@ -276,8 +276,20 @@ def u1i(spark, sf):
     return a.intersect(b)
 
 
+# A3b — the 10^10-scale cardinality sketch (HyperLogLog++). No
+# deterministic cross-engine oracle (sketch internals differ) →
+# rows-only here; the ≤2% relative-error bound vs exact is pytest-pinned.
+@q("a3_approx_cardinality", None)
+def a3b(spark, sf):
+    return _t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("props", rsd=0.02).alias("approx_props"),
+    )
+
+
 # A3 — frontier cardinality monitoring (exact form; the 10^10-scale
-# variant is approx_count_distinct, which has no deterministic oracle)
+# variant is approx_count_distinct, whose sketch has no deterministic
+# cross-engine oracle — see a3_approx_cardinality)
 @q(
     "a3_cardinality",
     "SELECT count(DISTINCT user_id) AS n_users,"

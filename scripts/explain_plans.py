@@ -87,10 +87,10 @@ def main() -> None:
                 failures.append((name, problems))
             out.write(f"\n## {name} — {status}\n\n```\n{plan}\n```\n")
     print(f"\nwrote PLANS.md ({len(EXPECT)} plans)")
+    spark.stop()
     if failures:
         print(f"{len(failures)} plan-audit failures")
         sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":

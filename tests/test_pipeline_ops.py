@@ -158,3 +158,15 @@ def test_multimodal_resize_and_frame_sample(spark, fixture_pages):
     a = sorted(r["frame_sha1"] for r in frames.collect())
     b = sorted(r["frame_sha1"] for r in multimodal.sample_frames(media, 3).collect())
     assert a == b
+
+
+def test_approx_cardinality_error_bound(spark):
+    """HLL++ sketch stays within its configured relative error."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact <= 0.05
