@@ -143,16 +143,19 @@ def ngram_jaccard_verify(
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    # floor-trick instead of round(): i/u with power-of-two u can land
+    # exactly on a rounding half-boundary (engine round()s disagree
+    # there by 1 ulp — see textstats.quality_score)
     return (
         pairs.join(a, "doc_a").join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            (F.floor(jac * 1000000.0 + 0.5) / 1000000.0).alias("jaccard"),
         )
     )
 

@@ -64,11 +64,16 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + F.least(mean_tok / F.lit(8.0), F.lit(1.0)) * 0.3
         + F.least(stop_ratio / F.lit(0.3), F.lit(1.0)) * 0.3
     )
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the score's
+    # terminating-decimal arithmetic can land EXACTLY on a half
+    # boundary (e.g. 0.3845875), where Spark's BigDecimal half-up and
+    # DuckDB's multiply-then-round disagree by 1 ulp. This form is a
+    # fixed IEEE op sequence — bit-identical across engines.
     return documents.select(
         "doc_id",
         F.col("n_chars"),
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-        F.round(score, 6).alias("quality"),
+        (F.floor(score * 1000000.0 + 0.5) / 1000000.0).alias("quality"),
     )
 
 

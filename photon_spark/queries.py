@@ -45,11 +45,17 @@ def a1(spark, sf):
     return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
 
 
-# A2 — run metrics aggregation (reference core/utils.py:89-98)
+# A2 — run metrics aggregation (reference core/utils.py:89-98).
+# floor(x·10^k + 0.5)/10^k instead of round(): sums/averages of
+# 2-decimal values can land exactly on rounding half-boundaries where
+# engine round() implementations disagree by 1 ulp (see
+# textstats.quality_score).
 @q(
     "a2_metrics_agg",
-    "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,"
-    " round(avg(value), 4) AS mean FROM events GROUP BY event_type",
+    "SELECT event_type, count(*) AS n,"
+    " floor(sum(value) * 100 + 0.5) / 100 AS total,"
+    " floor(avg(value) * 10000 + 0.5) / 10000 AS mean"
+    " FROM events GROUP BY event_type",
 )
 def a2(spark, sf):
     return (
@@ -57,8 +63,8 @@ def a2(spark, sf):
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.avg("value"), 4).alias("mean"),
+            (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("total"),
+            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("mean"),
         )
     )
 
@@ -433,8 +439,9 @@ toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
     i -> array_to_string(w[i+1:i+3], ' '))) AS shingles FROM toks)
 SELECT p.doc_a, p.doc_b,
-  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE), 6) AS jaccard
+  floor((CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS jaccard
 FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
 """
 
@@ -514,13 +521,16 @@ def langid(spark, sf):
 
 @q(
     "quality_score",
+    # floor(x*1e6+0.5)/1e6 mirrors the Spark side exactly — see
+    # textstats.quality_score on the half-boundary rounding hazard.
     f"SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,"
-    f" round(least(length(text) / 500.0, 1.0) * 0.4"
+    f" floor((least(length(text) / 500.0, 1.0) * 0.4"
     f" + least(((length(text) - (len(string_split(text, ' ')) - 1))"
     f"   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3"
     f" + least((CAST(len(list_filter(string_split(text, ' '),"
     f"     t -> list_contains({_STOP_SQL_LIST}, t))) AS DOUBLE)"
-    f"   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.3, 1.0) * 0.3, 6)"
+    f"   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.3, 1.0) * 0.3)"
+    f" * 1000000 + 0.5) / 1000000"
     f" AS quality FROM documents",
 )
 def quality(spark, sf):
