@@ -508,7 +508,8 @@ def ann_ivf(spark, sf):
     " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u FROM embeddings)"
     " SELECT vec_a, vec_b, cosine FROM ("
     " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
-    " round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6)"
+    " floor(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]))"
+    " * 1000000 + 0.5) / 1000000"
     " AS cosine FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id) t"
     " WHERE cosine >= 0.3",
 )
