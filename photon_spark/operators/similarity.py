@@ -14,6 +14,7 @@ Embeddings are pre-normalized once (norm stored) so cosine = dot.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,22 +32,19 @@ def _pdot(a, b):
     large pair sets (aggregate/zip_with is interpreted, not codegen).
     Use where the pair count is the cost driver; `_dot` stays for small
     fan-outs where JVM-side beats an Arrow round-trip."""
-    import numpy as np
-    import pandas as pd
+    # the decorator runs lazily (inside this call) so module import
+    # needs no Spark session; hints resolve via module-level pandas
+    @F.pandas_udf("double")
+    def dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
 
-    def dot(x: "pd.Series", y: "pd.Series") -> "pd.Series":
         if len(x) == 0:
             return pd.Series([], dtype="float64")
         xx = np.vstack(x.to_numpy())
         yy = np.vstack(y.to_numpy())
         return pd.Series(np.einsum("ij,ij->i", xx, yy))
 
-    # explicit returnType+functionType: local-scope annotations don't
-    # resolve through pandas_udf's type-hint inference
-    from pyspark.sql.functions import PandasUDFType
-
-    udf = F.pandas_udf(dot, returnType="double", functionType=PandasUDFType.SCALAR)
-    return udf(a, b)
+    return dot(a, b)
 
 
 def _norm(v):

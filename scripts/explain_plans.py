@@ -29,6 +29,9 @@ EXPECT: dict[str, dict] = {
     "frontier_dedup_schedule": {},
     "q4_order_priority": {"pushed": True},
     "session_windows": {},
+    "q17_small_quantity_revenue": {"broadcast": True},
+    "fingerprint_winnow": {},
+    "dedup_embedding_cosine": {},
 }
 
 
