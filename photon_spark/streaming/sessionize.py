@@ -35,8 +35,25 @@ def _fold(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    use_timeout: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    if use_timeout and state.hasTimedOut:
+        # watermark passed last+gap: flush the open session and retire
+        if state.exists:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "s_start": [pd.Timestamp(start, unit="us")],
+                    "s_end": [pd.Timestamp(last, unit="us")],
+                    "n": [n],
+                }
+            )
+        return
+
     if state.exists:
         start, last, n = state.get
     else:
@@ -63,6 +80,9 @@ def _fold(
 
     if start is not None:
         state.update((start, last, n))
+        if use_timeout:
+            # close when the event-time watermark passes last + gap
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
 
     if closed:
         yield pd.DataFrame(
@@ -80,25 +100,38 @@ def sessionize(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization over (user_id, ts) event stream.
 
     Works on a readStream DataFrame (the intended use) — each
     micro-batch advances per-user session state; closed sessions are
-    appended downstream. Scale shape: state is partitioned by user hash
-    (one shuffle per micro-batch), state size O(open sessions), and the
-    fold is Arrow-batched per group.
+    appended downstream. With ``watermark`` (e.g. "30 minutes") the
+    stage uses an event-time timeout: an open session is flushed once
+    the watermark passes its last event + gap — the production
+    completeness guarantee. Without it, a session only closes when a
+    later event of the same user arrives. Scale shape: state is
+    partitioned by user hash (one shuffle per micro-batch), state size
+    O(open sessions), and the fold is Arrow-batched per group.
     """
     gap_us = gap_minutes * 60 * _US
     sel = events.selectExpr(f"{user_col} as user_id", f"cast({ts_col} as timestamp) as ts")
+    if watermark is not None:
+        sel = sel.withWatermark("ts", watermark)
+
+    use_timeout = watermark is not None
 
     def fold(key, pdfs, state):
-        return _fold(key, pdfs, state, gap_us)
+        return _fold(key, pdfs, state, gap_us, use_timeout)
 
     return sel.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

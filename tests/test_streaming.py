@@ -224,3 +224,52 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert ("10:00", 3) in got
     assert ("11:00", 1) in got
     assert ("10:00", 4) not in got
+
+
+def test_sessionize_event_time_timeout_flushes_open_sessions(spark, tmp_path):
+    """With a watermark, open sessions flush once event time passes
+    last+gap — no later same-user event needed."""
+    import datetime as dt
+
+    from photon_spark.streaming.sessionize import sessionize
+
+    stream_dir = tmp_path / "toev"
+    stream_dir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1, *hm)) for u, hm in rows],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.parquet(str(stream_dir / name))
+
+    # user 1: two events 10:00/10:05 (one session); user 2: 10:20
+    write_batch("b0", [(1, (10, 0)), (1, (10, 5)), (2, (10, 20))])
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(stream_dir) + "/*")
+    q = (
+        sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("to_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past everyone's last+gap with an
+        # unrelated user's event
+        write_batch("b1", [(99, (14, 0))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n"])
+        for r in spark.sql("SELECT * FROM to_sessions").collect()
+    }
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2) in got
+    assert (2, "2024-01-01 10:20:00", "2024-01-01 10:20:00", 1) in got
+    # user 99's session is still open (watermark hasn't passed it)
+    assert not any(u == 99 for u, *_ in got)
