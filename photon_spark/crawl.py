@@ -73,6 +73,42 @@ class CrawlResult:
         }
 
 
+def assemble_intel(bad_intel: DataFrame, external: DataFrame) -> DataFrame:
+    """T12 intel assembly + T13 INTELS gate (reference photon.py:348-368).
+
+    Two output shapes (reference photon.py:356 vs :362): scalar matches
+    emit ``url:NAME:match`` (CREDIT_CARD gated on Luhn with Q8b failure
+    modes); tuple matches (patterns with >1 capturing group) emit
+    ``NAME:group`` per non-empty group — with tuple-typed CREDIT_CARD
+    matches dropped entirely (Q8a: the reference's luhn(tuple) raises
+    and returns False). Q9: the external-INTELS promotion only runs
+    when bad_intel is non-empty (the reference nests that loop inside
+    the bad_intel loop).
+    """
+    scalar = bad_intel.filter(~F.col("is_tuple")).withColumn(
+        "match", F.col("parts")[0]
+    )
+    scalar = scalar.filter(
+        (F.col("name") != "CREDIT_CARD") | luhn_valid(F.col("match"))
+    ).select(
+        F.concat_ws(":", F.col("url"), F.col("name"), F.col("match")).alias("value")
+    )
+    tuples = (
+        bad_intel.filter(F.col("is_tuple") & (F.col("name") != "CREDIT_CARD"))  # Q8a
+        .select(F.col("name"), F.explode("parts").alias("x"))
+        .filter(F.col("x") != "")
+        .select(F.concat_ws(":", F.col("name"), F.col("x")).alias("value"))
+    )
+    intel = scalar.unionByName(tuples)
+    if bad_intel.limit(1).count() > 0:  # Q9 gate
+        intel = intel.unionByName(
+            external.filter(etld1_udf(F.col("url")).isin(list(INTELS))).select(
+                F.col("url").alias("value")
+            )
+        )
+    return intel.distinct()
+
+
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
@@ -320,28 +356,7 @@ def run_crawl(
             .select(F.col("url").alias("value"))
         )
 
-        # ---- T12 intel assembly + T13 INTELS gate (Q8/Q9).
-        bi = acc["bad_intel"]
-        scalar = bi.filter(~F.col("is_tuple")).withColumn("match", F.col("parts")[0])
-        scalar = scalar.filter(
-            (F.col("name") != "CREDIT_CARD") | luhn_valid(F.col("match"))
-        ).select(
-            F.concat_ws(":", F.col("url"), F.col("name"), F.col("match")).alias("value")
-        )
-        tuples = (
-            bi.filter(F.col("is_tuple") & (F.col("name") != "CREDIT_CARD"))  # Q8a
-            .select(F.col("name"), F.explode("parts").alias("x"))
-            .filter(F.col("x") != "")
-            .select(F.concat_ws(":", F.col("name"), F.col("x")).alias("value"))
-        )
-        intel = scalar.unionByName(tuples)
-        if bi.limit(1).count() > 0:  # Q9: gate on bad_intel non-empty
-            intel = intel.unionByName(
-                acc["external"]
-                .filter(etld1_udf(F.col("url")).isin(list(INTELS)))
-                .select(F.col("url").alias("value"))
-            )
-        intel = intel.distinct()
+        intel = assemble_intel(acc["bad_intel"], acc["external"])
 
     datasets = {
         "files": acc["files"].select("value"),

@@ -1,0 +1,67 @@
+"""T12/T13 intel assembly on constructed bad_intel rows — exercises
+BOTH output shapes (scalar url:NAME:match vs tuple NAME:group) and
+every Q8/Q9 gate, independent of which patterns fire on the fixture."""
+
+from __future__ import annotations
+
+from photon_spark.crawl import assemble_intel
+
+BI_SCHEMA = "url string, name string, parts array<string>, is_tuple boolean"
+
+
+def _bi(spark, rows):
+    return spark.createDataFrame(rows, BI_SCHEMA)
+
+
+def _ext(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_scalar_and_tuple_shapes(spark):
+    bi = _bi(
+        spark,
+        [
+            ("http://a.test/p", "EMAIL", ["bob@x.com"], False),
+            # 2-group pattern → tuple match → NAME:group per non-empty part
+            ("http://a.test/p", "TWOGRP", ["left", ""], True),
+            ("http://a.test/p", "TWOGRP", ["", "right"], True),
+        ],
+    )
+    vals = {r["value"] for r in assemble_intel(bi, _ext(spark, [])).collect()}
+    assert vals == {
+        "http://a.test/p:EMAIL:bob@x.com",  # photon.py:362 shape
+        "TWOGRP:left",                      # photon.py:356 shape
+        "TWOGRP:right",
+    }
+
+
+def test_q8a_tuple_credit_card_dropped(spark):
+    bi = _bi(
+        spark,
+        [("http://a.test", "CREDIT_CARD", ["4111111111111111", "x"], True)],
+    )
+    assert assemble_intel(bi, _ext(spark, [])).count() == 0
+
+
+def test_q8b_scalar_credit_card_luhn_gate(spark):
+    bi = _bi(
+        spark,
+        [
+            ("u", "CREDIT_CARD", ["4111111111111111"], False),  # valid
+            ("u", "CREDIT_CARD", ["4111 1111 1111 1111"], False),  # separators → int() fails
+            ("u", "CREDIT_CARD", ["1234567812345678"], False),  # fails checksum
+        ],
+    )
+    vals = {r["value"] for r in assemble_intel(bi, _ext(spark, [])).collect()}
+    assert vals == {"u:CREDIT_CARD:4111111111111111"}
+
+
+def test_q9_intels_gate_needs_nonempty_bad_intel(spark):
+    ext = _ext(spark, ["https://github.com/s0md3v", "http://other.test/x"])
+    # empty bad_intel → INTELS promotion suppressed (Q9 nesting)
+    empty = _bi(spark, [])
+    assert assemble_intel(empty, ext).count() == 0
+    # non-empty → the github.com external url is promoted, other.test not
+    bi = _bi(spark, [("u", "EMAIL", ["a@b.co"], False)])
+    vals = {r["value"] for r in assemble_intel(bi, ext).collect()}
+    assert vals == {"u:EMAIL:a@b.co", "https://github.com/s0md3v"}
