@@ -1,0 +1,47 @@
+"""Deterministic sampling & split assignment — training-pipeline staples.
+
+Both operators key on md5(id) so the sample is a pure function of the
+row (reproducible across runs, engines, and cluster sizes — no RNG, no
+partition dependence, unlike df.sample()). Selection compares a
+fixed-width lowercase-hex prefix lexicographically, which equals
+numeric comparison — and md5 is dialect-portable, so the DuckDB oracle
+reproduces membership bit-for-bit. Narrow, scan-side, zero shuffle
+(the rate audit aggregates once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_prefix(key: Column, width: int = 4) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, width)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~rate sample: keep rows whose md5 prefix falls
+    below the rate threshold. 4 hex digits → rate granularity 1/65536."""
+    threshold = format(int(rate * 65536), "04x")
+    return df.filter(_hex_prefix(F.col(key_col)) < F.lit(threshold))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+) -> DataFrame:
+    """train/val/test assignment by md5-prefix range — stable under
+    data growth (a row's split never changes when other rows arrive)."""
+    h = _hex_prefix(F.col(key_col))
+    val_hi = format(int(val_rate * 65536), "04x")
+    test_hi = format(int((val_rate + test_rate) * 65536), "04x")
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_hi), F.lit("val"))
+        .when(h < F.lit(test_hi), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -470,6 +470,34 @@ def sessions(spark, sf):
 
 
 @q(
+    "sample_hash_deterministic",
+    "SELECT doc_id FROM documents"
+    " WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2666'",
+)
+def sample_det(spark, sf):
+    from photon_spark.operators.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf, "documents"), rate=0.15).select("doc_id")
+
+
+@q(
+    "split_assign_counts",
+    "SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'"
+    " THEN 'val' WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'"
+    " THEN 'test' ELSE 'train' END AS split, count(*) AS n"
+    " FROM documents GROUP BY 1",
+)
+def split_counts(spark, sf):
+    from photon_spark.operators.sampling import split_assign
+
+    return (
+        split_assign(_t(spark, sf, "documents"), val_rate=0.1, test_rate=0.1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
     "token_count_bpe",
     "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
     " len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
