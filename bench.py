@@ -170,13 +170,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    from pyspark.sql import functions as F
+
     from photon_spark.queries import Q
     from photon_spark.session import get_spark
 
     spark = get_spark(cores=cores, shuffle_partitions=cores, app_name="bench")
 
-    # JVM/Arrow warmup (not counted)
+    # JVM/Arrow/Python-worker warmup (not counted): one tiny pandas-UDF
+    # pass spins up the Arrow workers the measured queries reuse
+    from photon_spark.operators.extract import luhn_valid
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(256).select(F.col("id").cast("string").alias("s")).filter(
+        luhn_valid(F.col("s"))
+    ).count()
 
     queries: dict[str, float] = {}
     total = 0.0
