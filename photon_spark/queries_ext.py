@@ -436,6 +436,33 @@ def quantiles(spark, sf):
     )
 
 
+# As-of join — for every event, its user's most recent purchase at or
+# before that event. The reference has no joins at all (SURVEY §2.3);
+# Spark lacks a native as-of join — the composition answer (custom-op
+# ladder (a)): a running max over a RANGE frame per user. RANGE (not
+# ROWS) so equal-timestamp ties resolve identically in both engines.
+@q(
+    "asof_last_purchase",
+    "SELECT event_id, strftime(max(CASE WHEN event_type = 'purchase' THEN ts END)"
+    " OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING"
+    " AND CURRENT ROW), '%Y-%m-%d %H:%M:%S') AS last_purchase FROM events",
+)
+def asof(spark, sf):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return _t(spark, sf, "events").select(
+        "event_id", F.date_format(last, "yyyy-MM-dd HH:mm:ss").alias("last_purchase")
+    )
+
+
 # Session windows — batch twin of the streaming session-window operator.
 # Oracle = gaps-and-islands; break at gap >= 30min matches Spark's
 # half-open [start, last+gap) session merge rule.
