@@ -44,6 +44,7 @@ _page(ROOT, """<html><head><title>Root</title></head>
 <a href="https://github.com/s0md3v">GH</a>
 <a href="/x1.html">x1</a> <a href="/x2.html">x2</a>
 <a href="/notes">NOTES</a>
+<a href="/iocs.html">IOCS</a>
 <script src="/static/app.js"></script>
 <script src=app2.js></script>
 <script src="//cdn.fixture.test/lib.js"></script>
@@ -139,6 +140,39 @@ _page(ROOT + "/notes", """<html><body>
 <p>b64 aHR0cDovL2V4YW1wbGUuY29tLw== !</p>
 <p>sha512 """ + "ab01" * 32 + """ archived</p>
 rule photon_test { condition: true }
+</body></html>
+""")
+
+# Adversarial T4 corners (VERDICT r1 item 8): defanged / encoded /
+# offset-b64 URL shapes, defanged emails+IPs, a dashed Luhn-valid PAN,
+# and a full multi-line YARA rule with import + comment — so golden
+# coverage touches every INTEL pattern's hard path, not just its happy
+# path. Every string verified to fire its intended pattern (and the
+# reference-faithful cross-fires, e.g. hex→SHA1, are shared by engine
+# and oracle via the same kernels).
+_page(ROOT + "/iocs.html", """<html><body>
+<p>hxxp://evil(.)test/payload staged</p>
+<p>fxp://files[.]test/drop cached</p>
+<p>bracket ioc www(.)bad(.)example(.)net flagged</p>
+<p>backslash c2\\.command\\.test seen</p>
+<p>hex 68747470733a2f2f7365637572652e746573742f listed</p>
+<p>enc ftp%3A%2F%2Fencoded-ftp.test noted</p>
+<p>b64 aHR0cHM6Ly9zZWN1cmUudGVzdC94 stored</p>
+<p>b64off enpmdHA6Ly9maWxlcy50ZXN0L3BrZw== kept</p>
+<p>b64off1 eGh0dHBzOi8vb2Zmc2V0MS50ZXN0L2E= kept</p>
+<p>mail carol [at] defang [dot] example dot io</p>
+<p>mail dave(@)paren.example(.)org now</p>
+<p>ip 203(.)0(.)113(.)77 probed</p>
+<p>ip6 fe80::1a2b:3c4d:5e6f:7a8b up</p>
+<p>pan 5500-0000-0000-0004 dashed</p>
+import "pe"
+// adversarial fixture rule
+private rule adv_fixture : crimeware {
+  strings:
+    $a = "dummy"
+  condition:
+    $a
+}
 </body></html>
 """)
 

@@ -174,6 +174,10 @@ def run_crawl(
         robots_urls = meta["robots_urls"]
         disallow_rules = [tuple(r) for r in meta.get("disallow_rules", [])]
     else:
+        if store is not None:
+            # Fresh crawl into a (possibly reused) store root: clear any
+            # previous lineage so old deltas can't leak into snapshots.
+            store.reset()
         # ---- zap stage (S2/S3): robots.txt + sitemap.xml seeds.
         special = {
             r["doc_id"]: r["body"]
@@ -212,7 +216,6 @@ def run_crawl(
 
     for level in range(start_wave, cfg.crawl_level):
         t0 = time.time()
-        internal_count = acc["internal"].count()
 
         bloom = None
         if use_bloom and processed_count > 1:
@@ -230,7 +233,21 @@ def run_crawl(
             )
             links = robots_gate(links, disallows)
         links = links.persist()
-        n = links.count()
+        # ONE driver action for both loop-control counts (|internal| for
+        # the Q25 break, |links| for termination + partition sizing) — a
+        # tagged union instead of two jobs per wave. links materializes
+        # into its persisted cache inside this same job.
+        wave_counts = {
+            r["k"]: r["n"]
+            for r in acc["internal"]
+            .select(F.lit("internal").alias("k"))
+            .unionAll(links.select(F.lit("links").alias("k")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        internal_count = wave_counts.get("internal", 0)
+        n = wave_counts.get("links", 0)
         if n == 0:
             break
         if internal_count <= processed_count and internal_count > 2 + len(cfg.seeds):
@@ -249,15 +266,20 @@ def run_crawl(
             partitions=wave_parts,
             salts=cfg.host_salts if wave_parts > 1 else 1,
         ).select("url", "level").persist()
-        # Budget-capped URLs are deferred, not dropped: they stay out of
-        # `processed`, remain in `internal`, and re-candidate next wave.
-        n_sched = scheduled.count() if cfg.per_host_budget is not None else n
         ext = extract_wave(fetch(scheduled), cfg, main_url).persist()
 
+        # The per-partition lineage collect doubles as (a) ext's cache
+        # materialization (7 delta branches read it next) and (b) the
+        # scheduled-count action: extract emits exactly one row per
+        # scheduled URL, so Σ part counts == |scheduled| — no separate
+        # scheduled.count() job. Budget-capped URLs are deferred, not
+        # dropped: they stay out of `processed`, remain in `internal`,
+        # and re-candidate next wave.
         part_counts = [
             (r["pid"], r["count"])
             for r in ext.groupBy(F.spark_partition_id().alias("pid")).count().collect()
         ]
+        n_sched = sum(c for _, c in part_counts)
 
         def exploded(col: str, out: str = "value") -> DataFrame:
             return ext.select(F.explode(col).alias(out))
@@ -305,8 +327,18 @@ def run_crawl(
             store.commit(level, delta, meta)
             acc = store.load(spark, level)
         else:
-            for k in ("internal", "processed"):
-                acc[k] = acc[k].localCheckpoint(eager=True)
+            # Truncate the two per-wave-growing lineages in ONE job: a
+            # tagged union checkpointed once, then split by narrow
+            # filters over the cached partitions (two eager
+            # localCheckpoints would be two jobs per wave).
+            tagged = (
+                acc["internal"]
+                .withColumn("_t", F.lit("i"))
+                .unionByName(acc["processed"].withColumn("_t", F.lit("p")))
+                .localCheckpoint(eager=True)
+            )
+            acc["internal"] = tagged.filter(F.col("_t") == "i").drop("_t")
+            acc["processed"] = tagged.filter(F.col("_t") == "p").drop("_t")
 
         elapsed = time.time() - t0
         metrics.append(

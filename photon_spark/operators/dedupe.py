@@ -112,10 +112,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    # skew guard: drop degenerate buckets (boilerplate shingles)
-    buckets = banded.groupBy("band", "key").agg(
-        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
-    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    # Skew guard, two-stage so a degenerate bucket (boilerplate docs —
+    # can be 10^7 members at crawl scale) is NEVER materialized in an
+    # aggregation buffer: (1) count-only groupBy (map-side partial, a
+    # few bytes per bucket) filters to 2 ≤ n ≤ max_bucket, (2) semi-join
+    # keeps only surviving rows, (3) collect_list runs on bounded
+    # buckets only. Both stages hash-partition on (band, key), so the
+    # exchange is reused / the final groupBy needs no extra shuffle.
+    ok_sizes = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    buckets = (
+        banded.join(ok_sizes, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
     pairs = buckets.select(
         F.explode(
             F.filter(

@@ -19,13 +19,26 @@ def _hex_prefix(key: Column, width: int = 4) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, width)
 
 
+def _below(h: Column, rate: float) -> Column:
+    """h < hex(rate * 65536), with the boundary cases made exact:
+    rate >= 1.0 keeps everything (the naive hex would be the 5-char
+    '10000', which compares lexicographically BELOW most 4-char
+    prefixes and would silently keep ~6%), rate <= 0 keeps nothing.
+    Granularity between the bounds is 1/65536."""
+    t = int(rate * 65536)
+    if t >= 65536:
+        return F.lit(True)
+    if t <= 0:
+        return F.lit(False)
+    return h < F.lit(format(t, "04x"))
+
+
 def hash_sample(
     df: DataFrame, rate: float, key_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic ~rate sample: keep rows whose md5 prefix falls
     below the rate threshold. 4 hex digits → rate granularity 1/65536."""
-    threshold = format(int(rate * 65536), "04x")
-    return df.filter(_hex_prefix(F.col(key_col)) < F.lit(threshold))
+    return df.filter(_below(_hex_prefix(F.col(key_col)), rate))
 
 
 def split_assign(
@@ -37,11 +50,9 @@ def split_assign(
     """train/val/test assignment by md5-prefix range — stable under
     data growth (a row's split never changes when other rows arrive)."""
     h = _hex_prefix(F.col(key_col))
-    val_hi = format(int(val_rate * 65536), "04x")
-    test_hi = format(int((val_rate + test_rate) * 65536), "04x")
     return df.withColumn(
         "split",
-        F.when(h < F.lit(val_hi), F.lit("val"))
-        .when(h < F.lit(test_hi), F.lit("test"))
+        F.when(_below(h, val_rate), F.lit("val"))
+        .when(_below(h, val_rate + test_rate), F.lit("test"))
         .otherwise(F.lit("train")),
     )

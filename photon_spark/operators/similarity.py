@@ -256,6 +256,11 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+    # The persist only serves the driver-side k-means collects above;
+    # drop it before returning so repeated calls (bench loops, shared
+    # sessions) don't accumulate cached blocks. The final action then
+    # recomputes corpus once — a narrow normalize pass, cheap.
+    corpus.unpersist()
     return out
 
 

@@ -108,31 +108,50 @@ def winnow_fingerprints(
     window's minimum — the classic local fingerprint set for
     plagiarism/near-dup detection. Hashes are md5 hex (min over hex ==
     min over uniform ints; dialect-portable so the DuckDB oracle
-    reproduces values bit-for-bit). Pure array expressions — narrow,
-    no shuffle; output exploded (doc_id, fp) distinct per doc.
+    reproduces values bit-for-bit).
+
+    Winnowing is document-LOCAL, so this is a single Arrow-batched
+    mapInPandas pass — numpy sliding-window min over the gram hashes,
+    NO shuffle. (An earlier posexplode + Window.partitionBy form was
+    oracle-identical but shipped one 33-byte row per character through
+    an exchange — ~33× shuffle amplification at crawl scale.) Output:
+    exploded (doc_id, fp), distinct per doc.
     """
-    from pyspark.sql import Window
+    import hashlib
 
-    text = F.col("text")
-    # materialize each k-gram hash exactly once (posexplode), then a
-    # sliding row-window min per start position — linear in |text|,
-    # one shuffle keyed on doc_id. (The pure-array-expression form
-    # re-inlines the gram array per window start → O(n²) md5s; don't.)
-    h = documents.select(
-        "doc_id", F.posexplode(_gram_hashes(text, k)).alias("pos", "h")
-    )
-    wdoc = Window.partitionBy("doc_id")
-    wslide = wdoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
-    return (
-        h.withColumn("nh", F.count("*").over(wdoc))
-        .withColumn("wmin", F.min("h").over(wslide))
-        .filter(F.col("pos") <= F.greatest(F.col("nh") - w, F.lit(0)))
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
-    )
+    import numpy as np
+    import pandas as pd
 
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n_grams = max(len(t) - (k - 1), 1)
+                grams = [
+                    hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+                    for i in range(n_grams)
+                ]
+                # numpy has no min-ufunc for strings: replace each hash
+                # with its sorted-unique RANK (order-isomorphic to the
+                # hex string), slide the integer min, map back.
+                uniq, inv = np.unique(grams, return_inverse=True)
+                if n_grams <= w:
+                    fps = [uniq[0]]
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(inv, w)
+                    fps = uniq[np.unique(sw.min(axis=1))].tolist()
+                out_ids.extend([doc_id] * len(fps))
+                out_fps.extend(fps)
+            yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
 
-def _gram_hashes(text: Column, k: int) -> Column:
-    n = F.length(text)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.md5(F.substring(text, i, k)))
+    # A single parquet file arrives as ONE input partition; this stage
+    # is compute-bound (|text| md5s per doc), so spread it before the
+    # Python pass — round-robin of (doc_id, text) is far cheaper than
+    # serializing the hash work on one core. Multi-file inputs at real
+    # scale already arrive partitioned and skip this.
+    src = documents.select("doc_id", "text")
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(run, schema="doc_id long, fp string")

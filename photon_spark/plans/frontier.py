@@ -101,6 +101,117 @@ class UrlBloom:
             out &= (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         return out
 
+    def to_payload(self) -> tuple:
+        return ("single", self.bits.tobytes(), self.k, self.m)
+
+
+def _bloom_from_payload(payload: tuple):
+    if payload[0] == "single":
+        _, raw, k, _m = payload
+        return UrlBloom(np.frombuffer(raw, dtype=np.uint8), k)
+    _, n_buckets, k, shard_raw = payload
+    return ShardedUrlBloom(
+        n_buckets,
+        {b: np.frombuffer(raw, dtype=np.uint8) for b, raw in shard_raw.items()},
+        k,
+    )
+
+
+def _bucket_of(hu: np.ndarray, n_buckets: int) -> np.ndarray:
+    """bucket(N, url_hash): nonneg modulo of the uint64 key — identical
+    on build and probe, engine-independent."""
+    return (hu % np.uint64(n_buckets)).astype(np.int64)
+
+
+class ShardedUrlBloom:
+    """Per-bucket bloom shards over bucket(N, xxhash64(url)).
+
+    This is the 10^10-frontier variant the single-bitmap docstring
+    promises: one bitmap per hash bucket, each sized for |seen|/N keys,
+    so no single bitmap exceeds an agg buffer / broadcast chunk, and a
+    probe touches exactly ONE shard's cache lines (keys route by the
+    same bucket function on both sides). False negatives remain
+    impossible per shard ⇒ the exact anti-join backstop keeps the
+    result exact.
+
+    Sandbox shape: all shards ride one broadcast (sum of shard sizes ==
+    the single-bitmap size, so this prototypes routing, not memory
+    relief). At cluster scale the same build emits shards as rows
+    (bucket, bits) to storage; the probe side repartitions by bucket
+    and each task mmaps only its bucket's shard — executor-resident
+    memory drops from |bloom| to |bloom|/N. The build below already
+    streams Arrow batches with per-bucket partial bitmaps, so no
+    bucket's membership ever materializes as rows.
+    """
+
+    def __init__(self, n_buckets: int, shards: dict[int, np.ndarray], k: int):
+        self.n_buckets = n_buckets
+        self.shards = shards  # bucket -> uint8 bitmap (missing = empty)
+        self.k = k
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        col: str,
+        expected: int,
+        fpp: float,
+        n_buckets: int = 8,
+    ) -> "ShardedUrlBloom":
+        m, k = UrlBloom.params(max(64, expected // n_buckets), fpp)
+        nbytes = m // 8
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                hu = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                buckets = _bucket_of(hu, n_buckets)
+                for b in np.unique(buckets):
+                    bits = acc.setdefault(int(b), np.zeros(nbytes, dtype=np.uint8))
+                    hb = hu[buckets == b]
+                    for pos in _positions(hb, k, m):
+                        np.bitwise_or.at(
+                            bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                        )
+            for b, bits in acc.items():
+                yield pd.DataFrame({"bucket": [b], "bits": [bits.tobytes()]})
+
+        hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
+        nparts = hashes.rdd.getNumPartitions()
+        if nparts > 8:
+            hashes = hashes.coalesce(8)
+        parts = hashes.mapInPandas(partial, schema="bucket int, bits binary").collect()
+        shards: dict[int, np.ndarray] = {}
+        for row in parts:
+            b = int(row["bucket"])
+            if b in shards:
+                shards[b] = shards[b] | np.frombuffer(row["bits"], dtype=np.uint8)
+            else:
+                shards[b] = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+        return cls(n_buckets, shards, k)
+
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        out = np.zeros(h.size, dtype=bool)
+        hu = h.astype(np.int64).view(np.uint64)
+        buckets = _bucket_of(hu, self.n_buckets)
+        for b in np.unique(buckets):
+            bits = self.shards.get(int(b))
+            if bits is None:
+                continue  # empty shard: definitely new
+            mask = buckets == b
+            out[mask] = UrlBloom(bits, self.k).might_contain(h[mask])
+        return out
+
+    def to_payload(self) -> tuple:
+        return (
+            "sharded",
+            self.n_buckets,
+            self.k,
+            {b: bits.tobytes() for b, bits in self.shards.items()},
+        )
+
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Vectorized URL canonicalization before any dedup (SURVEY.md §4
@@ -137,7 +248,7 @@ def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
-    bloom: UrlBloom | None = None,
+    bloom: "UrlBloom | ShardedUrlBloom | None" = None,
     broadcast_seen: bool = False,
 ) -> DataFrame:
     """candidates ∖ seen, exactly.
@@ -157,14 +268,11 @@ def dedup_candidates(
         rhs = F.broadcast(seen) if broadcast_seen else seen
         return candidates.join(rhs, url_col, "left_anti")
 
-    bits_bc = candidates.sparkSession.sparkContext.broadcast(
-        (bloom.bits.tobytes(), bloom.k, bloom.m)
-    )
+    bloom_bc = candidates.sparkSession.sparkContext.broadcast(bloom.to_payload())
 
     @F.pandas_udf("boolean")
     def maybe_seen(h: pd.Series) -> pd.Series:
-        raw, k, m = bits_bc.value
-        bf = UrlBloom(np.frombuffer(raw, dtype=np.uint8), k)
+        bf = _bloom_from_payload(bloom_bc.value)
         return pd.Series(bf.might_contain(h.to_numpy(dtype=np.int64)))
 
     with_flag = candidates.withColumn(

@@ -97,5 +97,20 @@ class CrawlStore:
                 out[name] = spark.createDataFrame([], schema=schema)
         return out
 
+    def reset(self) -> None:
+        """Start a new lineage in this root: drop the manifest and all
+        wave deltas. run_crawl calls this on every fresh (non-resume)
+        crawl — without it, commit() would merge the PREVIOUS run's
+        _waves_index into the new manifest and load() would silently
+        union stale rows into the new crawl's snapshot."""
+        try:
+            os.remove(self._manifest_path())
+        except FileNotFoundError:
+            pass
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if d.startswith("wave="):
+                    shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

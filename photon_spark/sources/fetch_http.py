@@ -8,9 +8,20 @@ Reproduces the reference requester's observable semantics
   Q26: a single global delay, applied here within each partition —
   partitions are host-keyed by schedule_wave, so this is per-host
   pacing with cross-host parallelism, a strict superset).
+* default header set (Host / User-Agent / Accept / Accept-Language /
+  Accept-Encoding / DNT / Connection) mirroring requester.py:37-45;
+  a caller-supplied headers dict REPLACES the defaults wholesale,
+  exactly like `headers or {...}` at requester.py:37 (the reference's
+  interactive --headers editor, core/utils.py:124-137, builds that
+  dict; here it's a plain parameter).
+* cookie support (reference -c/--cookie, photon.py:60): attached to
+  every request alongside the headers, as requester.py:50 does via
+  `cookies=cook`. We carry it as a Cookie header so any transport
+  sees it.
 * user-agent rotation (requester.py:40; the reference uses
-  random.choice — we rotate deterministically by url hash so runs are
-  reproducible).
+  random.choice — we rotate deterministically by crc32(url) so runs
+  are reproducible regardless of PYTHONHASHSEED; Python's builtin
+  hash() is siphash-salted per process and must not be used here).
 * content-type gate: body only for text/html or text/plain, else the
   'dummy' sentinel (requester.py:58-70, Q11).
 * any transport failure ⇒ 'dummy' (the reference swallows exceptions
@@ -19,22 +30,26 @@ Reproduces the reference requester's observable semantics
 * session reuse: one transport per partition (requester.py:8 SESSION —
   TCP connection reuse per executor task).
 
-``transport(url, user_agent, timeout) -> (status, content_type, text)``
-is injectable: tests drive the stage with a fixture-backed fake (no
-network in this sandbox); production uses `requests_transport`.
+``transport(url, headers: dict, timeout) -> (status, content_type,
+text)`` is injectable: tests drive the stage with a fixture-backed
+fake (no network in this sandbox); production uses
+`requests_transport`. The headers dict always carries 'User-Agent'
+(rotated or caller-fixed) plus 'Cookie' when one is configured.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterator, Tuple
+import zlib
+from typing import Callable, Iterator, Mapping, Tuple
+from urllib.parse import urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from photon_spark.config import DUMMY
 
-Transport = Callable[[str, str, float], Tuple[int, str, str]]
+Transport = Callable[[str, Mapping[str, str], float], Tuple[int, str, str]]
 
 FETCH_SCHEMA = "url string, level int, status int, body string"
 
@@ -47,6 +62,40 @@ DEFAULT_USER_AGENTS = (
 )
 
 
+def pick_user_agent(url: str, user_agents: tuple[str, ...]) -> str:
+    """Deterministic stand-in for requester.py:40 random.choice —
+    crc32 is stable across processes/hosts (unlike builtin hash)."""
+    return user_agents[zlib.crc32(url.encode("utf-8", "ignore")) % len(user_agents)]
+
+
+def build_headers(
+    url: str,
+    user_agents: tuple[str, ...],
+    custom_headers: Mapping[str, str] | None,
+    cookie: str | None,
+) -> dict[str, str]:
+    """Per-request header dict with requester.py:37-45 semantics:
+    custom headers replace the default set entirely; cookie rides on
+    top of either."""
+    if custom_headers:
+        headers = dict(custom_headers)
+        headers.setdefault("User-Agent", pick_user_agent(url, user_agents))
+    else:
+        headers = {
+            "Host": urlparse(url).netloc,
+            "User-Agent": pick_user_agent(url, user_agents),
+            "Accept": "text/html,application/xhtml+xml,application/xml;"
+            "q=0.9,*/*;q=0.8",
+            "Accept-Language": "en-US,en;q=0.5",
+            "Accept-Encoding": "gzip",
+            "DNT": "1",
+            "Connection": "close",
+        }
+    if cookie:
+        headers["Cookie"] = cookie
+    return headers
+
+
 def requests_transport() -> Transport:
     """Production transport: persistent requests.Session per partition
     (connection reuse), ≤3 redirects like the reference
@@ -57,8 +106,8 @@ def requests_transport() -> Transport:
     session = requests.Session()
     session.max_redirects = 3
 
-    def do(url: str, user_agent: str, timeout: float):
-        resp = session.get(url, headers={"User-Agent": user_agent}, timeout=timeout)
+    def do(url: str, headers: Mapping[str, str], timeout: float):
+        resp = session.get(url, headers=dict(headers), timeout=timeout)
         return resp.status_code, resp.headers.get("Content-Type", ""), resp.text
 
     return do
@@ -70,12 +119,16 @@ def fetch_stage(
     delay: float = 0.0,
     timeout: float = 6.0,
     user_agents: tuple[str, ...] = DEFAULT_USER_AGENTS,
+    headers: Mapping[str, str] | None = None,
+    cookie: str | None = None,
 ) -> DataFrame:
     """(url, level) wave → (url, level, status, body); body is the
     'dummy' sentinel for non-text responses and failures. Run AFTER
     schedule_wave so partitions are host-local (politeness + connection
-    reuse)."""
+    reuse). `headers` replaces the default header set (reference
+    requester.py:37); `cookie` maps the reference -c flag."""
     factory = transport_factory or requests_transport
+    custom = dict(headers) if headers else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = factory()  # one session per partition (task)
@@ -84,9 +137,9 @@ def fetch_stage(
             for url in pdf["url"]:
                 if delay:
                     time.sleep(delay)  # requester.py:33 — before EVERY request
-                ua = user_agents[hash(url) % len(user_agents)]
+                hdrs = build_headers(url, user_agents, custom, cookie)
                 try:
-                    status, ctype, text = transport(url, ua, timeout)
+                    status, ctype, text = transport(url, hdrs, timeout)
                 except Exception:
                     status, ctype, text = 0, "", ""
                 ctype = (ctype or "").lower()

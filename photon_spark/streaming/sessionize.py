@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -59,13 +60,22 @@ def _fold(
     else:
         start = last = n = None
 
-    closed: list[tuple[int, int, int]] = []
+    # applyInPandasWithState splits one group's micro-batch rows into
+    # MULTIPLE Arrow chunks (≈2048-row cap) and neither the chunks nor
+    # cross-batch arrivals are time-ordered — so accumulate the WHOLE
+    # iterator first and sort once; a per-chunk sort would fold events
+    # out of order and corrupt session boundaries.
+    chunks: list[np.ndarray] = []
     for pdf in pdf_iter:
         ts = pd.to_datetime(pdf["ts"])
         if getattr(ts.dt, "tz", None) is not None:
             ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
         # normalize to ns resolution first — Arrow may hand back µs
-        ts_us = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        chunks.append(ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000)
+
+    closed: list[tuple[int, int, int]] = []
+    if chunks:
+        ts_us = np.concatenate(chunks)
         ts_us.sort()
         for t in ts_us:
             t = int(t)
@@ -75,7 +85,11 @@ def _fold(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last = t
+                # a late arrival can land INSIDE the open session's
+                # span (t < last when the state predates this batch):
+                # widen, never move the session end backwards
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
 
     if start is not None:

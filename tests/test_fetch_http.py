@@ -15,8 +15,8 @@ def _fake_transport_factory():
     bodies = page_bodies()  # closure-shipped to executors
 
     def make():
-        def do(url, user_agent, timeout):
-            assert user_agent  # UA always set
+        def do(url, headers, timeout):
+            assert headers.get("User-Agent")  # UA always set
             if url in bodies:
                 return 200, "text/html; charset=utf-8", bodies[url]
             raise ConnectionError(url)
@@ -41,9 +41,49 @@ def test_fetch_stage_semantics(spark):
     assert rows[ROOT + "/nope"]["status"] == 0
 
 
+def test_fetch_headers_and_cookie_reach_transport(spark):
+    """Reference -c/--cookie (photon.py:60) and custom header dict
+    (core/utils.py:124-137 → requester.py:37): injected headers must
+    REPLACE the default set and the cookie must ride every request."""
+    import json
+
+    def factory():
+        def do(url, headers, t):
+            # echo the headers through the body — the worker runs in a
+            # separate process, so a closure dict would not be visible
+            return 200, "text/html", json.dumps(dict(headers))
+
+        return do
+
+    wave = spark.createDataFrame([("http://x.test/a", 0)], "url string, level int")
+    rows = fetch_stage(
+        wave,
+        transport_factory=factory,
+        headers={"X-Api": "k1", "User-Agent": "custom-ua"},
+        cookie="sid=abc123",
+    ).collect()
+    h = json.loads(rows[0]["body"])
+    assert h["X-Api"] == "k1"
+    assert h["User-Agent"] == "custom-ua"  # custom dict replaces rotation
+    assert h["Cookie"] == "sid=abc123"
+    assert "Accept-Language" not in h  # defaults replaced wholesale
+
+
+def test_fetch_ua_rotation_deterministic(spark):
+    """UA choice is crc32-keyed (process-independent) — same URL, same
+    UA, on every call and in any worker."""
+    import zlib
+
+    from photon_spark.sources.fetch_http import DEFAULT_USER_AGENTS, pick_user_agent
+
+    url = "http://x.test/page?q=1"
+    want = DEFAULT_USER_AGENTS[zlib.crc32(url.encode()) % len(DEFAULT_USER_AGENTS)]
+    assert pick_user_agent(url, DEFAULT_USER_AGENTS) == want
+
+
 def test_fetch_stage_content_type_gate(spark):
     def factory():
-        def do(url, ua, t):
+        def do(url, headers, t):
             if url.endswith("bin"):
                 return 200, "application/octet-stream", "BINARY"
             return 200, "text/plain", "PLAIN"

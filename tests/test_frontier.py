@@ -179,3 +179,74 @@ def test_store_commits_are_deltas(spark, fixture_pages, tmp_path):
     assert s0 == w0  # wave-0 delta includes the seeds
     assert s0 < s1 <= total_internal
     assert s1 == total_internal
+
+
+def test_sharded_bloom_zero_loss_10m(spark):
+    """The 10^10 story's bucketed variant: per-bucket bloom shards over
+    bucket(N, xxhash64(url)) must stay EXACT (no lost URLs) at 10^7
+    seen keys — sharded result ≡ plain anti-join result."""
+    from photon_spark.plans.frontier import ShardedUrlBloom
+
+    seen = spark.range(10_000_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    # candidates: half seen, half brand-new
+    cand = spark.range(9_900_000, 10_100_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    sharded = ShardedUrlBloom.build(
+        seen, "url", expected=10_000_000, fpp=0.01, n_buckets=16
+    )
+    got = {
+        r["url"] for r in dedup_candidates(cand, seen, bloom=sharded).collect()
+    }
+    want = {f"http://h/{i}" for i in range(10_000_000, 10_100_000)}
+    assert got == want
+
+
+def test_sharded_bloom_routes_by_bucket(spark):
+    """Every key probes exactly its own shard: membership via the
+    sharded filter equals membership via a per-bucket single filter."""
+    import numpy as np
+
+    from photon_spark.plans.frontier import ShardedUrlBloom, _bucket_of
+
+    seen = spark.range(20_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    sharded = ShardedUrlBloom.build(seen, "url", expected=20_000, fpp=0.01, n_buckets=4)
+    hashes = np.array(
+        [r["h"] for r in seen.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    assert sharded.might_contain(hashes).all()  # no false negatives
+    # shards partition the key space: each key's bucket has its bits
+    buckets = _bucket_of(hashes.view(np.uint64), 4)
+    assert set(np.unique(buckets)) <= set(sharded.shards.keys())
+
+
+def test_store_fresh_start_resets_previous_lineage(spark, fixture_pages, tmp_path):
+    """A fresh (resume=False) crawl into a reused store root must NOT
+    union the previous run's deltas into its snapshots (r1 ADVICE:
+    commit merged the old _waves_index unconditionally)."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    cfg = EngineConfig(crawl_level=2)
+    store = CrawlStore(str(tmp_path / "reused"))
+
+    # first run, with an extra seed that pollutes state
+    polluted = EngineConfig(crawl_level=2, seeds=("http://stale.example/x",))
+    run_crawl(spark, fixture_pages, ROOT, polluted, store=store)
+
+    # fresh run into the SAME root: stale seed must not reappear
+    fresh = run_crawl(spark, fixture_pages, ROOT, cfg, store=store)
+    assert "http://stale.example/x" not in fresh.to_sets()["internal"]
+
+    # and the store's reloaded snapshot agrees with the fresh run
+    wave, _meta = store.latest()
+    loaded = store.load(spark, wave)
+    urls = {r["url"] for r in loaded["internal"].collect()}
+    assert "http://stale.example/x" not in urls

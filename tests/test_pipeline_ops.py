@@ -170,3 +170,67 @@ def test_approx_cardinality_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_lsh_degenerate_bucket_never_materializes(spark):
+    """100k identical boilerplate docs form one degenerate LSH bucket
+    (every band key equal). The two-stage cap must drop it at the
+    count-only pre-aggregation — no collect_list over the 100k members
+    — while still finding the planted near-dup pair."""
+    boiler = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("copyright footer all rights reserved worldwide inc").alias("text"),
+    )
+    a = "the quick brown fox jumps over the lazy dog tonight in the forest"
+    planted = spark.createDataFrame(
+        [(200_000, a), (200_001, a.replace("tonight", "today"))],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedupe.minhash_lsh_pairs(boiler.unionByName(planted)).collect()
+    }
+    assert (200_000, 200_001) in pairs
+    # nothing from the boilerplate bucket survives the skew guard
+    assert not any(x < 200_000 for p in pairs for x in p)
+
+
+def test_ivf_leaves_no_cached_rdds(spark):
+    """ivf_topk persists its corpus only for the driver-side k-means
+    collects; repeated calls must not accumulate cached blocks."""
+    from photon_spark.operators.similarity import ivf_topk
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    queries = emb.limit(3)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ivf_topk(emb, queries, k=2, n_cells=4, n_probe=2).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
+def test_hash_sample_full_and_zero_rates(spark):
+    """rate >= 1.0 keeps EVERYTHING (the naive 5-hex-digit threshold
+    kept ~6%); rate <= 0 keeps nothing; split rates summing to 1.0
+    leave no train rows."""
+    from photon_spark.operators.sampling import hash_sample, split_assign
+
+    df = spark.range(2000).select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    assert hash_sample(df, 1.0).count() == 2000
+    assert hash_sample(df, 0.0).count() == 0
+    mid = hash_sample(df, 0.25).count()
+    assert 350 < mid < 650  # ~25% within binomial slack
+
+    splits = {
+        r["split"]: r["n"]
+        for r in split_assign(df, val_rate=0.5, test_rate=0.5)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert splits.get("train", 0) == 0
+    assert splits.get("val", 0) + splits.get("test", 0) == 2000
