@@ -88,7 +88,12 @@ def bench_frontier(
         canon = canonicalize_urls(cand.select("url"))
         fresh = dedup_candidates(canon, seen, bloom=bloom)
         return schedule_wave(
-            fresh, budget=budget, partitions=parallelism, salts=8
+            # salting factor IS the cluster-width knob: the hot host's
+            # stage-1 cap runs on `salts` partitions, so it must grow
+            # with the executor count or the skewed host serializes the
+            # wave at high parallelism
+            fresh, budget=budget, partitions=parallelism,
+            salts=max(8, parallelism)
         ).count()
 
     n_out = run_wave()  # warmup (untimed)

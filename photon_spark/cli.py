@@ -2,10 +2,15 @@
 
 In-scope options map 1:1 to the reference's argparse (photon.py:57-99):
 -u/--url, -l/--level, -s/--seeds, -r/--regex, --exclude, --only-urls,
---keys, -e/--export, -o/--output, --stdout. Out of scope (network or
-interactive plumbing, documented in SURVEY.md §7 M5): proxies, --dns,
---wayback, --clone, --headers, --update, -t/-d/--timeout (fetch-stage
-tuning replaced by Spark parallelism + per-host budget).
+--keys, -e/--export, -o/--output, --stdout, -c/--cookie,
+--user-agent (comma pool, photon.py:199-200), --header (the
+non-interactive twin of the reference's --headers editor), and
+--seeds-file (the wayback-as-seeds adapter: the reference's --wayback
+feeds archive.org CDX results in as extra seeds — load the same list
+from a file; sources/wayback.py pins the CDX query construction).
+Out of scope (network or interactive plumbing, SURVEY.md §7 M5):
+proxies, --dns, --clone, --update, -t/-d/--timeout (fetch-stage tuning
+replaced by Spark parallelism + per-host budget).
 
 The sandbox "web" is a parquet table of interleaved span documents
 (--pages); in production the fetch join is swapped for the HTTP
@@ -34,6 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pages", required=True, help="parquet span-document table (the sandbox web)")
     p.add_argument("-l", "--level", type=int, default=2, help="crawl depth (reference -l, default 2)")
     p.add_argument("-s", "--seeds", nargs="*", default=[], help="additional seed URLs")
+    p.add_argument("--seeds-file", default=None,
+                   help="file of extra seed URLs, one per line (the wayback-as-seeds "
+                        "adapter: feed it a CDX dump — reference --wayback)")
+    p.add_argument("-c", "--cookie", default=None, help="cookie string (reference -c)")
+    p.add_argument("--header", action="append", default=[], metavar="'Name: value'",
+                   help="custom request header, repeatable; replaces the default "
+                        "header set like the reference's --headers editor")
+    p.add_argument("--user-agent", default=None,
+                   help="comma-separated user-agent pool (reference --user-agent)")
+    p.add_argument("--http", action="store_true",
+                   help="fetch via live HTTP (mapInPandas requests stage) instead of "
+                        "the --pages table join")
     p.add_argument("-r", "--regex", default=None, help="custom regex (reference -r)")
     p.add_argument("--exclude", default=None, help="exclude URLs matching this regex")
     p.add_argument("--only-urls", action="store_true", help="skip intel/JS stages")
@@ -53,6 +70,46 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_headers(pairs: list[str]) -> dict[str, str] | None:
+    """'Name: value' strings → header dict (the non-interactive twin of
+    the reference's extract_headers, core/utils.py:124-137: same
+    'name: value' line shape, trailing comma stripped)."""
+    out = {}
+    for raw in pairs:
+        name, _, value = raw.partition(":")
+        name, value = name.strip(), value.strip()
+        if name and value:
+            out[name] = value[:-1] if value.endswith(",") else value
+    return out or None
+
+
+def make_http_fetcher(
+    headers: dict[str, str] | None = None,
+    cookie: str | None = None,
+    user_agents: tuple[str, ...] | None = None,
+    transport_factory=None,
+    delay: float = 0.0,
+    timeout: float = 6.0,
+):
+    """Fetcher for run_crawl(..., fetcher=...) backed by the production
+    HTTP stage, with the CLI's header/cookie/UA plumbing applied.
+    `transport_factory` is injectable for tests (no network here)."""
+    from photon_spark.sources.fetch_http import DEFAULT_USER_AGENTS, fetch_stage
+
+    def fetcher(wave_df):
+        return fetch_stage(
+            wave_df,
+            transport_factory=transport_factory,
+            delay=delay,
+            timeout=timeout,
+            user_agents=user_agents or DEFAULT_USER_AGENTS,
+            headers=headers,
+            cookie=cookie,
+        )
+
+    return fetcher
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -67,6 +124,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark(cores=args.cores, shuffle_partitions=args.partitions,
                           app_name="photon-spark-cli")
     pages = spark.read.parquet(args.pages)
+    seeds = tuple(args.seeds)
+    if args.seeds_file:
+        from photon_spark.sources.wayback import load_seeds_file
+
+        seeds = seeds + load_seeds_file(args.seeds_file)
     cfg = EngineConfig(
         crawl_level=args.level,
         only_urls=args.only_urls,
@@ -74,13 +136,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         faithful_py3=not args.keys,  # --keys implies the corrected-entropy fork (Q6)
         custom_regex=args.regex,
         exclude=args.exclude,
-        seeds=tuple(args.seeds),
+        seeds=seeds,
         per_host_budget=args.budget,
         shuffle_partitions=args.partitions,
         host_salts=args.salts,
     )
+    fetcher = None
+    if args.http:
+        uas = (
+            tuple(a.strip() for a in args.user_agent.split(",") if a.strip())
+            if args.user_agent
+            else None
+        )  # photon.py:199-200: comma-separated pool
+        fetcher = make_http_fetcher(
+            headers=parse_headers(args.header), cookie=args.cookie, user_agents=uas
+        )
     store = CrawlStore(args.store) if args.store else None
-    result = run_crawl(spark, pages, args.url, cfg=cfg, store=store, resume=args.resume)
+    result = run_crawl(
+        spark, pages, args.url, cfg=cfg, store=store, resume=args.resume,
+        fetcher=fetcher,
+    )
 
     if args.parquet_results:
         write_results_table(result, args.output)

@@ -59,10 +59,20 @@ class EngineConfig:
     # Opt-in robots.txt Disallow gating (north-star capability; the
     # reference only SEEDS from robots.txt — default preserves parity).
     respect_robots: bool = False
+    # Opt-in F4 priority scoring (plans/schedule.priority_score): ranks
+    # each host's queue fuzzable/shallow-first before the politeness
+    # cap. Default off — the reference has no ordering, and goldens pin
+    # budget-selection to the unscored (url asc) tie-break.
+    use_priority: bool = False
     # Spark-side knobs (scale levers, not semantics):
     shuffle_partitions: int = 32   # ceiling; waves scale down to size
     urls_per_partition: int = 500  # target wave-partition granularity
     host_salts: int = 8           # salting factor for skewed hosts
     bloom_expected: int = 1_000_000
     bloom_fpp: float = 0.01
+    # Which seen-set filter run_crawl(use_bloom=True) builds per wave:
+    # 'bloom' (single bitmap), 'sharded' (per-bucket shards — the
+    # 10^10 path), or 'cuckoo' (deletable fingerprints — recrawl).
+    # All three are exact via the anti-join backstop.
+    seen_filter: str = "bloom"
     extra_datasets: dict = field(default_factory=dict)

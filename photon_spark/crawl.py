@@ -219,9 +219,22 @@ def run_crawl(
 
         bloom = None
         if use_bloom and processed_count > 1:
-            bloom = UrlBloom.build(
-                acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
-            )
+            if cfg.seen_filter == "sharded":
+                from photon_spark.plans.frontier import ShardedUrlBloom
+
+                bloom = ShardedUrlBloom.build(
+                    acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
+                )
+            elif cfg.seen_filter == "cuckoo":
+                from photon_spark.plans.frontier import UrlCuckoo
+
+                bloom = UrlCuckoo.build(
+                    acc["processed"], "url", cfg.bloom_expected
+                )
+            else:
+                bloom = UrlBloom.build(
+                    acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
+                )
         links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
         if cfg.exclude:
             links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
@@ -260,6 +273,10 @@ def run_crawl(
         # from AQE coalescing, so we size it ourselves).
         wave_parts = max(1, min(cfg.shuffle_partitions, -(-n // cfg.urls_per_partition)))
         wave = links.withColumn("level", F.lit(level))
+        if cfg.use_priority:
+            from photon_spark.plans.schedule import priority_score
+
+            wave = priority_score(wave)
         scheduled = schedule_wave(
             wave,
             budget=cfg.per_host_budget,

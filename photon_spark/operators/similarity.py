@@ -174,16 +174,41 @@ def ivf_topk(
     each query probes its n_probe nearest cells and re-ranks exactly
     within them. n_probe == n_cells degenerates to brute force (tested).
 
-    Scale shape: assignment is a narrow pass (argmax over n_cells
-    broadcast-literal dots, JVM expressions); the index is the cell
+    Scale shape: assignment is a narrow pass (one numpy matmul per
+    Arrow batch against the broadcast centroid matrix — C interpreted
+    fold expressions per row would dominate); the index is the cell
     column; search joins queries×probed-cells to corpus on the cell key
     — the per-query candidate set shrinks from |corpus| to the probed
     cells' population, and the only wide ops are that equi-join and the
     final per-query top-k window.
     """
+    import numpy as np
+
     corpus = with_unit_vectors(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
-    ).persist()
+    )
+    # single-file parquet arrives as ONE partition; cell assignment is
+    # the per-corpus-row hot path, so spread it first
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < parallelism:
+        corpus = corpus.repartition(parallelism)
+    corpus = corpus.persist()
+
+    def assign_cells(df, centroids):
+        """argmax over centroid dots — one numpy matmul per Arrow batch
+        ((n,D)·(D,C)), replacing C interpreted `aggregate` folds per
+        row. First-max tie-break like array_position(max)."""
+        cents = np.asarray(centroids, dtype=np.float64)
+        bc = df.sparkSession.sparkContext.broadcast(cents)
+
+        @F.pandas_udf("int")
+        def cell(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.vstack(v.to_numpy())
+            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+        return df.withColumn("cell", cell(F.col("cv")))
 
     # --- deterministic k-means on unit vectors
     init = [
@@ -192,13 +217,9 @@ def ivf_topk(
     ]
     centroids = init
     for _ in range(iters):
-        cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        dots = F.array(*[_dot(F.col("cv"), cl) for cl in cent_lits])
-        assigned = corpus.withColumn(
-            "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-        )
         means = (
-            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            assign_cells(corpus, centroids)
+            .select("cell", F.posexplode("cv").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()
@@ -216,11 +237,8 @@ def ivf_topk(
             new.append([x / n for x in v])
         centroids = new
 
+    indexed = assign_cells(corpus, centroids)
     cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    dots = F.array(*[_dot(F.col("cv"), cl) for cl in cent_lits])
-    indexed = corpus.withColumn(
-        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    )
 
     # --- queries probe their n_probe nearest cells
     qs = with_unit_vectors(queries).select(

@@ -109,6 +109,9 @@ def _bloom_from_payload(payload: tuple):
     if payload[0] == "single":
         _, raw, k, _m = payload
         return UrlBloom(np.frombuffer(raw, dtype=np.uint8), k)
+    if payload[0] == "cuckoo":
+        _, nb, raw = payload
+        return UrlCuckoo(nb, np.frombuffer(raw, dtype=np.uint16).reshape(nb, UrlCuckoo.SLOTS).copy())
     _, n_buckets, k, shard_raw = payload
     return ShardedUrlBloom(
         n_buckets,
@@ -213,15 +216,174 @@ class ShardedUrlBloom:
         )
 
 
+_URL_PARTS = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^#]*)"
+
+
+class UrlCuckoo:
+    """Cuckoo filter over xxhash64(url) — the north rule's second
+    seen-set option next to the bloom. Same exact-result contract
+    (false negatives impossible while load stays under capacity ⇒ the
+    anti-join backstop keeps dedup exact), but unlike the bloom it
+    supports DELETE — the recrawl path (drop a URL from `seen` so the
+    scheduler revisits it) that a bloom cannot express.
+
+    Layout: `nb` buckets × 4 slots of uint16 fingerprints (0 = empty;
+    fingerprints are mapped to 1..65535). Partial-bucket alternatives
+    don't exist for cuckoo (insert is stateful, with eviction), so the
+    distributed build shards by bucket(N, key) like ShardedUrlBloom:
+    each shard is built sequentially inside ONE task (applyInPandas per
+    shard key at scale; driver-side here over collected per-shard key
+    ranges is equivalent for the sandbox), shards build in parallel,
+    probes route by the same shard function.
+
+    Eviction is a DETERMINISTIC walk (slot chosen by the eviction
+    counter, not RNG) so builds are reproducible run-to-run.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, nb: int, table: np.ndarray):
+        self.nb = nb  # power of two
+        self.table = table  # shape (nb, SLOTS) uint16
+
+    # -- hashing ---------------------------------------------------------
+    @staticmethod
+    def _fingerprint(hu: np.ndarray) -> np.ndarray:
+        fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 means empty slot
+
+    def _i1(self, hu: np.ndarray) -> np.ndarray:
+        return (hu & np.uint64(self.nb - 1)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partner bucket: i ^ H(fp) — involution, so either index
+        # recovers the other; nb is a power of two
+        mix = (fp.astype(np.uint64) * _MIX) & np.uint64(self.nb - 1)
+        return (i1.astype(np.uint64) ^ mix).astype(np.int64)
+
+    # -- build -----------------------------------------------------------
+    @classmethod
+    def build_from_hashes(cls, hashes: np.ndarray, expected: int) -> "UrlCuckoo":
+        """Sequential insert (one shard's build). Capacity sized to
+        ~84% max load (4-slot cuckoo's safe region) rounded up to a
+        power of two."""
+        nb = 1
+        while nb * cls.SLOTS * 0.84 < max(expected, 1):
+            nb *= 2
+        table = np.zeros((nb, cls.SLOTS), dtype=np.uint16)
+        f = cls(nb, table)
+        hu = hashes.astype(np.int64).view(np.uint64)
+        fps = cls._fingerprint(hu)
+        i1s = f._i1(hu)
+        i2s = f._i2(i1s, fps)
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            if not f._insert_one(int(fp), int(i1), int(i2)):
+                raise RuntimeError(
+                    "cuckoo filter over capacity — size `expected` correctly"
+                )
+        return f
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> bool:
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        # evict: deterministic walk
+        i = i1
+        for kick in range(self.MAX_KICKS):
+            slot = kick % self.SLOTS
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(
+                (np.uint64(i) ^ ((np.uint64(fp) * _MIX) & np.uint64(self.nb - 1)))
+            )
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        return False
+
+    @classmethod
+    def build(cls, df: DataFrame, col: str, expected: int) -> "UrlCuckoo":
+        """Sandbox single-shard build: hashes computed JVM-side, table
+        built in one pass. The sharded variant routes by bucket(N, key)
+        exactly like ShardedUrlBloom.build and builds one UrlCuckoo per
+        shard inside its task."""
+        rows = df.select(F.xxhash64(F.col(col)).alias("h")).collect()
+        hashes = np.array([r["h"] for r in rows], dtype=np.int64)
+        return cls.build_from_hashes(hashes, expected)
+
+    # -- probe / delete --------------------------------------------------
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        hu = h.astype(np.int64).view(np.uint64)
+        fps = self._fingerprint(hu)
+        i1 = self._i1(hu)
+        i2 = self._i2(i1, fps)
+        fcol = fps[:, None]
+        return ((self.table[i1] == fcol) | (self.table[i2] == fcol)).any(axis=1)
+
+    def delete(self, h: np.ndarray) -> int:
+        """Remove one stored fingerprint per present key (the recrawl
+        hook). Returns how many were removed."""
+        hu = h.astype(np.int64).view(np.uint64)
+        fps = self._fingerprint(hu)
+        i1s = self._i1(hu)
+        i2s = self._i2(i1s, fps)
+        removed = 0
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            for i in (int(i1), int(i2)):
+                hit = np.nonzero(self.table[i] == fp)[0]
+                if hit.size:
+                    self.table[i, hit[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+    def to_payload(self) -> tuple:
+        return ("cuckoo", self.nb, self.table.tobytes())
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Vectorized URL canonicalization before any dedup (SURVEY.md §4
     item 1): lowercase scheme+host, strip the fragment (the Q1 cleanup
-    contract), drop the scheme's default port. Pure pandas str ops over
-    Arrow batches — no per-row Python.
+    contract), drop the scheme's default port.
+
+    Pure JVM expressions (regexp_extract / lower / concat) — stays
+    inside whole-stage codegen with the downstream hash+anti-join, no
+    Arrow round-trip at all. `canonicalize_urls_pandas` is the
+    Arrow-batched twin (kept as the parity reference and the shape to
+    extend when canonicalization ever needs real Python, e.g. IDNA).
 
     URLs that don't parse as scheme://host... fall back to fragment
     stripping only (still a stable dedup key).
     """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _URL_PARTS, 1))
+    host = F.lower(F.regexp_extract(url, _URL_PARTS, 2))
+    rest = F.regexp_extract(url, _URL_PARTS, 3)
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    canon = F.concat(scheme, F.lit("://"), host, rest)
+    return df.withColumn(
+        url_col,
+        F.when(url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), canon).otherwise(
+            F.split(url, "#").getItem(0)
+        ),
+    )
+
+
+def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Arrow-batched pandas twin of `canonicalize_urls` — identical
+    output (pytest-pinned parity); the template for canonicalization
+    steps that genuinely need Python."""
 
     @F.pandas_udf("string")
     def _canon(s: pd.Series) -> pd.Series:

@@ -29,6 +29,32 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def priority_score(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """F4 priority producer (north-star: level-based BFS with
+    intel/endpoint prioritization). The reference has NO ordering (set
+    iteration); within our per-host queue we rank by URL-shape signals
+    known BEFORE fetch:
+
+    * fuzzable boost (+4): URLs with query parameters — the
+      reference's own interest marker (photon.py:344-346 '=' filter);
+      parameterized pages are the intel/endpoint-rich ones.
+    * shallowness boost (+3..0): fewer path segments first — the BFS
+      flavor; shallow pages fan out more.
+
+    Pure integer arithmetic on JVM expressions, reproducible in ANSI
+    SQL (driver oracle). `schedule_wave` consumes the resulting
+    `score` column (orderBy score desc, url asc — Q12 deterministic
+    tie-break).
+    """
+    url = F.col(url_col)
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$", 1)
+    slashes = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    fuzz = F.when(url.contains("="), F.lit(4)).otherwise(F.lit(0))
+    return df.withColumn(
+        "score", fuzz + F.greatest(F.lit(0), F.lit(3) - slashes)
+    )
+
+
 def robots_gate(
     wave: DataFrame,
     disallows: DataFrame,

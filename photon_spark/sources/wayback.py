@@ -1,0 +1,47 @@
+"""S4 wayback-as-seeds modeling (reference plugins/wayback.py:8-22).
+
+The reference queries archive.org's CDX API for archived URLs of the
+target host and feeds them in as extra seeds. An external web service
+is out of scope in this engine (SURVEY.md §2.1 S4), so the capability
+is modeled as the reference's OUTPUT shape: an extra seed list, loaded
+from a file (``--seeds-file``) or any iterable, merged into
+``EngineConfig.seeds`` — the crawl treats them exactly like ``-s``
+seeds (photon.py:160 ``internal = set(args.seeds)``).
+
+``cdx_query_url`` reproduces the reference's query-string construction
+(plugins/wayback.py:16) as a pure function so the request a production
+deployment would issue is pinned by a unit test without any network.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+
+def cdx_query_url(host: str, mode: str = "host", today: date | None = None) -> str:
+    """The archive.org CDX query the reference builds
+    (plugins/wayback.py:10-16): last ~6 months, html-only, status 200,
+    collapsed on urlkey. `today` is injectable for determinism."""
+    now = today or date.today()
+    to = f"{now.year}{now.day}{now.month}"
+    if now.month > 6:
+        fro = f"{now.year}{now.day}{now.month - 6}"
+    else:
+        fro = f"{now.year - 1}{now.day}{now.month + 6}"
+    return (
+        "http://web.archive.org/cdx/search?url=%s&matchType=%s"
+        "&collapse=urlkey&fl=original&filter=mimetype:text/html"
+        "&filter=statuscode:200&output=json&from=%s&to=%s" % (host, mode, fro, to)
+    )
+
+
+def load_seeds_file(path: str) -> tuple[str, ...]:
+    """One URL per line (blank lines and #-comments skipped) — the
+    shape a wayback CDX dump or any external seed source lands in."""
+    seeds = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                seeds.append(line)
+    return tuple(seeds)

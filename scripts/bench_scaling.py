@@ -54,20 +54,29 @@ def run_child(cores: int, n_urls: int, reps: int = 2) -> dict:
 
 def main():
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     if len(sys.argv) > 3:
-        pairs = [(int(sys.argv[2]), int(sys.argv[3]))]
+        pairs = [(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[1]))]
+    elif len(sys.argv) > 1:
+        n = int(sys.argv[1])
+        pairs = [(2, 8, n), (8, 32, n)]
     else:
-        pairs = [(2, 8), (8, 32)]
+        # Input sized per pair so the timed wave keeps every core busy
+        # for several seconds — strong scaling measured on a toy wave
+        # (tens of ms/core) would mostly measure the driver's fixed
+        # per-job cost, which a real multi-executor cluster amortizes
+        # over far larger waves (a 100-TB crawl wave is >> 10^7 URLs).
+        # Within each pair the input is IDENTICAL across the two sizes.
+        pairs = [(2, 8, 8_000_000), (8, 32, 32_000_000)]
 
     rows = []
-    for low, high in pairs:
+    for low, high, n_urls in pairs:
         r_low = run_child(low, n_urls)
         r_high = run_child(high, n_urls)
         ratio = r_high["urls_per_s"] / r_low["urls_per_s"]
         eff = ratio / (high / low)
         rows.append(
             {
+                "n_urls": n_urls,
                 "low": {"cores": low, **r_low},
                 "high": {"cores": high, **r_high},
                 "speedup": round(ratio, 3),
@@ -77,7 +86,6 @@ def main():
         )
 
     report = {
-        "n_urls": n_urls,
         "pairs": rows,
         "target": 0.8,
         "ts": datetime.now(timezone.utc).isoformat(),
@@ -90,26 +98,31 @@ def main():
         "# BENCH/BASELINE — frontier throughput + scaling efficiency",
         "",
         "North-rule metric: frontier-wave throughput — URLs canonicalized +",
-        f"deduped + politeness-scheduled per second on a synthetic Zipf-skewed",
-        f"frontier ({n_urls:,} candidate URLs with non-canonical variants, 30%",
+        "deduped + politeness-scheduled per second on a synthetic Zipf-skewed",
+        "frontier (candidate URLs with non-canonical variants, 30%",
         "seen overlap, 1000 hosts with heavy host-0 skew; per-host budget 1000,",
-        "salted two-stage cap). Wave = vectorized canonicalization (Arrow",
-        "pandas UDF) → exact anti-join dedup vs `seen` → per-host politeness",
-        "window. Steady state: untimed warmup, then min of 4 timed waves,",
-        "best of 2 JVM sessions per configuration.",
+        "salted two-stage cap). Wave = URL canonicalization (pure JVM",
+        "expressions, whole-stage-codegen with the hash) → exact anti-join",
+        "dedup vs `seen` → per-host politeness window. Steady state: untimed",
+        "warmup, then min of timed waves, best of 2 JVM sessions per",
+        "configuration.",
         "",
         "Sandbox two-cluster-size protocol (no real cluster available): same",
-        "job, same input, two parallelism levels in separate JVMs;",
-        "efficiency = (throughput_4N / throughput_N) / 4.",
+        "job, same input within each pair, two parallelism levels in separate",
+        "JVMs; efficiency = (throughput_4N / throughput_N) / 4. Input is",
+        "sized per pair so each timed wave keeps every core busy for",
+        "several seconds (strong scaling on a toy wave mostly measures the",
+        "driver's fixed per-job cost; real crawl waves are far larger).",
         "",
-        "| pair | N cores | 4N cores | N URLs/s | 4N URLs/s | speedup | efficiency | ≥0.8 |",
-        "|---|---|---|---|---|---|---|---|",
+        "| pair | wave URLs | N URLs/s | 4N URLs/s | N sec | 4N sec | speedup | efficiency | ≥0.8 |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| local[{r['low']['cores']}]→local[{r['high']['cores']}] "
-            f"| {r['low']['cores']} | {r['high']['cores']} "
+            f"| {r['n_urls']:,} "
             f"| {r['low']['urls_per_s']:,.0f} | {r['high']['urls_per_s']:,.0f} "
+            f"| {r['low']['sec']:.2f} | {r['high']['sec']:.2f} "
             f"| {r['speedup']:.2f}× | **{r['efficiency']:.3f}** "
             f"| {'PASS' if r['pass'] else 'FAIL'} |"
         )
@@ -128,7 +141,7 @@ def main():
         "",
         f"Config: {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} heap,",
         "AQE on, periodic GC 30s (steady-state shuffle-file cleanup).",
-        f"Generated by `python scripts/bench_scaling.py {n_urls}` at {report['ts']}.",
+        f"Generated by `python scripts/bench_scaling.py` at {report['ts']}.",
         "",
     ]
     with open(md, "w") as f:

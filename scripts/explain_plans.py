@@ -24,14 +24,17 @@ EXPECT: dict[str, dict] = {
     "t2_file_filter": {"codegen": True},
     "j1_seen_antijoin": {},
     "topk_per_group": {"codegen": True},
-    "dedup_minhash_pairs": {},
+    "dedup_minhash_pairs": {"reused": True},  # two-stage cap re-reads banded via ReusedExchange
     "ann_cosine_topk": {"broadcast": True},
     "frontier_dedup_schedule": {},
     "q4_order_priority": {"pushed": True},
     "session_windows": {},
     "q17_small_quantity_revenue": {"broadcast": True},
-    "fingerprint_winnow": {},
+    # winnowing is document-local: ONLY the single-file repartition
+    # guard may exchange (round-robin), never per-gram rows
+    "fingerprint_winnow": {"max_exchanges": 1},
     "dedup_embedding_cosine": {},
+    "f4_priority_scoring": {"codegen": True, "max_exchanges": 1},
 }
 
 
@@ -47,9 +50,20 @@ def audit(name: str, plan: str, simple: str) -> list[str]:
         problems.append("no WholeStageCodegen span")
     # generic smells — count physical Exchange operators (the formatted
     # detail headers "(n) Exchange"), not textual mentions
-    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
-    if n_exchanges > 6:
-        problems.append(f"{n_exchanges} exchanges — suspicious shuffle count")
+    # count SHUFFLE exchanges in the executed (final) plan only — the
+    # formatted dump lists the Initial Plan too and double-counts;
+    # broadcast exchanges and ReusedExchange don't shuffle
+    final_only = simple.split("== Initial Plan ==")[0]
+    n_exchanges = len(
+        re.findall(
+            r"(?<!Reused)(?<!Broadcast)Exchange (hash|RoundRobin|range|Single)",
+            final_only,
+        )
+    )
+    if n_exchanges > want.get("max_exchanges", 6):
+        problems.append(f"{n_exchanges} shuffle exchanges — suspicious count")
+    if want.get("reused") and "ReusedExchange" not in plan:
+        problems.append("expected a ReusedExchange (shared-subplan shuffle), none in plan")
     if "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
     return problems

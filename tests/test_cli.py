@@ -53,3 +53,80 @@ def test_cli_end_to_end(spark, tmp_path):
         exported = json.load(f)
     for name, vals in golden.items():
         assert set(exported[name]) == vals
+
+
+def test_parse_headers_and_cdx_query():
+    """Header parsing matches the reference's extract_headers shape
+    (trailing comma stripped); the wayback CDX query string is pinned
+    to plugins/wayback.py:10-16 construction."""
+    import datetime
+
+    from photon_spark.cli import parse_headers
+    from photon_spark.sources.wayback import cdx_query_url
+
+    assert parse_headers(["X-Api: k1,", "Accept: text/html"]) == {
+        "X-Api": "k1",
+        "Accept": "text/html",
+    }
+    assert parse_headers([]) is None
+
+    url = cdx_query_url("example.com", "host", today=datetime.date(2026, 8, 17))
+    assert url == (
+        "http://web.archive.org/cdx/search?url=example.com&matchType=host"
+        "&collapse=urlkey&fl=original&filter=mimetype:text/html"
+        "&filter=statuscode:200&output=json&from=2026172&to=2026178"
+    )
+
+
+def test_cli_seeds_file_and_http_fetcher(spark, tmp_path):
+    """--seeds-file merges extra seeds (wayback-as-seeds shape) and
+    --http swaps the fetch stage; crawl results equal the oracle with
+    the same seed set."""
+    from photon_spark.cli import main
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out2")
+    seeds_file = tmp_path / "wayback_seeds.txt"
+    seeds_file.write_text("# archived urls\nhttp://h0.fixture.test/d2.html\n\n")
+
+    rc = main(
+        [
+            "-u", ROOT,
+            "--pages", pages_path,
+            "-o", out_dir,
+            "--seeds-file", str(seeds_file),
+            "--partitions", "4",
+            "--salts", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    golden = oracle_crawl(
+        page_bodies(), ROOT, crawl_level=2, seeds=("http://h0.fixture.test/d2.html",)
+    ).datasets
+    with open(os.path.join(out_dir, "internal.txt")) as f:
+        got = set(f.read().splitlines())
+    assert got == {ln for v in golden["internal"] for ln in v.splitlines()}
+
+
+def test_make_http_fetcher_plumbs_headers(spark):
+    """make_http_fetcher threads CLI header/cookie/UA config into the
+    HTTP stage (transport sees them)."""
+    import json as _json
+
+    from photon_spark.cli import make_http_fetcher
+
+    def factory():
+        def do(url, headers, t):
+            return 200, "text/html", _json.dumps(dict(headers))
+
+        return do
+
+    fetcher = make_http_fetcher(
+        headers={"X-Tok": "abc"}, cookie="c=1", transport_factory=factory
+    )
+    wave = spark.createDataFrame([("http://x.test/", 0)], "url string, level int")
+    body = fetcher(wave).collect()[0]["body"]
+    h = _json.loads(body)
+    assert h["X-Tok"] == "abc" and h["Cookie"] == "c=1"

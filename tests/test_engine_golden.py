@@ -91,6 +91,16 @@ def test_bloom_path_identical(spark, fixture_pages):
     assert_match(eng, ora)
 
 
+@pytest.mark.parametrize("kind", ["sharded", "cuckoo"])
+def test_alternate_seen_filters_identical(spark, fixture_pages, kind):
+    """Every seen-filter variant (sharded bloom, cuckoo) must yield the
+    byte-identical crawl — the anti-join backstop keeps them exact."""
+    cfg = EngineConfig(seen_filter=kind)
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg, use_bloom=True)
+    ora = oracle_crawl(page_bodies(), ROOT)
+    assert_match(eng, ora)
+
+
 def test_span_sequences_byte_equal(spark, fixture_pages):
     """input_hint invariant: span sequences of every emitted (fetched)
     document equal the source (kind, text, media_ref, order)."""

@@ -250,3 +250,121 @@ def test_store_fresh_start_resets_previous_lineage(spark, fixture_pages, tmp_pat
     loaded = store.load(spark, wave)
     urls = {r["url"] for r in loaded["internal"].collect()}
     assert "http://stale.example/x" not in urls
+
+
+def test_canonicalize_jvm_equals_pandas(spark):
+    """The JVM-expression canonicalizer must match the Arrow/pandas twin
+    byte-for-byte on adversarial URL shapes."""
+    from photon_spark.plans.frontier import (
+        canonicalize_urls,
+        canonicalize_urls_pandas,
+    )
+
+    urls = [
+        "HTTP://Example.COM:80/Path/To?q=1#frag",
+        "https://Host:443/",
+        "https://host:4433/keep-port",
+        "http://host:8080/p?q=1#z",
+        "ftp://Files.Test/pkg",
+        "a+b-c.x://WeIrD:443/Y#f",
+        "http://h/path#a#b",
+        "no scheme here # frag",
+        "relative/path.html",
+        "//protocol-relative.test/x",
+        "http://host/?#",
+        "http://host:80",
+        "https://host:443#only-frag",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm = [r["url"] for r in canonicalize_urls(df).collect()]
+    pd_ = [r["url"] for r in canonicalize_urls_pandas(df).collect()]
+    assert jvm == pd_, list(zip(urls, jvm, pd_))
+
+
+def test_priority_scoring_orders_budget_selection(spark):
+    """F4 producer: with use_priority, fuzzable + shallow URLs win the
+    per-host budget slots; without, selection is url-asc (Q12)."""
+    from photon_spark.plans.schedule import priority_score, schedule_wave
+
+    urls = [
+        "http://h.test/deep/a/b/c/page",   # score 0  (4 slashes)
+        "http://h.test/z",                 # score 2  (1 slash)
+        "http://h.test/search?q=1",        # score 6  (fuzz + shallow)
+        "http://h.test/a/b",               # score 1
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    scored = {r["url"]: r["score"] for r in priority_score(df).collect()}
+    assert scored["http://h.test/search?q=1"] == 6
+    assert scored["http://h.test/z"] == 2
+    assert scored["http://h.test/a/b"] == 1
+    assert scored["http://h.test/deep/a/b/c/page"] == 0
+
+    top2 = {
+        r["url"]
+        for r in schedule_wave(priority_score(df), budget=2, salts=1).collect()
+    }
+    assert top2 == {"http://h.test/search?q=1", "http://h.test/z"}
+
+    # unscored: plain url-asc tie-break picks different rows
+    plain2 = {r["url"] for r in schedule_wave(df, budget=2, salts=1).collect()}
+    assert plain2 == {"http://h.test/a/b", "http://h.test/deep/a/b/c/page"}
+
+
+def test_cuckoo_no_false_negatives_and_exact_dedup(spark):
+    """Cuckoo seen-set (north rule's second filter option): every
+    inserted key answers present; the dedup path through it stays
+    EXACT (anti-join backstop absorbs the ~fpp false positives)."""
+    import numpy as np
+
+    from photon_spark.plans.frontier import UrlCuckoo
+
+    seen = spark.range(50_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    ck = UrlCuckoo.build(seen, "url", expected=50_000)
+    hashes = np.array(
+        [r["h"] for r in seen.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    assert ck.might_contain(hashes).all()
+
+    fresh = spark.range(50_000, 150_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    fresh_h = np.array(
+        [r["h"] for r in fresh.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    # 16-bit fingerprints, 2 buckets x 4 slots: fpp ~ 8/2^16 ~ 0.012%
+    assert ck.might_contain(fresh_h).mean() < 0.01
+
+    cand = spark.range(49_000, 51_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    got = {r["url"] for r in dedup_candidates(cand, seen, bloom=ck).collect()}
+    assert got == {f"http://h/{i}" for i in range(50_000, 51_000)}
+
+
+def test_cuckoo_delete_enables_recrawl(spark):
+    """delete() — the capability blooms lack: removing a URL from the
+    seen filter makes it schedulable again."""
+    import numpy as np
+
+    from photon_spark.plans.frontier import UrlCuckoo
+
+    seen = spark.range(1_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    ck = UrlCuckoo.build(seen, "url", expected=1_000)
+    h42 = np.array(
+        [
+            seen.filter(F.col("url") == "http://h/42")
+            .select(F.xxhash64("url").alias("h"))
+            .collect()[0]["h"]
+        ],
+        dtype=np.int64,
+    )
+    assert ck.might_contain(h42).all()
+    assert ck.delete(h42) == 1
+    assert not ck.might_contain(h42).any()

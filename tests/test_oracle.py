@@ -121,6 +121,11 @@ def test_q6_keys_empty_in_faithful_mode():
     assert res2.datasets["keys"] == {
         ROOT + ": aB3xK9mQzR7pW2vY8tL5",
         ROOT + "/notes: aHR0cDovL2V4YW1wbGUuY29tLw",  # b64 token, entropy ≥ 4
+        # /iocs.html adversarial b64 URL payloads — base64 alphabets
+        # clear the entropy-4 bar by construction
+        ROOT + "/iocs.html: aHR0cHM6Ly9zZWN1cmUudGVzdC94",
+        ROOT + "/iocs.html: enpmdHA6Ly9maWxlcy50ZXN0L3BrZw",
+        ROOT + "/iocs.html: eGh0dHBzOi8vb2Zmc2V0MS50ZXN0L2E",
     }
 
 
