@@ -273,3 +273,59 @@ def test_sessionize_event_time_timeout_flushes_open_sessions(spark, tmp_path):
     assert (2, "2024-01-01 10:20:00", "2024-01-01 10:20:00", 1) in got
     # user 99's session is still open (watermark hasn't passed it)
     assert not any(u == 99 for u, *_ in got)
+
+
+def test_sessionize_large_group_out_of_order_chunks(spark, tmp_path):
+    """Regression (r1 ADVICE): applyInPandasWithState splits one
+    group's micro-batch rows into ~2048-row Arrow chunks, and chunk
+    order is not time order. A >6000-event user arriving in REVERSED
+    time order must still fold into exact session boundaries (the fold
+    must sort the whole iterator, not each chunk)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from photon_spark.streaming.sessionize import sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for s in range(3):  # 3 sessions, 2 h apart, 2000 1-second events each
+        start = base + dt.timedelta(hours=2 * s)
+        for i in range(2000):
+            rows.append((1, start + dt.timedelta(seconds=i)))
+    rows.reverse()  # adversarial arrival order
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    src = tmp_path / "big_group_stream"
+    src.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "batch0"))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src / "batch0")
+    )
+    q = (
+        sessionize(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("big_group_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["s_start"], r["s_end"], r["n"])
+        for r in spark.sql("SELECT * FROM big_group_sessions").collect()
+    )
+    # sessions 0 and 1 are CLOSED by later events; session 2 stays open
+    want = [
+        (
+            base + dt.timedelta(hours=2 * s),
+            base + dt.timedelta(hours=2 * s, seconds=1999),
+            2000,
+        )
+        for s in range(2)
+    ]
+    assert got == want
