@@ -368,3 +368,40 @@ def test_cuckoo_delete_enables_recrawl(spark):
     assert ck.might_contain(h42).all()
     assert ck.delete(h42) == 1
     assert not ck.might_contain(h42).any()
+
+
+def test_canonicalize_parity_random_corpus(spark):
+    """JVM ≡ pandas canonicalization over a seeded adversarial corpus:
+    random schemes/hosts/ports/paths/fragments/unicode — 300 strings."""
+    import random
+    import string
+
+    from photon_spark.plans.frontier import (
+        canonicalize_urls,
+        canonicalize_urls_pandas,
+    )
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "a+b-c.x", "x9"]
+    hosts = ["Example.COM", "h0.test", "ümlaut.test", "127.0.0.1", "[::1]",
+             "host:80", "Host:443", "host:8080", ""]
+    paths = ["", "/", "/A/B?q=1&r=2", "/p#frag", "/#", "/%20 space", "/日本語"]
+    urls = []
+    for _ in range(300):
+        kind = rng.random()
+        if kind < 0.7:
+            urls.append(
+                rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(paths)
+            )
+        elif kind < 0.85:  # no scheme at all
+            urls.append(
+                "".join(rng.choice(string.printable[:94]) for _ in range(rng.randint(0, 30)))
+                .replace("\n", "").replace("\r", "")
+            )
+        else:  # fragment-heavy garbage
+            urls.append("x#y#" + rng.choice(hosts) + "#" + rng.choice(paths))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm = [r["url"] for r in canonicalize_urls(df).collect()]
+    pd_ = [r["url"] for r in canonicalize_urls_pandas(df).collect()]
+    mismatches = [(u, a, b) for u, a, b in zip(urls, jvm, pd_) if a != b]
+    assert not mismatches, mismatches[:5]
