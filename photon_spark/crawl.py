@@ -226,9 +226,12 @@ def run_crawl(
                     acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
                 )
             elif cfg.seen_filter == "cuckoo":
-                from photon_spark.plans.frontier import UrlCuckoo
+                # sharded build: per-bucket tables built inside tasks —
+                # no driver-side hash collect (UrlCuckoo.build is the
+                # small-set / per-shard kernel only)
+                from photon_spark.plans.frontier import ShardedUrlCuckoo
 
-                bloom = UrlCuckoo.build(
+                bloom = ShardedUrlCuckoo.build(
                     acc["processed"], "url", cfg.bloom_expected
                 )
             else:

@@ -112,6 +112,20 @@ def _bloom_from_payload(payload: tuple):
     if payload[0] == "cuckoo":
         _, nb, raw = payload
         return UrlCuckoo(nb, np.frombuffer(raw, dtype=np.uint16).reshape(nb, UrlCuckoo.SLOTS).copy())
+    if payload[0] == "sharded_cuckoo":
+        _, n_buckets, shard_raw = payload
+        return ShardedUrlCuckoo(
+            n_buckets,
+            {
+                b: UrlCuckoo(
+                    nb,
+                    np.frombuffer(raw, dtype=np.uint16)
+                    .reshape(nb, UrlCuckoo.SLOTS)
+                    .copy(),
+                )
+                for b, (nb, raw) in shard_raw.items()
+            },
+        )
     _, n_buckets, k, shard_raw = payload
     return ShardedUrlBloom(
         n_buckets,
@@ -308,10 +322,10 @@ class UrlCuckoo:
 
     @classmethod
     def build(cls, df: DataFrame, col: str, expected: int) -> "UrlCuckoo":
-        """Sandbox single-shard build: hashes computed JVM-side, table
-        built in one pass. The sharded variant routes by bucket(N, key)
-        exactly like ShardedUrlBloom.build and builds one UrlCuckoo per
-        shard inside its task."""
+        """Single-shard build — for SMALL seen sets and as the
+        per-shard kernel of ShardedUrlCuckoo.build (which is the
+        distributed path: this variant collects |seen| hashes to the
+        driver, so never use it on an unbounded frontier)."""
         rows = df.select(F.xxhash64(F.col(col)).alias("h")).collect()
         hashes = np.array([r["h"] for r in rows], dtype=np.int64)
         return cls.build_from_hashes(hashes, expected)
@@ -344,6 +358,89 @@ class UrlCuckoo:
 
     def to_payload(self) -> tuple:
         return ("cuckoo", self.nb, self.table.tobytes())
+
+
+class ShardedUrlCuckoo:
+    """Distributed cuckoo build: one UrlCuckoo shard per
+    bucket(N, xxhash64(url)), each built INSIDE its task (cuckoo
+    insertion is stateful — eviction — so unlike the bloom there is no
+    OR-reducible partial; sharding is the only parallel build). The
+    driver only ever holds the finished tables (2 bytes x 4 slots per
+    ~0.84 keys), never the raw hashes — no unbounded collect. Probes
+    route by the same bucket function; delete routes identically.
+    """
+
+    def __init__(self, n_buckets: int, shards: dict[int, UrlCuckoo]):
+        self.n_buckets = n_buckets
+        self.shards = shards
+
+    @classmethod
+    def build(
+        cls, df: DataFrame, col: str, expected: int, n_buckets: int = 8
+    ) -> "ShardedUrlCuckoo":
+        per_shard = max(64, (expected * 2) // n_buckets)  # 2x slack for skew
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            ck = UrlCuckoo.build_from_hashes(
+                pdf["h"].to_numpy(dtype=np.int64), per_shard
+            )
+            return pd.DataFrame(
+                {"bucket": [b], "nb": [ck.nb], "table": [ck.table.tobytes()]}
+            )
+
+        hashes = df.select(F.xxhash64(F.col(col)).alias("h")).withColumn(
+            "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+        )
+        rows = (
+            hashes.groupBy("bucket")
+            .applyInPandas(per_bucket, schema="bucket int, nb long, table binary")
+            .collect()
+        )
+        shards = {
+            int(r["bucket"]): UrlCuckoo(
+                int(r["nb"]),
+                np.frombuffer(r["table"], dtype=np.uint16)
+                .reshape(int(r["nb"]), UrlCuckoo.SLOTS)
+                .copy(),
+            )
+            for r in rows
+        }
+        return cls(n_buckets, shards)
+
+    def _route(self, h: np.ndarray):
+        hu = h.astype(np.int64).view(np.uint64)
+        # pmod(xxhash64, N) is a SIGNED nonneg modulo in the JVM build;
+        # reproduce it exactly here
+        signed = hu.view(np.int64)
+        return ((signed % self.n_buckets) + self.n_buckets) % self.n_buckets
+
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        out = np.zeros(h.size, dtype=bool)
+        buckets = self._route(h)
+        for b in np.unique(buckets):
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            mask = buckets == b
+            out[mask] = shard.might_contain(h[mask])
+        return out
+
+    def delete(self, h: np.ndarray) -> int:
+        removed = 0
+        buckets = self._route(h)
+        for b in np.unique(buckets):
+            shard = self.shards.get(int(b))
+            if shard is not None:
+                removed += shard.delete(h[buckets == b])
+        return removed
+
+    def to_payload(self) -> tuple:
+        return (
+            "sharded_cuckoo",
+            self.n_buckets,
+            {b: (s.nb, s.table.tobytes()) for b, s in self.shards.items()},
+        )
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

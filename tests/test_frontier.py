@@ -405,3 +405,30 @@ def test_canonicalize_parity_random_corpus(spark):
     pd_ = [r["url"] for r in canonicalize_urls_pandas(df).collect()]
     mismatches = [(u, a, b) for u, a, b in zip(urls, jvm, pd_) if a != b]
     assert not mismatches, mismatches[:5]
+
+
+def test_sharded_cuckoo_distributed_build_zero_loss(spark):
+    """Distributed cuckoo (per-bucket applyInPandas build, no driver
+    hash collect): no false negatives, exact dedup, routed delete."""
+    import numpy as np
+
+    from photon_spark.plans.frontier import ShardedUrlCuckoo
+
+    seen = spark.range(200_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    ck = ShardedUrlCuckoo.build(seen, "url", expected=200_000, n_buckets=8)
+    hashes = np.array(
+        [r["h"] for r in seen.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    assert ck.might_contain(hashes).all()
+
+    cand = spark.range(195_000, 205_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    got = {r["url"] for r in dedup_candidates(cand, seen, bloom=ck).collect()}
+    assert got == {f"http://h/{i}" for i in range(200_000, 205_000)}
+
+    assert ck.delete(hashes[:100]) == 100
+    assert not ck.might_contain(hashes[:100]).any()
