@@ -174,6 +174,59 @@ def ngram_jaccard_verify(
     )
 
 
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → one keeper per
+    duplicate cluster: (doc_id, keeper = min doc_id in its component).
+
+    The missing last step of every dedup pipeline: LSH/verify emit
+    PAIRS, but retention decisions need CLUSTERS (a-b, b-c must keep
+    exactly one of {a,b,c}). Implementation is iterative min-label
+    propagation — per round, each node takes min(own label, neighbors'
+    labels); converges in O(component diameter) rounds, each one
+    self-contained shuffle (join + groupBy-min, map-side combinable).
+    Near-dup graphs have tiny diameters (dup clusters are dense), so
+    rounds ≈ 2-4 in practice; `max_iter` bounds adversarial chains.
+    Driver work per round is one scalar convergence check; labels are
+    checkpointed so lineage stays O(1) per round.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["b"] == labels["node"]
+        ).select(F.col("a").alias("node"), F.col("label"))
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document — Arrow-vectorized pandas stage.
 

@@ -633,9 +633,37 @@ def f4_priority(spark, sf):
     )
 
 
+# Connected components over a pair graph → per-cluster keepers (the
+# dedup pipeline's retention step). Edge synthesis: complete-bipartite
+# cells per orderkey group, so ~50 components with diameter 2. Oracle:
+# DuckDB recursive CTE computes min reachable label per node.
+@q(
+    "dedup_cluster_keepers",
+    "WITH RECURSIVE base AS ("
+    " SELECT (o_orderkey % 50) * 100 + (o_orderkey % 7) AS a,"
+    " (o_orderkey % 50) * 100 + 10 + (o_orderkey % 5) AS b FROM orders),"
+    " edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),"
+    " reach AS ("
+    " SELECT a AS node, a AS label FROM edges"
+    " UNION"
+    " SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node)"
+    " SELECT node AS doc_id, min(label) AS keeper FROM reach GROUP BY node",
+)
+def dedup_keepers(spark, sf):
+    from photon_spark.operators import dedupe
+
+    ork = F.col("o_orderkey")
+    g = (ork % 50) * 100
+    pairs = _t(spark, sf, "orders").select(
+        (g + ork % 7).alias("doc_a"), (g + 10 + ork % 5).alias("doc_b")
+    )
+    return dedupe.dup_components(pairs)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 _TAIL = (
+    "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",
     "u1_intersect",

@@ -234,3 +234,18 @@ def test_hash_sample_full_and_zero_rates(spark):
     }
     assert splits.get("train", 0) == 0
     assert splits.get("val", 0) + splits.get("test", 0) == 2000
+
+
+def test_dup_components_resolves_clusters(spark):
+    """Chain a-b-c plus an isolated pair: components must merge the
+    chain to one keeper and keep the pair separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["keeper"] for r in dedupe.dup_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # chain 1-2-3-4 (diameter 3)
+        10: 10, 11: 10,                   # isolated pair
+        20: 20, 21: 20, 22: 20, 23: 20,   # chain 20-21-22-23
+    }
