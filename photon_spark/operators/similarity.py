@@ -107,6 +107,22 @@ def _plane(plane: int, dims: int) -> list[float]:
     ]
 
 
+def _signature(unit_col, n_planes: int, dims: int):
+    """Hyperplane sign-bit string for a unit-vector column."""
+    bits = [
+        F.when(
+            _dot(
+                unit_col,
+                F.array(*[F.lit(w) for w in _plane(p, dims)]),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -119,18 +135,7 @@ def lsh_bucket_topk(
     exact re-rank within each bucket. Recall < 1 by design; the win is
     that candidates shrink from |corpus| to the bucket population."""
     def signature(unit_col):
-        bits = [
-            F.when(
-                _dot(
-                    unit_col,
-                    F.array(*[F.lit(w) for w in _plane(p, dims)]),
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
+        return _signature(unit_col, n_planes, dims)
 
     corpus = with_unit_vectors(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
@@ -312,6 +317,92 @@ def cosine_near_dup_pairs(
             "vec_a",
             "vec_b",
             # floor-trick (not round): cross-engine half-boundary safety
+            (F.floor(_pdot(F.col("ua"), F.col("ub")) * 1000000.0 + 0.5) / 1000000.0)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    bands: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by banded hyperplane
+    signatures — the UNBOUNDED-corpus variant of
+    `cosine_near_dup_pairs` (which needs a label/group column).
+
+    Banding (like minhash LSH): n_planes sign bits split into `bands`
+    bands; vectors sharing ANY band's bit-string become candidates, so
+    a near-dup pair survives unless it straddles a plane in EVERY band.
+    Candidates get the exact rounded cosine; precision is therefore 1.0
+    (every emitted pair truly clears the threshold) while recall < 1 by
+    design — the price of never materializing the global pair space.
+    Same two-stage bucket cap as minhash_lsh_pairs: degenerate buckets
+    (zero vectors, templated embeddings) are count-filtered before any
+    collect_list.
+    """
+    bits_per_band = n_planes // bands
+    unit = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("_id"), "unit"
+    ).withColumn("sig", _signature(F.col("unit"), n_planes, dims))
+    banded = unit.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("sig", b * bits_per_band + 1, bits_per_band).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    ok_sizes = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    pairs = (
+        banded.join(ok_sizes, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                F.col("ids"),
+                                lambda b: F.struct(a.alias("a"), b.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
+    a = unit.select(F.col("_id").alias("vec_a"), F.col("unit").alias("ua"))
+    b = unit.select(F.col("_id").alias("vec_b"), F.col("unit").alias("ub"))
+    return (
+        pairs.join(a, "vec_a").join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
             (F.floor(_pdot(F.col("ua"), F.col("ub")) * 1000000.0 + 0.5) / 1000000.0)
             .alias("cosine"),
         )

@@ -633,6 +633,16 @@ def f4_priority(spark, sf):
     )
 
 
+# LSH-blocked embedding near-dup — the unbounded-corpus path (no label
+# column needed). Recall < 1 by design ⇒ rows-only here; precision and
+# recall are pytest-pinned against exact global pairs.
+@q("dedup_embedding_lsh", None)
+def emb_neardup_lsh(spark, sf):
+    return similarity.cosine_near_dup_pairs_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.3
+    )
+
+
 # Connected components over a pair graph → per-cluster keepers (the
 # dedup pipeline's retention step). Edge synthesis: complete-bipartite
 # cells per orderkey group, so ~50 components with diameter 2. Oracle:
@@ -669,6 +679,7 @@ _TAIL = (
     "u1_intersect",
     "fingerprint_md5",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_lsh_topk",
     "a3_approx_cardinality",
     "ann_ivf_topk",

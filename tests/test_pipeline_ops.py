@@ -249,3 +249,38 @@ def test_dup_components_resolves_clusters(spark):
         10: 10, 11: 10,                   # isolated pair
         20: 20, 21: 20, 22: 20, 23: 20,   # chain 20-21-22-23
     }
+
+
+def test_embedding_lsh_neardup_precision_and_recall(spark):
+    """LSH-blocked near-dup vs exact global pairs: every emitted pair
+    is real (precision 1.0); high-similarity pairs (cosine >= 0.95,
+    ~18 deg — band survival ~99%) are nearly all recalled."""
+    from photon_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+        with_unit_vectors,
+        _pdot,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    unit = with_unit_vectors(emb).select(F.col("vec_id").alias("_id"), "unit")
+    a = unit.select(F.col("_id").alias("vec_a"), F.col("unit").alias("ua"))
+    b = unit.select(F.col("_id").alias("vec_b"), F.col("unit").alias("ub"))
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["c"]
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            (F.floor(_pdot(F.col("ua"), F.col("ub")) * 1e6 + 0.5) / 1e6).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs_lsh(emb, threshold=0.3).collect()
+    }
+    assert set(got) <= set(exact)            # precision 1.0
+    hi = {p for p, c in exact.items() if c >= 0.95}
+    if hi:
+        recall_hi = len(hi & set(got)) / len(hi)
+        assert recall_hi >= 0.8, recall_hi
