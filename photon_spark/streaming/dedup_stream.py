@@ -1,0 +1,43 @@
+"""Streaming exact dedup — the ingest-side twin of
+operators/dedupe.exact_dedup for continuous training-data pipelines.
+
+A document stream is fingerprinted (md5 of text — the same
+dialect-portable key the batch path uses) and deduplicated with
+Spark's stateful streaming `dropDuplicates`: the first arrival of each
+fingerprint passes through, later copies are dropped across
+micro-batches. With a watermark the fingerprint state is bounded — a
+duplicate arriving later than the watermark delay can slip through
+(documented completeness/state tradeoff, exactly Structured
+Streaming's contract); without one, state grows with the distinct
+count and dedup is exact forever.
+
+Scale shape: state lives in the state store partitioned by the
+fingerprint hash (one shuffle per micro-batch); no driver-side
+anything. At 100 TB the watermark is mandatory and the state store
+should be RocksDB-backed (`spark.sql.streaming.stateStore.providerClass`
+— config, not code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """(id, text[, ts]) stream → first-arrival rows only, keyed on
+    md5(text). Pass ``ts_col`` + ``watermark`` (e.g. "1 hour") to bound
+    state; omit both for exact unbounded dedup."""
+    out = docs.withColumn("fp", F.md5(F.col(text_col)))
+    if watermark is not None and ts_col is not None:
+        # state expires by event time: duplicates within the watermark
+        # horizon are dropped, state for older fingerprints is freed
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])

@@ -329,3 +329,43 @@ def test_sessionize_large_group_out_of_order_chunks(spark, tmp_path):
         for s in range(2)
     ]
     assert got == want
+
+
+def test_streaming_dedup_first_arrival_only(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches are
+    dropped; surviving fingerprint set equals the batch distinct."""
+    import pandas as pd
+
+    from photon_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    b0 = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]})
+    b1 = pd.DataFrame({"doc_id": [4, 5, 6], "text": ["bb", "cc", "aa"]})
+    b0.to_parquet(str(src / "b0.parquet"))  # single flat files: the
+    # file-stream source watches the directory itself
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives: all three rows are dups of seen
+        # fingerprints except 'cc'
+        b1.to_parquet(str(src / "b1.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["aa", "bb", "cc"]          # one survivor per fingerprint
+    ids = {r["text"]: r["doc_id"] for r in rows}
+    assert ids["cc"] == 5                       # and it's the FIRST arrival
+    assert ids["aa"] in (1, 3) and ids["bb"] == 2
