@@ -327,7 +327,7 @@ def cosine_near_dup_pairs(
 def cosine_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int = 32,
     bands: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
@@ -346,11 +346,42 @@ def cosine_near_dup_pairs_lsh(
     Same two-stage bucket cap as minhash_lsh_pairs: degenerate buckets
     (zero vectors, templated embeddings) are count-filtered before any
     collect_list.
+
+    Band keys must carry enough bits to partition the corpus: 8 bits
+    per band (defaults) = 256 buckets/band — at 2 bits a band has 4
+    buckets, every bucket blows max_bucket on a few thousand vectors
+    and the skew guard (correctly) drops EVERYTHING. For cosine ≥ 0.95
+    pairs (flip ≈ 0.1/plane) an 8-bit band survives ≈ 0.43, any of 4
+    bands ≈ 0.89 recall. The signature is one numpy matmul per Arrow
+    batch against the broadcast (n_planes × dims) plane matrix —
+    n_planes interpreted fold expressions per row would dominate the
+    whole job (the IVF lesson).
     """
+    import numpy as np
+
     bits_per_band = n_planes // bands
+    planes = np.array(
+        [_plane(p, dims) for p in range(n_planes)], dtype=np.float64
+    )
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("string")
+    def sig_np(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(v.to_numpy())
+        bits = (m @ bc.value.T) >= 0
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
     unit = with_unit_vectors(embeddings).select(
         F.col(id_col).alias("_id"), "unit"
-    ).withColumn("sig", _signature(F.col("unit"), n_planes, dims))
+    )
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    if unit.rdd.getNumPartitions() < parallelism:
+        unit = unit.repartition(parallelism)
+    unit = unit.withColumn("sig", sig_np(F.col("unit")))
     banded = unit.select(
         "_id",
         F.explode(
