@@ -52,6 +52,70 @@ def lang_id(documents: DataFrame, threshold: float = 0.12) -> DataFrame:
     )
 
 
+# Character-trigram profiles for the n-gram language-ID variant — the
+# most frequent trigrams (space-padded) of each language, derived from
+# public frequency tables. Tiny on purpose: the operator's SHAPE (one
+# Arrow pass scoring docs against broadcast profiles) is the point; a
+# real deployment swaps in fuller profiles the same way.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+           "ng ", " to", "to ", "ed ", " in", "ion", "ent", " is", "is "),
+    "de": ("er ", "en ", " de", "der", "ie ", " di", "die", "ch ", "ein",
+           "sch", " un", "und", "nd ", "ung", " ge", "ine", "ten", "cht"),
+    "fr": (" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ", " la",
+           "ion", "on ", "re ", " pa", "et ", " et", "que", " qu", "ue "),
+}
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """n-gram language ID: score each doc's character trigrams against
+    per-language profiles, argmax wins (ties → lexicographic language
+    order, deterministic). One Arrow pass — the trigram counting is
+    document-local; profiles are a broadcast constant.
+
+    Complements `lang_id` (stopword density): trigram profiles work on
+    unsegmented/agglutinative text where token heuristics fail.
+    """
+    import numpy as np
+    import pandas as pd
+
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    profiles = {k: frozenset(v) for k, v in LANG_TRIGRAM_PROFILES.items()}
+
+    def run(batches):
+        for pdf in batches:
+            preds, scores = [], []
+            for text in pdf["text"]:
+                t = " " + (text or "").lower() + " "
+                n = len(t)
+                if n < 3:
+                    preds.append("unknown")
+                    scores.append(0.0)
+                    continue
+                grams = [t[i : i + 3] for i in range(n - 2)]
+                total = len(grams)
+                best_lang, best = "unknown", 0.0
+                for lang in langs:
+                    prof = profiles[lang]
+                    hits = sum(1 for g in grams if g in prof)
+                    score = hits / total
+                    if score > best:
+                        best_lang, best = lang, score
+                preds.append(best_lang if best >= 0.05 else "unknown")
+                scores.append(round(best, 6))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pred_lang": preds, "ngram_score": scores}
+            )
+
+    src = documents.select("doc_id", "text")
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(
+        run, schema="doc_id long, pred_lang string, ngram_score double"
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Cheap quality heuristics: length, mean token length, stopword
     ratio → score in [0,1]. All arithmetic, reproducible in SQL."""

@@ -633,6 +633,14 @@ def f4_priority(spark, sf):
     )
 
 
+# n-gram language ID — trigram-profile argmax (rows-only: the
+# per-language profile scoring has no tractable SQL twin; planted-text
+# classification is pytest-pinned).
+@q("lang_id_ngram", None)
+def lang_ngram(spark, sf):
+    return textstats.lang_id_ngram(_t(spark, sf, "documents"))
+
+
 # LSH-blocked embedding near-dup — the unbounded-corpus path (no label
 # column needed). Recall < 1 by design ⇒ rows-only here; precision and
 # recall are pytest-pinned against exact global pairs.
@@ -679,6 +687,7 @@ _TAIL = (
     "u1_intersect",
     "fingerprint_md5",
     "dedup_simhash",
+    "lang_id_ngram",
     "dedup_embedding_lsh",
     "ann_lsh_topk",
     "a3_approx_cardinality",

@@ -284,3 +284,20 @@ def test_embedding_lsh_neardup_precision_and_recall(spark):
     if hi:
         recall_hi = len(hi & set(got)) / len(hi)
         assert recall_hi >= 0.8, recall_hi
+
+
+def test_lang_id_ngram_classifies_planted_texts(spark):
+    from photon_spark.operators.textstats import lang_id_ngram
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the forest"),
+        (2, "der schnelle braune fuchs springt über den faulen hund und rennt"),
+        (3, "le renard brun rapide saute par dessus le chien paresseux et que la"),
+        (4, "zzz qqq xxx"),  # no profile hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id_ngram(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "unknown"
