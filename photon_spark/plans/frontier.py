@@ -368,6 +368,13 @@ class ShardedUrlCuckoo:
     driver only ever holds the finished tables (2 bytes x 4 slots per
     ~0.84 keys), never the raw hashes — no unbounded collect. Probes
     route by the same bucket function; delete routes identically.
+
+    Sizing: applyInPandas materializes ONE shard's hashes per task, so
+    n_buckets must scale with |seen| — target ~10^6-10^7 keys/shard
+    (8-80 MB of hashes per task; at 10^10 keys that is n_buckets ≈
+    10^3-10^4, and the finished tables total ~24 GB, which at that
+    scale live as (bucket, table) rows in storage with bucket-routed
+    probes rather than one driver dict — same routing, different home).
     """
 
     def __init__(self, n_buckets: int, shards: dict[int, UrlCuckoo]):
