@@ -67,9 +67,14 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = MINHASHES) -> DataF
     most |docs|·n_hashes tiny rows — not |docs|·|shingles|. Values are
     bit-identical to `minhash_signature` (same md5('i|shingle') family).
     """
-    sh = documents.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("s")
-    )
+    src = documents.select("doc_id", "text")
+    # the n_hashes×|shingles| md5s evaluate in the map-side partial
+    # aggregation, i.e. on the INPUT partitioning — a single-file
+    # parquet table would compute them all on one core
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    sh = src.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
     aggs = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
         for i in range(n_hashes)
