@@ -24,8 +24,25 @@ from photon_spark.operators.extract import luhn_valid
 Q: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
+# Dimension tables stay unsplit: they broadcast, and an exchange on a
+# 25-row table is pure overhead.
+_DIM_TABLES = frozenset({"nation", "region", "supplier", "part", "customer"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver's testdata is one single-row-group parquet file per
+    # table, so byte-range splitting cannot parallelize the scan and
+    # EVERY map-side computation (partial aggregation, projection
+    # arithmetic, filters' residual work) lands on one core. Spread the
+    # fact tables once at load; Catalyst pushes filters through the
+    # repartition, so scans stay pruned. Real multi-file datasets
+    # arrive already split and skip this.
+    if name not in _DIM_TABLES:
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
+    return df
 
 
 def q(name: str, sql: str | None):

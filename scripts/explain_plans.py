@@ -31,10 +31,11 @@ EXPECT: dict[str, dict] = {
     "session_windows": {},
     "q17_small_quantity_revenue": {"broadcast": True},
     # winnowing is document-local: ONLY the single-file repartition
-    # guard may exchange (round-robin), never per-gram rows
+    # guard (its own or _t's) may exchange, never per-gram rows
     "fingerprint_winnow": {"max_exchanges": 1},
     "dedup_embedding_cosine": {},
-    "f4_priority_scoring": {"codegen": True, "max_exchanges": 1},
+    # one window shuffle + the single-file fact-table spread in _t
+    "f4_priority_scoring": {"codegen": True, "max_exchanges": 2},
 }
 
 
