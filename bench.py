@@ -52,7 +52,7 @@ FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))
 
 
 def bench_frontier(
-    spark, n_urls: int, reps: int = 3, include_bloom: bool = True
+    spark, n_urls: int, reps: int = 5, include_bloom: bool = True
 ) -> dict:
     """North-rule metric: URLs canonicalized+deduped+scheduled per
     second — one full frontier wave on a Zipf-skewed synthetic frontier
