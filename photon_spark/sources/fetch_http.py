@@ -33,8 +33,9 @@ Reproduces the reference requester's observable semantics
 ``transport(url, headers: dict, timeout) -> (status, content_type,
 text)`` is injectable: tests drive the stage with a fixture-backed
 fake (no network in this sandbox); production uses
-`requests_transport`. The headers dict always carries 'User-Agent'
-(rotated or caller-fixed) plus 'Cookie' when one is configured.
+`requests_transport`. The default header set carries the rotated
+'User-Agent'; a custom dict is sent VERBATIM (reference semantics),
+plus 'Cookie' on either when one is configured.
 """
 
 from __future__ import annotations
@@ -75,11 +76,11 @@ def build_headers(
     cookie: str | None,
 ) -> dict[str, str]:
     """Per-request header dict with requester.py:37-45 semantics:
-    custom headers replace the default set entirely; cookie rides on
-    top of either."""
+    custom headers replace the default set entirely — VERBATIM, no UA
+    injected if the caller omitted one (`final_headers = headers or
+    {...}` uses the dict as-is); cookie rides on top of either."""
     if custom_headers:
         headers = dict(custom_headers)
-        headers.setdefault("User-Agent", pick_user_agent(url, user_agents))
     else:
         headers = {
             "Host": urlparse(url).netloc,

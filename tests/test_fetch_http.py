@@ -68,6 +68,14 @@ def test_fetch_headers_and_cookie_reach_transport(spark):
     assert h["Cookie"] == "sid=abc123"
     assert "Accept-Language" not in h  # defaults replaced wholesale
 
+    # verbatim semantics (requester.py:37 `headers or {...}`): a custom
+    # dict WITHOUT a UA is sent as-is — no UA injected
+    rows2 = fetch_stage(
+        wave, transport_factory=factory, headers={"X-Only": "v"}
+    ).collect()
+    h2 = json.loads(rows2[0]["body"])
+    assert h2 == {"X-Only": "v"}
+
 
 def test_fetch_ua_rotation_deterministic(spark):
     """UA choice is crc32-keyed (process-independent) — same URL, same
