@@ -2,25 +2,107 @@
 
 Images/audio/video ride as opaque ``binary`` columns next to typed
 metadata; decode/feature-extraction runs as Arrow-batched pandas
-stages over ``mapInPandas``. The decode itself is STUBBED (no
-image/audio libraries in this container — clearly marked below); the
-Spark-side plumbing — schema, batch shape, partition behavior, UDF
-signature — is real and tested.
+stages over ``mapInPandas``.
+
+Decode reality, by format:
+* **REAL** — formats parseable with the stdlib + numpy: PPM (P6)
+  images (full header+pixel decode, and a real nearest-neighbor
+  resize emitting valid PPM), WAV/PCM audio (stdlib `wave`: rate,
+  channels, frames), and concatenated-P6 "video" streams (real frame
+  splitting + sampling). These run end-to-end with no stub anywhere.
+* **STUBBED** — formats that need external codecs (JPEG/PNG/MP4 —
+  no PIL/ffmpeg in this container): a clearly-marked deterministic
+  fake behind the `IMG:` sentinel; anything else raises
+  NotImplementedError. In production only those stub bodies change.
 
 Interleaved media spans from the crawl (kind='media' in the pages
-table) land here: `media_refs()` projects them; `attach_payload()`
-synthesizes a deterministic binary payload (in production this is the
-fetched object from a blob store); `extract_features()` is the decode
-stage.
+table) land here: `media_refs()` projects them; `attach_payload()` /
+`attach_real_payload()` synthesize deterministic binary payloads (in
+production this is the fetched object from a blob store);
+`extract_features()` is the decode stage.
 """
 
 from __future__ import annotations
 
+import hashlib
+import io
+import wave as wave_mod
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib + numpy only)
+
+def synth_ppm(ref: str, width: int = 24, height: int = 16) -> bytes:
+    """Deterministic valid P6 PPM: pixels from an md5 keystream."""
+    need = width * height * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.md5(f"{ref}:{counter}".encode()).digest()
+        counter += 1
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(out[:need])
+
+
+def synth_wav(ref: str, rate: int = 8000, n: int = 400) -> bytes:
+    """Deterministic mono 16-bit PCM WAV (stdlib writer)."""
+    freq = 200 + (int(hashlib.md5(ref.encode()).hexdigest()[:4], 16) % 800)
+    t = np.arange(n, dtype=np.float64) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm_video(ref: str, n_frames: int = 6, width: int = 16, height: int = 12) -> bytes:
+    """Concatenated-P6 stream — the simplest real multi-frame container."""
+    return b"".join(synth_ppm(f"{ref}#f{i}", width, height) for i in range(n_frames))
+
+
+def decode_ppm(payload: bytes):
+    """Parse a canonical P6 header + pixels → (width, height, ndarray
+    (h, w, 3) uint8, bytes_consumed). Raises ValueError on malformed
+    input (comments unsupported — synthesized payloads are canonical)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    need = w * h * 3
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return w, h, pixels.reshape(h, w, 3), pos + need
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into per-frame byte chunks."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        _w, _h, _px, consumed = decode_ppm(payload[pos:])
+        frames.append(payload[pos : pos + consumed])
+        pos += consumed
+    return frames
+
+
+def _is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 FEATURE_SCHEMA = (
     "doc_id string, media_ref string, n_bytes long, "
@@ -46,27 +128,53 @@ def attach_payload(refs: DataFrame) -> DataFrame:
     )
 
 
+def attach_real_payload(refs: DataFrame, kind: str = "ppm") -> DataFrame:
+    """Deterministic REAL payload per ref — valid PPM image
+    (kind='ppm'), PCM WAV (kind='wav'), or concatenated-P6 stream
+    (kind='video') — synthesized in the same mapInPandas shape a
+    blob-store fetch has, so everything downstream decodes genuinely."""
+    synth = {"ppm": synth_ppm, "wav": synth_wav, "video": synth_ppm_video}[kind]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": [synth(r) for r in pdf["media_ref"]],
+                }
+            )
+
+    return refs.select("doc_id", "media_ref").mapInPandas(
+        run, schema="doc_id string, media_ref string, payload binary"
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode/feature stage over Arrow batches.
 
-    Real plumbing, stubbed decode: byte length + sha1 are computed from
-    the actual payload; width/height/format come from `_decode_stub`,
-    which raises NotImplementedError unless `fake=True` semantics are
-    wired (they are, deterministically, for tests/benches).
+    byte length + sha1 always come from the actual payload. Format
+    sniffing picks the decoder: P6 PPM → REAL pixel decode
+    (width/height from the header); RIFF/WAVE → REAL stdlib parse
+    (width=sample rate, height=channels — documented overload of the
+    two int slots); `IMG:` → the marked deterministic stub (JPEG/PNG
+    stand-in); anything else raises NotImplementedError honestly.
     """
 
-    def _decode_stub(payload: bytes) -> tuple[str, int, int]:
-        # STUB: no PIL/ffmpeg in this container. Deterministic fake
-        # derived from payload bytes; swap for a real decoder in prod.
-        if payload[:4] != b"IMG:":
-            raise NotImplementedError(
-                "real media decoding requires an image library; "
-                "only IMG: fake payloads are decodable in this sandbox"
-            )
-        h = sum(payload) % 7
-        return ("png" if h % 2 == 0 else "jpeg", 16 * (h + 1), 9 * (h + 1))
-
-    import hashlib
+    def _decode(payload: bytes) -> tuple[str, int, int]:
+        if payload[:2] == b"P6":
+            w, h, _pixels, _n = decode_ppm(payload)  # REAL decode
+            return ("ppm", w, h)
+        if _is_wav(payload):
+            with wave_mod.open(io.BytesIO(payload), "rb") as wf:  # REAL
+                return ("wav", wf.getframerate(), wf.getnchannels())
+        if payload[:4] == b"IMG:":
+            # STUB: JPEG/PNG need an image library this container lacks.
+            h = sum(payload) % 7
+            return ("png" if h % 2 == 0 else "jpeg", 16 * (h + 1), 9 * (h + 1))
+        raise NotImplementedError(
+            "no codec for this payload (JPEG/PNG/MP4 need external libs)"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,7 +183,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 nb.append(len(b))
                 sha.append(hashlib.sha1(b).hexdigest())
-                f, wi, he = _decode_stub(b)
+                f, wi, he = _decode(b)
                 fmt.append(f)
                 w.append(wi)
                 hgt.append(he)
@@ -103,21 +211,27 @@ FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sha1 strin
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFrame:
-    """Resize stage over Arrow batches — real plumbing, stubbed decode.
+    """Resize stage over Arrow batches.
 
-    STUB: no image library in this container; the 'resized' payload is
-    a deterministic function of (payload, width, height). In production
-    the body of `_resize_stub` is the only thing that changes (PIL /
-    libvips over the same batch iterator).
+    P6 PPM payloads get a REAL nearest-neighbor resample (numpy index
+    gather over the decoded pixel array, re-emitted as valid PPM — no
+    image library needed). `IMG:` fakes keep the marked stub (that body
+    is what PIL/libvips replaces in production); other formats raise.
     """
 
-    def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
-        if payload[:4] != b"IMG:":
-            raise NotImplementedError(
-                "real image decoding requires an image library; "
-                "only IMG: fake payloads are decodable in this sandbox"
-            )
-        return b"RSZ:%dx%d:" % (w, h) + payload[4:]
+    def _resize(payload: bytes, w: int, h: int) -> bytes:
+        if payload[:2] == b"P6":
+            sw, sh, px, _n = decode_ppm(payload)  # REAL decode
+            ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+            xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+            out = px[ys][:, xs]  # nearest-neighbor gather
+            return b"P6\n%d %d\n255\n" % (w, h) + out.tobytes()
+        if payload[:4] == b"IMG:":
+            # STUB: JPEG/PNG resize needs an image library.
+            return b"RSZ:%dx%d:" % (w, h) + payload[4:]
+        raise NotImplementedError(
+            "no codec for this payload (JPEG/PNG need external libs)"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,7 +242,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFr
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "resized": [
-                        _resize_stub(bytes(p), width, height) for p in pdf["payload"]
+                        _resize(bytes(p), width, height) for p in pdf["payload"]
                     ],
                 }
             )
@@ -139,15 +253,15 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFr
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling — the one-to-many decode shape.
+    """Video frame sampling — the one-to-many decode shape: a fan-out
+    mapInPandas whose output row count is a multiple of its input,
+    partition-local, no shuffle.
 
-    STUB decode (no ffmpeg here): each payload deterministically yields
-    `n_frames` pseudo-frames, identified by sha1(payload || idx). The
-    Spark-side plumbing is the real thing: a fan-out mapInPandas whose
-    output row count is a multiple of its input — the shape a real
-    ffmpeg frame sampler has — partition-local, no shuffle.
+    Concatenated-P6 streams get REAL frame extraction: the stream is
+    split at PPM boundaries and `n_frames` evenly-spaced REAL frames
+    are hashed. `IMG:` fakes keep the marked stub (the body ffmpeg
+    replaces in production); other formats raise.
     """
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,11 +270,21 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 b = bytes(payload)
+                if b[:2] == b"P6":
+                    frames = split_ppm_stream(b)  # REAL frame split
+                    take = min(n_frames, len(frames))
+                    picks = [i * len(frames) // take for i in range(take)]
+                    for i, fidx in enumerate(picks):
+                        ids.append(did)
+                        refs.append(ref)
+                        idxs.append(i)
+                        shas.append(hashlib.sha1(frames[fidx]).hexdigest())
+                    continue
                 if b[:4] != b"IMG:":
                     raise NotImplementedError(
-                        "real video decoding requires ffmpeg; only IMG: "
-                        "fake payloads are decodable in this sandbox"
+                        "no codec for this payload (MP4 etc. need ffmpeg)"
                     )
+                # STUB: pseudo-frames from the fake payload
                 for i in range(n_frames):
                     ids.append(did)
                     refs.append(ref)
