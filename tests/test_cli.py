@@ -130,3 +130,26 @@ def test_make_http_fetcher_plumbs_headers(spark):
     body = fetcher(wave).collect()[0]["body"]
     h = _json.loads(body)
     assert h["X-Tok"] == "abc" and h["Cookie"] == "c=1"
+
+
+def test_cli_csv_export(spark, tmp_path):
+    """K2 CSV shape (reference plugins/exporter.py:16-24): one row per
+    dataset, row = [name] + values."""
+    import csv
+
+    from photon_spark.cli import main
+
+    pages_path = str(tmp_path / "pages_csv.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out_csv")
+    rc = main(
+        ["-u", ROOT, "--pages", pages_path, "-o", out_dir,
+         "--export", "csv", "--partitions", "4", "--salts", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    golden = oracle_crawl(page_bodies(), ROOT, crawl_level=2).datasets
+    with open(os.path.join(out_dir, "exported.csv"), newline="") as f:
+        rows = {r[0]: r[1:] for r in csv.reader(f) if r}
+    for name, vals in golden.items():
+        assert set(rows.get(name, [])) == vals, name
