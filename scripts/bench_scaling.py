@@ -143,6 +143,20 @@ def main():
         "is already optimal — the 8→32 shortfall is shared hardware",
         "(driver + memory bandwidth on the same 32 cores), not plan shape.",
         "",
+        "",
+        "## Seen-filter strategy ladder (measured, bench.py frontier_detail)",
+        "",
+        "At sandbox scale (1M-URL wave, 300k seen) the plain exact anti-join",
+        "wins: ~610-690k URLs/s vs ~330-410k through the sharded bloom and",
+        "~220-260k through the single-bitmap bloom (the Python probe pass",
+        "costs more than the small shuffle it saves). The bloom/cuckoo paths",
+        "are the huge-|seen| regime tools — the 10^10 frontier where the",
+        "anti-join's shuffle of the seen side is the bottleneck — and all",
+        "of them stay EXACT via the anti-join backstop on filter-positive",
+        "rows. Sharded consistently beats single-bitmap (~1.5x) because",
+        "probes touch one shard's cache lines and the build never",
+        "materializes a full-size bitmap per task.",
+        "",
         f"Config: {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} heap,",
         "AQE on, periodic GC 30s (steady-state shuffle-file cleanup).",
         f"Generated by `python scripts/bench_scaling.py` at {report['ts']}.",
