@@ -75,4 +75,10 @@ class EngineConfig:
     # 10^10 path), or 'cuckoo' (deletable fingerprints — recrawl).
     # All three are exact via the anti-join backstop.
     seen_filter: str = "bloom"
+    # Store maintenance cadence: every K committed waves, rewrite the
+    # accumulated deltas into one consolidated base and expire the
+    # superseded delta dirs (CrawlStore.compact/expire). 0 = never.
+    # Bounds load()'s file count at deep crawl levels — a 10^4-wave
+    # crawl without it reads 10^4 small delta dirs per table.
+    compact_every: int = 0
     extra_datasets: dict = field(default_factory=dict)

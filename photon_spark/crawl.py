@@ -345,6 +345,9 @@ def run_crawl(
                 "metrics": metrics,
             }
             store.commit(level, delta, meta)
+            if cfg.compact_every and (level + 1) % cfg.compact_every == 0:
+                store.compact(spark)
+                store.expire()
             acc = store.load(spark, level)
         else:
             # Truncate the two per-wave-growing lineages in ONE job: a

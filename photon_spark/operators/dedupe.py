@@ -191,8 +191,11 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     self-contained shuffle (join + groupBy-min, map-side combinable).
     Near-dup graphs have tiny diameters (dup clusters are dense), so
     rounds ≈ 2-4 in practice; `max_iter` bounds adversarial chains.
-    Driver work per round is one scalar convergence check; labels are
-    checkpointed so lineage stays O(1) per round.
+    The convergence check is fused into the propagation aggregate (the
+    node's previous label rides along as `min(CASE WHEN own)`), so each
+    round is exactly one shuffle job (checkpoint materialization) plus
+    one cheap scan of the checkpointed result — no separate old-vs-new
+    join. Labels are checkpointed so lineage stays O(1) per round.
     """
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
@@ -209,23 +212,25 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels, edges["b"] == labels["node"]
-        ).select(F.col("a").alias("node"), F.col("label"))
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("label"))
+            .withColumn("own", F.lit(False))
+        )
         new = (
-            labels.unionByName(nbr)
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # each node appears exactly once with own=True, so this
+                # recovers its previous label without a second join
+                F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("prev")).limit(1).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -164,6 +164,34 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns on the Java/RE2-agreeing regex subset (same caveat as
+# BPE_ISH_PATTERN): training-data redaction reuses the crawl engine's
+# extractor shapes (reference regexes core/regex.py — emails/phones are
+# what Photon's intel stage finds; here we REMOVE instead of collect).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones from a text column — pure JVM
+    `regexp_replace` chain (scan-side, whole-stage codegen, zero
+    shuffle; at 100 TB this is a map-only pass that pushes column
+    pruning to the parquet scan). Emits per-doc match counts (audit
+    trail) plus the redacted text.
+    """
+    t = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_PATTERN)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_PATTERN, "<EMAIL>"),
+            PII_PHONE_PATTERN,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame, k: int = 8, w: int = 4
 ) -> DataFrame:

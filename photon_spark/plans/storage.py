@@ -15,6 +15,16 @@ via write-then-rename of the manifest — a torn commit leaves the
 manifest at the previous wave and the orphan delta dir is overwritten
 on retry.
 
+Maintenance mirrors Iceberg's table services: `compact(upto)` rewrites
+the snapshot-as-of `upto` into a consolidated base (new files first,
+then an atomic manifest swap — readers of the old manifest are never
+broken), and `expire()` drops the delta dirs the base superseded
+(Iceberg `expire_snapshots`: time travel to pre-compaction waves
+raises once expired). Without compaction a 10^10-URL crawl accumulates
+one delta dir per wave per table — thousands of small files whose
+open/footer cost eventually dominates load(); with it, load() reads
+one consolidated base + the recent tail.
+
 Scalar counters ride in the manifest meta (processed_count includes
 the reference's 'dummy' sentinel, Q11).
 """
@@ -64,7 +74,11 @@ class CrawlStore:
         waves_index[str(wave)] = written
         meta = dict(meta)
         meta["_waves_index"] = waves_index
-        manifest = {"latest_wave": wave, "meta": meta}
+        if prev and prev[1].get("_base"):
+            meta["_base"] = prev[1]["_base"]
+        self._write_manifest({"latest_wave": wave, "meta": meta})
+
+    def _write_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -79,23 +93,100 @@ class CrawlStore:
             return None
 
     def load(self, spark: SparkSession, wave: int) -> dict[str, DataFrame]:
-        """Snapshot-as-of `wave`: union of all committed deltas ≤ wave,
-        deduplicated per table."""
+        """Snapshot-as-of `wave`: consolidated base (if one covers ≤
+        wave) plus all deltas in (base_wave, wave], deduplicated per
+        table. Time travel to a wave BEFORE the base reads the raw
+        deltas while they still exist and raises once expire() removed
+        them (Iceberg expired-snapshot semantics)."""
         latest = self.latest()
-        waves_index = latest[1].get("_waves_index", {}) if latest else {}
+        meta = latest[1] if latest else {}
+        waves_index = meta.get("_waves_index", {})
+        base = meta.get("_base")
+        base_wave = base["wave"] if base and base["wave"] <= wave else None
         out = {}
         for name, schema in STATE_SCHEMAS.items():
-            paths = [
-                self._delta_dir(w, name)
-                for w_str, tables in waves_index.items()
-                if (w := int(w_str)) <= wave and name in tables
-            ]
-            paths = [p for p in paths if os.path.exists(p)]
+            paths = []
+            if base_wave is not None and name in base["tables"]:
+                paths.append(os.path.join(self.root, base["dir"], name))
+            floor = base_wave if base_wave is not None else -1
+            for w_str, tables in waves_index.items():
+                w = int(w_str)
+                if floor < w <= wave and name in tables:
+                    p = self._delta_dir(w, name)
+                    if not os.path.exists(p):
+                        why = (
+                            f"expired by compaction at wave {base['wave']}"
+                            if base
+                            else "missing on disk"
+                        )
+                        raise ValueError(
+                            f"snapshot-as-of wave {wave} needs delta {p}, {why}"
+                        )
+                    paths.append(p)
             if paths:
                 out[name] = spark.read.parquet(*paths).dropDuplicates()
             else:
                 out[name] = spark.createDataFrame([], schema=schema)
         return out
+
+    def compact(self, spark: SparkSession, upto: int | None = None) -> str:
+        """Rewrite the snapshot-as-of `upto` (default: latest wave) into
+        one consolidated, deduplicated base per table, then atomically
+        swap the manifest to point at it. New files are written BEFORE
+        the manifest swap, so a reader holding the old manifest keeps a
+        consistent view; the superseded delta dirs stay on disk (for
+        pre-base time travel) until expire(). O(|state|) — run it every
+        K waves, not per wave; commits stay O(|delta|)."""
+        latest = self.latest()
+        if latest is None:
+            raise ValueError("compact() on an empty store")
+        wave, meta = latest
+        upto = wave if upto is None else upto
+        snapshot = self.load(spark, upto)
+        prev_base = meta.get("_base")
+        gen = (prev_base["gen"] + 1) if prev_base else 0
+        base_dir = f"base=w{upto}-g{gen}"
+        tables = []
+        for name, df in snapshot.items():
+            if df.limit(1).count() == 0:
+                continue
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.root, base_dir, name)
+            )
+            tables.append(name)
+        meta = dict(meta)
+        meta["_base"] = {"wave": upto, "dir": base_dir, "tables": tables, "gen": gen}
+        self._write_manifest({"latest_wave": wave, "meta": meta})
+        if prev_base:
+            shutil.rmtree(
+                os.path.join(self.root, prev_base["dir"]), ignore_errors=True
+            )
+        return base_dir
+
+    def expire(self) -> int:
+        """Drop delta dirs superseded by the current base (Iceberg
+        expire_snapshots). Wave entries stay in the manifest as history;
+        load() of a pre-base wave raises after this. Returns the number
+        of delta dirs removed."""
+        latest = self.latest()
+        if latest is None:
+            return 0
+        base = latest[1].get("_base")
+        if not base:
+            return 0
+        removed = 0
+        for w_str, tables in latest[1].get("_waves_index", {}).items():
+            if int(w_str) > base["wave"]:
+                continue
+            for name in tables:
+                p = self._delta_dir(int(w_str), name)
+                if os.path.exists(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            parent = os.path.join(self.root, f"wave={int(w_str)}")
+            if os.path.isdir(parent) and not os.listdir(parent):
+                os.rmdir(parent)
+        return removed
 
     def reset(self) -> None:
         """Start a new lineage in this root: drop the manifest and all
@@ -109,7 +200,7 @@ class CrawlStore:
             pass
         if os.path.isdir(self.root):
             for d in os.listdir(self.root):
-                if d.startswith("wave="):
+                if d.startswith("wave=") or d.startswith("base="):
                     shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
     def destroy(self) -> None:

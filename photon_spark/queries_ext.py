@@ -678,9 +678,52 @@ def dedup_keepers(spark, sf):
     return dedupe.dup_components(pairs)
 
 
+# PII redaction — training-data scrub pass reusing the crawl engine's
+# extractor shapes (operators/textstats.redact_pii). PII is PLANTED
+# deterministically (doc_id-derived email + phone appended with
+# identical expressions on both sides) so every row exercises a real
+# match; md5 of the redacted body keeps the compared row narrow.
+_PII_BODY_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_EMAIL = textstats.PII_EMAIL_PATTERN
+_PII_PHONE = textstats.PII_PHONE_PATTERN
+
+
+@q(
+    "pii_redact",
+    f"SELECT doc_id,"
+    f" length(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,"
+    f" length(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phones,"
+    f" md5(regexp_replace(regexp_replace(body, '{_PII_EMAIL}', '<EMAIL>', 'g'),"
+    f" '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5"
+    f" FROM (SELECT doc_id, {_PII_BODY_SQL} AS body FROM documents) t",
+)
+def pii_red(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(docs).select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 _TAIL = (
+    "t4_props_extract",  # regexp_extract sibling of t1; T4 itself is golden-pinned
     "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",

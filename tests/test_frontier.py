@@ -181,6 +181,81 @@ def test_store_commits_are_deltas(spark, fixture_pages, tmp_path):
     assert s1 == total_internal
 
 
+def test_store_compact_expire(spark, fixture_pages, tmp_path):
+    """Iceberg-style maintenance: compact() rewrites the snapshot into
+    a consolidated base without changing any table's contents; pre-base
+    time travel works until expire(), then raises; resume from a
+    compacted store still matches a plain full run."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    def table_sets(state):
+        freeze = lambda v: tuple(v) if isinstance(v, list) else v  # noqa: E731
+        return {
+            k: {tuple(freeze(v) for v in r) for r in df.collect()}
+            for k, df in state.items()
+        }
+
+    store = CrawlStore(str(tmp_path / "compact_store"))
+    run_crawl(spark, fixture_pages, ROOT, cfg=EngineConfig(), store=store)
+    last, _ = store.latest()
+    assert last >= 1  # need >1 wave for compaction to merge anything
+    before = table_sets(store.load(spark, last))
+    s0_internal = table_sets(store.load(spark, 0))["internal"]
+
+    base_dir = store.compact(spark)
+    assert (tmp_path / "compact_store" / base_dir).is_dir()
+    # snapshot identical through the base
+    assert table_sets(store.load(spark, last)) == before
+    # pre-base time travel still served from on-disk deltas
+    assert table_sets(store.load(spark, 0))["internal"] == s0_internal
+
+    removed = store.expire()
+    assert removed > 0
+    with pytest.raises(ValueError, match="expired"):
+        store.load(spark, 0)
+    # latest snapshot unaffected by expiry
+    assert table_sets(store.load(spark, last)) == before
+
+    # second compaction generation replaces the first cleanly
+    base2 = store.compact(spark)
+    assert base2 != base_dir
+    assert not (tmp_path / "compact_store" / base_dir).exists()
+    assert table_sets(store.load(spark, last)) == before
+
+
+def test_crawl_with_auto_compaction(spark, fixture_pages, tmp_path):
+    """compact_every=1 (compact+expire after every committed wave) must
+    not change the crawl's final datasets, wave membership, or counts —
+    and a resume across a compaction boundary stays exact."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    cfg = EngineConfig(crawl_level=2, compact_every=1)
+    full = run_crawl(spark, fixture_pages, ROOT, cfg=EngineConfig(crawl_level=2))
+
+    store = CrawlStore(str(tmp_path / "auto_compact"))
+    compacted = run_crawl(spark, fixture_pages, ROOT, cfg, store=store)
+    assert compacted.to_sets() == full.to_sets()
+    assert compacted.processed_count == full.processed_count
+
+    # crash after wave 0 (already compacted+expired) → resume → identical
+    store2 = CrawlStore(str(tmp_path / "auto_compact_resume"))
+    assert (
+        run_crawl(
+            spark, fixture_pages, ROOT, cfg, store=store2, stop_after_wave=0
+        )
+        is None
+    )
+    resumed = run_crawl(spark, fixture_pages, ROOT, cfg, store=store2, resume=True)
+    assert resumed.to_sets() == full.to_sets()
+    assert resumed.processed_count == full.processed_count
+
+
 def test_sharded_bloom_zero_loss_10m(spark):
     """The 10^10 story's bucketed variant: per-bucket bloom shards over
     bucket(N, xxhash64(url)) must stay EXACT (no lost URLs) at 10^7

@@ -251,6 +251,28 @@ def test_dup_components_resolves_clusters(spark):
     }
 
 
+def test_redact_pii(spark):
+    """Emails/phones replaced with placeholders, counts audit-accurate,
+    clean text untouched."""
+    from photon_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.Example.org then +1 at 555-867-5309 ok"),
+            (2, "no pii here, just text with @ and 12-34 fragments"),
+            (3, "two mails x@y.io and z@w.co plus 800-555-0100"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.redact_pii(docs).collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> then +1 at <PHONE> ok"
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert got[2]["redacted"] == docs.collect()[1]["text"]
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    assert got[3]["redacted"] == "two mails <EMAIL> and <EMAIL> plus <PHONE>"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 1)
+
+
 def test_embedding_lsh_neardup_precision_and_recall(spark):
     """LSH-blocked near-dup vs exact global pairs: every emitted pair
     is real (precision 1.0); high-similarity pairs (cosine >= 0.95,
