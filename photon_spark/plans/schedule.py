@@ -130,3 +130,71 @@ def schedule_wave(
         else:
             out = out.repartition(partitions, F.col("host"))
     return out
+
+
+def host_rank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank-style host authority over the crawl's host link graph
+    (fixed iteration count, no dangling-mass redistribution) — feeds
+    F4-style frontier prioritization with a global signal the
+    reference's per-page heuristics can't see.
+
+    Declarative power iteration: `iters` rounds of (join contributions
+    on src, re-aggregate on dst). The only driver-side action is ONE
+    bounded scalar (the host count, used as a literal in the rank
+    expressions — same bounded-collect class as the bloom partials).
+    Each round is one shuffle keyed on host (partial aggregation
+    map-side); out-degrees are computed once and re-joined. At crawl
+    scale the host graph is orders of magnitude smaller than the URL
+    frontier (10^7 hosts for a 10^10 frontier), so a few rounds of
+    host-keyed shuffles are cheap relative to one frontier wave.
+
+    Returns (host, rank) with rank floor-rounded at 1e-6 — the
+    dialect-stable rounding used across the oracled queries (sums of
+    doubles are order-dependent at the last ulp; rounding far above it
+    makes Spark and the SQL twin byte-equal).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_hosts = nodes.count()  # bounded scalar; also materializes the cache
+    ranks = nodes.select("host", (F.lit(1.0) / F.lit(float(n_hosts))).alias("rank"))
+    # the loop references the edge+degree join and the node set once
+    # per round: persist them so the distinct/degree shuffles run once
+    # instead of O(iters) times when the final single action fires
+    ew = e.join(outdeg, "src").persist()
+    # The rank vector is |hosts| rows — orders of magnitude below the
+    # edge set — so it rides the loop as a BROADCAST side: each round
+    # is map-side join + one host-keyed partial-agg shuffle, and the
+    # per-round left join back onto nodes broadcasts the aggregated
+    # contributions. (For a host dimension too big to broadcast, drop
+    # the hints: the plan degrades to sort-merge joins on host.)
+    for _ in range(iters):
+        contrib = (
+            ew.join(F.broadcast(ranks), ew["src"] == ranks["host"])
+            .select(F.col("dst").alias("host"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / float(n_hosts)  # one IEEE div, = SQL twin
+        ranks = nodes.join(F.broadcast(contrib), "host", "left").select(
+            "host",
+            (
+                F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank")
+    )

@@ -678,6 +678,50 @@ def dedup_keepers(spark, sf):
     return dedupe.dup_components(pairs)
 
 
+# Host authority (PageRank power iteration, fixed 3 rounds) over a
+# deterministic synthetic host graph. The Spark side is ONE lazy plan
+# (plans/schedule.host_rank — no driver actions); the oracle unrolls
+# the same three rounds as plain CTEs. damping=0.75 because 0.75 and
+# 0.25 are exactly representable doubles — both engines compute the
+# same IEEE expression, and the 1e-6 floor-rounding absorbs
+# summation-order ulps.
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT o_orderkey % 100 AS src, (o_orderkey // 7) % 100 AS dst"
+    " FROM orders"
+)
+
+
+@q(
+    "host_pagerank",
+    f"WITH e AS ({_PR_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),"
+    " nn AS (SELECT COUNT(*) AS n FROM nodes),"
+    " r0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes, nn),"
+    " c1 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r0 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r1 AS (SELECT nodes.host, 0.25 / nn.n + 0.75 * COALESCE(c1.c, 0) AS rank"
+    "  FROM nodes LEFT JOIN c1 ON nodes.host = c1.host, nn),"
+    " c2 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r1 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r2 AS (SELECT nodes.host, 0.25 / nn.n + 0.75 * COALESCE(c2.c, 0) AS rank"
+    "  FROM nodes LEFT JOIN c2 ON nodes.host = c2.host, nn),"
+    " c3 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r2 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r3 AS (SELECT nodes.host, 0.25 / nn.n + 0.75 * COALESCE(c3.c, 0) AS rank"
+    "  FROM nodes LEFT JOIN c3 ON nodes.host = c3.host, nn)"
+    " SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r3",
+)
+def host_pr(spark, sf):
+    from photon_spark.plans.schedule import host_rank
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 100).alias("src"),
+        F.expr("(o_orderkey div 7) % 100").alias("dst"),
+    )
+    return host_rank(e, iters=3, damping=0.75)
+
+
 # PII redaction — training-data scrub pass reusing the crawl engine's
 # extractor shapes (operators/textstats.redact_pii). PII is PLANTED
 # deterministically (doc_id-derived email + phone appended with
@@ -724,6 +768,7 @@ from photon_spark.queries import Q  # noqa: E402
 
 _TAIL = (
     "t4_props_extract",  # regexp_extract sibling of t1; T4 itself is golden-pinned
+    "u1_except",  # subtract/intersect siblings; u1_intersect already parked
     "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",

@@ -357,6 +357,19 @@ def test_canonicalize_jvm_equals_pandas(spark):
     assert jvm == pd_, list(zip(urls, jvm, pd_))
 
 
+def test_host_rank_power_iteration(spark):
+    """host_rank ≡ hand-computed PageRank on a 4-node graph (2 rounds,
+    damping .75, no dangling redistribution): node 3 collects from
+    1,2,4; node 4 gets only the teleport term."""
+    from photon_spark.plans.schedule import host_rank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)], "src long, dst long"
+    )
+    got = {r["host"]: r["rank"] for r in host_rank(edges, iters=2, damping=0.75).collect()}
+    assert got == {1: 0.460938, 2: 0.15625, 3: 0.320313, 4: 0.0625}
+
+
 def test_priority_scoring_orders_budget_selection(spark):
     """F4 producer: with use_priority, fuzzable + shallow URLs win the
     per-host budget slots; without, selection is url-asc (Q12)."""
