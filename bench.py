@@ -46,6 +46,9 @@ HEADLINE = [
     "multimodal_binary_stats",
     "frontier_dedup_schedule",
     "f4_priority_scoring",
+    "pii_redact",
+    "stratified_sample_lang",
+    "gopher_quality",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -56,3 +56,33 @@ def split_assign(
         .when(_below(h, val_rate + test_rate), F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the class-balancing staple
+    (downsample boilerplate strata, keep rare ones whole). Same
+    md5-prefix selection as `hash_sample`, but the threshold is chosen
+    per stratum value; membership stays a pure per-row function (no
+    RNG, no shuffle, no partition dependence — a row's fate never
+    changes when other rows arrive). The hash keys on (key, stratum)
+    so re-labeling a row re-rolls it independently of its plain
+    hash_sample fate.
+
+    `rates` maps stratum value → keep rate; unlisted strata fall back
+    to `default_rate`. Scan-side only: at 100 TB this is a map-only
+    pass with the strata thresholds folded into one CASE expression.
+    """
+    h = _hex_prefix(F.concat(F.col(key_col).cast("string"), F.lit("|"), F.col(strata_col)))
+    cond = None
+    for value, rate in sorted(rates.items()):
+        c = (F.col(strata_col) == value) & _below(h, rate)
+        cond = c if cond is None else cond | c
+    others = ~F.col(strata_col).isin(*rates.keys()) & _below(h, default_rate)
+    cond = others if cond is None else cond | others
+    return df.filter(cond)

@@ -164,6 +164,66 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality gates (Rae et al. 2021, §A1.1
+    heuristics — public paper): mean word length window, duplicate-token
+    fraction, most-frequent-token fraction, symbol ratio, and the
+    combined keep flag.
+
+    The per-doc scalars are scan-side JVM expressions (narrow). The
+    most-frequent-token fraction needs a per-(doc, token) count:
+    explode → two-level aggregation, both map-side combinable, keyed on
+    doc_id — ONE exchange of (doc_id, token, partial count) rows, which
+    at 100 TB is the standard word-count shape (the explode never
+    materializes: it feeds the partial hash agg inside the same stage).
+    All ratios are exact-integer IEEE divisions, so the threshold
+    comparisons and the 1e-6 floor-rounding are bit-identical across
+    engines (driver oracle).
+    """
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    narrow = documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ((F.length("text") - (n - F.lit(1))).cast("double") / n.cast("double")).alias(
+            "mwl"
+        ),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+        ).alias("dtf"),
+        (
+            F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("sr"),
+    )
+    top = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = narrow.join(top, "doc_id")
+    ttf = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+    keep = (
+        (F.col("mwl") >= 3.0)
+        & (F.col("mwl") <= 10.0)
+        & (F.col("dtf") < 0.5)
+        & (ttf < 0.2)
+        & (F.col("sr") < 0.1)
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        r6(F.col("mwl")).alias("mean_word_len"),
+        r6(F.col("dtf")).alias("dup_token_frac"),
+        r6(ttf).alias("top_token_frac"),
+        r6(F.col("sr")).alias("symbol_ratio"),
+        keep.alias("gopher_keep"),
+    )
+
+
 # PII patterns on the Java/RE2-agreeing regex subset (same caveat as
 # BPE_ISH_PATTERN): training-data redaction reuses the crawl engine's
 # extractor shapes (reference regexes core/regex.py — emails/phones are
@@ -247,3 +307,47 @@ def winnow_fingerprints(
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
     return src.mapInPandas(run, schema="doc_id long, fp string")
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic two-aggregation
+    pipeline: word-count-shaped (doc, term) partial agg, a vocabulary
+    aggregation for document frequency, a term-keyed join back, and a
+    bounded per-doc ranking window. At 100 TB: both aggs are map-side
+    combinable; the tf⋈df join is term-keyed (AQE broadcasts the
+    vocabulary side when it fits); the window partitions by doc_id
+    with ≤|vocab per doc| rows — no global sort. One bounded scalar
+    collect (the corpus size for the IDF numerator).
+
+    Ranking uses the 1e-6 floor-ROUNDED score (then term asc): ln() can
+    differ by an ulp across engines, and ranking on the rounded value
+    keeps the emitted top-k identical (driver oracle).
+    """
+    from pyspark.sql import Window
+
+    n_docs = float(documents.count())
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (
+            F.floor(
+                F.col("tf") * F.log(F.lit(n_docs) / F.col("df")) * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -310,9 +310,11 @@ class UrlCuckoo:
         for kick in range(self.MAX_KICKS):
             slot = kick % self.SLOTS
             fp, self.table[i, slot] = int(self.table[i, slot]), fp
-            i = int(
-                (np.uint64(i) ^ ((np.uint64(fp) * _MIX) & np.uint64(self.nb - 1)))
-            )
+            # same alternate-bucket map as the vectorized probe:
+            # i ^ ((fp·MIX mod 2^64) & (nb-1)). Python-int math (with
+            # the explicit 2^64 wrap numpy did implicitly) avoids
+            # numpy's scalar-overflow RuntimeWarning.
+            i = i ^ (((fp * int(_MIX)) & ((1 << 64) - 1)) & (self.nb - 1))
             row = self.table[i]
             empty = np.nonzero(row == 0)[0]
             if empty.size:

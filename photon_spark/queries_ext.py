@@ -678,6 +678,91 @@ def dedup_keepers(spark, sf):
     return dedupe.dup_components(pairs)
 
 
+# TF-IDF top terms per document — the classic two-aggregation text
+# pipeline. Ranking keys on the floor-ROUNDED score (ln() may differ
+# by an ulp across engines) with term-asc tie-break, so the emitted
+# top-3 is engine-identical.
+@q(
+    "tfidf_topterms",
+    "WITH tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM"
+    " (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u"
+    " GROUP BY doc_id, tok),"
+    " dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " n AS (SELECT COUNT(*) AS n FROM documents),"
+    " scored AS (SELECT doc_id, term, tf,"
+    "  floor(tf * ln(CAST(n.n AS DOUBLE) / df) * 1000000.0 + 0.5) / 1000000.0"
+    "  AS score FROM tf JOIN dfreq USING (term), n),"
+    " ranked AS (SELECT doc_id, term, tf, score, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored)"
+    " SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3",
+)
+def tfidf_q(spark, sf):
+    return textstats.tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+# Stratified deterministic sampling — per-stratum md5 thresholds
+# (downsample dominant 'en', keep 'fr' whole, thin the rest). Oracle
+# recomputes the identical hash-prefix membership.
+@q(
+    "stratified_sample_lang",
+    "SELECT doc_id, lang FROM (SELECT doc_id, lang,"
+    " substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 4) AS h"
+    " FROM documents) t"
+    " WHERE (lang = 'en' AND h < '8000') OR (lang = 'de' AND h < '4000')"
+    " OR lang = 'fr'"
+    " OR (lang NOT IN ('en', 'de', 'fr') AND h < '1999')",
+)
+def strat_sample(spark, sf):
+    from photon_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 1.0},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+# Gopher-style repetition/quality gates (public Rae et al. 2021 §A1.1
+# heuristic family) — the training-data filter pass beyond
+# quality_score's length/stopword mix. All ratios are exact-integer
+# IEEE divisions ⇒ thresholds and 1e-6 floor-rounding agree
+# bit-for-bit across engines.
+@q(
+    "gopher_quality",
+    "WITH n AS (SELECT doc_id, text, string_split(text, ' ') AS toks,"
+    " len(string_split(text, ' ')) AS n_tokens FROM documents),"
+    " narrow AS (SELECT doc_id, n_tokens,"
+    "  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,"
+    "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS dtf,"
+    "  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)"
+    "   / length(text) AS sr FROM n),"
+    " top AS (SELECT doc_id, MAX(c) AS top_c FROM (SELECT doc_id, tok,"
+    "  COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM n) u"
+    "  GROUP BY doc_id, tok) g GROUP BY doc_id)"
+    " SELECT narrow.doc_id, n_tokens,"
+    "  floor(mwl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,"
+    "  floor(dtf * 1000000.0 + 0.5) / 1000000.0 AS dup_token_frac,"
+    "  floor(CAST(top_c AS DOUBLE) / n_tokens * 1000000.0 + 0.5) / 1000000.0"
+    "   AS top_token_frac,"
+    "  floor(sr * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,"
+    "  (mwl >= 3.0 AND mwl <= 10.0 AND dtf < 0.5"
+    "   AND CAST(top_c AS DOUBLE) / n_tokens < 0.2 AND sr < 0.1)"
+    "   AS gopher_keep"
+    " FROM narrow JOIN top ON narrow.doc_id = top.doc_id",
+)
+def gopher_q(spark, sf):
+    return textstats.gopher_quality(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_word_len",
+        "dup_token_frac",
+        "top_token_frac",
+        "symbol_ratio",
+        "gopher_keep",
+    )
+
+
 # Host authority (PageRank power iteration, fixed 3 rounds) over a
 # deterministic synthetic host graph. The Spark side is ONE lazy plan
 # (plans/schedule.host_rank — no driver actions); the oracle unrolls
@@ -769,6 +854,10 @@ from photon_spark.queries import Q  # noqa: E402
 _TAIL = (
     "t4_props_extract",  # regexp_extract sibling of t1; T4 itself is golden-pinned
     "u1_except",  # subtract/intersect siblings; u1_intersect already parked
+    "j2_union_dedup",  # trivial union+dropDuplicates; J-family gated via j1 + frontier_dedup_schedule
+    "sample_hash_deterministic",  # mechanism subsumed by stratified_sample_lang + split_assign_counts
+    "embed_centroids",  # simple groupBy-avg; embedding family gated via dedup_embedding_cosine + ann_cosine_topk
+    "window_tumbling_counts",  # windowing family gated via session_windows (richer shape)
     "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",

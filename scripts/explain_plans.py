@@ -36,6 +36,17 @@ EXPECT: dict[str, dict] = {
     "dedup_embedding_cosine": {},
     # one window shuffle + the single-file fact-table spread in _t
     "f4_priority_scoring": {"codegen": True, "max_exchanges": 2},
+    # scan-side regexp_replace chain: only _t's single-file spread may
+    # exchange
+    "pii_redact": {"codegen": True, "max_exchanges": 1},
+    # pure per-row hash filter: same bound
+    "stratified_sample_lang": {"codegen": True, "max_exchanges": 1},
+    # word-count agg + doc-keyed join of the narrow scalars: _t spread
+    # + (doc,tok) agg exchange + doc_id agg exchange + join exchanges
+    "gopher_quality": {"codegen": True},
+    # rank vector rides as broadcast; per-round agg exchanges remain
+    "host_pagerank": {"broadcast": True},
+    "tfidf_topterms": {"codegen": True},
 }
 
 

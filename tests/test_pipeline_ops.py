@@ -251,6 +251,91 @@ def test_dup_components_resolves_clusters(spark):
     }
 
 
+def test_stratified_sample(spark):
+    """Per-stratum rates hold; rate-1.0 stratum kept whole; membership
+    is a pure per-row function (stable under corpus subsetting)."""
+    from photon_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a") for i in range(1000)] + [(i, "b") for i in range(1000, 1100)] + [
+        (i, "c") for i in range(1100, 1110)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {"a": 0.25, "c": 1.0}, default_rate=0.5)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["c"] == 10                    # rate 1.0 → whole stratum
+    assert 200 <= by_lang["a"] <= 300            # ~250 of 1000
+    assert 30 <= by_lang["b"] <= 72              # default 0.5 of 100 (±4.5σ)
+    # determinism + subset stability: halving the input never changes
+    # a surviving row's fate
+    ids_full = {r["doc_id"] for r in kept.collect()}
+    half = df.filter(F.col("doc_id") % 2 == 0)
+    ids_half = {
+        r["doc_id"]
+        for r in stratified_sample(
+            half, "lang", {"a": 0.25, "c": 1.0}, default_rate=0.5
+        ).collect()
+    }
+    assert ids_half == {i for i in ids_full if i % 2 == 0}
+
+
+def test_tfidf_topk(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus, including the rounded-
+    score tie broken by term order."""
+    from photon_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in textstats.tfidf_topk(docs, k=2).collect()
+    }
+    assert got[(1, 1)] == ("apple", 2, 2.197225)   # 2·ln(3/1)
+    assert got[(1, 2)] == ("banana", 1, 0.405465)  # 1·ln(3/2)
+    # doc 2: equal scores → term-asc tie-break
+    assert got[(2, 1)] == ("banana", 1, 0.405465)
+    assert got[(2, 2)] == ("cherry", 1, 0.405465)
+    # doc 3: durian (1·ln3) outranks cherry (2·ln1.5)
+    assert got[(3, 1)] == ("durian", 1, 1.098612)
+    assert got[(3, 2)] == ("cherry", 2, 0.81093)
+
+
+def test_gopher_quality(spark):
+    """Hand-checked signals: a clean sentence keeps; a one-token-spam
+    doc fails the top-token gate; a symbol-heavy doc fails the symbol
+    gate."""
+    from photon_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "spam spam spam spam spam spam spam spam ok ok"),
+            (3, "a### b### c### d### e### f### g### h### i### j###"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.gopher_quality(docs).collect()}
+    # doc 1: 11 tokens, one dup ("the"): dtf = 1 - 10/11, top = 2/11
+    assert got[1]["n_tokens"] == 11
+    assert got[1]["dup_token_frac"] == round(1 - 10 / 11, 6)
+    assert got[1]["top_token_frac"] == round(2 / 11, 6)
+    assert got[1]["gopher_keep"] is True
+    # doc 2: "spam" is 8/10 of tokens → repetition gate trips
+    assert got[2]["top_token_frac"] == 0.8
+    assert got[2]["gopher_keep"] is False
+    # doc 3: 30 symbol chars / 49 chars → symbol gate trips
+    assert got[3]["symbol_ratio"] == round(30 / 49, 6)
+    assert got[3]["gopher_keep"] is False
+
+
 def test_redact_pii(spark):
     """Emails/phones replaced with placeholders, counts audit-accurate,
     clean text untouched."""

@@ -369,3 +369,43 @@ def test_streaming_dedup_first_arrival_only(spark, tmp_path):
     ids = {r["text"]: r["doc_id"] for r in rows}
     assert ids["cc"] == 5                       # and it's the FIRST arrival
     assert ids["aa"] in (1, 3) and ids["bb"] == 2
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The training-data scrub pass (redact_pii + stratified keep) runs
+    UNCHANGED on a stream: pure column expressions need no stateful
+    operator, so streaming output ≡ the DuckDB-oracled batch result.
+    This is the 100-TB ingest shape — filter/redact documents as crawl
+    waves land, before they ever hit the corpus store."""
+    from photon_spark.operators.sampling import stratified_sample
+    from photon_spark.operators.textstats import redact_pii
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/documents.parquet")
+    schema = batch.schema
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    (stream_dir / "documents.parquet").symlink_to(f"{sf}/documents.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+
+    def scrub(df):
+        kept = stratified_sample(df, "lang", {"en": 0.5}, default_rate=1.0)
+        return redact_pii(kept).select("doc_id", "n_emails", F.md5("redacted").alias("m"))
+
+    q = (
+        scrub(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scrub_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM scrub_out").collect()}
+    want = {tuple(r) for r in scrub(batch).collect()}
+    assert got == want
+    assert 0 < len(got) < batch.count()  # the 'en' stratum was thinned
