@@ -179,6 +179,32 @@ def ngram_jaccard_verify(
     )
 
 
+def ngram_containment_verify(
+    documents: DataFrame, pairs: DataFrame, k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs: |A∩B| / min(|A|,
+    |B|). The asymmetric companion to Jaccard — a short document
+    embedded verbatim in a long one (quote farms, boilerplate wrappers,
+    prefix/suffix dups) scores near 1.0 here while its Jaccard stays
+    low, so Jaccard-only pipelines keep the containment dup. Same
+    candidate-only join shape as `ngram_jaccard_verify` (never n²)."""
+    sh = documents.select("doc_id", shingles_col(F.col("text"), k).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    ).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cont * 1000000.0 + 0.5) / 1000000.0).alias("containment"),
+        )
+    )
+
+
 def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-dup pair graph → one keeper per
     duplicate cluster: (doc_id, keeper = min doc_id in its component).

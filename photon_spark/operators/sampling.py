@@ -86,3 +86,42 @@ def stratified_sample(
     others = ~F.col(strata_col).isin(*rates.keys()) & _below(h, default_rate)
     cond = others if cond is None else cond | others
     return df.filter(cond)
+
+
+def pack_shards(
+    documents: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget shard assignment — the corpus-assembly step
+    that turns a filtered document set into bounded training shards
+    (sequence-packing's coarse sibling). Docs are packed in
+    deterministic `key_col` order within each `group_col` stream; a doc
+    lands in shard floor(tokens_before_it / budget), so shards fill to
+    the budget then spill (a doc straddling the boundary goes to the
+    earlier shard, keeping assignment a pure prefix-sum function).
+
+    One exchange: the running sum partitions by group. At 100 TB a
+    single dominant group would serialize its window — the scalable
+    variant is the classic two-phase cumsum (per-partition partial
+    sums + broadcast offsets), worth switching to when a group exceeds
+    one executor's slice; group-per-source corpora rarely do.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = documents.select(
+        key_col, group_col, toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.select(
+        key_col,
+        group_col,
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {int(budget_tokens)}").alias("shard"),
+    )

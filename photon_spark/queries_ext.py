@@ -678,6 +678,50 @@ def dedup_keepers(spark, sf):
     return dedupe.dup_components(pairs)
 
 
+# Shingle containment — asymmetric near-dup verify over the SAME LSH
+# candidates as dedup_jaccard_verify (short-doc-inside-long-doc dups
+# that Jaccard misses). Oracle reuses the minhash-pair CTE.
+from photon_spark.queries import _MINHASH_SQL  # noqa: E402
+
+
+@q(
+    "dedup_containment_verify",
+    "WITH pairs AS ({minhash}),"
+    " toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " sh AS (SELECT doc_id, list_distinct(list_transform(range(0,"
+    " greatest(len(w) - 3, 0) + 1), i -> array_to_string(w[i+1:i+3], ' ')))"
+    " AS shingles FROM toks)"
+    " SELECT p.doc_a, p.doc_b,"
+    " floor((CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /"
+    " CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE))"
+    " * 1000000 + 0.5) / 1000000 AS containment"
+    " FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a"
+    " JOIN sh sb ON sb.doc_id = p.doc_b".format(minhash=_MINHASH_SQL),
+)
+def dd_containment(spark, sf):
+    from photon_spark.operators import dedupe
+
+    docs = _t(spark, sf, "documents")
+    return dedupe.ngram_containment_verify(docs, dedupe.minhash_lsh_pairs(docs))
+
+
+# Token-budget shard packing — greedy corpus assembly: deterministic
+# per-source prefix-sum, shard = tokens-before-doc div budget.
+@q(
+    "pack_shards_by_source",
+    "SELECT doc_id, source, n_tokens,"
+    " CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS shard FROM ("
+    " SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,"
+    " SUM(len(string_split(text, ' '))) OVER (PARTITION BY source"
+    " ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens"
+    " FROM documents) t",
+)
+def pack_q(spark, sf):
+    from photon_spark.operators.sampling import pack_shards
+
+    return pack_shards(_t(spark, sf, "documents"), budget_tokens=512)
+
+
 # TF-IDF top terms per document — the classic two-aggregation text
 # pipeline. Ranking keys on the floor-ROUNDED score (ln() may differ
 # by an ulp across engines) with term-asc tie-break, so the emitted
@@ -858,6 +902,8 @@ _TAIL = (
     "sample_hash_deterministic",  # mechanism subsumed by stratified_sample_lang + split_assign_counts
     "embed_centroids",  # simple groupBy-avg; embedding family gated via dedup_embedding_cosine + ann_cosine_topk
     "window_tumbling_counts",  # windowing family gated via session_windows (richer shape)
+    "dedup_containment_verify",  # candidate-verify sibling of dedup_jaccard_verify (canonical in-window)
+    "split_assign_counts",  # same md5-threshold mechanism as stratified_sample_lang (richer, in-window)
     "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",

@@ -46,7 +46,7 @@ def run_child(cores: int, n_urls: int, reps: int = 2) -> dict:
         repo=REPO,
         cores=cores,
         n_urls=n_urls,
-        reps=1 if big else reps,
+        reps=1 if big else 3,
         inner_reps=4 if big else 5,
     )
     out = subprocess.run(
@@ -114,8 +114,9 @@ def main():
         "salted two-stage cap). Wave = URL canonicalization (pure JVM",
         "expressions, whole-stage-codegen with the hash) → exact anti-join",
         "dedup vs `seen` → per-host politeness window. Steady state: untimed",
-        "warmup, then min of timed waves, best of 2 JVM sessions per",
-        "configuration.",
+        "warmup, then min of timed waves over repeated rounds in the",
+        "same JVM (steady state; sandbox load is bursty, so the min over",
+        "more rounds is the stabler estimator).",
         "",
         "Sandbox two-cluster-size protocol (no real cluster available): same",
         "job, same input within each pair, two parallelism levels in separate",

@@ -251,6 +251,54 @@ def test_dup_components_resolves_clusters(spark):
     }
 
 
+def test_containment_verify_catches_subset_dup(spark):
+    """A short doc fully embedded in a longer one: containment 1.0
+    while Jaccard stays well below — the asymmetric dup Jaccard-only
+    pipelines keep."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    cont = dedupe.ngram_containment_verify(docs, pairs).collect()[0]
+    jac = dedupe.ngram_jaccard_verify(docs, pairs).collect()[0]
+    assert cont["containment"] == 1.0       # all 4 of d1's shingles in d2
+    assert jac["jaccard"] == round(4 / 7, 6)
+
+
+def test_pack_shards(spark):
+    """Greedy prefix-sum packing: shards fill to the budget then
+    spill; groups pack independently."""
+    from photon_spark.operators.sampling import pack_shards
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b"),
+            (2, "s1", "c d e"),
+            (3, "s1", "f"),
+            (4, "s1", "g h i j"),
+            (5, "s2", "k l m n o p"),
+            (6, "s2", "q"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in pack_shards(docs, budget_tokens=5).collect()
+    }
+    # s1 tokens 2,3,1,4 → tokens-before 0,2,5,6 → shards 0,0,1,1
+    assert got[1] == (2, 0)
+    assert got[2] == (3, 0)
+    assert got[3] == (1, 1)
+    assert got[4] == (4, 1)
+    # s2 packs from zero independently
+    assert got[5] == (6, 0)
+    assert got[6] == (1, 1)
+
+
 def test_stratified_sample(spark):
     """Per-stratum rates hold; rate-1.0 stratum kept whole; membership
     is a pure per-row function (stable under corpus subsetting)."""
