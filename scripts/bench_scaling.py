@@ -37,17 +37,14 @@ spark.stop()
 """
 
 
-def run_child(cores: int, n_urls: int, reps: int = 2) -> dict:
-    # big waves: one JVM session, 4 timed waves (the min-of estimator
-    # converges just as well — waves are tens of seconds, noise is
-    # additive); small waves keep best-of-2-sessions × 5 waves
+def run_child_once(cores: int, n_urls: int) -> dict:
     big = n_urls >= 32_000_000
     code = CHILD.format(
         repo=REPO,
         cores=cores,
         n_urls=n_urls,
-        reps=1 if big else 3,
-        inner_reps=4 if big else 5,
+        reps=1 if big else 2,
+        inner_reps=3 if big else 5,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -60,6 +57,19 @@ def run_child(cores: int, n_urls: int, reps: int = 2) -> dict:
         if line.startswith("CHILD_RESULT "):
             return json.loads(line[len("CHILD_RESULT "):])
     raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
+
+
+def run_child(cores: int, n_urls: int, sessions: int = 2) -> dict:
+    # Sandbox load is bursty on a timescale of minutes — a whole JVM
+    # session can land in a slow window and skew one side of a pair by
+    # 15-20%. The declared estimator is steady-state capability: min
+    # wave time across `sessions` separate JVMs per configuration.
+    best = None
+    for _ in range(sessions):
+        r = run_child_once(cores, n_urls)
+        if best is None or r["urls_per_s"] > best["urls_per_s"]:
+            best = r
+    return best
 
 
 def main():

@@ -1,0 +1,59 @@
+"""Regenerate CORRECTNESS_LOCAL.md: full-registry oracle check at three
+scale factors (the driver's external gate samples the first 50 entries;
+this records all of them). Run with an otherwise-idle machine."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    n = len(e.queries())
+    n_or = len(e.oracle_sql())
+    sections = []
+    for sf in ("0.001", "0.01", "0.1"):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "check_oracles.py"),
+             f"/root/testdata/sf{sf}"],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+        )
+        lines = [
+            ln for ln in out.stdout.splitlines()
+            if ln.startswith("  ") or ln.startswith("all ")
+        ]
+        ok = any(ln.startswith(f"all {n} queries match") for ln in lines)
+        sections.append((sf, lines, ok))
+        print(f"sf{sf}: {'ALL MATCH' if ok else 'MISMATCH — inspect!'}")
+        if not ok:
+            print(out.stdout[-2000:])
+            sys.exit(1)
+
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    md = [
+        "# CORRECTNESS_LOCAL — full-registry Spark-vs-DuckDB verification",
+        "",
+        "The external driver gate records the first 50 registry entries; this is",
+        "the same comparison (scripts/check_oracles.py — row count, sorted",
+        f"columns, order-insensitive value multiset) over ALL {n} registry entries",
+        f"({n_or} oracled, {n - n_or} rows-only) at three scale factors. Regenerate:",
+        "`python scripts/gen_correctness_local.py`.",
+        "",
+        f"Generated {ts}.",
+    ]
+    for sf, lines, _ in sections:
+        md += ["", f"## sf{sf}", "```", *lines, "```"]
+    with open(os.path.join(REPO, "CORRECTNESS_LOCAL.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote CORRECTNESS_LOCAL.md")
+
+
+if __name__ == "__main__":
+    main()
