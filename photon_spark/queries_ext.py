@@ -684,6 +684,31 @@ def dedup_keepers(spark, sf):
 from photon_spark.queries import _MINHASH_SQL  # noqa: E402
 
 
+# End-to-end retention: the full dedup pipeline composed — LSH
+# candidates → connected components → drop every non-keeper → the
+# surviving corpus. Oracle: recursive CTE over the same minhash-pair
+# SQL. (Parked in _TAIL: the stages are individually gated in-window;
+# this entry pins their composition.)
+@q(
+    "dedup_retention",
+    "WITH RECURSIVE pairs AS ({minhash}),"
+    " edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "  UNION SELECT doc_b, doc_a FROM pairs),"
+    " reach AS (SELECT a AS node, a AS label FROM edges"
+    "  UNION SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node),"
+    " comp AS (SELECT node, min(label) AS keeper FROM reach GROUP BY node)"
+    " SELECT doc_id FROM documents WHERE doc_id NOT IN"
+    " (SELECT node FROM comp WHERE node <> keeper)".format(minhash=_MINHASH_SQL),
+)
+def dd_retention(spark, sf):
+    from photon_spark.operators import dedupe
+
+    docs = _t(spark, sf, "documents")
+    comp = dedupe.dup_components(dedupe.minhash_lsh_pairs(docs))
+    losers = comp.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 @q(
     "dedup_containment_verify",
     "WITH pairs AS ({minhash}),"
@@ -904,6 +929,7 @@ _TAIL = (
     "window_tumbling_counts",  # windowing family gated via session_windows (richer shape)
     "dedup_containment_verify",  # candidate-verify sibling of dedup_jaccard_verify (canonical in-window)
     "split_assign_counts",  # same md5-threshold mechanism as stratified_sample_lang (richer, in-window)
+    "dedup_retention",  # composition of in-window stages (minhash pairs + components)
     "topk_per_group",  # same ranking-window shape as f3_politeness_window
     "q6_forecast_revenue",
     "token_count",
