@@ -153,3 +153,47 @@ def test_cli_csv_export(spark, tmp_path):
         rows = {r[0]: r[1:] for r in csv.reader(f) if r}
     for name, vals in golden.items():
         assert set(rows.get(name, [])) == vals, name
+
+
+def test_spark_submit_pyfiles_deployment(spark, tmp_path):
+    """The north-rule deployment path: `spark-submit --py-files
+    photon_spark.zip cli.py ...` in a FRESH JVM (no repo on
+    sys.path — the zip is the only code shipped) reproduces the
+    golden dataset counts."""
+    import subprocess
+    import sys
+    import zipfile
+
+    pages_path = str(tmp_path / "pages_submit.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    zpath = str(tmp_path / "photon_spark.zip")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(repo, "photon_spark")):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, repo))
+
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            os.path.join(repo, "photon_spark", "cli.py"),
+            "-u", ROOT, "--pages", pages_path,
+            "-o", str(tmp_path / "out_submit"), "--partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    counts_line = next(
+        ln for ln in out.stdout.splitlines() if ln.startswith("datasets: ")
+    )
+    golden = oracle_crawl(page_bodies(), ROOT, crawl_level=2).datasets
+    want = ", ".join(
+        f"{k}={len(v)}" for k, v in sorted(golden.items()) if v
+    )
+    assert counts_line == f"datasets: {want}"
