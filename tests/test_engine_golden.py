@@ -116,3 +116,29 @@ def test_span_sequences_byte_equal(spark, fixture_pages):
         got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
         want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in src[row["doc_id"]]]
         assert got == want, row["doc_id"]
+
+
+def test_golden_invalid_custom_regex_suppressed(spark, fixture_pages):
+    """Q18: an unparseable -r regex is silently suppressed (the
+    reference swallows re.error in its thread pool) — crawl output is
+    identical to a run with no custom regex at all."""
+    cfg = EngineConfig(custom_regex=r"([unclosed")
+    eng = run_crawl(spark, fixture_pages, ROOT, cfg)
+    ora = oracle_crawl(page_bodies(), ROOT)
+    assert eng.datasets["custom"].count() == 0
+    assert_match(eng, ora)
+
+
+def test_empty_pages_table(spark):
+    """An empty web: every fetch misses ('dummy' body, Q11). The crawl
+    terminates after the level budget with the seed URL as the only
+    internal member and every extraction dataset empty."""
+    from fixtures.gen import pages_df
+
+    empty = pages_df(spark).limit(0)
+    res = run_crawl(spark, empty, ROOT)
+    sets = res.to_sets()
+    assert sets["internal"] == {ROOT}
+    for name in ("files", "scripts", "external", "fuzzable", "endpoints",
+                 "bad_intel", "custom", "keys"):
+        assert sets.get(name, set()) == set(), name
