@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         host_salts=args.salts,
     )
     fetcher = None
+    if not args.http and (args.header or args.cookie or args.user_agent):
+        # these flags only reach the wire through the HTTP fetch stage;
+        # the --pages table join has no transport to apply them to
+        print(
+            "warning: --header/--cookie/--user-agent have no effect without "
+            "--http (the --pages path reads a parquet table, not the wire)",
+            file=sys.stderr,
+        )
     if args.http:
         uas = (
             tuple(a.strip() for a in args.user_agent.split(",") if a.strip())

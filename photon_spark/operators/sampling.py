@@ -74,16 +74,28 @@ def stratified_sample(
     so re-labeling a row re-rolls it independently of its plain
     hash_sample fate.
 
-    `rates` maps stratum value → keep rate; unlisted strata fall back
-    to `default_rate`. Scan-side only: at 100 TB this is a map-only
-    pass with the strata thresholds folded into one CASE expression.
+    `rates` maps stratum value → keep rate; unlisted strata — including
+    NULL strata — fall back to `default_rate` (the isin membership test
+    is NULL for a NULL stratum, so it is coalesced to False rather than
+    silently dropping those rows regardless of default_rate). Scan-side
+    only: at 100 TB this is a map-only pass with the strata thresholds
+    folded into one CASE expression.
     """
-    h = _hex_prefix(F.concat(F.col(key_col).cast("string"), F.lit("|"), F.col(strata_col)))
+    h = _hex_prefix(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit("|"),
+            # NULL stratum → NULL concat → NULL hash; give it a sentinel
+            # so default_rate can select it (non-null hashes unchanged)
+            F.coalesce(F.col(strata_col), F.lit("\x00null")),
+        )
+    )
     cond = None
     for value, rate in sorted(rates.items()):
         c = (F.col(strata_col) == value) & _below(h, rate)
         cond = c if cond is None else cond | c
-    others = ~F.col(strata_col).isin(*rates.keys()) & _below(h, default_rate)
+    listed = F.coalesce(F.col(strata_col).isin(*rates.keys()), F.lit(False))
+    others = ~listed & _below(h, default_rate)
     cond = others if cond is None else cond | others
     return df.filter(cond)
 

@@ -391,9 +391,19 @@ class ShardedUrlCuckoo:
 
         def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
-            ck = UrlCuckoo.build_from_hashes(
-                pdf["h"].to_numpy(dtype=np.int64), per_shard
-            )
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            # never trust the caller's estimate over the shard's actual
+            # size: a skewed bucket (or an undersized `expected`) must
+            # degrade to a bigger shard table, not fail the crawl wave
+            # inside an executor task. Capacity doubles on the (rare)
+            # eviction-cycle failure as well.
+            cap = max(per_shard, h.size)
+            while True:
+                try:
+                    ck = UrlCuckoo.build_from_hashes(h, cap)
+                    break
+                except RuntimeError:
+                    cap *= 2
             return pd.DataFrame(
                 {"bucket": [b], "nb": [ck.nb], "table": [ck.table.tobytes()]}
             )

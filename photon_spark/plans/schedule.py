@@ -195,6 +195,12 @@ def host_rank(
                 F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
-    return ranks.select(
+    out = ranks.select(
         "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank")
-    )
+    ).localCheckpoint(eager=True)
+    # the checkpoint truncates lineage, so the loop caches can be
+    # released here instead of leaking into the shared session (the
+    # same leak class ivf_topk and dup_components were fixed for)
+    nodes.unpersist()
+    ew.unpersist()
+    return out

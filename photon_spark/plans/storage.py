@@ -156,11 +156,17 @@ class CrawlStore:
             tables.append(name)
         meta = dict(meta)
         meta["_base"] = {"wave": upto, "dir": base_dir, "tables": tables, "gen": gen}
-        self._write_manifest({"latest_wave": wave, "meta": meta})
         if prev_base:
-            shutil.rmtree(
-                os.path.join(self.root, prev_base["dir"]), ignore_errors=True
-            )
+            # the superseded base is NOT deleted here: a concurrent
+            # reader still holding the pre-swap manifest reads from it.
+            # It is retired into the manifest and physically removed by
+            # expire(), the one place files are allowed to disappear
+            # (Iceberg: rewrite_data_files leaves old files for expire
+            # _snapshots / remove_orphan_files to collect).
+            retired = list(meta.get("_retired_bases", []))
+            retired.append(prev_base["dir"])
+            meta["_retired_bases"] = retired
+        self._write_manifest({"latest_wave": wave, "meta": meta})
         return base_dir
 
     def expire(self) -> int:
@@ -175,6 +181,13 @@ class CrawlStore:
         if not base:
             return 0
         removed = 0
+        meta = dict(latest[1])
+        for d in meta.pop("_retired_bases", []):
+            p = os.path.join(self.root, d)
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        self._write_manifest({"latest_wave": latest[0], "meta": meta})
         for w_str, tables in latest[1].get("_waves_index", {}).items():
             if int(w_str) > base["wave"]:
                 continue

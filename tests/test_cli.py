@@ -155,6 +155,33 @@ def test_cli_csv_export(spark, tmp_path):
         assert set(rows.get(name, [])) == vals, name
 
 
+def test_cli_warns_transport_flags_without_http(spark, tmp_path, capsys):
+    """--header/--cookie/--user-agent without --http never reach a wire;
+    the CLI must say so instead of silently ignoring them (r2 ADVICE)."""
+    from photon_spark.cli import main
+
+    pages_path = str(tmp_path / "pages_warn.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    rc = main(
+        ["-u", ROOT, "--pages", pages_path, "-o", str(tmp_path / "out_warn"),
+         "--header", "X-Probe: 1", "--partitions", "4", "--salts", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "no effect without" in err and "--http" in err
+    # with --http (and a fake transport-free run we can't do here), the
+    # pure --pages path must NOT warn
+    capsys.readouterr()
+    rc = main(
+        ["-u", ROOT, "--pages", pages_path, "-o", str(tmp_path / "out_warn2"),
+         "--partitions", "4", "--salts", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "no effect without" not in capsys.readouterr().err
+
+
 def test_spark_submit_pyfiles_deployment(spark, tmp_path):
     """The north-rule deployment path: `spark-submit --py-files
     photon_spark.zip cli.py ...` in a FRESH JVM (no repo on

@@ -219,9 +219,14 @@ def test_store_compact_expire(spark, fixture_pages, tmp_path):
     # latest snapshot unaffected by expiry
     assert table_sets(store.load(spark, last)) == before
 
-    # second compaction generation replaces the first cleanly
+    # second compaction generation replaces the first cleanly — but the
+    # superseded base stays on disk (a reader of the old manifest must
+    # not lose its files) until expire() collects it
     base2 = store.compact(spark)
     assert base2 != base_dir
+    assert (tmp_path / "compact_store" / base_dir).exists()
+    assert table_sets(store.load(spark, last)) == before
+    assert store.expire() > 0
     assert not (tmp_path / "compact_store" / base_dir).exists()
     assert table_sets(store.load(spark, last)) == before
 
@@ -520,3 +525,25 @@ def test_sharded_cuckoo_distributed_build_zero_loss(spark):
 
     assert ck.delete(hashes[:100]) == 100
     assert not ck.might_contain(hashes[:100]).any()
+
+
+def test_sharded_cuckoo_undersized_expected_degrades_not_fails(spark):
+    """A grossly undersized `expected` (or one skewed bucket outgrowing
+    its (expected*2)//n_buckets slice) must NOT raise inside an executor
+    task and kill the crawl wave: the per-bucket builder sizes from the
+    shard's ACTUAL key count and doubles on eviction-cycle failure
+    (r2 ADVICE). The filter stays exact — zero false negatives."""
+    import numpy as np
+
+    from photon_spark.plans.frontier import ShardedUrlCuckoo
+
+    seen = spark.range(50_000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url")
+    )
+    # expected=64 → per_shard=64 while real shards hold ~6,250 keys each
+    ck = ShardedUrlCuckoo.build(seen, "url", expected=64, n_buckets=8)
+    hashes = np.array(
+        [r["h"] for r in seen.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    assert ck.might_contain(hashes).all()

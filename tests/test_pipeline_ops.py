@@ -329,6 +329,27 @@ def test_stratified_sample(spark):
     assert ids_half == {i for i in ids_full if i % 2 == 0}
 
 
+def test_stratified_sample_null_stratum(spark):
+    """NULL strata are 'unlisted': they follow default_rate instead of
+    vanishing unconditionally (the ~isin NULL trap — the membership
+    test is coalesced to False, r2 ADVICE)."""
+    from photon_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a") for i in range(100)] + [(i, None) for i in range(100, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # default_rate=1.0 keeps EVERY null-stratum row
+    kept_all = stratified_sample(df, "lang", {"a": 0.5}, default_rate=1.0)
+    assert kept_all.filter(F.col("lang").isNull()).count() == 200
+    # default_rate=0.0 drops them all; listed strata unaffected
+    kept_none = stratified_sample(df, "lang", {"a": 0.5}, default_rate=0.0)
+    assert kept_none.filter(F.col("lang").isNull()).count() == 0
+    assert kept_none.count() == kept_all.filter("lang = 'a'").count()
+    # a fractional default applies to nulls too (binomial ±4.5σ band)
+    kept_half = stratified_sample(df, "lang", {"a": 0.5}, default_rate=0.5)
+    n_null = kept_half.filter(F.col("lang").isNull()).count()
+    assert 68 <= n_null <= 132
+
+
 def test_tfidf_topk(spark):
     """Hand-computed TF-IDF on a 3-doc corpus, including the rounded-
     score tie broken by term order."""
