@@ -29,16 +29,56 @@ Q: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 _DIM_TABLES = frozenset({"nation", "region", "supplier", "part", "customer"})
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Below this size the round-robin exchange costs more than the
+# single-core map work it parallelizes (measured r2: j1 0.39→0.54s,
+# dedup_exact 0.38→0.62s on ~1-4MB inputs) — skip the spread.
+_SPREAD_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    """Load one testdata table.
+
+    The driver's testdata is one single-row-group parquet file per
+    table, so byte-range splitting cannot parallelize the scan and
+    EVERY map-side computation (partial aggregation, projection
+    arithmetic, filters' residual work) lands on one core. `spread`
+    controls the round-robin repartition that fixes this:
+
+    - None (default): auto — spread fact tables at/above 8MB, where the
+      exchange pays for itself even on cheap map work; below that the
+      exchange costs more than the single-core map it parallelizes
+      (measured r2: j1 0.39→0.54s, dedup_exact 0.38→0.62s).
+    - True: force the spread — for compute-heavy per-row operators
+      (shingling, hashing, numpy batches) where even a sub-MB table is
+      minutes of single-core CPU (measured r2: minhash 2.1× faster on
+      the 0.6MB documents table).
+    - False: never (dimension-style access).
+
+    Real multi-file datasets arrive already split and skip all of this
+    (the partition-count check); Catalyst pushes filters through the
+    repartition, so scans stay pruned either way.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The driver's testdata is one single-row-group parquet file per
-    # table, so byte-range splitting cannot parallelize the scan and
-    # EVERY map-side computation (partial aggregation, projection
-    # arithmetic, filters' residual work) lands on one core. Spread the
-    # fact tables once at load; Catalyst pushes filters through the
-    # repartition, so scans stay pruned. Real multi-file datasets
-    # arrive already split and skip this.
-    if name not in _DIM_TABLES:
+    if spread is None:
+        spread = (
+            name not in _DIM_TABLES
+            and _table_bytes(sf_dir, name) >= _SPREAD_MIN_BYTES
+        )
+    if spread:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
@@ -447,7 +487,7 @@ FROM buckets, unnest(ids) AS ta(a), unnest(ids) AS tb(b2) WHERE a < b2
 
 @q("dedup_minhash_pairs", _MINHASH_SQL)
 def dd_minhash(spark, sf):
-    return dedupe.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    return dedupe.minhash_lsh_pairs(_t(spark, sf, "documents", spread=True))
 
 
 _JACCARD_SQL = f"""
@@ -465,14 +505,14 @@ FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
 
 @q("dedup_jaccard_verify", _JACCARD_SQL)
 def dd_jacc(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     return dedupe.ngram_jaccard_verify(docs, dedupe.minhash_lsh_pairs(docs))
 
 
 # SimHash: no clean SQL equivalent (bit-majority voting) → rows-only check.
 @q("dedup_simhash", None)
 def dd_simhash(spark, sf):
-    return dedupe.simhash64(_t(spark, sf, "documents"))
+    return dedupe.simhash64(_t(spark, sf, "documents", spread=True))
 
 
 _ANN_SQL = """
@@ -497,7 +537,7 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 
 @q("ann_cosine_topk", _ANN_SQL)
 def ann_bf(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
@@ -505,7 +545,7 @@ def ann_bf(spark, sf):
 # rows-only check here; recall vs brute force asserted in pytest.
 @q("ann_lsh_topk", None)
 def ann_lsh(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     return similarity.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
@@ -516,7 +556,7 @@ def ann_lsh(spark, sf):
     " GROUP BY label, i",
 )
 def centroids(spark, sf):
-    return similarity.label_centroids(_t(spark, sf, "embeddings"))
+    return similarity.label_centroids(_t(spark, sf, "embeddings", spread=True))
 
 
 _STOP_SQL_LIST = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"

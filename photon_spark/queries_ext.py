@@ -545,7 +545,7 @@ def tok_bpe(spark, sf):
     " s -> list_min(hs[s : s + 3])))) AS fp FROM h",
 )
 def fp_winnow(spark, sf):
-    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+    return textstats.winnow_fingerprints(_t(spark, sf, "documents", spread=True), k=8, w=4)
 
 
 # IVF ANN — k-means cells + probed exact re-rank. The deterministic
@@ -553,7 +553,7 @@ def fp_winnow(spark, sf):
 # and the n_probe==n_cells ≡ brute-force equivalence are pytest-pinned.
 @q("ann_ivf_topk", None)
 def ann_ivf(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
@@ -571,7 +571,7 @@ def ann_ivf(spark, sf):
 )
 def emb_neardup(spark, sf):
     return similarity.cosine_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.3, group_col="label"
+        _t(spark, sf, "embeddings", spread=True), threshold=0.3, group_col="label"
     )
 
 
@@ -638,7 +638,7 @@ def f4_priority(spark, sf):
 # classification is pytest-pinned).
 @q("lang_id_ngram", None)
 def lang_ngram(spark, sf):
-    return textstats.lang_id_ngram(_t(spark, sf, "documents"))
+    return textstats.lang_id_ngram(_t(spark, sf, "documents", spread=True))
 
 
 # LSH-blocked embedding near-dup — the unbounded-corpus path (no label
@@ -647,7 +647,7 @@ def lang_ngram(spark, sf):
 @q("dedup_embedding_lsh", None)
 def emb_neardup_lsh(spark, sf):
     return similarity.cosine_near_dup_pairs_lsh(
-        _t(spark, sf, "embeddings"), threshold=0.3
+        _t(spark, sf, "embeddings", spread=True), threshold=0.3
     )
 
 
@@ -703,7 +703,7 @@ from photon_spark.queries import _MINHASH_SQL  # noqa: E402
 def dd_retention(spark, sf):
     from photon_spark.operators import dedupe
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     comp = dedupe.dup_components(dedupe.minhash_lsh_pairs(docs))
     losers = comp.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti").select("doc_id")
@@ -726,7 +726,7 @@ def dd_retention(spark, sf):
 def dd_containment(spark, sf):
     from photon_spark.operators import dedupe
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     return dedupe.ngram_containment_verify(docs, dedupe.minhash_lsh_pairs(docs))
 
 
