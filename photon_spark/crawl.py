@@ -110,11 +110,26 @@ def assemble_intel(bad_intel: DataFrame, external: DataFrame) -> DataFrame:
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
-    return spark.createDataFrame([], schema=schema)
+    """Typed empty relation with a pure-JVM plan (session.jvm_empty):
+    createDataFrame([]) builds a Python-parallelize leaf whose scan
+    spins up a Python worker per partition on EVERY downstream action —
+    ~0.5s of fixed cost each time an empty accumulator's lineage
+    replays (measured on the fixture crawl: even `failed`.count() took
+    0.47s)."""
+    from photon_spark.session import jvm_empty
+
+    return jvm_empty(spark, schema)
 
 
 def _urls(spark: SparkSession, urls, colname: str = "url") -> DataFrame:
-    return spark.createDataFrame([(u,) for u in urls], schema=f"{colname} string")
+    """Small in-line URL list as a pure-JVM plan (explode of a literal
+    array — no Python-parallelize leg; see _empty)."""
+    urls = list(urls)
+    if not urls:
+        return _empty(spark, f"{colname} string")
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(u) for u in urls])).alias(colname)
+    )
 
 
 def run_crawl(
@@ -211,6 +226,21 @@ def run_crawl(
 
     metrics: list[dict] = list(meta.get("metrics", []))
 
+    # Constant across waves: build the robots-disallow relation once,
+    # JVM-only (inline of a literal struct array — no Python leaf).
+    disallows = None
+    if cfg.respect_robots and disallow_rules:
+        disallows = spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(F.lit(h).alias("host"), F.lit(p).alias("prefix"))
+                        for h, p in disallow_rules
+                    ]
+                )
+            )
+        )
+
     # Accumulators start from loaded state; per-wave pieces are unioned in.
     acc = {k: state[k] for k in STATE_SCHEMAS}
 
@@ -241,12 +271,9 @@ def run_crawl(
         links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
         if cfg.exclude:
             links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
-        if cfg.respect_robots and disallow_rules:
+        if disallows is not None:
             from photon_spark.plans.schedule import robots_gate
 
-            disallows = spark.createDataFrame(
-                disallow_rules, schema="host string, prefix string"
-            )
             links = robots_gate(links, disallows)
         links = links.persist()
         # ONE driver action for both loop-control counts (|internal| for
@@ -327,10 +354,16 @@ def run_crawl(
             # first commit carries the seed state (wave -1 has no dir)
             delta["internal"] = delta["internal"].unionByName(state["internal"])
 
+        # Only `internal` is deduped per wave — the loop itself reads it
+        # (the Q25 count compares SET sizes, and the anti-join feeds on
+        # it). Every other table is merged as a plain union and deduped
+        # ONCE at dataset construction: a per-wave dropDuplicates chain
+        # replays one shuffle per wave per table every time the final
+        # plan runs (O(waves) shuffles against O(1)).
         for k in delta:
             acc[k] = (
                 acc[k].unionByName(delta[k]).dropDuplicates()
-                if k not in ("processed", "waves")
+                if k == "internal"
                 else acc[k].unionByName(delta[k])
             )
         processed_count += n_sched
@@ -413,18 +446,21 @@ def run_crawl(
 
         intel = assemble_intel(acc["bad_intel"], acc["external"])
 
+    # The deferred dedup point for the union-only accumulators (see the
+    # merge loop): one distinct per table, total, instead of one per
+    # wave per table.
     datasets = {
-        "files": acc["files"].select("value"),
+        "files": acc["files"].select("value").distinct(),
         "intel": intel,
         "robots": _urls(spark, robots_urls, "value"),
-        "custom": acc["custom"].select("value"),
+        "custom": acc["custom"].select("value").distinct(),
         "failed": empty_vals,  # Q5: unreachable on the html path
         "internal": acc["internal"].select(F.col("url").alias("value")),
         "scripts": scripts.select("value") if not cfg.only_urls else empty_vals,
-        "external": acc["external"].select(F.col("url").alias("value")),
+        "external": acc["external"].select(F.col("url").alias("value")).distinct(),
         "fuzzable": fuzzable,
         "endpoints": endpoints,
-        "keys": acc["keys"].select("value"),
+        "keys": acc["keys"].select("value").distinct(),
     }
     body.unpersist()
     return CrawlResult(

@@ -205,24 +205,53 @@ def ngram_containment_verify(
     )
 
 
-def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_components(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over a near-dup pair graph → one keeper per
     duplicate cluster: (doc_id, keeper = min doc_id in its component).
 
     The missing last step of every dedup pipeline: LSH/verify emit
     PAIRS, but retention decisions need CLUSTERS (a-b, b-c must keep
     exactly one of {a,b,c}). Implementation is iterative min-label
-    propagation — per round, each node takes min(own label, neighbors'
-    labels); converges in O(component diameter) rounds, each one
-    self-contained shuffle (join + groupBy-min, map-side combinable).
-    Near-dup graphs have tiny diameters (dup clusters are dense), so
-    rounds ≈ 2-4 in practice; `max_iter` bounds adversarial chains.
-    The convergence check is fused into the propagation aggregate (the
-    node's previous label rides along as `min(CASE WHEN own)`), so each
-    round is exactly one shuffle job (checkpoint materialization) plus
-    one cheap scan of the checkpointed result — no separate old-vs-new
-    join. Labels are checkpointed so lineage stays O(1) per round.
+    propagation with a pointer-doubling shortcut (the MapReduce-CC
+    family of Kiveris et al., public): per round, each node takes
+    min(own label, neighbors' labels), then resolves its label through
+    the label table once more (label ← label[label]). The shortcut jumps
+    label chains two hops per round, so convergence is O(log diameter)
+    rounds — a 1,000-node chain settles in ~11 rounds where plain
+    propagation needs 1,000 — at the cost of one extra label-keyed
+    self-join per round (dup clusters are dense/tiny-diameter, so for
+    the common case the extra join is one cheap round). The convergence
+    check is fused into the propagation aggregate (the node's previous
+    label rides along as `min(CASE WHEN own)`) — no separate
+    old-vs-new join.
+
+    Labels are checkpointed each round so lineage stays O(1). By
+    default this is `localCheckpoint` — fast, but NOT fault-tolerant
+    (executor loss on a real cluster loses checkpointed partitions).
+    Pass `checkpoint_dir` (HDFS/object-store path in production) to
+    checkpoint label frames to reliable storage instead: each round's
+    labels are written as parquet and read back, so a lineage recompute
+    after executor loss re-reads files rather than replaying `max_iter`
+    shuffle rounds. Intermediate round files are removed on exit; the
+    final round's files back the returned DataFrame and must outlive it.
     """
+    import os
+    import shutil
+
+    spark = pairs.sparkSession
+
+    kept_paths: list[str] = []
+
+    def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = os.path.join(checkpoint_dir, f"labels_{tag}")
+        df.write.mode("overwrite").parquet(path)
+        kept_paths.append(path)
+        return spark.read.parquet(path)
+
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         edges.unionByName(
@@ -231,19 +260,19 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        "r0",
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("label"))
             .withColumn("own", F.lit(False))
         )
-        new = (
+        step = (
             labels.withColumn("own", F.lit(True))
             .unionByName(nbr)
             .groupBy("node")
@@ -253,13 +282,35 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 # recovers its previous label without a second join
                 F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
             )
-            .localCheckpoint(eager=True)
         )
+        # pointer-doubling shortcut: label ← label[label]. Labels are
+        # node ids, and a label's own label only ever shrinks, so the
+        # coalesce is monotone-safe; left join because a fully-resolved
+        # label (pointing at a component root) maps to itself. `step`
+        # feeds both sides of the self-join — persist it for the round
+        # so the propagation aggregate runs once, not twice.
+        step = step.persist()
+        lut = step.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        new = _ckpt(
+            step.join(lut, step["label"] == lut["l_node"], "left").select(
+                "node",
+                F.coalesce("l_label", "label").alias("label"),
+                "prev",
+            ),
+            f"r{i + 1}",
+        )
+        step.unpersist()
         changed = new.filter(F.col("label") != F.col("prev")).limit(1).count()
         labels = new.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
+    if checkpoint_dir is not None:
+        # all but the final round's files are dead weight on disk
+        for p in kept_paths[:-1]:
+            shutil.rmtree(p, ignore_errors=True)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
 
 

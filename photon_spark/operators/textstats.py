@@ -164,10 +164,18 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
-def gopher_quality(documents: DataFrame) -> DataFrame:
+def gopher_quality(
+    documents: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> DataFrame:
     """Gopher-style repetition/quality gates (Rae et al. 2021, §A1.1
-    heuristics — public paper): mean word length window, duplicate-token
-    fraction, most-frequent-token fraction, symbol ratio, and the
+    heuristics — public paper): doc length window (50–100k words by
+    default, the paper's bounds), mean word length window,
+    duplicate-token fraction, most-frequent-token fraction, symbol
+    ratio, alpha-word ratio (≥80% of words contain a letter),
+    bullet-line fraction (<90% of lines bullet-started) and
+    ellipsis-line fraction (<30% of lines ellipsis-ended), and the
     combined keep flag.
 
     The per-doc scalars are scan-side JVM expressions (narrow). The
@@ -182,6 +190,12 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     """
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
+    lines = F.split(F.col("text"), "\n")
+    nl = F.size(lines)
+    is_bullet = lambda l: (  # noqa: E731
+        l.startswith("- ") | l.startswith("* ") | l.startswith("•")
+    )
+    is_ellipsis = lambda l: l.endswith("...") | l.endswith("…")  # noqa: E731
     narrow = documents.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -195,6 +209,16 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
             F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")).cast("double")
             / F.length("text").cast("double")
         ).alias("sr"),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+            / n.cast("double")
+        ).alias("awf"),
+        (F.size(F.filter(lines, is_bullet)).cast("double") / nl.cast("double")).alias(
+            "blf"
+        ),
+        (F.size(F.filter(lines, is_ellipsis)).cast("double") / nl.cast("double")).alias(
+            "elf"
+        ),
     )
     top = (
         documents.select("doc_id", F.explode(toks).alias("tok"))
@@ -206,11 +230,16 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     out = narrow.join(top, "doc_id")
     ttf = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
     keep = (
-        (F.col("mwl") >= 3.0)
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mwl") >= 3.0)
         & (F.col("mwl") <= 10.0)
         & (F.col("dtf") < 0.5)
         & (ttf < 0.2)
         & (F.col("sr") < 0.1)
+        & (F.col("awf") >= 0.8)
+        & (F.col("blf") < 0.9)
+        & (F.col("elf") < 0.3)
     )
     r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     return out.select(
@@ -220,6 +249,9 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         r6(F.col("dtf")).alias("dup_token_frac"),
         r6(ttf).alias("top_token_frac"),
         r6(F.col("sr")).alias("symbol_ratio"),
+        r6(F.col("awf")).alias("alpha_word_frac"),
+        r6(F.col("blf")).alias("bullet_line_frac"),
+        r6(F.col("elf")).alias("ellipsis_line_frac"),
         keep.alias("gopher_keep"),
     )
 

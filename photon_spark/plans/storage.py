@@ -126,7 +126,9 @@ class CrawlStore:
             if paths:
                 out[name] = spark.read.parquet(*paths).dropDuplicates()
             else:
-                out[name] = spark.createDataFrame([], schema=schema)
+                from photon_spark.session import jvm_empty
+
+                out[name] = jvm_empty(spark, schema)
         return out
 
     def compact(self, spark: SparkSession, upto: int | None = None) -> str:

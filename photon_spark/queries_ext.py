@@ -800,12 +800,19 @@ def strat_sample(spark, sf):
 @q(
     "gopher_quality",
     "WITH n AS (SELECT doc_id, text, string_split(text, ' ') AS toks,"
-    " len(string_split(text, ' ')) AS n_tokens FROM documents),"
+    " len(string_split(text, ' ')) AS n_tokens,"
+    " string_split(text, chr(10)) AS lines FROM documents),"
     " narrow AS (SELECT doc_id, n_tokens,"
     "  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,"
     "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS dtf,"
     "  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)"
-    "   / length(text) AS sr FROM n),"
+    "   / length(text) AS sr,"
+    "  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))"
+    "   AS DOUBLE) / n_tokens AS awf,"
+    "  CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'"
+    "   OR l LIKE chr(8226) || '%')) AS DOUBLE) / len(lines) AS blf,"
+    "  CAST(len(list_filter(lines, l -> l LIKE '%...'"
+    "   OR l LIKE '%' || chr(8230))) AS DOUBLE) / len(lines) AS elf FROM n),"
     " top AS (SELECT doc_id, MAX(c) AS top_c FROM (SELECT doc_id, tok,"
     "  COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM n) u"
     "  GROUP BY doc_id, tok) g GROUP BY doc_id)"
@@ -815,8 +822,13 @@ def strat_sample(spark, sf):
     "  floor(CAST(top_c AS DOUBLE) / n_tokens * 1000000.0 + 0.5) / 1000000.0"
     "   AS top_token_frac,"
     "  floor(sr * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,"
-    "  (mwl >= 3.0 AND mwl <= 10.0 AND dtf < 0.5"
-    "   AND CAST(top_c AS DOUBLE) / n_tokens < 0.2 AND sr < 0.1)"
+    "  floor(awf * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,"
+    "  floor(blf * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,"
+    "  floor(elf * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,"
+    "  (n_tokens >= 50 AND n_tokens <= 100000"
+    "   AND mwl >= 3.0 AND mwl <= 10.0 AND dtf < 0.5"
+    "   AND CAST(top_c AS DOUBLE) / n_tokens < 0.2 AND sr < 0.1"
+    "   AND awf >= 0.8 AND blf < 0.9 AND elf < 0.3)"
     "   AS gopher_keep"
     " FROM narrow JOIN top ON narrow.doc_id = top.doc_id",
 )
@@ -828,6 +840,9 @@ def gopher_q(spark, sf):
         "dup_token_frac",
         "top_token_frac",
         "symbol_ratio",
+        "alpha_word_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
         "gopher_keep",
     )
 
@@ -920,21 +935,33 @@ def pii_red(spark, sf):
 
 from photon_spark.queries import Q  # noqa: E402
 
+# Round-to-round rotation of the driver's 50-entry correctness window
+# (VERDICT r2 item 3): every oracled entry gets a driver-green row at
+# least once. Parked here for r3: thirteen entries the driver verified
+# in BOTH r1 and r2 (hash-green twice) — making room for the thirteen
+# oracled entries that had only local/judge verification until now
+# (u1_except, j2_union_dedup, sample_hash_deterministic,
+# embed_centroids, window_tumbling_counts, dedup_containment_verify,
+# split_assign_counts, dedup_retention, topk_per_group,
+# q6_forecast_revenue, token_count, u1_intersect, fingerprint_md5).
+# The first 50 stay all-oracled. The final six entries are rows-only by
+# nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
-    "t4_props_extract",  # regexp_extract sibling of t1; T4 itself is golden-pinned
-    "u1_except",  # subtract/intersect siblings; u1_intersect already parked
-    "j2_union_dedup",  # trivial union+dropDuplicates; J-family gated via j1 + frontier_dedup_schedule
-    "sample_hash_deterministic",  # mechanism subsumed by stratified_sample_lang + split_assign_counts
-    "embed_centroids",  # simple groupBy-avg; embedding family gated via dedup_embedding_cosine + ann_cosine_topk
-    "window_tumbling_counts",  # windowing family gated via session_windows (richer shape)
-    "dedup_containment_verify",  # candidate-verify sibling of dedup_jaccard_verify (canonical in-window)
-    "split_assign_counts",  # same md5-threshold mechanism as stratified_sample_lang (richer, in-window)
-    "dedup_retention",  # composition of in-window stages (minhash pairs + components)
-    "topk_per_group",  # same ranking-window shape as f3_politeness_window
-    "q6_forecast_revenue",
-    "token_count",
-    "u1_intersect",
-    "fingerprint_md5",
+    # twice-driver-verified (r1 + r2), parked this round:
+    "t4_props_extract",  # regexp_extract sibling of t1; T4 golden-pinned
+    "t5_script_src_extract",
+    "t6_script_normalize",
+    "t7_endpoint_filter",
+    "s3_sitemap_locs",
+    "t10_exclude_filter",
+    "t11_fuzzable",
+    "a3_cardinality",  # exact twin; HLL sibling has its own pytest bound
+    "k2_export_shape",
+    "q4_order_priority",
+    "quantile_values",
+    "having_repeat_customers",
+    "rollup_lineitem_counts",
+    # rows-only (no SQL twin; recall/error-bound pytests instead):
     "dedup_simhash",
     "lang_id_ngram",
     "dedup_embedding_lsh",

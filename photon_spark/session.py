@@ -50,3 +50,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def split_schema(schema: str) -> list[tuple[str, str]]:
+    """'a string, b array<string>' → [(a, string), (b, array<string>)]
+    — split on top-level commas only."""
+    fields, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            depth += ch in "<("
+            depth -= ch in ">)"
+            cur.append(ch)
+    fields.append("".join(cur))
+    return [tuple(f.strip().split(None, 1)) for f in fields if f.strip()]
+
+
+def jvm_empty(spark: SparkSession, schema: str):
+    """Typed empty relation with a pure-JVM plan. createDataFrame([])
+    builds a Python-parallelize leaf whose scan spins up a Python
+    worker per partition on EVERY downstream action — ~0.5s of fixed
+    cost each time an empty accumulator's lineage replays."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(
+        *[F.expr(f"CAST(NULL AS {tp})").alias(name) for name, tp in split_schema(schema)]
+    )

@@ -50,7 +50,9 @@ class StreamingScheduler:
             f.endswith(".parquet") for f in os.listdir(self._seen_path)
         ):
             return self.spark.read.parquet(self._seen_path)
-        return self.spark.createDataFrame([], schema="url string")
+        from photon_spark.session import jvm_empty
+
+        return jvm_empty(self.spark, "url string")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch = one scheduling wave (idempotent per sink

@@ -251,6 +251,47 @@ def test_dup_components_resolves_clusters(spark):
     }
 
 
+def test_dup_components_chain_logarithmic_rounds(spark):
+    """A 1,000-edge chain (diameter 1,000) must fully resolve within
+    the default max_iter=20: the pointer-doubling shortcut makes
+    convergence O(log diameter), so plain propagation's 1,000 rounds
+    collapse to ~11. Every node's keeper is the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["keeper"] for r in dedupe.dup_components(pairs).collect()}
+    assert len(got) == 1001
+    assert set(got.values()) == {0}
+
+
+def test_dup_components_reliable_checkpoint(tmp_path, spark):
+    """checkpoint_dir variant: identical keepers to the localCheckpoint
+    path, and the returned frame survives a forced lineage recompute
+    (cache dropped, files re-read) — the fault-tolerance contract
+    localCheckpoint cannot give on a real cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)] + [(500, 501), (501, 502)],
+        "doc_a long, doc_b long",
+    )
+    base = dedupe.dup_components(pairs)
+    expected = {r["doc_id"]: r["keeper"] for r in base.collect()}
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = dedupe.dup_components(pairs, checkpoint_dir=ckdir)
+    got = {r["doc_id"]: r["keeper"] for r in reliable.collect()}
+    assert got == expected
+    # forced recompute: drop every cached block, then re-materialize —
+    # the plan must re-read the checkpoint parquet, not replay rounds
+    spark.catalog.clearCache()
+    again = {r["doc_id"]: r["keeper"] for r in reliable.collect()}
+    assert again == expected
+    assert "Scan parquet" in reliable._jdf.queryExecution().executedPlan().toString()
+    # only the final round's label files remain on disk
+    import os
+
+    leftover = [d for d in os.listdir(ckdir) if d.startswith("labels_")]
+    assert len(leftover) == 1
+
+
 def test_containment_verify_catches_subset_dup(spark):
     """A short doc fully embedded in a longer one: containment 1.0
     while Jaccard stays well below — the asymmetric dup Jaccard-only
@@ -378,9 +419,10 @@ def test_tfidf_topk(spark):
 
 
 def test_gopher_quality(spark):
-    """Hand-checked signals: a clean sentence keeps; a one-token-spam
-    doc fails the top-token gate; a symbol-heavy doc fails the symbol
-    gate."""
+    """Hand-checked signals across all §A1.1 gates: a clean sentence
+    keeps; a one-token-spam doc fails the top-token gate; a symbol-heavy
+    doc fails the symbol gate; bullet-started / ellipsis-ended lines,
+    letterless words, and the doc-length window each trip their gate."""
     from photon_spark.operators import textstats
 
     docs = spark.createDataFrame(
@@ -388,14 +430,24 @@ def test_gopher_quality(spark):
             (1, "the quick brown fox jumps over the lazy dog again today"),
             (2, "spam spam spam spam spam spam spam spam ok ok"),
             (3, "a### b### c### d### e### f### g### h### i### j###"),
+            (4, "- first bullet item\n- second bullet item\n• third one"),
+            (5, "story continues here...\nmore coming soon…\nplain line"),
+            (6, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890"),
         ],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: r for r in textstats.gopher_quality(docs).collect()}
+    # min_tokens=5: exercises every gate except length on short docs
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_quality(docs, min_tokens=5).collect()
+    }
     # doc 1: 11 tokens, one dup ("the"): dtf = 1 - 10/11, top = 2/11
     assert got[1]["n_tokens"] == 11
     assert got[1]["dup_token_frac"] == round(1 - 10 / 11, 6)
     assert got[1]["top_token_frac"] == round(2 / 11, 6)
+    assert got[1]["alpha_word_frac"] == 1.0
+    assert got[1]["bullet_line_frac"] == 0.0
+    assert got[1]["ellipsis_line_frac"] == 0.0
     assert got[1]["gopher_keep"] is True
     # doc 2: "spam" is 8/10 of tokens → repetition gate trips
     assert got[2]["top_token_frac"] == 0.8
@@ -403,6 +455,20 @@ def test_gopher_quality(spark):
     # doc 3: 30 symbol chars / 49 chars → symbol gate trips
     assert got[3]["symbol_ratio"] == round(30 / 49, 6)
     assert got[3]["gopher_keep"] is False
+    # doc 4: all 3 lines bullet-started ("-", "•") → bullet gate trips
+    assert got[4]["bullet_line_frac"] == 1.0
+    assert got[4]["gopher_keep"] is False
+    # doc 5: 2/3 lines end in "..." / "…" → ellipsis gate trips
+    assert got[5]["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert got[5]["gopher_keep"] is False
+    # doc 6: zero words contain a letter → alpha-word gate trips
+    assert got[6]["alpha_word_frac"] == 0.0
+    assert got[6]["gopher_keep"] is False
+    # Rae default length window: an 11-token doc fails min_tokens=50
+    deflt = {
+        r["doc_id"]: r for r in textstats.gopher_quality(docs).collect()
+    }
+    assert deflt[1]["gopher_keep"] is False
 
 
 def test_redact_pii(spark):
