@@ -27,6 +27,30 @@ one consolidated base + the recent tail.
 
 Scalar counters ride in the manifest meta (processed_count includes
 the reference's 'dummy' sentinel, Q11).
+
+Iceberg mapping (per interface call — what an Iceberg-backed
+implementation runs; the conformance suite in
+tests/test_storage_contract.py is the contract it must pass unchanged):
+
+| interface        | Iceberg equivalent                                       |
+|------------------|----------------------------------------------------------|
+| commit(w, Δ)     | per table: `MERGE INTO state.<t> t USING Δ s ON <pk>     |
+|                  | WHEN NOT MATCHED THEN INSERT *` — or a plain append +    |
+|                  | dedup-on-read, matching this store; one snapshot per     |
+|                  | wave, wave id + meta in snapshot summary properties      |
+| latest()         | current snapshot's summary (`snapshot().summary()`)      |
+| load(w)          | time travel: `VERSION AS OF <snapshot-of-wave-w>`        |
+| compact()        | `rewrite_data_files` (bin-pack) — readers of older       |
+|                  | snapshots keep their files                               |
+| expire()         | `expire_snapshots(older_than=base)` +                    |
+|                  | `remove_orphan_files` — pre-base time travel then raises |
+| reset()          | `DROP TABLE ... PURGE` + `CREATE TABLE`                  |
+| torn commit      | Iceberg's atomic metadata swap gives the same guarantee  |
+|                  | the manifest write-then-rename gives here                |
+
+Primary keys per table: url (internal/processed/external), value
+(files/custom/keys/bad_scripts), (url, name) (bad_intel),
+(url, level) (waves).
 """
 
 from __future__ import annotations

@@ -114,6 +114,55 @@ def requests_transport() -> Transport:
     return do
 
 
+class TooManyRedirects(Exception):
+    """Raised when a redirect chain exceeds the hop budget — the
+    engine-side twin of requests.TooManyRedirects. fetch_stage's broad
+    except maps it to the 'dummy' sentinel, exactly where the reference
+    lands: SESSION.max_redirects=3 (requester.py:8-9) makes requests
+    raise, and the reference's fetcher swallows it (Q6)."""
+
+
+REDIRECT_STATUSES = frozenset({301, 302, 303, 307, 308})
+
+SingleHop = Callable[[str, Mapping[str, str], float], Tuple[int, str, str, str | None]]
+
+
+def with_redirects(single_hop: SingleHop, max_redirects: int = 3) -> Transport:
+    """Redirect-following wrapper over a SINGLE-HOP transport — the
+    testable twin of the redirect handling `requests` performs inside
+    `requests_transport` (session.max_redirects=3, requester.py:8-9).
+
+    ``single_hop(url, headers, timeout) -> (status, content_type, text,
+    location)`` fetches exactly one response; this wrapper follows
+    301/302/303/307/308 Location hops (relative Locations resolved
+    against the current URL, per RFC 9110) up to `max_redirects`, then
+    raises TooManyRedirects — matching requests: three redirects are
+    followed, a fourth aborts the request. A 30x response WITHOUT a
+    Location header is returned as-is (requests treats it as a final
+    response). Headers are re-sent unchanged on every hop (requests
+    keeps the original header set across same-scheme redirects).
+
+    The ORIGINAL url — not the final hop — remains the row's identity
+    downstream: the wave loop marks the scheduled URL processed
+    (photon.py pops+marks the frontier URL; intermediate hop URLs are
+    never marked), so redirect targets rediscovered later are fetched
+    on their own merits.
+    """
+    from urllib.parse import urljoin
+
+    def do(url: str, headers: Mapping[str, str], timeout: float):
+        current = url
+        for _ in range(max_redirects + 1):
+            status, ctype, text, location = single_hop(current, headers, timeout)
+            if status in REDIRECT_STATUSES and location:
+                current = urljoin(current, location)
+                continue
+            return status, ctype, text
+        raise TooManyRedirects(f"exceeded {max_redirects} redirects for {url}")
+
+    return do
+
+
 def fetch_stage(
     wave: DataFrame,
     transport_factory: Callable[[], Transport] | None = None,

@@ -107,6 +107,91 @@ def test_fetch_stage_content_type_gate(spark):
     assert rows["http://x.test/a.txt"] == "PLAIN"
 
 
+def _redirect_site():
+    """Single-hop fake site: /r1→/r2→/r3→/final (3 redirects, legal),
+    /a→/b→/c→/d→/deep (4 redirects, over budget), /rel redirects with a
+    RELATIVE Location, /dead redirects into a connection failure."""
+
+    def hop(url, headers, timeout):
+        chains = {
+            "http://x.test/r1": (301, "http://x.test/r2"),
+            "http://x.test/r2": (302, "http://x.test/r3"),
+            "http://x.test/r3": (307, "http://x.test/final"),
+            "http://x.test/a": (301, "http://x.test/b"),
+            "http://x.test/b": (301, "http://x.test/c"),
+            "http://x.test/c": (301, "http://x.test/d"),
+            "http://x.test/d": (301, "http://x.test/deep"),
+            "http://x.test/rel": (303, "sub/page"),
+            "http://x.test/dead": (301, "http://x.test/gone"),
+        }
+        if url in chains:
+            status, loc = chains[url]
+            return status, "text/html", "", loc
+        if url == "http://x.test/gone":
+            raise ConnectionError(url)
+        if url == "http://x.test/noloc":
+            return 301, "text/html", "NO-LOCATION-BODY", None
+        return 200, "text/html", f"BODY:{url}", None
+
+    return hop
+
+
+def test_with_redirects_follows_up_to_three():
+    """≤3 hops followed to the final body; the 4th redirect raises —
+    requests.Session(max_redirects=3) parity (requester.py:8-9)."""
+    import pytest
+
+    from photon_spark.sources.fetch_http import TooManyRedirects, with_redirects
+
+    t = with_redirects(_redirect_site())
+    assert t("http://x.test/r1", {}, 1.0) == (
+        200, "text/html", "BODY:http://x.test/final"
+    )
+    with pytest.raises(TooManyRedirects):
+        t("http://x.test/a", {}, 1.0)
+    # relative Location resolves against the current URL (RFC 9110)
+    assert t("http://x.test/rel", {}, 1.0)[2] == "BODY:http://x.test/sub/page"
+    # 30x without Location is a final response, not a hop
+    assert t("http://x.test/noloc", {}, 1.0) == (
+        301, "text/html", "NO-LOCATION-BODY"
+    )
+
+
+def test_fetch_stage_redirect_and_error_paths(spark):
+    """Through the full Arrow stage: a legal chain lands the final
+    body under the ORIGINAL url (the row identity the wave loop marks
+    processed — intermediate hops are never marked); an over-budget
+    chain and a mid-chain transport failure both collapse to the
+    'dummy' sentinel, the reference's swallow-everything path (Q6)."""
+    from photon_spark.sources.fetch_http import with_redirects
+
+    def factory():
+        return with_redirects(_redirect_site())
+
+    wave = spark.createDataFrame(
+        [
+            ("http://x.test/r1", 0),   # 3 redirects: legal
+            ("http://x.test/a", 0),    # 4 redirects: over budget
+            ("http://x.test/dead", 0), # redirect into a dead host
+        ],
+        "url string, level int",
+    )
+    rows = {
+        r["url"]: r
+        for r in fetch_stage(wave, transport_factory=factory).collect()
+    }
+    # final body, keyed by the ORIGINAL scheduled url
+    assert rows["http://x.test/r1"]["body"] == "BODY:http://x.test/final"
+    assert rows["http://x.test/r1"]["status"] == 200
+    assert "http://x.test/final" not in rows  # hop urls are not rows
+    # TooManyRedirects → sentinel (status 0, failure mapping)
+    assert rows["http://x.test/a"]["body"] == DUMMY
+    assert rows["http://x.test/a"]["status"] == 0
+    # mid-chain ConnectionError → sentinel
+    assert rows["http://x.test/dead"]["body"] == DUMMY
+    assert rows["http://x.test/dead"]["status"] == 0
+
+
 def test_http_crawl_equals_join_crawl(spark):
     """Full crawl through the HTTP stage == full crawl through the
     pages-table join, dataset for dataset."""

@@ -1,0 +1,173 @@
+"""Storage-backend conformance suite (VERDICT r2 item 6).
+
+The contracts a CrawlStore implementation must satisfy — expressed
+against the thin interface only (commit / latest / load / compact /
+expire / reset), never against the Parquet layout — so an
+Iceberg-backed implementation (see the MERGE INTO mapping table in
+photon_spark/plans/storage.py) drops into `BACKENDS` and must pass
+unchanged. Synthetic frames only: no crawl, no fixture site.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from photon_spark.plans.storage import STATE_SCHEMAS, CrawlStore
+
+# An Iceberg (or Delta) backed store registers here; every test below
+# runs per backend.
+BACKENDS = [("parquet_manifest", CrawlStore)]
+
+
+@pytest.fixture(params=BACKENDS, ids=[b[0] for b in BACKENDS])
+def make_store(request, tmp_path):
+    _, cls = request.param
+    count = [0]
+
+    def factory():
+        count[0] += 1
+        return cls(str(tmp_path / f"store{count[0]}"))
+
+    return factory
+
+
+def _urls(spark, *urls):
+    from photon_spark.crawl import _urls as mk
+
+    return mk(spark, list(urls))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_contract_empty_store(spark, make_store):
+    """A fresh store has no snapshot; loading wave -1 yields a typed
+    empty frame per state table (schema contract, not layout)."""
+    store = make_store()
+    assert store.latest() is None
+    state = store.load(spark, -1)
+    assert set(state) == set(STATE_SCHEMAS)
+    for name, df in state.items():
+        assert df.count() == 0
+        assert df.schema == spark.createDataFrame([], STATE_SCHEMAS[name]).schema
+
+
+def test_contract_commit_latest_meta_roundtrip(spark, make_store):
+    """latest() tracks the newest committed wave and returns the
+    caller's meta payload (implementation-private keys aside)."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {"processed_count": 1})
+    store.commit(1, {"internal": _urls(spark, "http://b/")}, {"processed_count": 2})
+    wave, meta = store.latest()
+    assert wave == 1
+    assert meta["processed_count"] == 2
+
+
+def test_contract_snapshot_as_of(spark, make_store):
+    """load(w) is the union of all deltas ≤ w: later waves invisible,
+    rows re-discovered across waves deduplicated."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://a/", "http://b/")}, {})
+    store.commit(1, {"internal": _urls(spark, "http://b/", "http://c/")}, {})
+    store.commit(2, {"internal": _urls(spark, "http://d/")}, {})
+    assert _rows(store.load(spark, 1)["internal"]) == {
+        ("http://a/",), ("http://b/",), ("http://c/",)
+    }
+    assert _rows(store.load(spark, 2)["internal"]) == {
+        ("http://a/",), ("http://b/",), ("http://c/",), ("http://d/",)
+    }
+
+
+def test_contract_untouched_tables_stay_empty(spark, make_store):
+    """A wave that only touches some tables must not disturb the rest:
+    they load as typed empty frames."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {})
+    state = store.load(spark, 0)
+    assert state["external"].count() == 0
+    assert state["keys"].count() == 0
+
+
+def test_contract_compact_preserves_snapshots(spark, make_store):
+    """compact() must be invisible to readers: the consolidated
+    snapshot equals the pre-compaction one, and commits continue the
+    same lineage afterwards."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {})
+    store.commit(1, {"internal": _urls(spark, "http://b/")}, {"k": "v"})
+    before = _rows(store.load(spark, 1)["internal"])
+    store.compact(spark)
+    assert _rows(store.load(spark, 1)["internal"]) == before
+    store.commit(2, {"internal": _urls(spark, "http://c/")}, {})
+    assert _rows(store.load(spark, 2)["internal"]) == before | {("http://c/",)}
+
+
+def test_contract_time_travel_until_expire(spark, make_store):
+    """Pre-compaction snapshots stay readable until expire(); after
+    expire() they raise (Iceberg expire_snapshots semantics) while
+    at-or-post-base snapshots are unaffected."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {})
+    store.commit(1, {"internal": _urls(spark, "http://b/")}, {})
+    store.compact(spark)
+    # pre-base time travel still served by the raw deltas
+    assert _rows(store.load(spark, 0)["internal"]) == {("http://a/",)}
+    assert store.expire() > 0
+    with pytest.raises(ValueError):
+        store.load(spark, 0)
+    assert _rows(store.load(spark, 1)["internal"]) == {
+        ("http://a/",), ("http://b/",)
+    }
+
+
+def test_contract_expire_idempotent(spark, make_store):
+    """expire() on an un-compacted store is a no-op; a second expire()
+    after compaction removes nothing further."""
+    store = make_store()
+    assert store.expire() == 0
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {})
+    assert store.expire() == 0  # nothing compacted yet: no-op
+    store.commit(1, {"internal": _urls(spark, "http://b/")}, {})
+    store.compact(spark)
+    assert store.expire() > 0
+    assert store.expire() == 0
+
+
+def test_contract_reset_starts_new_lineage(spark, make_store):
+    """reset() makes prior waves invisible to subsequent commits —
+    no stale rows may leak into the new lineage's snapshots."""
+    store = make_store()
+    store.commit(0, {"internal": _urls(spark, "http://old/")}, {})
+    store.reset()
+    assert store.latest() is None
+    store.commit(0, {"internal": _urls(spark, "http://new/")}, {})
+    assert _rows(store.load(spark, 0)["internal"]) == {("http://new/",)}
+
+
+def test_contract_torn_commit_recovers(spark, make_store):
+    """A commit that crashed mid-write (data written, snapshot pointer
+    not swapped) leaves latest() at the previous wave; retrying the
+    commit succeeds and yields the correct snapshot."""
+    store = make_store()
+    if not hasattr(store, "_write_manifest"):
+        pytest.skip("crash injection hook is manifest-backend specific")
+    store.commit(0, {"internal": _urls(spark, "http://a/")}, {})
+
+    class Torn(Exception):
+        pass
+
+    real_swap = store._write_manifest
+
+    def crash(manifest):
+        raise Torn()
+
+    store._write_manifest = crash
+    with pytest.raises(Torn):
+        store.commit(1, {"internal": _urls(spark, "http://b/")}, {})
+    store._write_manifest = real_swap
+    assert store.latest()[0] == 0  # pointer never moved
+    store.commit(1, {"internal": _urls(spark, "http://b/")}, {})  # retry
+    assert _rows(store.load(spark, 1)["internal"]) == {
+        ("http://a/",), ("http://b/",)
+    }
