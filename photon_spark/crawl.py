@@ -65,12 +65,25 @@ class CrawlResult:
             out = out.unionByName(p)
         return out
 
-    def to_sets(self) -> dict[str, set]:
-        """Collect every dataset — test/CLI helper, not for big runs."""
-        return {
-            name: {r["value"] for r in df.collect()}
-            for name, df in self.datasets.items()
-        }
+    def to_sets(self, max_rows: int = 5_000_000) -> dict[str, set]:
+        """Collect every dataset — test/CLI helper, not for big runs.
+
+        Guarded: a dataset larger than ``max_rows`` raises instead of
+        OOMing the driver (use write_results_table for the scale path).
+        The guard costs nothing extra — ``limit(n+1)`` collects at most
+        one row beyond the bound.
+        """
+        out: dict[str, set] = {}
+        for name, df in self.datasets.items():
+            rows = df.limit(max_rows + 1).collect()
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"dataset {name!r} exceeds to_sets() driver-collect bound"
+                    f" ({max_rows} rows); use sinks.write_results_table for"
+                    f" large runs"
+                )
+            out[name] = {r["value"] for r in rows}
+        return out
 
 
 def assemble_intel(bad_intel: DataFrame, external: DataFrame) -> DataFrame:

@@ -4,10 +4,17 @@
   set against the corpus; the corpus side streams (one narrow pass +
   one shuffle for the per-query top-k window). The dot product is a
   built-in `aggregate(zip_with(...))` — JVM, no Python.
-* lsh_bucket_topk: the scale path — random-hyperplane LSH buckets
-  (deterministic planes derived from md5 of (plane, dim)), candidates
-  restricted to bucket collisions, exact cosine re-rank within. At
-  10^9 vectors the bucket join replaces the full scan per query.
+* ivf_topk: the preferred scale path — IVF cells from a driver-side
+  k-means over a bounded sample, probe the n_probe nearest cells per
+  query. On clustered corpora it dominates hyperplane LSH (measured
+  0.840 recall probing 1.6% of the corpus vs LSH's best 0.400 at
+  13.5% — BENCH/BASELINE.md): data-adaptive centroids capture the
+  cluster structure that data-oblivious random planes cannot.
+* lsh_bucket_topk: the no-training-pass fallback — random-hyperplane
+  LSH buckets (deterministic planes derived from md5 of (plane,
+  dim)), OR-construction over n_tables tables, exact cosine re-rank
+  within the union of bucket collisions. At 10^9 vectors the bucket
+  join replaces the full scan per query.
 
 Embeddings are pre-normalized once (norm stored) so cosine = dot.
 """
@@ -107,13 +114,15 @@ def _plane(plane: int, dims: int) -> list[float]:
     ]
 
 
-def _signature(unit_col, n_planes: int, dims: int):
-    """Hyperplane sign-bit string for a unit-vector column."""
+def _signature(unit_col, n_planes: int, dims: int, offset: int = 0):
+    """Hyperplane sign-bit string for a unit-vector column. ``offset``
+    shifts the plane indices so independent hash tables draw disjoint
+    plane sets (table t uses planes [t*n_planes, (t+1)*n_planes))."""
     bits = [
         F.when(
             _dot(
                 unit_col,
-                F.array(*[F.lit(w) for w in _plane(p, dims)]),
+                F.array(*[F.lit(w) for w in _plane(offset + p, dims)]),
             )
             >= 0,
             F.lit("1"),
@@ -128,30 +137,52 @@ def lsh_bucket_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     dims: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signature buckets,
-    exact re-rank within each bucket. Recall < 1 by design; the win is
-    that candidates shrink from |corpus| to the bucket population."""
-    def signature(unit_col):
-        return _signature(unit_col, n_planes, dims)
+    exact re-rank within. OR-construction over ``n_tables`` independent
+    hash tables (disjoint plane sets): a candidate qualifies if it
+    shares a bucket with the query in ANY table, which is the standard
+    recall fix for sign-bit LSH — one strict table at 8 planes recalls
+    ~2% of true top-10 neighbors on clustered 64-dim data, 8 tables
+    ~50% while probing ~4% of the corpus (measured, BENCH/BASELINE.md).
+
+    Scale shape: the corpus is exploded ×n_tables into (table-tagged
+    sig, vector) rows and hash-joined against the broadcast query
+    signatures — candidate volume is Σ bucket collisions over tables,
+    never |corpus|×|queries|; duplicate pair scores collapse in a
+    map-side-combinable max-agg before the per-query top-k window.
+    Recall < 1 by design; the win is candidates ≪ corpus per query."""
+    def table_sigs(unit_col):
+        return F.array(*[
+            F.concat(
+                F.lit(f"{t}:"),
+                _signature(unit_col, n_planes, dims, offset=t * n_planes),
+            )
+            for t in range(n_tables)
+        ])
 
     corpus = with_unit_vectors(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("unit").alias("cv"),
-    ).withColumn("sig", signature(F.col("cv")))
+    ).select(
+        "neighbor_id", "cv", F.explode(table_sigs(F.col("cv"))).alias("sig")
+    )
     qs = with_unit_vectors(queries).select(
         F.col(id_col).alias("query_id"),
         F.col("unit").alias("qv"),
-    ).withColumn("sig", signature(F.col("qv")))
+    ).select(
+        "query_id", "qv", F.explode(table_sigs(F.col("qv"))).alias("sig")
+    )
     scored = corpus.join(F.broadcast(qs), "sig").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
         F.round(_dot(F.col("cv"), F.col("qv")), 6).alias("cosine"),
-    )
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -68,11 +68,17 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
     lsh_set = {(r["query_id"], r["neighbor_id"]) for r in lsh}
     assert len(bf_set) == 25
-    # LSH returns a subset of true scores; recall is config-dependent but
-    # must be non-trivial at 4 planes on 64-dim clustered data.
+    # Everything here is deterministic (md5-derived planes, fixed data)
+    # so recall is an exact reproducible value, not a sample: 0.64 at
+    # 4 planes × 8 OR-tables on this corpus (scripts/bench_ann_quality.py;
+    # the single-table AND-only config measures 0.24 — the OR-construction
+    # is what makes sign-bit LSH usable for top-k).
     assert lsh_set, "LSH produced no candidates"
     recall = len(bf_set & lsh_set) / len(bf_set)
-    assert recall >= 0.2, recall
+    assert recall >= 0.64, recall
+    single = similarity.lsh_bucket_topk(emb, qs, k=5, n_planes=4, n_tables=1).collect()
+    single_set = {(r["query_id"], r["neighbor_id"]) for r in single}
+    assert len(bf_set & lsh_set) > len(bf_set & single_set)
     # LSH cosines are exact for the pairs it does return
     bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
     for r in lsh:
@@ -134,7 +140,9 @@ def test_ivf_recall_reasonable(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in bf}
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(want & got) / len(want)
-    assert recall >= 0.5, recall
+    # deterministic (lowest-id k-means init, fixed data): measured 0.88
+    # at 8 cells / 2 probes (scripts/bench_ann_quality.py grid)
+    assert recall >= 0.88, recall
 
 
 def test_multimodal_resize_and_frame_sample(spark, fixture_pages):
@@ -495,8 +503,11 @@ def test_redact_pii(spark):
 
 def test_embedding_lsh_neardup_precision_and_recall(spark):
     """LSH-blocked near-dup vs exact global pairs: every emitted pair
-    is real (precision 1.0); high-similarity pairs (cosine >= 0.95,
-    ~18 deg — band survival ~99%) are nearly all recalled."""
+    is real (precision 1.0), and recall matches the measured
+    deterministic grid (scripts/bench_ann_quality.py): the synthetic
+    corpus has NO pairs above cosine 0.6, so bounds are set at the
+    registry threshold 0.3, where the default 8-bit bands recall 0.089
+    and 4-bit bands (16 planes / 4 bands) recall 0.447."""
     from photon_spark.operators.similarity import (
         cosine_near_dup_pairs_lsh,
         with_unit_vectors,
@@ -522,10 +533,15 @@ def test_embedding_lsh_neardup_precision_and_recall(spark):
         for r in cosine_near_dup_pairs_lsh(emb, threshold=0.3).collect()
     }
     assert set(got) <= set(exact)            # precision 1.0
-    hi = {p for p, c in exact.items() if c >= 0.95}
-    if hi:
-        recall_hi = len(hi & set(got)) / len(hi)
-        assert recall_hi >= 0.8, recall_hi
+    assert len(set(got)) / len(exact) >= 0.089   # measured floor, 32/4
+    wide = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_pairs_lsh(
+            emb, threshold=0.3, n_planes=16, bands=4
+        ).collect()
+    }
+    assert wide <= set(exact)                # precision 1.0 at 4-bit bands
+    assert len(wide) / len(exact) >= 0.44    # measured floor, 16/4
 
 
 def test_lang_id_ngram_classifies_planted_texts(spark):
@@ -608,3 +624,23 @@ def test_multimodal_real_video_frame_sampling(spark, fixture_pages):
         picks = [i * len(real) // 4 for i in range(4)]
         want = [hashlib.sha1(real[p]).hexdigest() for p in picks]
         assert [s for _, s in sorted(frames)] == want
+
+
+def test_to_sets_driver_collect_guard(spark):
+    """CrawlResult.to_sets refuses to collect a dataset past max_rows
+    (VERDICT r2: the driver-side sink helpers must not OOM the driver
+    silently — write_results_table is the scale path)."""
+    import pytest as _pytest
+
+    from photon_spark.crawl import CrawlResult
+
+    big = spark.range(50).selectExpr("CAST(id AS STRING) AS value")
+    small = spark.range(3).selectExpr("CAST(id AS STRING) AS value")
+    res = CrawlResult(
+        datasets={"internal": big, "external": small},
+        waves=spark.range(0).selectExpr("CAST(id AS STRING) AS url", "0 AS level"),
+    )
+    with _pytest.raises(ValueError, match="driver-collect bound"):
+        res.to_sets(max_rows=10)
+    sets = res.to_sets(max_rows=100)
+    assert len(sets["internal"]) == 50 and len(sets["external"]) == 3
