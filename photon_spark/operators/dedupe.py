@@ -314,6 +314,69 @@ def dup_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
 
 
+def ngram_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents that share
+    ≥ ``min_overlap`` distinct k-word shingles with any benchmark/eval
+    item (the published pretraining-hygiene recipe: exact n-gram
+    overlap at n≈8-13, per GPT-3 appendix C / PaLM §6; nothing here
+    uses the model, only the n-gram join).
+
+    Returns (doc_id, bench_id, n_shared) for every contaminated
+    (document, benchmark item) pair. Both shingle sets are distinct
+    per side, so ``n_shared`` = |shingle-set intersection|.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    exploded benchmark side is broadcast — the corpus-side explode is
+    scan-local (narrow), the join is map-side, and the (doc_id,
+    bench_id) count is partial-aggregated before the only shuffle,
+    whose volume is bounded by the number of *matches*, not the
+    corpus. Set ``broadcast_benchmark=False`` for a benchmark too big
+    for the broadcast threshold (falls back to a shuffle hash join on
+    the shingle key).
+    """
+    d = documents.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+    ).filter(F.length("sh") > 0)
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+    ).filter(F.length("sh") > 0)
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        d.join(b, "sh")
+        .groupBy("doc_id", bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def decontaminated(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Corpus minus contaminated documents (whole-document removal,
+    the conservative published policy): anti-join against the flagged
+    doc_ids from `ngram_decontaminate`."""
+    flagged = ngram_decontaminate(
+        documents, benchmark, k=k, min_overlap=min_overlap,
+        text_col=text_col, bench_id_col=bench_id_col,
+    ).select("doc_id").distinct()
+    return documents.join(flagged, "doc_id", "left_anti")
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document — Arrow-vectorized pandas stage.
 

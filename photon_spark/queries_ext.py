@@ -933,6 +933,63 @@ def pii_red(spark, sf):
     )
 
 
+# Benchmark decontamination — the pretraining-hygiene n-gram-overlap
+# pass (operators/dedupe.ngram_decontaminate). The benchmark set is
+# synthesized deterministically from the corpus itself (20-word
+# excerpts, words 6-25, of every 41st document) so contamination
+# genuinely exists: the excerpted doc and any near-verbatim siblings
+# share full 8-gram shingles with the benchmark item. Oracle builds
+# the identical benchmark + shingle join in DuckDB (1-based inclusive
+# list slices: w[i+1:i+8] = 8 words = Spark slice(toks, i+1, 8)).
+_DECONTAM_BENCH_SQL = (
+    "SELECT doc_id AS bench_id,"
+    " array_to_string((string_split(text, ' '))[6:25], ' ') AS text"
+    " FROM documents WHERE doc_id % 41 = 0"
+)
+_DECONTAM_SH = (
+    "list_distinct(list_transform(range(0, greatest(len(w) - 8, 0) + 1),"
+    " i -> array_to_string(w[i+1:i+8], ' ')))"
+)
+_DECONTAM_HITS_SQL = (
+    f"WITH bench AS ({_DECONTAM_BENCH_SQL}),"
+    f" bsh AS (SELECT bench_id, unnest({_DECONTAM_SH}) AS sh"
+    f"  FROM (SELECT bench_id, string_split(text, ' ') AS w FROM bench) t),"
+    f" dsh AS (SELECT doc_id, unnest({_DECONTAM_SH}) AS sh"
+    f"  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)"
+    f" SELECT d.doc_id, b.bench_id, count(*) AS n_shared"
+    f" FROM dsh d JOIN bsh b USING (sh) GROUP BY d.doc_id, b.bench_id"
+)
+
+
+def _decontam_benchmark(docs):
+    return docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 6, 20)).alias("text"),
+    )
+
+
+@q("decontam_hits", _DECONTAM_HITS_SQL)
+def decontam_hits(spark, sf):
+    from photon_spark.operators.dedupe import ngram_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    return ngram_decontaminate(docs, _decontam_benchmark(docs)).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("bigint").alias("n_shared")
+    )
+
+
+@q(
+    "decontam_survivors",
+    f"SELECT doc_id FROM documents WHERE doc_id NOT IN"
+    f" (SELECT DISTINCT doc_id FROM ({_DECONTAM_HITS_SQL}) h)",
+)
+def decontam_surv(spark, sf):
+    from photon_spark.operators.dedupe import decontaminated
+
+    docs = _t(spark, sf, "documents")
+    return decontaminated(docs, _decontam_benchmark(docs)).select("doc_id")
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -644,3 +644,32 @@ def test_to_sets_driver_collect_guard(spark):
         res.to_sets(max_rows=10)
     sets = res.to_sets(max_rows=100)
     assert len(sets["internal"]) == 50 and len(sets["external"]) == 3
+
+
+def test_decontamination_planted_cross_doc(spark):
+    """A doc that embeds a benchmark excerpt verbatim (not just the
+    excerpt's source doc) is flagged; unrelated docs survive. Covers
+    the cross-doc case the registry's self-excerpt benchmark mostly
+    misses, plus the min_overlap knob."""
+    from photon_spark.operators.dedupe import decontaminated, ngram_decontaminate
+
+    words = [f"w{i}" for i in range(30)]
+    source = " ".join(words)                      # benchmark excerpted from this
+    excerpt = " ".join(words[5:25])               # 20 words, as the registry does
+    copier = "intro text here then " + excerpt + " and a tail"
+    clean = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, source), (1, copier), (2, clean)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(100, excerpt)], ["bench_id", "text"])
+
+    hits = ngram_decontaminate(docs, bench).collect()
+    flagged = {r["doc_id"] for r in hits}
+    assert flagged == {0, 1}
+    by_doc = {r["doc_id"]: r["n_shared"] for r in hits}
+    # 20-word excerpt -> 13 distinct 8-gram shingles, all shared
+    assert by_doc[0] == by_doc[1] == 13
+    survivors = {r["doc_id"] for r in decontaminated(docs, bench).collect()}
+    assert survivors == {2}
+    # raising min_overlap past the shared-shingle count clears the flag
+    assert ngram_decontaminate(docs, bench, min_overlap=14).count() == 0
