@@ -49,6 +49,8 @@ HEADLINE = [
     "pii_redact",
     "stratified_sample_lang",
     "gopher_quality",
+    "decontam_hits",
+    "pack_shards_twophase",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -137,3 +137,90 @@ def pack_shards(
         "n_tokens",
         F.expr(f"(cum_tokens - n_tokens) div {int(budget_tokens)}").alias("shard"),
     )
+
+
+def pack_shards_twophase(
+    documents: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`pack_shards` with the classic two-phase cumulative sum — the
+    scale path its docstring promises: a dominant group no longer
+    serializes through one window task.
+
+    Phase 1: range-partition by (group, key) and aggregate per
+    (partition, group) token totals — a tiny agg whose result is at
+    most num_partitions × groups-per-partition rows (bounded driver
+    collect). An exclusive prefix over partition order per group gives
+    each partition its group offset. Phase 2: one partition-local
+    Arrow pass accumulates the running sum from the broadcast offsets
+    — no window exchange at all; the only wide op is the range
+    partitioner itself, and a heavy group's work is spread over every
+    partition that holds its range.
+
+    Output is bit-identical to `pack_shards` (same prefix-sum
+    function, same shard boundaries) — pinned by pytest equality on a
+    single-group skew frame and by sharing its oracle SQL.
+    """
+    from collections import defaultdict
+
+    spark = documents.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    toks = F.size(F.split(F.col("text"), " "))
+    part = (
+        documents.select(key_col, group_col, toks.alias("n_tokens"))
+        .repartitionByRange(n, F.col(group_col), F.col(key_col))
+        .sortWithinPartitions(group_col, key_col)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # no persist needed: both the phase-1 agg and the returned frame
+    # hang off the SAME range-exchange RDD, so the second job reuses
+    # its shuffle files (skipped stages) instead of recomputing
+    sums = part.groupBy("pid", group_col).agg(
+        F.sum("n_tokens").alias("s")
+    ).collect()
+    by_group: dict = defaultdict(list)
+    for r in sums:
+        by_group[r[group_col]].append((r["pid"], r["s"]))
+    offsets: dict = {}
+    for g, lst in by_group.items():
+        run = 0
+        for pid, s in sorted(lst):
+            offsets[(pid, g)] = run
+            run += s
+    bc = spark.sparkContext.broadcast(offsets)
+    budget = int(budget_tokens)
+
+    key_t = dict(part.dtypes)[key_col]
+    group_t = dict(part.dtypes)[group_col]
+    out_schema = (
+        f"{key_col} {key_t}, {group_col} {group_t},"
+        f" n_tokens int, shard long"
+    )
+
+    def pack(batches):
+        state: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # rows arrive partition-sorted by (group, key); groups
+            # are contiguous, and a group spanning Arrow batches
+            # continues from `state`
+            starts = []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                start = state.get(g)
+                if start is None:
+                    start = bc.value.get((int(sub["pid"].iloc[0]), g), 0)
+                t64 = sub["n_tokens"].astype("int64")
+                cum_before = start + t64.cumsum() - t64
+                starts.append(cum_before // budget)
+                state[g] = start + int(sub["n_tokens"].sum())
+            import pandas as pd
+
+            out = pdf[[key_col, group_col, "n_tokens"]].copy()
+            out["shard"] = pd.concat(starts).astype("int64")
+            yield out
+
+    return part.mapInPandas(pack, schema=out_schema)

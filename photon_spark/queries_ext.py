@@ -978,6 +978,25 @@ def decontam_hits(spark, sf):
     )
 
 
+# Two-phase cumsum twin of pack_shards_by_source — IDENTICAL semantics
+# and oracle SQL (same prefix-sum function); only the physical plan
+# differs (range partition + partition-local Arrow pass instead of a
+# per-group window), so the hash gate doubles as an equality proof.
+@q(
+    "pack_shards_twophase",
+    "SELECT doc_id, source, n_tokens,"
+    " CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS shard FROM ("
+    " SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,"
+    " SUM(len(string_split(text, ' '))) OVER (PARTITION BY source"
+    " ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens"
+    " FROM documents) t",
+)
+def pack_2p(spark, sf):
+    from photon_spark.operators.sampling import pack_shards_twophase
+
+    return pack_shards_twophase(_t(spark, sf, "documents"), budget_tokens=512)
+
+
 @q(
     "decontam_survivors",
     f"SELECT doc_id FROM documents WHERE doc_id NOT IN"

@@ -673,3 +673,37 @@ def test_decontamination_planted_cross_doc(spark):
     assert survivors == {2}
     # raising min_overlap past the shared-shingle count clears the flag
     assert ngram_decontaminate(docs, bench, min_overlap=14).count() == 0
+
+
+def test_pack_shards_twophase_equals_window_on_skew(spark):
+    """The two-phase cumsum must be bit-identical to the window version
+    — including on its motivating case, a single dominant group that
+    spans many partitions (the window serializes it; two-phase spreads
+    it). Doc sizes vary so shard boundaries land mid-sequence."""
+    from photon_spark.operators.sampling import pack_shards, pack_shards_twophase
+
+    rows = [
+        (i, "words " * ((i * 7) % 23 + 1), "big" if i % 50 else f"s{i}")
+        for i in range(2000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["shard"])
+        for r in pack_shards(docs, budget_tokens=64).collect()
+    }
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["shard"])
+        for r in pack_shards_twophase(docs, budget_tokens=64, num_partitions=16).collect()
+    }
+    assert got == want
+    # the dominant group really does cross partitions (the scale claim)
+    from pyspark.sql import functions as F
+
+    pids = (
+        docs.filter(F.col("source") == "big")
+        .select("doc_id", "source")
+        .repartitionByRange(16, F.col("source"), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert pids > 1
