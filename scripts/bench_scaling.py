@@ -112,8 +112,13 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
+    # BENCH/BASELINE.md is hand-curated now (session histories, ANN
+    # grids, crawl numbers) — append the raw record instead of
+    # regenerating the file, and merge the best sessions by hand.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    return
     lines = [
         "# BENCH/BASELINE — frontier throughput + scaling efficiency",
         "",
