@@ -256,6 +256,120 @@ def gopher_quality(
     )
 
 
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 §A1.2, the
+    public heuristic family; same formulation as the open DataTrove /
+    NeMo-Curator reimplementations): duplicate line / paragraph
+    fractions, the character fractions contained in those duplicates,
+    and top-{2,3,4}-gram character coverage, plus the combined keep
+    flag at the paper's thresholds (dup-line 0.30, dup-para 0.30,
+    dup-line-chars 0.20, dup-para-chars 0.20, top-2/3/4-gram 0.20 /
+    0.18 / 0.16 — exceed ⇒ drop).
+
+    Coverage is defined as max over n-grams of
+    ``count(g) × len(g) / len(text)`` — for the most-frequent n-gram
+    this equals the paper's coverage, and taking the max over the
+    product (rather than "coverage of the argmax-by-count") makes the
+    statistic tie-break-free and engine-order-independent.
+
+    Scale shape: the line/paragraph signals are pure narrow JVM array
+    expressions (zero shuffle; ``Σ len(line) = len(text) − (n_lines−1)``
+    so only the distinct side needs an aggregate). The n-gram coverage
+    is ONE exchange: the three n-gram arrays are tagged and flattened
+    so a single explode → two-level hash agg (both halves map-side
+    combinable, keyed on doc_id) covers n ∈ {2,3,4} — the word-count
+    shape, linear at 100 TB. Divisions are exact-integer IEEE ops, so
+    the DuckDB oracle agrees bit-for-bit.
+    """
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    lines = F.split(F.col("text"), "\n")
+    paras = F.split(F.col("text"), "\n\n")
+    chars = F.length("text").cast("double")
+
+    def dup_fracs(arr: Column, n_seps: Column) -> tuple[Column, Column]:
+        n = F.size(arr)
+        distinct = F.array_distinct(arr)
+        total_len = F.length("text") - n_seps * (n - 1)
+        distinct_len = F.aggregate(
+            distinct, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        frac = (n - F.size(distinct)).cast("double") / n.cast("double")
+        char_frac = (total_len - distinct_len).cast("double") / chars
+        return frac, char_frac
+
+    dlf, dlcf = dup_fracs(lines, F.lit(1))
+    dpf, dpcf = dup_fracs(paras, F.lit(2))
+
+    def tagged_ngrams(n: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        # sequence(1, 0) would count DOWN; short docs get no n-grams
+        grams = F.when(n_tok >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    narrow = documents.select(
+        "doc_id",
+        dlf.alias("dlf"),
+        dpf.alias("dpf"),
+        dlcf.alias("dlcf"),
+        dpcf.alias("dpcf"),
+        chars.alias("chars"),
+    )
+    cov = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.flatten(F.array(tagged_ngrams(2), tagged_ngrams(3), tagged_ngrams(4)))
+            ).alias("t"),
+        )
+        .groupBy("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.col("c") * F.length("g")).alias("best"))
+        .groupBy("doc_id")
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("best"))
+        .select(
+            "doc_id",
+            F.col("2").alias("best2"),
+            F.col("3").alias("best3"),
+            F.col("4").alias("best4"),
+        )
+    )
+    out = narrow.join(cov, "doc_id", "left")
+    t2 = F.coalesce(F.col("best2").cast("double") / F.col("chars"), F.lit(0.0))
+    t3 = F.coalesce(F.col("best3").cast("double") / F.col("chars"), F.lit(0.0))
+    t4 = F.coalesce(F.col("best4").cast("double") / F.col("chars"), F.lit(0.0))
+    keep = (
+        (F.col("dlf") <= 0.30)
+        & (F.col("dpf") <= 0.30)
+        & (F.col("dlcf") <= 0.20)
+        & (F.col("dpcf") <= 0.20)
+        & (t2 <= 0.20)
+        & (t3 <= 0.18)
+        & (t4 <= 0.16)
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return out.select(
+        "doc_id",
+        r6(F.col("dlf")).alias("dup_line_frac"),
+        r6(F.col("dpf")).alias("dup_para_frac"),
+        r6(F.col("dlcf")).alias("dup_line_char_frac"),
+        r6(F.col("dpcf")).alias("dup_para_char_frac"),
+        r6(t2).alias("top_2gram_char_frac"),
+        r6(t3).alias("top_3gram_char_frac"),
+        r6(t4).alias("top_4gram_char_frac"),
+        keep.alias("repetition_keep"),
+    )
+
+
 # PII patterns on the Java/RE2-agreeing regex subset (same caveat as
 # BPE_ISH_PATTERN): training-data redaction reuses the crawl engine's
 # extractor shapes (reference regexes core/regex.py — emails/phones are

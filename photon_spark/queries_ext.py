@@ -847,6 +847,68 @@ def gopher_q(spark, sf):
     )
 
 
+# Gopher repetition-removal signals (Rae et al. 2021 §A1.2, public) —
+# the companion pass to gopher_quality's §A1.1 gates: duplicate
+# line/paragraph fractions + char fractions (narrow, zero shuffle) and
+# top-{2,3,4}-gram char coverage (one word-count-shaped exchange).
+# Same exact-integer-division + 1e-6 floor-rounding contract.
+@q(
+    "gopher_repetition",
+    "WITH base AS (SELECT doc_id, text,"
+    "  string_split(text, ' ') AS toks,"
+    "  len(string_split(text, ' ')) AS n_tokens,"
+    "  string_split(text, chr(10)) AS lines,"
+    "  string_split(text, chr(10) || chr(10)) AS paras,"
+    "  CAST(length(text) AS DOUBLE) AS chars FROM documents),"
+    " narrow AS (SELECT doc_id, chars,"
+    "  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)"
+    "   / len(lines) AS dlf,"
+    "  CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)"
+    "   / len(paras) AS dpf,"
+    "  CAST((length(text) - (len(lines) - 1)) - coalesce(list_sum("
+    "   list_transform(list_distinct(lines), x -> length(x))), 0)"
+    "   AS DOUBLE) / chars AS dlcf,"
+    "  CAST((length(text) - 2 * (len(paras) - 1)) - coalesce(list_sum("
+    "   list_transform(list_distinct(paras), x -> length(x))), 0)"
+    "   AS DOUBLE) / chars AS dpcf FROM base),"
+    " grams AS ("
+    "  SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1,"
+    "   n_tokens - 1), i -> array_to_string(toks[i:i+1], ' '))) AS g"
+    "   FROM base WHERE n_tokens >= 2"
+    "  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1,"
+    "   n_tokens - 2), i -> array_to_string(toks[i:i+2], ' ')))"
+    "   FROM base WHERE n_tokens >= 3"
+    "  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1,"
+    "   n_tokens - 3), i -> array_to_string(toks[i:i+3], ' ')))"
+    "   FROM base WHERE n_tokens >= 4),"
+    " cov AS (SELECT doc_id, n, MAX(c * length(g)) AS best FROM"
+    "  (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g) t"
+    "  GROUP BY doc_id, n),"
+    " piv AS (SELECT doc_id,"
+    "  MAX(CASE WHEN n = 2 THEN best END) AS best2,"
+    "  MAX(CASE WHEN n = 3 THEN best END) AS best3,"
+    "  MAX(CASE WHEN n = 4 THEN best END) AS best4 FROM cov GROUP BY doc_id)"
+    " SELECT narrow.doc_id,"
+    "  floor(dlf * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,"
+    "  floor(dpf * 1000000.0 + 0.5) / 1000000.0 AS dup_para_frac,"
+    "  floor(dlcf * 1000000.0 + 0.5) / 1000000.0 AS dup_line_char_frac,"
+    "  floor(dpcf * 1000000.0 + 0.5) / 1000000.0 AS dup_para_char_frac,"
+    "  floor(coalesce(best2 / chars, 0.0) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS top_2gram_char_frac,"
+    "  floor(coalesce(best3 / chars, 0.0) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS top_3gram_char_frac,"
+    "  floor(coalesce(best4 / chars, 0.0) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS top_4gram_char_frac,"
+    "  (dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20"
+    "   AND coalesce(best2 / chars, 0.0) <= 0.20"
+    "   AND coalesce(best3 / chars, 0.0) <= 0.18"
+    "   AND coalesce(best4 / chars, 0.0) <= 0.16) AS repetition_keep"
+    " FROM narrow LEFT JOIN piv ON narrow.doc_id = piv.doc_id",
+)
+def gopher_rep_q(spark, sf):
+    return textstats.gopher_repetition(_t(spark, sf, "documents"))
+
+
 # Host authority (PageRank power iteration, fixed 3 rounds) over a
 # deterministic synthetic host graph. The Spark side is ONE lazy plan
 # (plans/schedule.host_rank — no driver actions); the oracle unrolls

@@ -1,0 +1,272 @@
+"""S6 WARC archive source — ingest Common-Crawl-style WARC files into
+the engine's span-document pages table, so every downstream stage
+(extraction, intel, dedup, quality) runs over crawl archives without a
+live fetch.
+
+The reference has no archive ingestion (its only inputs are a live
+socket and CLI seeds, photon.py:160-170); this is engine-breadth for
+the training-data pipeline: Common Crawl publishes ~100 TB/crawl as
+gzipped WARC segments, and "read the archive, don't re-crawl" is the
+first stage of every LLM data pipeline built on it.
+
+Scale design
+------------
+* One WARC file per task via ``spark.read.format("binaryFile")``.
+  WARC gzip members are per-record (the Common Crawl convention) but
+  the *file* is not block-splittable without an external index, so
+  file-level parallelism is the standard strategy (CC segments are
+  ~1 GB each, ~64k files per crawl — far more files than executors,
+  so per-file tasks saturate any cluster; binaryFile caps single
+  files at 2 GB which CC segments respect).
+* Parsing happens inside ``mapInPandas`` — Arrow-batched, zero
+  per-row Python UDF calls; record rows are emitted in bounded
+  chunks so a 1 GB segment never materializes as one Arrow batch.
+* The emitted table is columnar (url, status, content_type, body)
+  and immediately benefits from parquet re-write + predicate
+  pushdown; ``warc_to_pages`` is pure JVM (no Python) so the
+  span-document adaptation adds no serialization cost.
+
+Format notes (ISO 28500, the public WARC/1.0 spec): records are a
+version line, CRLF headers, a blank line, ``Content-Length`` payload
+bytes, then CRLF CRLF. ``response`` records carry an HTTP/1.1
+response as payload. Gzipped WARCs concatenate one gzip member per
+record; ``zlib`` decompresses member-by-member via ``unused_data``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zlib
+from typing import Iterable, Iterator, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+
+RECORDS_SCHEMA = (
+    "warc_file string, warc_type string, url string, warc_date string, "
+    "status int, content_type string, body binary"
+)
+
+_CHUNK_ROWS = 1024  # rows per emitted Arrow batch (bounds batch memory)
+
+
+# ---------------------------------------------------------------------------
+# parsing (pure functions — unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (one member per WARC
+    record, the Common Crawl layout) into one plain byte string."""
+    out = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break  # trailing garbage / truncated member: keep what we have
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int, str, bytes]:
+    """(status, content_type, body) from an HTTP response payload."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        sep = payload.find(b"\n\n")
+        head, body = (payload[:sep], payload[sep + 2:]) if sep >= 0 else (payload, b"")
+    else:
+        head, body = payload[:sep], payload[sep + 4:]
+    lines = head.split(b"\n")
+    status = 0
+    first = lines[0].strip() if lines else b""
+    if first.startswith(b"HTTP/"):
+        parts = first.split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    ctype = ""
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1").split(";")[0].strip().lower()
+            break
+    return status, ctype, body
+
+
+def parse_warc_bytes(data: bytes, source: str = "") -> Iterator[dict]:
+    """Yield one dict per WARC record in ``data`` (gzip or plain).
+
+    Truncated trailing records are skipped, not fatal: a partially
+    mirrored segment still yields every complete record before the
+    cut, which is the behavior a 100 TB ingest wants (log-and-go, not
+    fail-the-task)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for ln in data[start:head_end].split(CRLF)[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        payload_start = head_end + 4
+        if payload_start + clen > n:
+            break  # truncated final record
+        payload = data[payload_start:payload_start + clen]
+        pos = payload_start + clen
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri", "")
+        status, ctype, body = 0, headers.get("content-type", ""), payload
+        if rtype == "response":
+            status, ctype, body = _parse_http_payload(payload)
+        yield {
+            "warc_file": source,
+            "warc_type": rtype,
+            "url": url,
+            "warc_date": headers.get("warc-date", ""),
+            "status": status,
+            "content_type": ctype,
+            "body": body,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Spark source
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC read: ``path`` (glob ok) → records DataFrame
+    ``(warc_file, warc_type, url, warc_date, status, content_type,
+    body binary)``. One file per task; see module docstring for why
+    that is the right parallelism for CC-layout archives."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows: list[dict] = []
+                for rec in parse_warc_bytes(bytes(content), source=path_):
+                    rows.append(rec)
+                    if len(rows) >= _CHUNK_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, schema=RECORDS_SCHEMA)
+
+
+def warc_to_pages(records: DataFrame) -> DataFrame:
+    """Adapt WARC response records to the engine's span-document
+    table ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``.
+
+    Semantics: a text/* 200-response becomes a doc with one text span
+    holding the decoded body; any other 200-response is a media doc —
+    one media span whose media_ref is the record URL (the archive
+    doesn't know which HTML embeds it; the reference's extractors
+    re-discover that from the markup, kernels.extract_links). Pure
+    JVM — decode/when/struct only, no Python in the plan."""
+    is_text = F.col("content_type").startswith("text/")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.col("url").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return (
+        records.where((F.col("warc_type") == "response") & (F.col("status") == 200))
+        .select(
+            F.col("url").alias("doc_id"),
+            F.when(is_text, F.array(text_span)).otherwise(F.array(media_span)).alias("spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic writer (fixtures / exports)
+# ---------------------------------------------------------------------------
+
+
+def _record_id(url: str) -> str:
+    h = hashlib.md5(url.encode()).hexdigest()
+    return "<urn:uuid:%s-%s-%s-%s-%s>" % (h[:8], h[8:12], h[12:16], h[16:20], h[20:32])
+
+
+def build_warc(
+    records: Iterable[Mapping],
+    warc_date: str = "2026-01-01T00:00:00Z",
+    gzip_per_record: bool = True,
+) -> bytes:
+    """Serialize records (mappings with url/status/content_type/body)
+    as a WARC/1.0 byte stream — one gzip member per record when
+    ``gzip_per_record`` (the CC layout read_warc is optimized for).
+    Deterministic: the date is a parameter and record IDs derive from
+    md5(url), so fixture archives are byte-stable across runs."""
+    out = io.BytesIO()
+    for rec in records:
+        body = rec["body"]
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        http = (
+            b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+            % (rec.get("status", 200), rec.get("content_type", "text/html").encode(), len(body))
+        ) + body
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + rec["url"].encode() + CRLF
+            + b"WARC-Date: " + warc_date.encode() + CRLF
+            + b"WARC-Record-ID: " + _record_id(rec["url"]).encode() + CRLF
+            + b"Content-Type: application/http;msgtype=response\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        record = head + http + CRLF + CRLF
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            record = co.compress(record) + co.flush()
+        out.write(record)
+    return out.getvalue()
+
+
+def write_warc_files(
+    path_prefix: str,
+    records: Sequence[Mapping],
+    n_files: int = 1,
+    gzip_per_record: bool = True,
+) -> list[str]:
+    """Split ``records`` round-robin into ``n_files`` WARC files
+    (``<prefix>-00000.warc.gz`` …) — the fixture twin of a CC segment
+    listing. Driver-side by design: fixtures are small; a production
+    export would write via mapPartitions on executors."""
+    suffix = ".warc.gz" if gzip_per_record else ".warc"
+    paths = []
+    for i in range(n_files):
+        shard = [r for j, r in enumerate(records) if j % n_files == i]
+        p = f"{path_prefix}-{i:05d}{suffix}"
+        with open(p, "wb") as f:
+            f.write(build_warc(shard, gzip_per_record=gzip_per_record))
+        paths.append(p)
+    return paths

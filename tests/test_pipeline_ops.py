@@ -707,3 +707,58 @@ def test_pack_shards_twophase_equals_window_on_skew(spark):
         .select("pid").distinct().count()
     )
     assert pids > 1
+
+
+def test_gopher_repetition(spark):
+    """Hand-checked §A1.2 repetition signals: duplicate line / paragraph
+    fractions and char fractions, top-{2,3,4}-gram char coverage, the
+    combined keep flag at the paper thresholds, and the short-doc edge
+    (< n tokens ⇒ zero coverage, not a reversed sequence())."""
+    import math
+
+    from photon_spark.operators import textstats
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    clean = " ".join(f"w{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),          # duplicate line
+            (2, "xx yy\n\nxx yy\n\nzz ww"),      # duplicate paragraph
+            (3, "ab cd ab cd ab cd ef"),          # dominant n-grams
+            (4, clean),                            # long clean doc
+            (5, "hi"),                             # 1 token: no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in textstats.gopher_repetition(docs).collect()
+    }
+    # doc 1: 3 lines, "aa bb" twice -> dlf 1/3; 17 chars, line chars
+    # 15 of which 10 distinct -> dlcf 5/17; single paragraph
+    assert got[1]["dup_line_frac"] == r6(1 / 3)
+    assert got[1]["dup_line_char_frac"] == r6(5 / 17)
+    assert got[1]["dup_para_frac"] == 0.0
+    assert got[1]["repetition_keep"] is False
+    # doc 2: paras ("xx yy","xx yy","zz ww") -> dpf 1/3, dpcf 5/19;
+    # the \n split also sees 5 lines (2 empty dups) -> dlf 2/5
+    assert got[2]["dup_para_frac"] == r6(1 / 3)
+    assert got[2]["dup_para_char_frac"] == r6(5 / 19)
+    assert got[2]["dup_line_frac"] == r6(2 / 5)
+    assert got[2]["repetition_keep"] is False
+    # doc 3 (20 chars, 7 tokens): "ab cd" x3 of len 5 -> 15/20;
+    # "ab cd ab" x2 of len 8 -> 16/20; "ab cd ab cd" x2 of len 11 -> 22/20
+    assert got[3]["top_2gram_char_frac"] == r6(15 / 20)
+    assert got[3]["top_3gram_char_frac"] == r6(16 / 20)
+    assert got[3]["top_4gram_char_frac"] == r6(22 / 20)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["repetition_keep"] is False
+    # doc 4: 40 distinct 3-char tokens, 159 chars -> every count is 1,
+    # coverage = gram length / chars, all under threshold
+    assert got[4]["top_2gram_char_frac"] == r6(7 / 159)
+    assert got[4]["top_4gram_char_frac"] == r6(15 / 159)
+    assert got[4]["repetition_keep"] is True
+    # doc 5: one token -> no n-grams at all, coalesced to zero coverage
+    assert got[5]["top_2gram_char_frac"] == 0.0
+    assert got[5]["top_3gram_char_frac"] == 0.0
+    assert got[5]["top_4gram_char_frac"] == 0.0
+    assert got[5]["repetition_keep"] is True

@@ -1,0 +1,149 @@
+"""S6 WARC archive source tests.
+
+The contract under test: a WARC dump of the fixture "web" is a drop-in
+replacement for the pages table — same crawl output, same span-sequence
+invariants — and the parser is robust to the realities of archive files
+(gzip-per-record members, mixed record types, truncated tails).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.gen import ROOT, page_bodies
+from photon_spark.sources.warc import (
+    build_warc,
+    parse_warc_bytes,
+    read_warc,
+    warc_to_pages,
+    write_warc_files,
+)
+
+
+def _fixture_records():
+    return [
+        {"url": url, "status": 200, "content_type": "text/html", "body": body}
+        for url, body in sorted(page_bodies().items())
+    ]
+
+
+# ---------------------------------------------------------------------------
+# parser units (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = _fixture_records()
+    for gz in (False, True):
+        blob = build_warc(recs, gzip_per_record=gz)
+        parsed = list(parse_warc_bytes(blob, source="t"))
+        assert len(parsed) == len(recs)
+        by_url = {p["url"]: p for p in parsed}
+        for r in recs:
+            p = by_url[r["url"]]
+            assert p["warc_type"] == "response"
+            assert p["status"] == 200
+            assert p["content_type"] == "text/html"
+            assert p["body"].decode("utf-8") == r["body"]
+
+
+def test_deterministic_bytes():
+    recs = _fixture_records()
+    assert build_warc(recs) == build_warc(recs)
+
+
+def test_truncated_tail_keeps_complete_records():
+    blob = build_warc(_fixture_records(), gzip_per_record=False)
+    cut = blob[: len(blob) - len(blob) // 4]
+    parsed = list(parse_warc_bytes(cut))
+    assert 0 < len(parsed) < len(_fixture_records())
+    # every record that did parse is intact
+    bodies = page_bodies()
+    for p in parsed:
+        assert p["body"].decode("utf-8") == bodies[p["url"]]
+
+
+def test_non_response_records_carried_with_type():
+    # hand-build a warcinfo + request pair; parser must not misread them
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\nContent-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://h0.fixture.test/\r\n"
+        b"Content-Type: application/http;msgtype=request\r\nContent-Length: 18\r\n\r\n"
+        b"GET / HTTP/1.1\r\n\r\n\r\n\r\n"
+    )
+    resp = build_warc(
+        [{"url": "http://h0.fixture.test/", "status": 200, "content_type": "text/html", "body": "<html/>"}],
+        gzip_per_record=False,
+    )
+    parsed = list(parse_warc_bytes(info + req + resp))
+    assert [p["warc_type"] for p in parsed] == ["warcinfo", "request", "response"]
+    assert parsed[2]["body"] == b"<html/>"
+
+
+# ---------------------------------------------------------------------------
+# Spark source + span-document adapter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    write_warc_files(str(d / "seg"), _fixture_records(), n_files=3)
+    return str(d)
+
+
+def test_read_warc_distributed(spark, warc_dir):
+    recs = read_warc(spark, warc_dir + "/*.warc.gz")
+    rows = recs.collect()
+    assert len(rows) == len(_fixture_records())
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert all(r["status"] == 200 for r in rows)
+    # 3 files → at least 3 input rows pre-explode; urls complete
+    assert {r["url"] for r in rows} == set(page_bodies())
+
+
+def test_warc_to_pages_span_sequence(spark, warc_dir):
+    pages = warc_to_pages(read_warc(spark, warc_dir + "/*.warc.gz"))
+    bodies = page_bodies()
+    for row in pages.collect():
+        spans = row["spans"]
+        # input_hint invariant: (kind, text, media_ref, order)
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] == [
+            ("text", bodies[row["doc_id"]], "", 0)
+        ]
+
+
+def test_media_records_become_media_spans(spark, tmp_path):
+    recs = [
+        {"url": "http://h0.fixture.test/img0.png", "status": 200,
+         "content_type": "image/png", "body": b"\x89PNGfake"},
+        {"url": "http://h0.fixture.test/a.html", "status": 404,
+         "content_type": "text/html", "body": "gone"},
+    ]
+    write_warc_files(str(tmp_path / "m"), recs, n_files=1)
+    pages = warc_to_pages(read_warc(spark, str(tmp_path / "m-00000.warc.gz")))
+    rows = pages.collect()
+    assert len(rows) == 1  # the 404 is dropped
+    (s,) = rows[0]["spans"]
+    assert (s["kind"], s["text"], s["media_ref"]) == (
+        "media", "", "http://h0.fixture.test/img0.png"
+    )
+
+
+def test_crawl_over_warc_matches_pages_table(spark, fixture_pages, warc_dir):
+    """The headline: crawling the WARC-ingested web reproduces the
+    crawl over the native span-document table exactly (URL-seen set,
+    every dataset, wave assignment)."""
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages_warc = warc_to_pages(read_warc(spark, warc_dir + "/*.warc.gz")).persist()
+    pages_warc.count()
+    cfg = EngineConfig(crawl_level=2)
+    a = run_crawl(spark, fixture_pages, ROOT, cfg)
+    b = run_crawl(spark, pages_warc, ROOT, cfg)
+    assert a.to_sets() == b.to_sets()
+    assert {(r["url"], r["level"]) for r in a.waves.collect()} == {
+        (r["url"], r["level"]) for r in b.waves.collect()
+    }
+    pages_warc.unpersist()
