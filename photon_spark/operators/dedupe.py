@@ -416,3 +416,45 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, simhash long"
     )
+
+
+def c4_span_dedup(documents: DataFrame, n_sents: int = 3) -> DataFrame:
+    """C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2):
+    every sliding window of ``n_sents`` consecutive sentences is a
+    span; of all occurrences of a span across the corpus, only the
+    first (ordered by doc_id, then position) is kept. Returns one row
+    per span: (doc_id, span_idx, span_md5, span_keep).
+
+    Sentence boundaries use the same sentinel-rewrite formulation as
+    textstats.c4_clean (RE2-safe, engine-identical). Spans are hashed
+    (md5) before the exchange so the shuffle rows stay ~40 bytes
+    regardless of sentence length.
+
+    Scale shape: the sliding-window construction is narrow (one array
+    transform per doc); the only exchange is the span_md5 hash
+    partition for the first-occurrence window — the canonical
+    dedup-by-key shape, linear at 100 TB. Each window group holds only
+    the duplicates of one span (bounded by dup multiplicity, the same
+    skew profile as exact_dedup's groupBy)."""
+    from pyspark.sql.window import Window
+
+    sents = F.split(
+        F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1\x01"), "\x01"
+    )
+    n = F.size(sents)
+    idx = F.when(
+        n >= n_sents, F.sequence(F.lit(1), n - (n_sents - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    span_hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(sents, i, n_sents)))
+    )
+    spans = documents.select(
+        "doc_id", F.posexplode(span_hashes).alias("pos", "span_md5")
+    ).select("doc_id", (F.col("pos") + 1).alias("span_idx"), "span_md5")
+    w = Window.partitionBy("span_md5").orderBy("doc_id", "span_idx")
+    return spans.select(
+        "doc_id",
+        "span_idx",
+        "span_md5",
+        (F.row_number().over(w) == 1).alias("span_keep"),
+    )

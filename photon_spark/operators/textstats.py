@@ -370,6 +370,54 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     )
 
 
+def c4_clean(documents: DataFrame, min_words: int = 5, min_sentences: int = 3) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, the public
+    heuristic set; same rules the open C4 reproductions apply): keep
+    only lines that end in a terminal punctuation mark (. ! ? "),
+    contain at least ``min_words`` words, and do not mention
+    "javascript"; then gate the page — at least ``min_sentences``
+    sentences in the cleaned text, no "lorem ipsum", no '{'.
+
+    Sentences are period/!/?-followed-by-whitespace boundaries, found
+    by rewriting the boundary to a \\x01 sentinel and splitting — a
+    formulation both Java regex and RE2 (DuckDB) execute identically,
+    since RE2 has no lookbehind.
+
+    Scale shape: ZERO shuffle — every signal is a narrow JVM array
+    expression over the line split, so the op pipelines with the scan
+    and prunes to (doc_id, text). Output carries the cleaned text so
+    downstream stages (span dedup, tokenize) chain without re-reading
+    the raw corpus.
+    """
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.split(ln, " ")) >= min_words)
+        & ~F.contains(F.lower(ln), F.lit("javascript")),
+    )
+    clean_text = F.array_join(kept, "\n")
+    sents = F.split(
+        F.regexp_replace(clean_text, r"([.!?])\s+", "$1\x01"), "\x01"
+    )
+    n_sentences = F.when(F.length(clean_text) == 0, F.lit(0)).otherwise(
+        F.size(sents)
+    )
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("text"), F.lit("{"))
+    )
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        keep.alias("c4_keep"),
+        clean_text.alias("clean_text"),
+    )
+
+
 # PII patterns on the Java/RE2-agreeing regex subset (same caveat as
 # BPE_ISH_PATTERN): training-data redaction reuses the crawl engine's
 # extractor shapes (reference regexes core/regex.py — emails/phones are

@@ -909,6 +909,107 @@ def gopher_rep_q(spark, sf):
     return textstats.gopher_repetition(_t(spark, sf, "documents"))
 
 
+# C4 pipeline (Raffel et al. 2020 §2.2, public heuristics). The sf
+# documents table is one flat line per doc, so — like pii_redact's
+# planted PII — both engines first derive an identically-structured
+# body: the doc's own tokens chunked into 8-word '.'-terminated
+# sentence lines, plus deterministic doc_id-keyed probe lines for the
+# javascript line filter and the lorem-ipsum / brace page gates.
+# Near-dup documents (already planted in the table) then share
+# 3-sentence spans across docs, so span_keep=False rows are real.
+_C4_BODY_SQL = (
+    "array_to_string(list_transform("
+    " generate_series(0, (len(string_split(text, ' ')) - 1) // 8),"
+    " j -> array_to_string((string_split(text, ' '))[j*8+1:j*8+8], ' ')"
+    " || '.'), chr(10))"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||"
+    "  'beware javascript popups on this page.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+    "  'lorem ipsum dolor sit amet.' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+    "  'var x = { a: 1 };' ELSE '' END"
+)
+
+
+def _c4_body_df(spark, sf):
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(toks) - 1) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(toks, j * 8 + 1, 8)), F.lit(".")
+        ),
+    )
+    probe = lambda mod, s: F.when(  # noqa: E731
+        F.col("doc_id") % mod == 0, F.lit("\n" + s)
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.array_join(lines, "\n"),
+        probe(7, "beware javascript popups on this page."),
+        probe(11, "lorem ipsum dolor sit amet."),
+        probe(13, "var x = { a: 1 };"),
+    )
+    return _t(spark, sf, "documents").select("doc_id", body.alias("text"))
+
+
+# Line-level cleaning: terminal-punctuation + min-words + javascript
+# line filters, then the lorem-ipsum / brace / min-sentences page
+# gates. Zero-shuffle narrow array expressions; sentence boundaries
+# via the RE2-safe sentinel rewrite (no lookbehind in DuckDB's RE2);
+# coalesce because DuckDB's array_to_string(∅) is NULL where Spark's
+# array_join(∅) is ''.
+@q(
+    "c4_line_clean",
+    f"WITH base AS (SELECT doc_id, {_C4_BODY_SQL} AS text FROM documents),"
+    " l AS (SELECT doc_id, text,"
+    "  string_split(text, chr(10)) AS lines FROM base),"
+    " k AS (SELECT doc_id, text, lines,"
+    "  list_filter(lines, ln -> regexp_matches(ln, '[.!?\"]$')"
+    "   AND len(string_split(ln, ' ')) >= 5"
+    "   AND NOT contains(lower(ln), 'javascript')) AS kept FROM l),"
+    " c AS (SELECT doc_id, text, lines, kept,"
+    "  coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k),"
+    " s AS (SELECT doc_id, text, lines, kept, clean_text,"
+    "  CASE WHEN length(clean_text) = 0 THEN 0 ELSE"
+    "   len(string_split(regexp_replace(clean_text,"
+    "    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))) END"
+    "   AS n_sentences FROM c)"
+    " SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,"
+    "  n_sentences,"
+    "  (n_sentences >= 3 AND NOT contains(lower(text), 'lorem ipsum')"
+    "   AND NOT contains(text, '{')) AS c4_keep,"
+    "  clean_text FROM s",
+)
+def c4_clean_q(spark, sf):
+    return textstats.c4_clean(_c4_body_df(spark, sf))
+
+
+# Three-sentence-span dedup — the cross-doc half of the C4 recipe:
+# sliding 3-sentence spans, first occurrence (doc_id, position order)
+# keeps. Spans are md5'd before the one hash exchange (~40-byte
+# shuffle rows); first-occurrence rank via the same window both
+# engines sort identically (md5 strings + numeric doc_id).
+@q(
+    "c4_span_dedup",
+    f"WITH base AS (SELECT doc_id, {_C4_BODY_SQL} AS text FROM documents),"
+    " s AS (SELECT doc_id, string_split(regexp_replace(text,"
+    "  '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS sents"
+    "  FROM base),"
+    " ex AS (SELECT doc_id, sents,"
+    "  unnest(generate_series(1, len(sents) - 2)) AS i"
+    "  FROM s WHERE len(sents) >= 3),"
+    " sp AS (SELECT doc_id, i AS span_idx,"
+    "  md5(array_to_string(sents[i:i+2], ' ')) AS span_md5 FROM ex)"
+    " SELECT doc_id, span_idx, span_md5,"
+    "  (row_number() OVER (PARTITION BY span_md5"
+    "   ORDER BY doc_id, span_idx) = 1) AS span_keep FROM sp",
+)
+def c4_span_q(spark, sf):
+    from photon_spark.operators import dedupe
+
+    return dedupe.c4_span_dedup(_c4_body_df(spark, sf))
+
+
 # Host authority (PageRank power iteration, fixed 3 rounds) over a
 # deterministic synthetic host graph. The Spark side is ONE lazy plan
 # (plans/schedule.host_rank — no driver actions); the oracle unrolls
@@ -1086,6 +1187,12 @@ from photon_spark.queries import Q  # noqa: E402
 # nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
     # twice-driver-verified (r1 + r2), parked this round:
+    "a1_event_counts",  # simple agg twin; a2 sibling shape
+    "a2_metrics_agg",
+    "q5_nation_revenue",  # TPC-H sibling of q1/q3 (both stay in-window)
+    "asof_last_purchase",
+    "t8_entropy_corrected",  # golden-pinned (faithful-mode keys≡∅, Q6)
+    "t9_custom_regex",  # golden-pinned (-r path incl. invalid-regex probe)
     "t4_props_extract",  # regexp_extract sibling of t1; T4 golden-pinned
     "t5_script_src_extract",
     "t6_script_normalize",

@@ -762,3 +762,79 @@ def test_gopher_repetition(spark):
     assert got[5]["top_3gram_char_frac"] == 0.0
     assert got[5]["top_4gram_char_frac"] == 0.0
     assert got[5]["repetition_keep"] is True
+
+
+def test_c4_clean(spark):
+    """Hand-checked C4 line filters (terminal punctuation, >=5 words,
+    javascript) and page gates (>=3 sentences, lorem ipsum, brace)."""
+    from photon_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good line with five words here.\nshort line.\n"
+                "totally fine sentence with words too!\n"
+                "this mentions javascript libraries heavily today."),
+            (2, "alpha beta gamma delta epsilon one.\n"
+                "zeta eta theta iota kappa two.\n"
+                "lambda mu nu xi omicron three."),
+            (3, "alpha beta gamma delta epsilon one.\n"
+                "zeta eta theta iota kappa two.\n"
+                "code sample { int x } runs here."),
+            (4, "lorem ipsum dolor sit amet today.\n"
+                "zeta eta theta iota kappa two.\n"
+                "lambda mu nu xi omicron three."),
+            (5, "no terminal punctuation on this line\nnor here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.c4_clean(docs).collect()}
+    # doc 1: 4 lines; "short line." <5 words, javascript line dropped
+    assert (got[1]["n_lines"], got[1]["n_kept_lines"]) == (4, 2)
+    assert got[1]["clean_text"] == (
+        "good line with five words here.\n"
+        "totally fine sentence with words too!"
+    )
+    assert got[1]["n_sentences"] == 2  # <3 -> page dropped
+    assert got[1]["c4_keep"] is False
+    # doc 2: all 3 lines kept, 3 sentences -> page keeps
+    assert (got[2]["n_kept_lines"], got[2]["n_sentences"]) == (3, 3)
+    assert got[2]["c4_keep"] is True
+    # doc 3: same shape but the brace gate trips (on raw text)
+    assert got[3]["n_kept_lines"] == 3
+    assert got[3]["c4_keep"] is False
+    # doc 4: lorem ipsum gate trips
+    assert got[4]["n_sentences"] == 3
+    assert got[4]["c4_keep"] is False
+    # doc 5: nothing survives the line filter
+    assert (got[5]["n_kept_lines"], got[5]["n_sentences"]) == (0, 0)
+    assert got[5]["clean_text"] == ""
+    assert got[5]["c4_keep"] is False
+
+
+def test_c4_span_dedup(spark):
+    """Hand-checked 3-sentence-span dedup: first occurrence (doc_id,
+    position) keeps; later identical spans — whole-doc dup or partial
+    overlap — are marked; <3-sentence docs emit no spans."""
+    from photon_spark.operators import dedupe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1 one. s2 two. s3 three. s4 four."),
+            (2, "s1 one. s2 two. s3 three. s4 four."),  # exact dup
+            (3, "s2 two. s3 three. s4 four. s5 five."),  # shifted overlap
+            (4, "too short. only two."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_idx"]): r["span_keep"]
+        for r in dedupe.c4_span_dedup(docs).collect()
+    }
+    assert rows == {
+        (1, 1): True,   # "s1 one. s2 two. s3 three."
+        (1, 2): True,   # "s2 two. s3 three. s4 four."
+        (2, 1): False,  # dup of (1,1)
+        (2, 2): False,  # dup of (1,2)
+        (3, 1): False,  # dup of (1,2) via overlap
+        (3, 2): True,   # "s3 three. s4 four. s5 five." unique
+    }
