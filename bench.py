@@ -40,6 +40,9 @@ HEADLINE = [
     "q4_order_priority",
     "lang_id_stopword",
     "quality_score",
+    "gopher_repetition",
+    "c4_line_clean",
+    "c4_span_dedup",
     "token_count_bpe",
     "fingerprint_winnow",
     "ann_ivf_topk",
