@@ -40,6 +40,9 @@ HEADLINE = [
     "q4_order_priority",
     "lang_id_stopword",
     "quality_score",
+    "unigram_logprob",
+    "source_quality_gate",
+    "mix_token_budget",
     "gopher_repetition",
     "c4_line_clean",
     "c4_span_dedup",

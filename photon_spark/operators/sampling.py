@@ -224,3 +224,53 @@ def pack_shards_twophase(
             yield out
 
     return part.mapInPandas(pack, schema=out_schema)
+
+
+def mix_token_budget(
+    documents: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Token-budget data mixing: fill a global token budget from each
+    source according to target mixture weights (the training-data
+    "data mixing" step — public Pile / DoReMi-style source weighting,
+    made deterministic). Each source s gets floor(total_budget ·
+    w_s) tokens; documents are admitted in md5(doc_id) order (then
+    doc_id — reproducible, uncorrelated with corpus order) while the
+    source budget is unexhausted. Greedy prefix: the last admitted
+    document may overshoot its budget, never undershoot.
+
+    At 100 TB: one window shuffle partitioned by source — same cost
+    profile as pack_shards; budgets are per-source literals (a CASE
+    expression, no join). Skew note: a dominant source makes one
+    window partition large; the window is a running sum (linear,
+    spillable), and the two-phase cumsum variant (pack_shards_twophase)
+    is the drop-in if a single source outgrows a task.
+
+    Weights should be dyadic rationals (1/2, 1/4, ...) so
+    floor(total_budget · w) is exact IEEE on every engine.
+    """
+    from pyspark.sql import Window
+
+    w_expr = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        w_expr = F.when(F.col("source") == src, F.lit(float(wt))).otherwise(w_expr)
+    budget = F.floor(w_expr * float(total_budget)).cast("bigint")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    h = _hex_prefix(F.col("doc_id"), 8)
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = documents.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        h.alias("h"),
+        budget.alias("budget_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return scored.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("budget_tokens")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")

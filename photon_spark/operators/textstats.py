@@ -545,3 +545,109 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-derived unigram language-model score per document — the
+    CCNet/RedPajama "perplexity filter" shape with the LM trained on
+    the corpus itself (public CCNet, Wenzek et al. 2019, uses a KenLM
+    the same way; a unigram model keeps it closed-form and oracled).
+
+    Plan shape at 100 TB: one token-keyed partial aggregation for the
+    vocabulary (map-side combinable word-count), one 1-row total
+    (broadcast by Catalyst), a token-keyed join back (AQE broadcasts
+    the vocabulary side when it fits), and one doc-keyed regroup. No
+    driver actions; everything stays declarative.
+
+    Cross-engine determinism: each token's ln(count/total) is
+    1e-6 floor-rounded BEFORE the per-document sum, and the sum is a
+    sequential in-order fold over the position-sorted list (DuckDB's
+    ``list_sum`` twin folds in the same order) — so the mean is
+    bit-identical across engines, then floor-rounded again.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))  # 1 row — broadcast join
+    logp = vocab.crossJoin(total).select(
+        "tok",
+        (
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("logp"),
+    )
+    per_doc = (
+        toks.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "logp"))).alias("seq"))
+    )
+    lps = F.col("seq.logp")
+    return per_doc.select(
+        "doc_id",
+        F.size("seq").alias("n_tokens"),
+        (
+            F.floor(
+                F.aggregate(lps, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("seq").cast("double")
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("avg_logprob"),
+    )
+
+
+def source_quality_gate(
+    documents: DataFrame, cutoff: float = 0.5
+) -> DataFrame:
+    """Domain-level quality gating (RefinedWeb/CCNet-style): aggregate
+    per-document quality to the source (domain) level, then gate every
+    document by its source's mean quality — the
+    aggregate-then-broadcast-join shape.
+
+    At 100 TB the source aggregate is map-side combinable and tiny
+    (|domains| ≪ |docs|), so the join back is a broadcast — no shuffle
+    of the fact side beyond the aggregation itself.
+
+    Exactness: per-doc quality is summed in exact integer micro-units
+    (the 1e-6-quantized score × 1e6 is an integer by construction), so
+    the source mean is an exact-integer division — bit-identical
+    across engines regardless of aggregation order.
+    """
+    n, n_stop = stopword_stats(F.col("text"))
+    text_len = F.length("text")
+    mean_tok = (text_len - (n - 1)).cast("double") / n.cast("double")
+    stop_ratio = n_stop.cast("double") / n.cast("double")
+    score = (
+        F.least(text_len / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(mean_tok / F.lit(8.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio / F.lit(0.3), F.lit(1.0)) * 0.3
+    )
+    qmicro = F.floor(score * 1000000.0 + 0.5).cast("bigint")
+    qd = documents.select("doc_id", "source", qmicro.alias("qmicro"))
+    src = qd.groupBy("source").agg(
+        F.sum("qmicro").alias("sum_micro"), F.count("*").alias("n_docs")
+    )
+    src_avg = (
+        F.floor(
+            F.col("sum_micro").cast("double")
+            / (F.col("n_docs").cast("double") * 1000000.0)
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    src_scored = src.select("source", src_avg.alias("src_avg_quality"), "n_docs")
+    return qd.join(F.broadcast(src_scored), "source").select(
+        "doc_id",
+        "source",
+        (F.col("qmicro").cast("double") / 1000000.0).alias("quality"),
+        "src_avg_quality",
+        (F.col("src_avg_quality") >= F.lit(cutoff)).alias("kept"),
+    )

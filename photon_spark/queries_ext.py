@@ -22,7 +22,7 @@ from photon_spark.operators.extract import (
     entropy_udf,
     normalize_scripts_col,
 )
-from photon_spark.queries import _t, q
+from photon_spark.queries import _STOP_SQL_LIST, _t, q
 
 # ---------------------------------------------------------------------------
 # S2 — robots.txt rule extraction (reference core/zap.py:24-43)
@@ -1172,6 +1172,87 @@ def decontam_surv(spark, sf):
     return decontaminated(docs, _decontam_benchmark(docs)).select("doc_id")
 
 
+# Corpus-unigram LM score per document — the CCNet-style "perplexity
+# filter" with a closed-form unigram model (see
+# textstats.unigram_logprob for the cross-engine determinism contract:
+# per-token 1e-6 rounding BEFORE an in-order sequential fold).
+@q(
+    "unigram_logprob",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
+    " tk AS (SELECT doc_id, i, toks[i] AS tok FROM"
+    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i"
+    "   FROM d) x),"
+    " vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),"
+    " tot AS (SELECT COUNT(*) AS total FROM tk),"
+    " lp AS (SELECT tok, floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+    "  * 1000000.0 + 0.5) / 1000000.0 AS logp FROM vocab, tot),"
+    " seq AS (SELECT doc_id, list(logp ORDER BY i) AS lps"
+    "  FROM tk JOIN lp USING (tok) GROUP BY doc_id)"
+    " SELECT doc_id, len(lps) AS n_tokens,"
+    " floor(list_sum(lps) / len(lps) * 1000000.0 + 0.5) / 1000000.0"
+    "  AS avg_logprob FROM seq",
+)
+def unigram_lp(spark, sf):
+    return textstats.unigram_logprob(_t(spark, sf, "documents"))
+
+
+# Domain-level quality gate (RefinedWeb/CCNet shape): per-source mean
+# quality in exact integer micro-units, broadcast back onto documents.
+# Cutoff 0.46875 = 15/32 (dyadic — exact IEEE on both engines).
+_QMICRO_SQL = (
+    "CAST(floor((least(length(text) / 500.0, 1.0) * 0.4"
+    " + least(((length(text) - (len(string_split(text, ' ')) - 1))"
+    "   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3"
+    " + least((CAST(len(list_filter(string_split(text, ' '),"
+    f"     t -> list_contains({_STOP_SQL_LIST}, t))) AS DOUBLE)"
+    "   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.3, 1.0) * 0.3)"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@q(
+    "source_quality_gate",
+    f"WITH qd AS (SELECT doc_id, source, {_QMICRO_SQL} AS qmicro"
+    " FROM documents),"
+    " src AS (SELECT source, SUM(qmicro) AS sum_micro, COUNT(*) AS n_docs"
+    "  FROM qd GROUP BY source),"
+    " j AS (SELECT doc_id, source, qmicro,"
+    "  floor(CAST(sum_micro AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)"
+    "   * 1000000.0 + 0.5) / 1000000.0 AS saq"
+    "  FROM qd JOIN src USING (source))"
+    " SELECT doc_id, source, CAST(qmicro AS DOUBLE) / 1000000.0 AS quality,"
+    " saq AS src_avg_quality, saq >= 0.46875 AS kept FROM j",
+)
+def src_gate(spark, sf):
+    return textstats.source_quality_gate(_t(spark, sf, "documents"), cutoff=0.46875)
+
+
+# Token-budget data mixing — per-source budgets floor(total · w) with
+# dyadic weights, md5-ordered greedy prefix (sampling.mix_token_budget).
+@q(
+    "mix_token_budget",
+    "WITH s AS (SELECT doc_id, source,"
+    " len(string_split(text, ' ')) AS n_tokens,"
+    " substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,"
+    " CAST(floor(CASE WHEN source = 'src0' THEN 0.5"
+    "  WHEN source = 'src1' THEN 0.25 ELSE 0.015625 END * 4096.0) AS BIGINT)"
+    "  AS budget_tokens FROM documents),"
+    " c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
+    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM s)"
+    " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
+    " WHERE cum_tokens - n_tokens < budget_tokens",
+)
+def mix_budget(spark, sf):
+    from photon_spark.operators.sampling import mix_token_budget
+
+    return mix_token_budget(
+        _t(spark, sf, "documents"),
+        weights={"src0": 0.5, "src1": 0.25},
+        total_budget=4096,
+        default_weight=0.015625,
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -1186,6 +1267,14 @@ from photon_spark.queries import Q  # noqa: E402
 # The first 50 stay all-oracled. The final six entries are rows-only by
 # nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
+    # twice-driver-verified (r1 + r2), parked mid-r3 to admit the three
+    # new oracled ops (unigram_logprob, source_quality_gate,
+    # mix_token_budget); t3 stays in-window for the scope family, S2 is
+    # golden-pinned, and source_quality_gate embeds quality_score's
+    # exact scoring expression:
+    "t2_file_filter",
+    "s2_robots_parse",
+    "quality_score",
     # twice-driver-verified (r1 + r2), parked this round:
     "a1_event_counts",  # simple agg twin; a2 sibling shape
     "a2_metrics_agg",

@@ -1,0 +1,138 @@
+"""Second scaling-efficiency pair: the MinHash-LSH dedup pipeline.
+
+The north rule's two-cluster-size criterion is evidenced on the
+frontier job by scripts/bench_scaling.py; this script applies the SAME
+protocol (same input, two parallelism levels, separate JVMs,
+best-of-sessions estimator — see BENCH/BASELINE.md) to a second,
+differently-shaped job so the scaling claim is not frontier-specific:
+
+    synthesize documents (pure JVM expressions, deterministic)
+      → MinHash signatures (Arrow pandas pass — the compute stage)
+      → band explode → two-stage capped bucket agg (the shuffle stage)
+      → candidate-pair count
+
+Workload: 5-doc near-dup groups (shared base text, one divergent token
+per member) over a hash-derived vocabulary, ~140 tokens/doc — so LSH
+finds real pairs and the bucket path is exercised, not empty.
+
+Usage:
+    python scripts/bench_scaling_dedup.py [n_docs] [low_cores] [high_cores]
+Defaults: 64_000 docs, 8 -> 32 cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from photon_spark.session import get_spark
+from photon_spark.operators.dedupe import minhash_lsh_pairs
+
+def docs_df(spark, n_docs):
+    # Deterministic synthetic corpus, all JVM expressions (cheap next
+    # to the signature pass). 5-doc groups share a base text; each
+    # member diverges in one token => real near-dup structure.
+    base = (F.col("id") - F.pmod(F.col("id"), F.lit(5))).alias("base_id")
+    tok = lambda seed: F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64(seed, F.lit(17)), F.lit(5000)).cast("string"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(139)),
+        lambda i: F.when(
+            i == 0, tok(F.col("id"))  # the divergent token
+        ).otherwise(tok(F.col("base_id") * 1000 + i)),
+    )
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), base)
+        .select("doc_id", F.concat_ws(" ", words).alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="scaling_dedup_{cores}")
+spark.range(1000).selectExpr("sum(id)").collect()   # warmup JVM
+docs = docs_df(spark, {n_docs}).persist()
+n = docs.count()          # materialize input OUTSIDE the timed region
+docs.count()              # warm the cache
+
+best = None
+for _ in range({inner_reps}):
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    sec = time.time() - t0
+    if best is None or sec < best["sec"]:
+        best = {{"n_docs": n, "n_pairs": n_pairs, "sec": round(sec, 3),
+                 "docs_per_s": round(n / sec, 1)}}
+print("CHILD_RESULT " + json.dumps(best))
+spark.stop()
+"""
+
+
+def run_child_once(cores: int, n_docs: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, inner_reps=3)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
+
+
+def run_child(cores: int, n_docs: int, sessions: int = 2) -> dict:
+    best = None
+    for _ in range(sessions):
+        r = run_child_once(cores, n_docs)
+        if best is None or r["docs_per_s"] > best["docs_per_s"]:
+            best = r
+    return best
+
+
+def main():
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    r_low = run_child(low, n_docs)
+    r_high = run_child(high, n_docs)
+    ratio = r_high["docs_per_s"] / r_low["docs_per_s"]
+    eff = ratio / (high / low)
+    report = {
+        "job": "minhash_lsh_dedup",
+        "pairs": [
+            {
+                "n_docs": n_docs,
+                "low": {"cores": low, **r_low},
+                "high": {"cores": high, **r_high},
+                "speedup": round(ratio, 3),
+                "efficiency": round(eff, 3),
+                "pass": eff >= 0.8,
+            }
+        ],
+        "target": 0.8,
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -838,3 +838,84 @@ def test_c4_span_dedup(spark):
         (3, 1): False,  # dup of (1,2) via overlap
         (3, 2): True,   # "s3 three. s4 four. s5 five." unique
     }
+
+
+def test_unigram_logprob(spark):
+    """Hand-checked unigram LM: corpus 'a a b' + 'b c' → p(a)=2/5,
+    p(b)=2/5, p(c)=1/5; doc means are averages of the rounded lns."""
+    import math
+
+    from photon_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    lp25 = r6(math.log(2 / 5))
+    lp15 = r6(math.log(1 / 5))
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == r6((lp25 + lp25 + lp25) / 3)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_logprob"] == r6((lp25 + lp15) / 2)
+
+
+def test_source_quality_gate(spark):
+    """Long fluent docs pass, short fragment source fails; every doc
+    carries its source's mean and the source-level verdict."""
+    from photon_spark.operators.textstats import source_quality_gate
+
+    good = "the quick brown fox jumps over the lazy dog and it was fine " * 12
+    rows = [
+        (1, good.strip(), "good.example", len(good.strip())),
+        (2, good.strip(), "good.example", len(good.strip())),
+        (3, "x y", "bad.example", 3),
+        (4, "z", "bad.example", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in source_quality_gate(docs, cutoff=0.5).collect()}
+    assert out[1]["kept"] and out[2]["kept"]
+    assert not out[3]["kept"] and not out[4]["kept"]
+    assert out[1]["src_avg_quality"] == out[2]["src_avg_quality"]
+    # per-source mean is the exact integer-micro mean of member scores
+    # (floor(x*1e6+0.5) contract, same as the engine — not Python round)
+    import math
+
+    qm3 = int(round(out[3]["quality"] * 1e6))
+    qm4 = int(round(out[4]["quality"] * 1e6))
+    expected = math.floor((qm3 + qm4) / (2 * 1e6) * 1e6 + 0.5) / 1e6
+    assert out[3]["src_avg_quality"] == expected
+
+
+def test_mix_token_budget(spark):
+    """Greedy prefix per source: admitted token mass stays under
+    budget + one document (never undershoots while docs remain), order
+    is the deterministic md5 order, and a zero-weight source is empty."""
+    from photon_spark.operators.sampling import mix_token_budget
+
+    rows = [
+        (i, "t " * (i % 7 + 3), ["a", "b", "c"][i % 3]) for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = mix_token_budget(
+        docs, weights={"a": 0.5, "b": 0.25}, total_budget=128, default_weight=0.0
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"a", "b"}  # zero default weight drops 'c'
+    for src, budget in (("a", 64), ("b", 32)):
+        got = sorted(by_src[src], key=lambda r: r["cum_tokens"])
+        total = got[-1]["cum_tokens"]
+        # last doc may overshoot; without it we must be under budget
+        assert total - got[-1]["n_tokens"] < budget <= total + got[-1]["n_tokens"]
+        assert all(r["budget_tokens"] == budget for r in got)
+    # deterministic: second run identical
+    again = mix_token_budget(
+        docs, weights={"a": 0.5, "b": 0.25}, total_budget=128, default_weight=0.0
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
