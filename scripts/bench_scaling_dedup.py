@@ -49,7 +49,7 @@ def docs_df(spark, n_docs):
     words = F.transform(
         F.sequence(F.lit(0), F.lit(139)),
         lambda i: F.when(
-            i == 0, tok(F.col("id"))  # the divergent token
+            i == 0, tok(F.col("doc_id"))  # the divergent token
         ).otherwise(tok(F.col("base_id") * 1000 + i)),
     )
     return (
