@@ -43,6 +43,9 @@ HEADLINE = [
     "unigram_logprob",
     "source_quality_gate",
     "mix_token_budget",
+    "quality_classifier",
+    "url_blocklist_filter",
+    "length_percentile_gate",
     "gopher_repetition",
     "c4_line_clean",
     "c4_span_dedup",

@@ -91,15 +91,61 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+# 31-bit universal-hash constants for the integer fast path: odd
+# multipliers / offsets derived from the golden-ratio sequence (any
+# fixed odd a_i works; these are pinned so signatures are stable).
+_UH_MOD = 1 << 31
+_UH_A = [2654435761 % _UH_MOD | 1]
+_UH_B = [1013904223]
+while len(_UH_A) < 64:
+    _UH_A.append((_UH_A[-1] * 40503 + 2654435769) % _UH_MOD | 1)
+    _UH_B.append((_UH_B[-1] * 69069 + 362437) % _UH_MOD)
+
+
+def minhash_signatures_fast(documents: DataFrame, n_hashes: int = MINHASHES) -> DataFrame:
+    """Integer minhash — the scale path. ONE xxhash64 per shingle,
+    then n universal-hash permutations h_i(x) = (a_i·x + b_i) mod 2^31
+    (products stay < 2^62: no overflow), min per document.
+
+    vs the md5 family: ~n× less hash work, long-typed agg buffers
+    instead of 32-char hex strings (≈8× less shuffle/agg garbage), so
+    it keeps scaling where the string path starts saturating memory
+    bandwidth (measured: BENCH/BASELINE.md dedup scaling pair).
+    Not oracle-portable (DuckDB has no xxhash64) — the md5 family
+    stays the hash-gated reference; a pytest pins planted-dup recall
+    parity between the two.
+    """
+    src = documents.select("doc_id", "text")
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    sh = src.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
+    x = F.pmod(F.xxhash64("s"), F.lit(_UH_MOD))
+    aggs = [
+        F.min(
+            F.pmod(x * F.lit(_UH_A[i]) + F.lit(_UH_B[i]), F.lit(_UH_MOD))
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     bands: int = BANDS,
     n_hashes: int = MINHASHES,
     max_bucket: int = 50,
+    fast: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket."""
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+
+    ``fast=True`` swaps the md5 signature family for the integer
+    xxhash64 fast path (same banding/bucket semantics downstream,
+    different — non-oracle-portable — hash values).
+    """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes)
+    sig_fn = minhash_signatures_fast if fast else minhash_signatures
+    sig = sig_fn(documents, n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(

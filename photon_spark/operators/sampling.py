@@ -274,3 +274,37 @@ def mix_token_budget(
     return scored.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.col("budget_tokens")
     ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
+
+
+def length_percentile_gate(
+    documents: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Outlier-length filter: keep documents whose token count falls
+    inside the corpus's [lo, hi] exact percentile band (the
+    truncation step most curation recipes apply before mixing).
+
+    Plan shape: one 2-scalar exact-percentile aggregation (Spark's
+    percentile is a partial-aggregating sort-based agg — no global
+    sort of the corpus), broadcast back via a 1-row cross join; the
+    gate itself is a narrow comparison. Exact percentiles over exact
+    integer token counts use the same (n-1)·p linear interpolation in
+    Spark and DuckDB, so the 1e-6-rounded bounds are engine-identical.
+    """
+    d = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    bounds = d.agg(
+        r6(F.percentile("n_tokens", F.lit(lo))).alias("lo_bound"),
+        r6(F.percentile("n_tokens", F.lit(hi))).alias("hi_bound"),
+    )
+    return d.crossJoin(bounds).select(
+        "doc_id",
+        "n_tokens",
+        "lo_bound",
+        "hi_bound",
+        (
+            (F.col("n_tokens") >= F.col("lo_bound"))
+            & (F.col("n_tokens") <= F.col("hi_bound"))
+        ).alias("kept"),
+    )

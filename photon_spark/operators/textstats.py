@@ -560,41 +560,40 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     driver actions; everything stays declarative.
 
     Cross-engine determinism: each token's ln(count/total) is
-    1e-6 floor-rounded BEFORE the per-document sum, and the sum is a
-    sequential in-order fold over the position-sorted list (DuckDB's
-    ``list_sum`` twin folds in the same order) — so the mean is
-    bit-identical across engines, then floor-rounded again.
+    quantized to exact integer micro-units (floor(x·1e6 + 0.5) as a
+    BIGINT), so the per-document SUM is exact integer arithmetic —
+    order-independent and bit-identical across engines (doc sums stay
+    ≪ 2^63) — and the mean is one IEEE division of exact integers.
+    No ordered fold, no per-position sort: a plain map-side-combinable
+    groupBy-sum.
     """
     toks = documents.select(
-        "doc_id",
-        F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))  # 1 row — broadcast join
     logp = vocab.crossJoin(total).select(
         "tok",
-        (
-            F.floor(
-                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
-                * 1000000.0
-                + 0.5
-            )
-            / 1000000.0
-        ).alias("logp"),
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lpm"),
     )
     per_doc = (
         toks.join(logp, "tok")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "logp"))).alias("seq"))
+        .agg(F.sum("lpm").alias("sum_micro"), F.count("*").alias("n_tokens"))
     )
-    lps = F.col("seq.logp")
     return per_doc.select(
         "doc_id",
-        F.size("seq").alias("n_tokens"),
+        "n_tokens",
         (
             F.floor(
-                F.aggregate(lps, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("seq").cast("double")
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * 1000000.0)
                 * 1000000.0
                 + 0.5
             )
@@ -650,4 +649,53 @@ def source_quality_gate(
         (F.col("qmicro").cast("double") / 1000000.0).alias("quality"),
         "src_avg_quality",
         (F.col("src_avg_quality") >= F.lit(cutoff)).alias("kept"),
+    )
+
+
+def quality_classifier_linear(documents: DataFrame, dim: int = 1024) -> DataFrame:
+    """Model-based quality filter, fasttext/linear shape (the
+    Dolma/DataTrove "quality classifier" step): hashed bag-of-words
+    features × a weight vector, mean-pooled, thresholded at 0.
+
+    The weight table here is a deterministic stand-in (Knuth
+    multiplicative hash over the feature bucket, scaled to dyadic
+    [-0.5, 0.5)); a trained model drops in by replacing ``w_expr``
+    with a broadcast ``bucket -> weight`` map — the plan shape does
+    not change.
+
+    ZERO shuffle: bucket = md5-prefix of the token (16 bits, modulo
+    ``dim``) and the weight is an integer expression OF the bucket, so
+    everything stays a narrow per-row array fold that pipelines with
+    the scan — no vocabulary join at any corpus size.
+
+    Exactness: weights are dyadic rationals (denominator 4096), so
+    every partial sum is exactly representable and the score is
+    bit-identical across engines and aggregation orders — no rounding
+    contract needed before the final 1e-6 floor.
+    """
+    toks = tokens_col(F.col("text"))
+
+    def w_expr(tok: Column) -> Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("bigint"),
+            F.lit(dim),
+        )
+        return (
+            F.pmod(bucket * F.lit(2654435761), F.lit(4096)).cast("double")
+            / 4096.0
+            - 0.5
+        )
+
+    total = F.aggregate(
+        F.transform(toks, w_expr), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    score = (
+        F.floor(total / n.cast("double") * 1000000.0 + 0.5) / 1000000.0
+    )
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("clf_score"),
+        (score >= F.lit(0.0)).alias("kept"),
     )

@@ -204,3 +204,39 @@ def host_rank(
     nodes.unpersist()
     ew.unpersist()
     return out
+
+
+def url_policy_flags(
+    urls: DataFrame,
+    blocked_hosts: tuple[str, ...] = (),
+    blocked_suffixes: tuple[str, ...] = (),
+    blocked_path_terms: tuple[str, ...] = (),
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1/FineWeb-style URL policy filtering: flag URLs whose host is
+    on an exact blocklist, whose registered domain matches a blocked
+    suffix, or whose path contains a blocked term.
+
+    The blocklists are literals folded into the predicate (the UT1
+    adult list is ~4M entries — at that size swap the isin for a
+    broadcast left-anti/semi join; the plan shape is the swap-in
+    point). Everything is a narrow scan-side expression — zero
+    shuffle, pipelines with the frontier scan, and Catalyst pushes the
+    final filter into the source when the caller drops flagged rows.
+    """
+    df = with_host(urls, url_col)
+    host = F.col("host")
+    blocked = F.lit(False)
+    if blocked_hosts:
+        blocked = blocked | host.isin(*blocked_hosts)
+    for s in blocked_suffixes:
+        blocked = blocked | host.endswith("." + s) | (host == F.lit(s))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    for t in blocked_path_terms:
+        blocked = blocked | (F.instr(F.lower(path), t.lower()) > 0)
+    return df.withColumn("blocked", blocked)
+
+
+def url_policy_filter(urls: DataFrame, **kwargs) -> DataFrame:
+    """Keep only URLs that pass url_policy_flags."""
+    return url_policy_flags(urls, **kwargs).filter(~F.col("blocked")).drop("blocked")

@@ -1174,23 +1174,24 @@ def decontam_surv(spark, sf):
 
 # Corpus-unigram LM score per document — the CCNet-style "perplexity
 # filter" with a closed-form unigram model (see
-# textstats.unigram_logprob for the cross-engine determinism contract:
-# per-token 1e-6 rounding BEFORE an in-order sequential fold).
+# textstats.unigram_logprob: per-token log-probs quantized to exact
+# integer micro-units, so the doc SUM is order-independent exact
+# integer arithmetic on both engines).
 @q(
     "unigram_logprob",
-    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
-    " tk AS (SELECT doc_id, i, toks[i] AS tok FROM"
-    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i"
-    "   FROM d) x),"
+    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+    "  FROM documents),"
     " vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),"
     " tot AS (SELECT COUNT(*) AS total FROM tk),"
-    " lp AS (SELECT tok, floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
-    "  * 1000000.0 + 0.5) / 1000000.0 AS logp FROM vocab, tot),"
-    " seq AS (SELECT doc_id, list(logp ORDER BY i) AS lps"
+    " lp AS (SELECT tok, CAST(floor(ln(CAST(cnt AS DOUBLE)"
+    "  / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lpm"
+    "  FROM vocab, tot),"
+    " agg AS (SELECT doc_id, SUM(lpm) AS sum_micro, COUNT(*) AS n_tokens"
     "  FROM tk JOIN lp USING (tok) GROUP BY doc_id)"
-    " SELECT doc_id, len(lps) AS n_tokens,"
-    " floor(list_sum(lps) / len(lps) * 1000000.0 + 0.5) / 1000000.0"
-    "  AS avg_logprob FROM seq",
+    " SELECT doc_id, n_tokens,"
+    " floor(CAST(sum_micro AS DOUBLE)"
+    "  / (CAST(n_tokens AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)"
+    "  / 1000000.0 AS avg_logprob FROM agg",
 )
 def unigram_lp(spark, sf):
     return textstats.unigram_logprob(_t(spark, sf, "documents"))
@@ -1225,6 +1226,99 @@ _QMICRO_SQL = (
 )
 def src_gate(spark, sf):
     return textstats.source_quality_gate(_t(spark, sf, "documents"), cutoff=0.46875)
+
+
+# UT1/FineWeb-style URL policy filter over a synthesized URL table
+# (same deterministic synthesis on both sides — the s2/s3 pattern):
+# exact-host blocklist, domain-suffix match, path-term match.
+_URL_SYNTH_SQL = (
+    "'http://' || CASE WHEN doc_id % 11 = 0 THEN 'ads.example.test'"
+    " WHEN doc_id % 11 = 1 THEN 'bad.test'"
+    " WHEN doc_id % 11 = 2 THEN 'sub.bad.test'"
+    " ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.ok.test' END"
+    " || '/p/' || CASE WHEN doc_id % 13 = 0 THEN 'casino' ELSE 'page' END"
+    " || '-' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_synth_spark():
+    m11 = F.col("doc_id") % 11
+    host = (
+        F.when(m11 == 0, F.lit("ads.example.test"))
+        .when(m11 == 1, F.lit("bad.test"))
+        .when(m11 == 2, F.lit("sub.bad.test"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".ok.test"))
+        )
+    )
+    term = F.when(F.col("doc_id") % 13 == 0, F.lit("casino")).otherwise(F.lit("page"))
+    return F.concat(
+        F.lit("http://"), host, F.lit("/p/"), term, F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+@q(
+    "url_blocklist_filter",
+    f"WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),"
+    " h AS (SELECT doc_id, url,"
+    "  regexp_extract(url, '^http://([^/]+)', 1) AS host,"
+    "  regexp_extract(url, '^http://[^/]+(/.*)$', 1) AS path FROM u)"
+    " SELECT doc_id, url, host,"
+    " host = 'ads.example.test' OR host = 'bad.test'"
+    " OR host LIKE '%.bad.test'"
+    " OR strpos(lower(path), 'casino') > 0 AS blocked FROM h",
+)
+def url_blocklist(spark, sf):
+    from photon_spark.plans.schedule import url_policy_flags
+
+    urls = _t(spark, sf, "documents").select(
+        "doc_id", _url_synth_spark().alias("url")
+    )
+    return url_policy_flags(
+        urls,
+        blocked_hosts=("ads.example.test",),
+        blocked_suffixes=("bad.test",),
+        blocked_path_terms=("casino",),
+    ).select("doc_id", "url", "host", "blocked")
+
+
+# Outlier-length truncation via exact corpus percentiles — both
+# engines use (n-1)·p linear interpolation over exact integer counts.
+@q(
+    "length_percentile_gate",
+    "WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
+    " FROM documents),"
+    " b AS (SELECT"
+    "  floor(quantile_cont(n_tokens, 0.05) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS lo_bound,"
+    "  floor(quantile_cont(n_tokens, 0.95) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS hi_bound FROM d)"
+    " SELECT doc_id, n_tokens, lo_bound, hi_bound,"
+    " n_tokens >= lo_bound AND n_tokens <= hi_bound AS kept FROM d, b",
+)
+def length_gate(spark, sf):
+    from photon_spark.operators.sampling import length_percentile_gate
+
+    return length_percentile_gate(_t(spark, sf, "documents"))
+
+
+# Model-based quality filter, fasttext/linear shape — hashed-BoW
+# features × deterministic dyadic weights, mean-pooled (see
+# textstats.quality_classifier_linear: zero shuffle, and dyadic
+# weights make the sum order-independent and exact on both engines).
+@q(
+    "quality_classifier",
+    "WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,"
+    " floor(list_sum(list_transform(string_split(text, ' '),"
+    "  t -> ((CAST(concat('0x', substring(md5(t), 1, 4)) AS BIGINT) % 1024)"
+    "   * 2654435761 % 4096) / 4096.0 - 0.5))"
+    "  / len(string_split(text, ' ')) * 1000000.0 + 0.5) / 1000000.0"
+    "  AS clf_score FROM documents)"
+    " SELECT doc_id, n_tokens, clf_score, clf_score >= 0.0 AS kept FROM s",
+)
+def quality_clf(spark, sf):
+    return textstats.quality_classifier_linear(_t(spark, sf, "documents"))
 
 
 # Token-budget data mixing — per-source budgets floor(total · w) with
@@ -1275,6 +1369,9 @@ _TAIL = (
     "t2_file_filter",
     "s2_robots_parse",
     "quality_score",
+    "j1_seen_antijoin",  # r1+r2 green; frontier_dedup_schedule stays
+    "t3_scope_classify",  # r1+r2 green; url_blocklist_filter joins the family
+    "t12_luhn_gate",  # r1+r2 green; golden-pinned (Q8a/Q8b units)
     # twice-driver-verified (r1 + r2), parked this round:
     "a1_event_counts",  # simple agg twin; a2 sibling shape
     "a2_metrics_agg",

@@ -69,7 +69,7 @@ best = None
 for _ in range({inner_reps}):
     spark.sparkContext._jvm.System.gc()
     t0 = time.time()
-    n_pairs = minhash_lsh_pairs(docs).count()
+    n_pairs = minhash_lsh_pairs(docs, fast={fast}).count()
     sec = time.time() - t0
     if best is None or sec < best["sec"]:
         best = {{"n_docs": n, "n_pairs": n_pairs, "sec": round(sec, 3),
@@ -79,8 +79,8 @@ spark.stop()
 """
 
 
-def run_child_once(cores: int, n_docs: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, inner_reps=3)
+def run_child_once(cores: int, n_docs: int, fast: bool = False) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, inner_reps=3, fast=fast)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -94,10 +94,10 @@ def run_child_once(cores: int, n_docs: int) -> dict:
     raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
 
 
-def run_child(cores: int, n_docs: int, sessions: int = 2) -> dict:
+def run_child(cores: int, n_docs: int, sessions: int = 2, fast: bool = False) -> dict:
     best = None
     for _ in range(sessions):
-        r = run_child_once(cores, n_docs)
+        r = run_child_once(cores, n_docs, fast=fast)
         if best is None or r["docs_per_s"] > best["docs_per_s"]:
             best = r
     return best
@@ -108,13 +108,14 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    fast = len(sys.argv) > 4 and sys.argv[4] == "fast"
 
-    r_low = run_child(low, n_docs)
-    r_high = run_child(high, n_docs)
+    r_low = run_child(low, n_docs, fast=fast)
+    r_high = run_child(high, n_docs, fast=fast)
     ratio = r_high["docs_per_s"] / r_low["docs_per_s"]
     eff = ratio / (high / low)
     report = {
-        "job": "minhash_lsh_dedup",
+        "job": "minhash_lsh_dedup_fast" if fast else "minhash_lsh_dedup",
         "pairs": [
             {
                 "n_docs": n_docs,

@@ -851,13 +851,12 @@ def test_unigram_logprob(spark):
         [(1, "a a b"), (2, "b c")], "doc_id long, text string"
     )
     out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
-    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
-    lp25 = r6(math.log(2 / 5))
-    lp15 = r6(math.log(1 / 5))
+    lpm = lambda p: math.floor(math.log(p) * 1e6 + 0.5)  # noqa: E731
+    avg = lambda s, n: math.floor(s / (n * 1e6) * 1e6 + 0.5) / 1e6  # noqa: E731
     assert out[1]["n_tokens"] == 3
-    assert out[1]["avg_logprob"] == r6((lp25 + lp25 + lp25) / 3)
+    assert out[1]["avg_logprob"] == avg(3 * lpm(2 / 5), 3)
     assert out[2]["n_tokens"] == 2
-    assert out[2]["avg_logprob"] == r6((lp25 + lp15) / 2)
+    assert out[2]["avg_logprob"] == avg(lpm(2 / 5) + lpm(1 / 5), 2)
 
 
 def test_source_quality_gate(spark):
@@ -919,3 +918,87 @@ def test_mix_token_budget(spark):
         docs, weights={"a": 0.5, "b": 0.25}, total_budget=128, default_weight=0.0
     ).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_quality_classifier_linear(spark):
+    """Hand-computed hashed-feature linear score for a two-token doc;
+    dyadic weights mean the fold is exact in any order."""
+    import hashlib
+    import math
+
+    from photon_spark.operators.textstats import quality_classifier_linear
+
+    def w(tok):
+        bucket = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 1024
+        return (bucket * 2654435761 % 4096) / 4096.0 - 0.5
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_linear(docs).collect()}
+    exp1 = math.floor((w("hello") + w("world")) / 2 * 1e6 + 0.5) / 1e6
+    exp2 = math.floor(w("spark") * 1e6 + 0.5) / 1e6
+    assert out[1]["clf_score"] == exp1
+    assert out[2]["clf_score"] == exp2
+    assert out[1]["kept"] == (exp1 >= 0.0)
+    assert out[2]["kept"] == (exp2 >= 0.0)
+
+
+def test_url_policy_filter(spark):
+    """Exact-host, suffix, and path-term blocks each fire; clean URLs
+    pass; filter variant drops exactly the flagged rows."""
+    from photon_spark.plans.schedule import url_policy_filter, url_policy_flags
+
+    rows = [
+        (1, "http://ads.example.test/x"),        # exact host block
+        (2, "http://bad.test/ok"),               # suffix == host
+        (3, "http://shop.bad.test/ok"),          # suffix subdomain
+        (4, "http://notbad.test/ok"),            # NOT a suffix match
+        (5, "http://good.test/casino-night"),    # path term
+        (6, "http://good.test/fine"),            # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kw = dict(
+        blocked_hosts=("ads.example.test",),
+        blocked_suffixes=("bad.test",),
+        blocked_path_terms=("casino",),
+    )
+    flags = {r["doc_id"]: r["blocked"] for r in url_policy_flags(df, **kw).collect()}
+    assert flags == {1: True, 2: True, 3: True, 4: False, 5: True, 6: False}
+    kept = {r["doc_id"] for r in url_policy_filter(df, **kw).collect()}
+    assert kept == {4, 6}
+
+
+def test_length_percentile_gate(spark):
+    """Percentile band over 1..20 tokens: the extremes fall outside
+    [p5, p95]; everyone carries identical broadcast bounds."""
+    from photon_spark.operators.sampling import length_percentile_gate
+
+    docs = spark.createDataFrame(
+        [(i, "t " * i) for i in range(1, 21)], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", F.expr("trim(text)").alias("text"))
+    out = {r["doc_id"]: r for r in length_percentile_gate(docs).collect()}
+    assert len(out) == 20
+    bounds = {(r["lo_bound"], r["hi_bound"]) for r in out.values()}
+    assert len(bounds) == 1                      # one broadcast pair
+    lo, hi = next(iter(bounds))
+    # numpy-style (n-1)p interpolation over 1..20: p5=1.95, p95=19.05
+    assert lo == 1.95 and hi == 19.05
+    assert not out[1]["kept"] and not out[20]["kept"]
+    assert out[2]["kept"] and out[19]["kept"]
+
+
+def test_minhash_fast_path_parity(docs):
+    """Integer fast path finds the same planted structure as the md5
+    family: exact dups collide on every band, the near-dup on ≥1, and
+    unrelated docs never pair."""
+    from photon_spark.operators import dedupe
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedupe.minhash_lsh_pairs(docs, fast=True).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
