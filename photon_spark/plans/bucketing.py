@@ -1,0 +1,63 @@
+"""Bucketed-table co-location — joins and aggregations without an
+exchange on the fact side.
+
+The 100-TB pattern this encodes: tables that are repeatedly joined or
+re-aggregated on the same key (the crawl's `seen` set keyed on url,
+document tables keyed on doc_id, signature tables keyed on doc_id)
+should be WRITTEN pre-partitioned on that key. Spark's bucketing does
+exactly this: `bucketBy(n, key)` hash-partitions rows into a fixed
+number of buckets at write time and records the bucket spec in the
+catalog; a later equi-join of two tables bucketed on the same key with
+the same bucket count needs NO Exchange on either side — the single
+most expensive operator in a 10^10-row join simply disappears from the
+plan (tests/test_bucketing.py asserts this on the executed plan).
+
+Reference point: the reference engine keeps its `processed` set as an
+in-memory Python set (photon.py:91-100) — single-process, rebuilt per
+run. The bucketed form is its cluster-shape equivalent: durable,
+co-located with the wave key, and join-ready without a shuffle.
+
+Bucketed tables must be saved through the session catalog
+(`saveAsTable`) — plain `.parquet(path)` writes have nowhere to record
+the bucket spec. The catalog is the default in-memory/derby one in the
+sandbox; on a cluster it is Hive/Glue/Unity and the same calls apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Save ``df`` as a bucketed (and, by default, per-bucket sorted)
+    parquet table. Sorting within buckets additionally removes the
+    sort step of a sort-merge join between co-bucketed tables."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Equi-join two co-bucketed catalog tables on their bucket key.
+    With matching bucket specs this plans as an exchange-free
+    sort-merge join (zero shuffle on either side)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def has_exchange(df: DataFrame) -> bool:
+    """True if the executed plan contains a shuffle exchange —
+    the property the bucketing tests pin down."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" in plan

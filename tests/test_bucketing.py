@@ -1,0 +1,76 @@
+"""Bucketed co-location: the exchange disappears from the join plan.
+
+Pins the scale claim in plans/bucketing.py — co-bucketed tables join
+with NO shuffle on either side, while the same join over plain parquet
+exchanges both sides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.plans.bucketing import cobucketed_join, has_exchange, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("fp"),
+    )
+    sigs = spark.range(0, 2000, 2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 17).alias("sig"),
+    )
+    write_bucketed(docs, "b_docs", "doc_id", 8, path=str(base / "docs"))
+    write_bucketed(sigs, "b_sigs", "doc_id", 8, path=str(base / "sigs"))
+    yield "b_docs", "b_sigs"
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_sigs")
+
+
+def _no_broadcast(spark):
+    return spark.conf.get("spark.sql.autoBroadcastJoinThreshold"), "-1"
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, left, right, "doc_id")
+        rows = joined.count()
+        assert rows == 1000  # every even doc_id matches
+        assert not has_exchange(joined), (
+            "co-bucketed join must not shuffle either side"
+        )
+
+        # control: the same join over non-bucketed frames DOES exchange
+        plain = spark.table(left).select("doc_id", "fp").repartition(8).join(
+            spark.table(right).select("doc_id", "sig").repartition(8), "doc_id"
+        )
+        plain.count()
+        assert has_exchange(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cobucketed_aggregation_has_no_exchange(spark, bucketed_tables):
+    """A groupBy on the bucket key also reuses the bucket partitioning
+    — no exchange before the aggregate."""
+    left, _ = bucketed_tables
+    agg = spark.table(left).groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert agg.count() == 2000
+    assert not has_exchange(agg)
+
+
+def test_bucketed_join_correctness_matches_plain(spark, bucketed_tables):
+    left, right = bucketed_tables
+    got = {
+        (r["doc_id"], r["sig"])
+        for r in cobucketed_join(spark, left, right, "doc_id").collect()
+    }
+    want = {(i, i % 17) for i in range(0, 2000, 2)}
+    assert got == want
