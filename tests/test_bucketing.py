@@ -10,7 +10,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from photon_spark.plans.bucketing import cobucketed_join, has_exchange, write_bucketed
+from photon_spark.plans.bucketing import (
+    cobucketed_join,
+    dedup_candidates_bucketed,
+    exchange_count,
+    has_exchange,
+    scan_is_bucketed,
+    write_bucketed,
+)
 
 
 @pytest.fixture(scope="module")
@@ -64,6 +71,46 @@ def test_cobucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     agg = spark.table(left).groupBy("doc_id").agg(F.count("*").alias("n"))
     assert agg.count() == 2000
     assert not has_exchange(agg)
+
+
+def test_bucketed_seen_antijoin_shuffles_wave_side_only(spark, tmp_path_factory):
+    """The frontier scale story: a seen set written bucketed on url
+    dedups each wave with ONE exchange (the wave side) and a bucketed
+    scan of seen — |seen| never re-shuffles per wave."""
+    base = tmp_path_factory.mktemp("seen_bucketed")
+    seen = spark.range(30000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url")
+    )
+    write_bucketed(seen, "b_seen", "url", 8, path=str(base / "seen"))
+    # wave: half already seen, half new
+    wave = spark.range(20000, 40000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url")
+    ).repartition(16)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = dedup_candidates_bucketed(spark, wave, "b_seen")
+        n = fresh.count()
+        assert n == 10000  # ids 30000..39999
+        assert scan_is_bucketed(fresh)
+        # exactly one hash exchange: the wave side being routed to the
+        # seen table's bucketing (the .repartition(16) RoundRobin above
+        # is the synthetic input's, not the join's)
+        assert exchange_count(fresh) <= 2
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+        # parity with the plain shuffled anti-join
+        plain = wave.join(seen, "url", "left_anti")
+        assert plain.count() == n
+        got = {r["url"] for r in fresh.collect()}
+        want = {r["url"] for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_seen")
 
 
 def test_bucketed_join_correctness_matches_plain(spark, bucketed_tables):
