@@ -281,7 +281,23 @@ def run_crawl(
                 bloom = UrlBloom.build(
                     acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
                 )
-        links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
+        seen_parts = (
+            store.processed_parts(spark)
+            if store is not None and store.bucket_seen > 0
+            else None
+        )
+        if seen_parts is not None:
+            # Store-backed bucketed rung: the compacted seen base reads
+            # pre-partitioned off bucket files (no exchange on the
+            # |seen| side) and the small post-compaction delta tail is
+            # broadcast — per-wave dedup shuffles only the wave.
+            from photon_spark.plans.frontier import dedup_candidates_parts
+
+            links = dedup_candidates_parts(
+                acc["internal"], seen_parts[0], seen_parts[1], "url"
+            )
+        else:
+            links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
         if cfg.exclude:
             links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
         if disallows is not None:

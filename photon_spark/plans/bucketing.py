@@ -63,8 +63,11 @@ def has_exchange(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the executed plan."""
+    """Number of shuffle exchanges in the executed plan. An adaptive
+    plan prints both its final and initial forms; only the final one
+    (what actually ran) is counted."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     ) + plan.count("Exchange RoundRobin")

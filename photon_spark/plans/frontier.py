@@ -563,3 +563,33 @@ def dedup_candidates(
     definitely_new = with_flag.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = with_flag.filter(F.col("_maybe")).drop("_maybe")
     return definitely_new.unionByName(needs_check.join(seen, url_col, "left_anti"))
+
+
+def dedup_candidates_parts(
+    candidates: DataFrame,
+    seen_base: DataFrame,
+    seen_delta: DataFrame | None,
+    url_col: str = "url",
+) -> DataFrame:
+    """candidates ∖ (seen_base ∪ seen_delta), exactly — the split-seen
+    rung of the dedup ladder for a store-backed crawl.
+
+    ``seen_base`` is the compacted bulk of the seen set read off a
+    table BUCKETED on ``url_col`` (CrawlStore.processed_parts): the
+    anti-join's seen side comes pre-partitioned+sorted off bucket
+    files, so ONLY the candidate side shuffles — |seen| (the 10^10
+    term) is never re-exchanged per wave. ``seen_delta`` is the small
+    post-compaction tail (≤ compact_every waves of newly processed
+    URLs); it is broadcast, so the second anti-join adds no exchange
+    at all. Net per-wave cost: one hash exchange of |wave| rows,
+    independent of |seen|.
+
+    The reference holds this set as one in-memory Python set
+    (photon.py:91-100, core/requester.py:31) — the base/delta split is
+    what that becomes when the set outgrows a single machine but the
+    per-wave additions stay small.
+    """
+    out = candidates.join(seen_base, url_col, "left_anti")
+    if seen_delta is not None:
+        out = out.join(F.broadcast(seen_delta), url_col, "left_anti")
+    return out

@@ -41,7 +41,11 @@ tests/test_storage_contract.py is the contract it must pass unchanged):
 | latest()         | current snapshot's summary (`snapshot().summary()`)      |
 | load(w)          | time travel: `VERSION AS OF <snapshot-of-wave-w>`        |
 | compact()        | `rewrite_data_files` (bin-pack) — readers of older       |
-|                  | snapshots keep their files                               |
+|                  | snapshots keep their files; with bucket_seen=N the       |
+|                  | `processed` table carries a `bucket(N, url)` partition   |
+|                  | transform so the per-wave anti-join is exchange-free on  |
+|                  | the seen side (here: a catalog-registered bucketed       |
+|                  | parquet table, same files the plain load() reads)        |
 | expire()         | `expire_snapshots(older_than=base)` +                    |
 |                  | `remove_orphan_files` — pre-base time travel then raises |
 | reset()          | `DROP TABLE ... PURGE` + `CREATE TABLE`                  |
@@ -75,9 +79,63 @@ STATE_SCHEMAS = {
 
 
 class CrawlStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, bucket_seen: int = 0):
+        """``bucket_seen`` > 0 makes compact() write the `processed`
+        base BUCKETED on url into that many buckets (registered in the
+        session catalog as an external parquet table). The wave loop
+        then dedups candidates against the base with an anti-join whose
+        seen side needs NO exchange — only the wave side shuffles —
+        plus a broadcast anti-join against the small post-compaction
+        delta tail (frontier.dedup_candidates_parts). This is the
+        10^10-|seen| rung of the dedup ladder: per-wave cost is
+        O(|wave|), independent of re-shuffling |seen| (Iceberg
+        equivalent: a table written with a bucket partition transform,
+        `bucket(N, url)`)."""
         self.root = root
+        self.bucket_seen = bucket_seen
         os.makedirs(root, exist_ok=True)
+
+    def _bucket_table_name(self, gen: int) -> str:
+        import hashlib
+
+        digest = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"crawlstore_{digest}_processed_g{gen}"
+
+    def _ensure_bucket_table(self, spark: SparkSession, bp: dict) -> None:
+        """(Re-)register the bucketed base in the session catalog — the
+        catalog is in-memory in the sandbox, so a resume in a fresh JVM
+        must recreate the table entry over the existing bucket files
+        (their names carry the bucket id, so the spec re-attaches
+        losslessly; tests pin anti-join parity after re-registration)."""
+        if not spark.catalog.tableExists(bp["table"]):
+            path = os.path.abspath(os.path.join(self.root, bp["dir"]))
+            spark.sql(
+                f"CREATE TABLE {bp['table']} (url STRING) USING PARQUET "
+                f"CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {bp['n_buckets']} BUCKETS LOCATION '{path}'"
+            )
+
+    def processed_parts(self, spark: SparkSession):
+        """(bucketed base DF, delta tail DF | None) for the seen set as
+        of the latest wave, or None when no bucketed base exists (store
+        built with bucket_seen=0, or compact() hasn't run yet)."""
+        latest = self.latest()
+        if latest is None:
+            return None
+        wave, meta = latest
+        base = meta.get("_base")
+        if not base or not base.get("bucketed_processed"):
+            return None
+        bp = base["bucketed_processed"]
+        self._ensure_bucket_table(spark, bp)
+        base_df = spark.table(bp["table"])
+        paths = [
+            self._delta_dir(int(w), "processed")
+            for w, tables in meta.get("_waves_index", {}).items()
+            if base["wave"] < int(w) <= wave and "processed" in tables
+        ]
+        delta_df = spark.read.parquet(*paths) if paths else None
+        return base_df, delta_df
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_wave_manifest.json")
@@ -173,15 +231,42 @@ class CrawlStore:
         gen = (prev_base["gen"] + 1) if prev_base else 0
         base_dir = f"base=w{upto}-g{gen}"
         tables = []
+        bucketed_processed = None
         for name, df in snapshot.items():
             if df.limit(1).count() == 0:
                 continue
-            df.write.mode("overwrite").parquet(
-                os.path.join(self.root, base_dir, name)
-            )
+            path = os.path.join(self.root, base_dir, name)
+            if name == "processed" and self.bucket_seen > 0:
+                # ONE copy serves both readers: written through the
+                # catalog so the bucket spec is recorded (plain
+                # .parquet() writes have nowhere to put it), while
+                # load() keeps reading the same files as ordinary
+                # parquet (bucket ids only live in the file names).
+                from photon_spark.plans.bucketing import write_bucketed
+
+                table = self._bucket_table_name(gen)
+                write_bucketed(
+                    df, table, "url", self.bucket_seen, os.path.abspath(path)
+                )
+                bucketed_processed = {
+                    "table": table,
+                    "dir": f"{base_dir}/{name}",
+                    "n_buckets": self.bucket_seen,
+                }
+            else:
+                df.write.mode("overwrite").parquet(path)
             tables.append(name)
         meta = dict(meta)
         meta["_base"] = {"wave": upto, "dir": base_dir, "tables": tables, "gen": gen}
+        if bucketed_processed:
+            meta["_base"]["bucketed_processed"] = bucketed_processed
+        if prev_base and prev_base.get("bucketed_processed"):
+            # Retire the superseded generation's catalog entry (external
+            # table: the DROP leaves its files for expire() to collect).
+            spark.sql(
+                "DROP TABLE IF EXISTS "
+                + prev_base["bucketed_processed"]["table"]
+            )
         if prev_base:
             # the superseded base is NOT deleted here: a concurrent
             # reader still holding the pre-swap manifest reads from it.

@@ -547,3 +547,70 @@ def test_sharded_cuckoo_undersized_expected_degrades_not_fails(spark):
         dtype=np.int64,
     )
     assert ck.might_contain(hashes).all()
+
+
+def test_crawl_with_bucketed_seen_store(spark, fixture_pages, tmp_path):
+    """bucket_seen>0: compact() writes the `processed` base BUCKETED on
+    url and the wave loop dedups against (bucketed base ∪ broadcast
+    delta tail). Result must be identical to the plain crawl, a resume
+    across the compaction boundary stays exact, the bucketed table
+    re-registers from the manifest in a fresh catalog, and the
+    anti-join plan reads the seen side off bucket files with exactly
+    one (candidate-side) hash exchange."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.bucketing import exchange_count, scan_is_bucketed
+    from photon_spark.plans.frontier import dedup_candidates_parts
+    from photon_spark.plans.storage import CrawlStore
+
+    cfg = EngineConfig(crawl_level=3, compact_every=1)
+    full = run_crawl(spark, fixture_pages, ROOT, cfg=EngineConfig(crawl_level=3))
+
+    store = CrawlStore(str(tmp_path / "bucketed_seen"), bucket_seen=8)
+    got = run_crawl(spark, fixture_pages, ROOT, cfg, store=store)
+    assert got.to_sets() == full.to_sets()
+    assert got.processed_count == full.processed_count
+
+    # crash + resume across the bucketed-compaction boundary
+    store2 = CrawlStore(str(tmp_path / "bucketed_seen_resume"), bucket_seen=8)
+    assert (
+        run_crawl(
+            spark, fixture_pages, ROOT, cfg, store=store2, stop_after_wave=0
+        )
+        is None
+    )
+    resumed = run_crawl(spark, fixture_pages, ROOT, cfg, store=store2, resume=True)
+    assert resumed.to_sets() == full.to_sets()
+    assert resumed.processed_count == full.processed_count
+
+    # fresh-catalog re-registration: drop the session catalog entry (what
+    # a new JVM looks like), then processed_parts must recreate it from
+    # the manifest and produce the exact seen set.
+    last, meta = store.latest()
+    bp = meta["_base"]["bucketed_processed"]
+    spark.sql(f"DROP TABLE IF EXISTS {bp['table']}")
+    base, delta = store.processed_parts(spark)
+    seen_urls = set()
+    for df in (base, delta):
+        if df is not None:
+            seen_urls |= {r["url"] for r in df.collect()}
+    want_seen = {r["url"] for r in store.load(spark, last)["processed"].collect()}
+    assert seen_urls == want_seen
+
+    cand = spark.createDataFrame(
+        [(u,) for u in sorted(want_seen)[:3]] + [("http://brand.new/x",)], "url string"
+    )
+    # At fixture scale AQE broadcasts the tiny base (fine); pin the
+    # big-|seen| plan shape — bucketed scan, ONE candidate-side
+    # exchange, delta still broadcast via its explicit hint — by
+    # disabling the size-based broadcast path.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_candidates_parts(cand, base, delta)
+        assert {r["url"] for r in out.collect()} == {"http://brand.new/x"}
+        assert scan_is_bucketed(out)
+        assert exchange_count(out) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
