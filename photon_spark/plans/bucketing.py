@@ -35,10 +35,25 @@ def write_bucketed(
     n_buckets: int,
     path: str | None = None,
     sort: bool = True,
+    single_file_buckets: bool = False,
 ) -> None:
     """Save ``df`` as a bucketed (and, by default, per-bucket sorted)
     parquet table. Sorting within buckets additionally removes the
-    sort step of a sort-merge join between co-bucketed tables."""
+    sort step of a sort-merge join between co-bucketed tables — but
+    Spark only TRUSTS the sort order when each bucket is one file
+    (multiple writer tasks each emit their own file per bucket, and
+    their concatenation isn't globally sorted). ``single_file_buckets``
+    pre-shuffles the frame into exactly the bucket partitioning
+    (repartition uses the same murmur3 hash as the bucket spec), so
+    every bucket is written by one task as one file and a later
+    sort-merge join skips the sort on this side entirely. Costs one
+    exchange at write time; right for compaction-style rewrites whose
+    output is re-joined every wave, wrong for gigantic tables where a
+    single task per bucket would bottleneck the write."""
+    if single_file_buckets:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(key))
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -245,8 +245,18 @@ class CrawlStore:
                 from photon_spark.plans.bucketing import write_bucketed
 
                 table = self._bucket_table_name(gen)
+                # single_file_buckets: one file per bucket, so the
+                # per-wave sort-merge anti-join also skips the sort on
+                # the seen side (Spark only trusts bucket sortedness
+                # when a bucket is one file) — measured 2.6× vs the
+                # plain anti-join at 64M seen (BENCH/BASELINE.md).
                 write_bucketed(
-                    df, table, "url", self.bucket_seen, os.path.abspath(path)
+                    df,
+                    table,
+                    "url",
+                    self.bucket_seen,
+                    os.path.abspath(path),
+                    single_file_buckets=True,
                 )
                 bucketed_processed = {
                     "table": table,

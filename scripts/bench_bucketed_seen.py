@@ -1,0 +1,119 @@
+"""Measure the bucketed-seen dedup rung vs the plain shuffled anti-join.
+
+The claim (plans/storage.py bucket_seen, frontier.dedup_candidates_parts):
+once the compacted seen base is written BUCKETED on url, per-wave dedup
+reads it pre-partitioned off bucket files — only the wave side shuffles.
+At 10^10 seen URLs that removes the dominant per-wave exchange; this
+script measures the same structural difference at sandbox scale.
+
+Protocol (mirrors bench_scaling.py conventions): one JVM, synthetic
+deterministic URLs, both inputs written to parquet FIRST (identical
+files; the bucketed variant re-saves the same rows through the catalog
+so the bucket spec is recorded — its one-off cost is reported separately
+since compaction amortizes it over compact_every waves), then each
+dedup variant timed best-of-3 with a count() action. Results appended
+to BENCH/bucketed_seen_runs.jsonl.
+
+Usage:
+    python scripts/bench_bucketed_seen.py [n_seen] [n_wave] [cores]
+Defaults: 16_000_000 seen, 2_000_000 wave, 32 cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    n_seen = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    n_wave = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.bucketing import write_bucketed
+    from photon_spark.plans.frontier import dedup_candidates_parts
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name="bucketed_seen")
+    tmp = tempfile.mkdtemp(prefix="bucketed_seen_")
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod(F.xxhash64("id"), F.lit(997)).cast("string"),
+                F.lit("/p/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+
+    # seen = [0, n_seen); delta tail = last 1% of it (what arrived since
+    # the last compaction); wave = half re-discovered URLs, half new.
+    base_hi = int(n_seen * 0.99)
+    urls(0, base_hi).write.mode("overwrite").parquet(f"{tmp}/seen_plain")
+    t0 = time.time()
+    write_bucketed(
+        spark.read.parquet(f"{tmp}/seen_plain"),
+        "bench_seen_bucketed",
+        "url",
+        cores,
+        path=f"{tmp}/seen_bucketed",
+        single_file_buckets=True,
+    )
+    bucketed_write_sec = round(time.time() - t0, 3)
+    urls(base_hi, n_seen).write.mode("overwrite").parquet(f"{tmp}/delta")
+    urls(n_seen - n_wave // 2, n_seen + n_wave // 2).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/wave")
+
+    wave = spark.read.parquet(f"{tmp}/wave")
+    seen_all = spark.read.parquet(f"{tmp}/seen_plain", f"{tmp}/delta")
+    base = spark.table("bench_seen_bucketed")
+    delta = spark.read.parquet(f"{tmp}/delta")
+
+    def timed(mk):
+        best, n = None, None
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            n = mk().count()
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        return round(best, 3), n
+
+    plain_sec, plain_n = timed(lambda: wave.join(seen_all, "url", "left_anti"))
+    bucketed_sec, bucketed_n = timed(
+        lambda: dedup_candidates_parts(wave, base, delta)
+    )
+    assert plain_n == bucketed_n, (plain_n, bucketed_n)
+
+    report = {
+        "job": "bucketed_seen_dedup",
+        "cores": cores,
+        "n_seen": n_seen,
+        "n_wave": n_wave,
+        "survivors": plain_n,
+        "plain_antijoin_sec": plain_sec,
+        "bucketed_parts_sec": bucketed_sec,
+        "speedup": round(plain_sec / bucketed_sec, 3),
+        "bucketed_write_sec": bucketed_write_sec,
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "BENCH", "bucketed_seen_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
