@@ -174,10 +174,18 @@ def pack_shards_twophase(
         .repartitionByRange(n, F.col(group_col), F.col(key_col))
         .sortWithinPartitions(group_col, key_col)
         .withColumn("pid", F.spark_partition_id())
+        # MUST be persisted: phase 1 (offsets) and phase 2 (the Arrow
+        # cumsum pass) are separate actions, and without a single
+        # materialization each plans its OWN range exchange —
+        # RangePartitioner samples boundaries with a per-RDD seed, so
+        # the two passes can disagree on which rows partition pid
+        # holds, silently corrupting every offset after the first
+        # divergent boundary. The cache pins one physical partitioning
+        # for both passes (a lost cached partition recomputes through
+        # the SAME pinned shuffle dependency, so boundaries cannot
+        # drift).
+        .persist()
     )
-    # no persist needed: both the phase-1 agg and the returned frame
-    # hang off the SAME range-exchange RDD, so the second job reuses
-    # its shuffle files (skipped stages) instead of recomputing
     sums = part.groupBy("pid", group_col).agg(
         F.sum("n_tokens").alias("s")
     ).collect()
@@ -223,7 +231,14 @@ def pack_shards_twophase(
             out["shard"] = pd.concat(starts).astype("int64")
             yield out
 
-    return part.mapInPandas(pack, schema=out_schema)
+    # Materialize the result off the cached partitioning, then release
+    # the phase-1/phase-2 input cache (the eager localCheckpoint
+    # truncates lineage so the unpersist can't trigger a re-shuffle;
+    # at cluster scale write the result to a table instead —
+    # localCheckpoint is not executor-loss-tolerant).
+    result = part.mapInPandas(pack, schema=out_schema).localCheckpoint(eager=True)
+    part.unpersist()
+    return result
 
 
 def mix_token_budget(

@@ -1002,3 +1002,36 @@ def test_minhash_fast_path_parity(docs):
     assert (0, 1) in pairs
     assert (0, 2) in pairs or (1, 2) in pairs
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_pack_shards_twophase_stable_across_invocations(spark):
+    """Regression (caught live at sf0.001): phase 1 (offsets) and
+    phase 2 (Arrow cumsum) are separate actions, and an un-persisted
+    repartitionByRange plans a fresh range exchange per action whose
+    RangePartitioner samples boundaries with a per-RDD seed — the two
+    passes could disagree on partition membership and corrupt offsets.
+    The frame is now persisted for both passes; repeated invocations
+    (fresh RDD seeds each time) must stay bit-identical to the window
+    version."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("testdata not present")
+    from photon_spark.operators.sampling import pack_shards, pack_shards_twophase
+
+    docs = spark.read.parquet(path)
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["shard"])
+        for r in pack_shards(docs, budget_tokens=512).collect()
+    }
+    for _ in range(3):
+        got = {
+            (r["doc_id"], r["source"], r["n_tokens"], r["shard"])
+            for r in pack_shards_twophase(
+                docs, budget_tokens=512, num_partitions=16
+            ).collect()
+        }
+        assert got == want
