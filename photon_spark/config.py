@@ -59,6 +59,13 @@ class EngineConfig:
     # Opt-in robots.txt Disallow gating (north-star capability; the
     # reference only SEEDS from robots.txt — default preserves parity).
     respect_robots: bool = False
+    # Opt-in robots.txt Crawl-delay politeness (requires
+    # respect_robots): the crawled host's per-wave budget becomes
+    # min(per_host_budget, floor(crawl_delay_window / Crawl-delay)) —
+    # i.e. how many politely-spaced fetches fit in one wave's fetch
+    # window of this many seconds. None = ignore Crawl-delay (the
+    # reference never reads the line; parity default).
+    crawl_delay_window: float | None = None
     # Opt-in F4 priority scoring (plans/schedule.priority_score): ranks
     # each host's queue fuzzable/shallow-first before the politeness
     # cap. Default off — the reference has no ordering, and goldens pin

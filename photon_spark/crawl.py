@@ -201,6 +201,7 @@ def run_crawl(
         processed_count = meta["processed_count"]
         robots_urls = meta["robots_urls"]
         disallow_rules = [tuple(r) for r in meta.get("disallow_rules", [])]
+        crawl_delay = meta.get("crawl_delay")
     else:
         if store is not None:
             # Fresh crawl into a (possibly reused) store root: clear any
@@ -226,6 +227,7 @@ def run_crawl(
             for rule, p in K.robots_rules(robots_body)
             if rule == "disallow"
         ]
+        crawl_delay = K.robots_crawl_delay(robots_body)
         sitemap_urls = K.sitemap_locs(special.get(main_url + "/sitemap.xml", DUMMY))
 
         internal0 = set(cfg.seeds) | {main_url} | set(robots_urls) | set(sitemap_urls)
@@ -252,6 +254,23 @@ def run_crawl(
                     ]
                 )
             )
+        )
+
+    # Constant across waves: robots.txt Crawl-delay → per-wave budget
+    # cap for the crawled host (opt-in; the reference never reads the
+    # line). floor(window / delay) fetches fit politely in one wave's
+    # fetch window; built JVM-only like `disallows` and broadcast into
+    # the schedule (one row per crawled host — no exchange).
+    host_budgets = None
+    if cfg.respect_robots and cfg.crawl_delay_window and crawl_delay:
+        from urllib.parse import urlparse as _urlparse
+
+        delay_budget = max(1, int(cfg.crawl_delay_window // crawl_delay))
+        if cfg.per_host_budget is not None:
+            delay_budget = min(delay_budget, cfg.per_host_budget)
+        host_budgets = spark.range(1).select(
+            F.lit(_urlparse(main_url).netloc).alias("host"),
+            F.lit(delay_budget).alias("host_budget"),
         )
 
     # Accumulators start from loaded state; per-wave pieces are unioned in.
@@ -341,6 +360,7 @@ def run_crawl(
             budget=cfg.per_host_budget,
             partitions=wave_parts,
             salts=cfg.host_salts if wave_parts > 1 else 1,
+            host_budgets=host_budgets,
         ).select("url", "level").persist()
         ext = extract_wave(fetch(scheduled), cfg, main_url).persist()
 
@@ -404,6 +424,7 @@ def run_crawl(
                 "processed_count": processed_count,
                 "robots_urls": robots_urls,
                 "disallow_rules": [list(r) for r in disallow_rules],
+                "crawl_delay": crawl_delay,
                 "metrics": metrics,
             }
             store.commit(level, delta, meta)

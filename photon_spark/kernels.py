@@ -283,6 +283,17 @@ def robots_rules(body: str) -> list[tuple[str, str]]:
     return out
 
 
+def robots_crawl_delay(body: str) -> float | None:
+    """First Crawl-delay value in seconds, or None. Same '<body' gate
+    (fancy-404 detection) as robots_paths. The reference never reads
+    this line; the engine's opt-in politeness budget uses it
+    (EngineConfig.crawl_delay_window) — off by default for parity."""
+    if "<body" in body:
+        return None
+    m = rx.ROBOTS_CRAWL_DELAY.search(body)
+    return float(m.group(1)) if m else None
+
+
 def sitemap_locs(body: str) -> list[str]:
     """<loc> entries. Reference core/zap.py:45-57, core/utils.py:112-115."""
     if "<body" in body:

@@ -86,6 +86,7 @@ def schedule_wave(
     partitions: int | None = None,
     salts: int = 1,
     url_col: str = "url",
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Apply priority + per-host budget, then host-partition the wave.
 
@@ -93,13 +94,33 @@ def schedule_wave(
     skew is bounded (SURVEY.md §4). Salting >1 spreads one hot host
     over `salts` partitions for the extract stage (fetch politeness is
     then enforced within the UDF per sub-partition budget).
+
+    ``host_budgets`` — optional (host, host_budget) frame of per-host
+    overrides (e.g. robots.txt Crawl-delay converted to a per-wave
+    cap): a listed host is capped at its own budget instead of the
+    scalar ``budget``; unlisted hosts keep ``budget`` (or stay uncapped
+    when ``budget`` is None). Robots-derived, so at most one row per
+    crawled host — always broadcast; the join adds no exchange.
     """
     out = with_host(wave, url_col)
-    if budget is not None:
+    if budget is not None or host_budgets is not None:
         order = [
             F.col("score").desc() if "score" in out.columns else F.lit(0),
             F.col(url_col).asc(),
         ]
+        if host_budgets is not None:
+            out = out.join(
+                F.broadcast(
+                    host_budgets.select("host", F.col("host_budget").cast("int"))
+                ),
+                "host",
+                "left",
+            )
+            cap = F.coalesce(F.col("host_budget"), F.lit(budget).cast("int"))
+        else:
+            cap = F.lit(budget)
+        # NULL cap (no scalar budget, host not listed) means uncapped.
+        keep = cap.isNull() | (F.col("_rn") <= cap)
         if salts > 1:
             # Two-stage top-k for Zipf-skewed hosts: a single
             # partitionBy(host) window serializes the hottest host on
@@ -107,19 +128,25 @@ def schedule_wave(
             # partitions; any row with global rank ≤ budget also has
             # salt-local rank ≤ budget, so stage 2's exact global cap
             # over ≤ salts·budget survivors/host returns the identical
-            # row set to the single-stage window.
+            # row set to the single-stage window. (The cap is constant
+            # within a host, so the proof is unchanged under per-host
+            # budgets.)
             salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salts))
             w1 = Window.partitionBy("host", "_salt").orderBy(*order)
             out = (
                 out.withColumn("_salt", salt)
                 .withColumn("_rn", F.row_number().over(w1))
-                .filter(F.col("_rn") <= budget)
+                .filter(keep)
                 .drop("_rn", "_salt")
             )
         w = Window.partitionBy("host").orderBy(*order)
-        out = out.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= budget
-        ).drop("_rn")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(keep)
+            .drop("_rn")
+        )
+        if host_budgets is not None:
+            out = out.drop("host_budget")
     if partitions:
         if salts > 1:
             out = out.repartition(
@@ -240,3 +267,64 @@ def url_policy_flags(
 def url_policy_filter(urls: DataFrame, **kwargs) -> DataFrame:
     """Keep only URLs that pass url_policy_flags."""
     return url_policy_flags(urls, **kwargs).filter(~F.col("blocked")).drop("blocked")
+
+
+def recrawl_schedule(
+    observations: DataFrame,
+    as_of_epoch: int,
+    k: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Top-k recrawl candidates per host by staleness × change rate.
+
+    The refresh-scheduling half the reference lacks entirely (Photon
+    crawls once and exits; its `processed` set is never revisited —
+    photon.py:91-100): given fetch observations (host, url, ts), score
+    each URL by how stale it is times how often it historically changed
+    — the classic freshness-driven recrawl policy (Cho & Garcia-Molina,
+    "Effective Page Refresh Policies for Web Crawlers", TODS 2003) —
+    and emit each host's k most urgent URLs. Pairs with the cuckoo
+    seen-filter's DELETE support (plans/frontier.UrlCuckoo): a
+    scheduled recrawl deletes the URL's fingerprint so the frontier
+    re-admits it.
+
+    score = staleness_s · (n_obs − 1) · 10^6 div observed_span_s —
+    integer arithmetic end to end (epoch seconds, integer div), so
+    ranking is bit-identical across engines (no float ulp in ORDER BY);
+    single-observation URLs (span 0, no change evidence) score 0 and
+    only surface once changing URLs are exhausted. Ties break on url
+    asc.
+
+    Shape at scale: one map-side-combinable groupBy((host, url)) — the
+    observation log (the big input) is touched exactly once — then a
+    per-host top-k window over the far smaller one-row-per-URL frame.
+    A Zipf-hot host with 10^8 distinct URLs serializes its window task;
+    at that skew, cap with the same two-stage salt trick as
+    schedule_wave (rank ≤ k within (host, salt) first — identical
+    result set, same proof).
+    """
+    n = F.count(F.lit(1))
+    last = F.max(F.unix_timestamp(F.col(ts_col)))
+    first = F.min(F.unix_timestamp(F.col(ts_col)))
+    g = observations.groupBy(host_col, url_col).agg(
+        n.alias("n_obs"), last.alias("last_s"), first.alias("first_s")
+    )
+    span = F.col("last_s") - F.col("first_s")
+    staleness = F.lit(int(as_of_epoch)) - F.col("last_s")
+    score = F.when(
+        span > 0,
+        F.expr(f"(({int(as_of_epoch)} - last_s) * (n_obs - 1) * 1000000) div (last_s - first_s)"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("score").desc(), F.col(url_col).asc()
+    )
+    return (
+        g.withColumn("staleness_s", staleness)
+        .withColumn("score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "first_s")
+        .withColumnRenamed("last_s", "last_seen_s")
+    )

@@ -1347,6 +1347,40 @@ def mix_budget(spark, sf):
     )
 
 
+# Freshness-driven recrawl scheduling (plans/schedule.recrawl_schedule)
+# — staleness × observed change rate, integer-exact scoring, top-k per
+# host. Mapped onto events: user_id ≅ host, event_type ≅ URL class,
+# ts ≅ fetch observation; as-of pinned at 2024-02-01T00:00:00Z.
+@q(
+    "recrawl_schedule",
+    "WITH g AS (SELECT user_id, event_type, COUNT(*) AS n_obs,"
+    # duckdb epoch is fractional; Spark unix_timestamp truncates
+    "  CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS last_seen_s,"
+    "  CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS first_s"
+    "  FROM events GROUP BY user_id, event_type),"
+    " s AS (SELECT user_id, event_type, n_obs, last_seen_s,"
+    "  1706745600 - last_seen_s AS staleness_s,"
+    "  CAST(CASE WHEN last_seen_s > first_s THEN"
+    "   ((1706745600 - last_seen_s) * (n_obs - 1) * 1000000)"
+    "    // (last_seen_s - first_s)"
+    "   ELSE 0 END AS BIGINT) AS score FROM g)"
+    " SELECT user_id, event_type, n_obs, last_seen_s, staleness_s, score"
+    " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+    "  ORDER BY score DESC, event_type ASC) AS rn FROM s) WHERE rn <= 2",
+)
+def recrawl_q(spark, sf):
+    from photon_spark.plans.schedule import recrawl_schedule
+
+    return recrawl_schedule(
+        _t(spark, sf, "events"),
+        as_of_epoch=1706745600,
+        k=2,
+        host_col="user_id",
+        url_col="event_type",
+        ts_col="ts",
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -1367,6 +1401,7 @@ _TAIL = (
     # golden-pinned, and source_quality_gate embeds quality_score's
     # exact scoring expression:
     "t2_file_filter",
+    "t13_semi_gate",  # r1+r2 green; parked to admit recrawl_schedule
     "s2_robots_parse",
     "quality_score",
     "j1_seen_antijoin",  # r1+r2 green; frontier_dedup_schedule stays

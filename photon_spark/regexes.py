@@ -142,6 +142,10 @@ ANY_TAG = re.compile(r"<[^<]+?>")
 # core/utils.py:115).
 ROBOTS_RULE = re.compile(r"Allow: (.*)|Disallow: (.*)")
 SITEMAP_LOC = re.compile(r"<loc>(.*?)</loc>")
+# Crawl-delay is a de-facto robots.txt extension (honored by Bing and
+# Yandex, documented in their public crawler docs); the reference
+# ignores it entirely (core/zap.py only reads Allow/Disallow lines).
+ROBOTS_CRAWL_DELAY = re.compile(r"Crawl-delay:\s*(\d+(?:\.\d+)?)", re.IGNORECASE)
 
 # jscanner junk filter (reference photon.py:300).
 ENDPOINT_JUNK = re.compile(r"[}{><\"\']")

@@ -614,3 +614,128 @@ def test_crawl_with_bucketed_seen_store(spark, fixture_pages, tmp_path):
         assert exchange_count(out) == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_schedule_wave_per_host_budget_override(spark):
+    """host_budgets caps a listed host at its own budget; unlisted
+    hosts keep the scalar budget (or stay uncapped when it's None).
+    The salted two-stage path must return the identical row set."""
+    rows = [(f"http://h{i % 3}.test/p{i:02d}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string")
+    hb = spark.createDataFrame([("h0.test", 2)], "host string, host_budget int")
+
+    got = schedule_wave(df, budget=4, host_budgets=hb)
+    counts = {
+        r["host"]: r["count"]
+        for r in with_host(got.select("url")).groupBy("host").count().collect()
+    }
+    assert counts == {"h0.test": 2, "h1.test": 4, "h2.test": 4}
+    # deterministic pick: lexicographically-first URLs of the capped host
+    h0 = sorted(r["url"] for r in got.collect() if "h0" in r["url"])
+    assert h0 == ["http://h0.test/p00", "http://h0.test/p03"]
+
+    # salted two-stage ≡ single-stage under per-host budgets
+    salted = {
+        r["url"] for r in schedule_wave(df, budget=4, host_budgets=hb, salts=4).collect()
+    }
+    assert salted == {r["url"] for r in got.collect()}
+
+    # scalar budget None: only the listed host is capped
+    only_listed = schedule_wave(df, budget=None, host_budgets=hb)
+    counts = {
+        r["host"]: r["count"]
+        for r in with_host(only_listed.select("url")).groupBy("host").count().collect()
+    }
+    assert counts == {"h0.test": 2, "h1.test": 10, "h2.test": 10}
+
+
+def test_crawl_delay_politeness(spark, tmp_path):
+    """Opt-in Crawl-delay: with window 60s and 'Crawl-delay: 30' in
+    robots.txt the crawled host schedules ≤2 URLs per wave; without the
+    knob the same crawl schedules full waves — and the capped crawl
+    still converges to the identical final datasets (deferred, not
+    dropped), including across a store resume."""
+    from fixtures.gen import PAGES_SCHEMA, ROOT, page_bodies, _spanify
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+    from photon_spark.plans.storage import CrawlStore
+
+    bodies = dict(page_bodies())
+    bodies[ROOT + "/robots.txt"] = (
+        "User-agent: *\nCrawl-delay: 30\n" + bodies[ROOT + "/robots.txt"]
+    )
+    pages = spark.createDataFrame(
+        [{"doc_id": u, "spans": _spanify(u, b)} for u, b in sorted(bodies.items())],
+        PAGES_SCHEMA,
+    )
+
+    base = run_crawl(spark, pages, ROOT, cfg=EngineConfig(crawl_level=2))
+
+    cfg = EngineConfig(
+        crawl_level=30, respect_robots=True, crawl_delay_window=60.0
+    )
+    capped = run_crawl(spark, pages, ROOT, cfg=cfg)
+
+    def max_main_host_per_wave(res):
+        # the cap binds the robots host only; other (sub)domains the
+        # scope classifier admits are not Crawl-delay'd by this robots
+        per = (
+            with_host(res.waves.select("url", "level"))
+            .filter(F.col("host") == "h0.fixture.test")
+            .groupBy("level")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in per)
+
+    assert max_main_host_per_wave(base) > 2
+    assert max_main_host_per_wave(capped) <= 2
+    # robots gating drops /priv-prefixed URLs; compare against the
+    # same-gated uncapped crawl: deferral must not lose pages
+    gated = run_crawl(
+        spark, pages, ROOT,
+        cfg=EngineConfig(crawl_level=30, respect_robots=True),
+    )
+    assert capped.to_sets() == gated.to_sets()
+
+    # resume keeps the cap (crawl_delay rides the store meta)
+    store = CrawlStore(str(tmp_path / "delay_store"))
+    assert (
+        run_crawl(spark, pages, ROOT, cfg=cfg, store=store, stop_after_wave=1)
+        is None
+    )
+    resumed = run_crawl(spark, pages, ROOT, cfg=cfg, store=store, resume=True)
+    assert max_main_host_per_wave(resumed) <= 2
+    assert resumed.to_sets() == gated.to_sets()
+
+
+def test_recrawl_schedule_staleness_times_change_rate(spark):
+    """Hand-computed freshness scores: staleness·(n_obs−1)·10^6 div
+    span, integer-exact; top-k per host; single-observation URLs score
+    0 but still surface when the host has budget left."""
+    from photon_spark.plans.schedule import recrawl_schedule
+
+    def ts(s):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = (
+        [("A", "u1", ts(t)) for t in (0, 100, 200)]
+        + [("A", "u2", ts(0))]
+        + [("A", "u3", ts(0)), ("A", "u3", ts(180))]
+        + [("B", "u4", ts(500))]
+    )
+    obs = spark.createDataFrame(rows, "host string, url string, ts timestamp")
+    got = {
+        (r["host"], r["url"]): (r["n_obs"], r["staleness_s"], r["score"])
+        for r in recrawl_schedule(obs, as_of_epoch=1000, k=2).collect()
+    }
+    assert got == {
+        ("A", "u1"): (3, 800, (800 * 2 * 1_000_000) // 200),   # 8_000_000
+        ("A", "u3"): (2, 820, (820 * 1 * 1_000_000) // 180),   # 4_555_555
+        ("B", "u4"): (1, 500, 0),
+    }
+    # k=1 keeps only the most urgent per host
+    top1 = {r["url"] for r in recrawl_schedule(obs, as_of_epoch=1000, k=1).collect()}
+    assert top1 == {"u1", "u4"}

@@ -132,3 +132,13 @@ def test_span_reassembly_roundtrip():
         {"kind": "text", "text": "hello ", "media_ref": "", "offset": 0},
     ]
     assert K.reassemble_text(spans) == "hello world"
+
+
+def test_robots_crawl_delay_parsing():
+    assert K.robots_crawl_delay("User-agent: *\nCrawl-delay: 10\n") == 10.0
+    assert K.robots_crawl_delay("crawl-delay:   2.5\nDisallow: /x\n") == 2.5
+    # first value wins; later lines ignored
+    assert K.robots_crawl_delay("Crawl-delay: 3\nCrawl-delay: 9\n") == 3.0
+    # fancy-404 gate (same as robots_paths)
+    assert K.robots_crawl_delay("<html><body>Crawl-delay: 10") is None
+    assert K.robots_crawl_delay("User-agent: *\nDisallow: /\n") is None
