@@ -14,9 +14,17 @@ import pytest
 
 from photon_spark.plans.storage import STATE_SCHEMAS, CrawlStore
 
+import functools
+
 # An Iceberg (or Delta) backed store registers here; every test below
-# runs per backend.
-BACKENDS = [("parquet_manifest", CrawlStore)]
+# runs per backend. The bucketed variant (bucket_seen>0 — compact()
+# writes `processed` as a catalog-registered bucketed table) must pass
+# the identical contracts: bucketing is a physical-layout choice, not
+# a semantic one.
+BACKENDS = [
+    ("parquet_manifest", CrawlStore),
+    ("parquet_manifest_bucketed", functools.partial(CrawlStore, bucket_seen=4)),
+]
 
 
 @pytest.fixture(params=BACKENDS, ids=[b[0] for b in BACKENDS])
