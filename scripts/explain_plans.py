@@ -44,9 +44,26 @@ EXPECT: dict[str, dict] = {
     # word-count agg + doc-keyed join of the narrow scalars: _t spread
     # + (doc,tok) agg exchange + doc_id agg exchange + join exchanges
     "gopher_quality": {"codegen": True},
-    # rank vector rides as broadcast; per-round agg exchanges remain
-    "host_pagerank": {"broadcast": True},
+    # host_rank eagerly checkpoints its ranks before unpersisting its
+    # cached inputs (the r3 cache-leak fix), so the RETURNED frame's
+    # plan is a checkpoint scan — the broadcast rank vector lives in
+    # the internal iteration jobs, pinned by its pytest instead
+    "host_pagerank": {"max_exchanges": 0},
     "tfidf_topterms": {"codegen": True},
+    # r3 additions:
+    # hashed-BoW scoring is pure per-row expressions: only _t's
+    # single-file spread may exchange
+    "quality_classifier": {"codegen": True, "max_exchanges": 1},
+    # narrow scan-side predicates: same bound
+    "url_blocklist_filter": {"codegen": True, "max_exchanges": 1},
+    "c4_line_clean": {"codegen": True, "max_exchanges": 1},
+    # exploded benchmark shingles ride a broadcast into the probe join
+    "decontam_hits": {"broadcast": True},
+    # one (host,url) agg exchange + the per-host top-k window exchange
+    # (+ _t's spread)
+    "recrawl_schedule": {"codegen": True, "max_exchanges": 3},
+    "unigram_logprob": {"codegen": True},
+    "mix_token_budget": {"codegen": True},
 }
 
 
