@@ -29,7 +29,12 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def priority_score(df: DataFrame, url_col: str = "url") -> DataFrame:
+def priority_score(
+    df: DataFrame,
+    url_col: str = "url",
+    host_ranks: DataFrame | None = None,
+    max_authority_boost: int = 3,
+) -> DataFrame:
     """F4 priority producer (north-star: level-based BFS with
     intel/endpoint prioritization). The reference has NO ordering (set
     iteration); within our per-host queue we rank by URL-shape signals
@@ -40,6 +45,13 @@ def priority_score(df: DataFrame, url_col: str = "url") -> DataFrame:
       parameterized pages are the intel/endpoint-rich ones.
     * shallowness boost (+3..0): fewer path segments first — the BFS
       flavor; shallow pages fan out more.
+    * optional authority boost (+0..max_authority_boost): given
+      ``host_ranks`` — (host, rank) from a previous crawl's
+      `host_rank` PageRank over the host link graph — a host scoring
+      a× the uniform 1/n rank gets floor(a)−1 extra points (capped).
+      The ranks frame is one row per host (orders of magnitude smaller
+      than the frontier), so it always broadcasts: the boost joins
+      without an exchange. Unranked hosts (new discoveries) boost 0.
 
     Pure integer arithmetic on JVM expressions, reproducible in ANSI
     SQL (driver oracle). `schedule_wave` consumes the resulting
@@ -50,9 +62,27 @@ def priority_score(df: DataFrame, url_col: str = "url") -> DataFrame:
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$", 1)
     slashes = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
     fuzz = F.when(url.contains("="), F.lit(4)).otherwise(F.lit(0))
-    return df.withColumn(
-        "score", fuzz + F.greatest(F.lit(0), F.lit(3) - slashes)
-    )
+    score = fuzz + F.greatest(F.lit(0), F.lit(3) - slashes)
+    if host_ranks is not None:
+        n_hosts = host_ranks.count()  # bounded scalar (one row per host)
+        had_host = "host" in df.columns
+        out = df if had_host else with_host(df, url_col)
+        out = out.join(
+            F.broadcast(host_ranks.select("host", F.col("rank").alias("_hr"))),
+            "host",
+            "left",
+        )
+        boost = F.least(
+            F.lit(int(max_authority_boost)),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.coalesce(F.col("_hr"), F.lit(0.0)) * n_hosts).cast("int")
+                - 1,
+            ),
+        )
+        out = out.withColumn("score", score + boost).drop("_hr")
+        return out if had_host else out.drop("host")
+    return df.withColumn("score", score)
 
 
 def robots_gate(

@@ -739,3 +739,53 @@ def test_recrawl_schedule_staleness_times_change_rate(spark):
     # k=1 keeps only the most urgent per host
     top1 = {r["url"] for r in recrawl_schedule(obs, as_of_epoch=1000, k=1).collect()}
     assert top1 == {"u1", "u4"}
+
+
+def test_priority_score_authority_boost(spark):
+    """host_rank output feeds priority: a host at a× the uniform rank
+    gets floor(a)−1 extra points (capped); unranked hosts boost 0; the
+    URL-shape components are unchanged; schedule_wave then prefers the
+    authoritative host's URLs under a global budget window."""
+    from photon_spark.plans.schedule import priority_score
+
+    ranks = spark.createDataFrame(
+        # 4 hosts; uniform rank would be 0.25. hub = 2.4x uniform → +1,
+        # mega = 8x uniform → floor(2.0)-1 = 1? no: 0.5*4=2.0 → +1;
+        # authority capped at max_authority_boost
+        [("hub.test", 0.15), ("mega.test", 0.60), ("low.test", 0.05),
+         ("other.test", 0.20)],
+        "host string, rank double",
+    )
+    urls = spark.createDataFrame(
+        [("http://mega.test/a",), ("http://hub.test/a",),
+         ("http://low.test/a",), ("http://new.test/a",)],
+        "url string",
+    )
+    got = {
+        r["url"]: r["score"]
+        for r in priority_score(urls, host_ranks=ranks).collect()
+    }
+    # all URLs share shape score 2 (one path segment, no '=')
+    assert got == {
+        "http://mega.test/a": 2 + 1,   # 0.60*4=2.4 → floor−1 = 1
+        "http://hub.test/a": 2 + 0,    # 0.15*4=0.6 → floor−1 → clamp 0
+        "http://low.test/a": 2 + 0,
+        "http://new.test/a": 2 + 0,    # unranked
+    }
+    # cap respected for an extreme authority
+    ranks2 = spark.createDataFrame(
+        [("mega.test", 0.97), ("a.test", 0.01), ("b.test", 0.01),
+         ("c.test", 0.01)],
+        "host string, rank double",
+    )
+    got2 = {
+        r["url"]: r["score"]
+        for r in priority_score(urls, host_ranks=ranks2).collect()
+    }
+    assert got2["http://mega.test/a"] == 2 + 2  # 0.97*4=3.88 → floor−1=2
+    got3 = {
+        r["url"]: r["score"]
+        for r in priority_score(urls, host_ranks=ranks2,
+                                max_authority_boost=1).collect()
+    }
+    assert got3["http://mega.test/a"] == 2 + 1  # capped
