@@ -60,6 +60,7 @@ HEADLINE = [
     "gopher_quality",
     "decontam_hits",
     "pack_shards_twophase",
+    "recrawl_schedule",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

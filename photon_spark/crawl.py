@@ -155,8 +155,14 @@ def run_crawl(
     stop_after_wave: Optional[int] = None,
     use_bloom: bool = False,
     fetcher=None,
+    host_ranks: Optional[DataFrame] = None,
 ) -> Optional[CrawlResult]:
     """Run a crawl over the ``pages`` span-document table.
+
+    ``host_ranks``: optional (host, rank) authority frame from a
+    previous crawl's `plans.schedule.host_rank` — with
+    cfg.use_priority it boosts authoritative hosts in the per-host
+    queue (broadcast join inside priority_score; no exchange).
 
     ``stop_after_wave`` simulates a crash for resume tests: state is
     committed to ``store`` and the function returns None.
@@ -354,7 +360,7 @@ def run_crawl(
         if cfg.use_priority:
             from photon_spark.plans.schedule import priority_score
 
-            wave = priority_score(wave)
+            wave = priority_score(wave, host_ranks=host_ranks)
         scheduled = schedule_wave(
             wave,
             budget=cfg.per_host_budget,

@@ -1385,9 +1385,9 @@ from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
 # (VERDICT r2 item 3): every oracled entry gets a driver-green row at
-# least once. Parked here for r3: thirteen entries the driver verified
-# in BOTH r1 and r2 (hash-green twice) — making room for the thirteen
-# oracled entries that had only local/judge verification until now
+# least once. Parked here for r3: entries the driver verified in BOTH
+# r1 and r2 (hash-green twice) — making room for the oracled entries
+# that had only local/judge verification until now
 # (u1_except, j2_union_dedup, sample_hash_deterministic,
 # embed_centroids, window_tumbling_counts, dedup_containment_verify,
 # split_assign_counts, dedup_retention, topk_per_group,

@@ -789,3 +789,25 @@ def test_priority_score_authority_boost(spark):
                                 max_authority_boost=1).collect()
     }
     assert got3["http://mega.test/a"] == 2 + 1  # capped
+
+
+def test_crawl_with_authority_priority(spark, fixture_pages):
+    """run_crawl(host_ranks=...) + use_priority: the crawl completes
+    with the identical final datasets (priority reorders within a
+    wave's budget window, never changes reachability when uncapped)."""
+    from fixtures.gen import ROOT
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    ranks = spark.createDataFrame(
+        [("h0.fixture.test", 0.7), ("h1.fixture.test", 0.1),
+         ("x.test", 0.1), ("y.test", 0.1)],
+        "host string, rank double",
+    )
+    base = run_crawl(spark, fixture_pages, ROOT, cfg=EngineConfig(crawl_level=2))
+    boosted = run_crawl(
+        spark, fixture_pages, ROOT,
+        cfg=EngineConfig(crawl_level=2, use_priority=True),
+        host_ranks=ranks,
+    )
+    assert boosted.to_sets() == base.to_sets()
