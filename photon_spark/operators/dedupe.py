@@ -504,3 +504,41 @@ def c4_span_dedup(documents: DataFrame, n_sents: int = 3) -> DataFrame:
         "span_md5",
         (F.row_number().over(w) == 1).alias("span_keep"),
     )
+
+
+def keep_best_per_cluster(
+    docs_scored: DataFrame,
+    components: DataFrame,
+    score_col: str = "quality",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup retention: keep the HIGHEST-scoring member
+    of each near-dup cluster instead of dup_components' min-doc_id
+    keeper — the production corpus policy (of a cluster of near-dup
+    pages, retain the best-written one, not the numerically smallest
+    id; tie → min key for determinism).
+
+    ``components``: (doc_id, keeper) from dup_components — only docs
+    that appear in some near-dup pair, so the join + per-cluster window
+    run over the clustered subset (≪ corpus); unclustered docs survive
+    untouched via the final anti-join. A boilerplate mega-cluster
+    concentrates its window on one task — the same skew class as the
+    LSH buckets; cap or salt first if clusters can exceed a task
+    (near-dup clusters are overwhelmingly tiny).
+
+    Returns the surviving keys (one column, ``key_col``).
+    """
+    from pyspark.sql import Window
+
+    members = components.join(
+        docs_scored.select(key_col, score_col), key_col
+    )
+    w = Window.partitionBy("keeper").orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(key_col)
+    )
+    return docs_scored.select(key_col).join(losers, key_col, "left_anti")

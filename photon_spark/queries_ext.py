@@ -1381,6 +1381,47 @@ def recrawl_q(spark, sf):
     )
 
 
+# Quality-aware dedup retention — the production policy: of each
+# near-dup cluster keep the HIGHEST quality_score member (tie → min
+# doc_id), not the smallest id. Composes quality_score → LSH pairs →
+# connected components → keep_best_per_cluster; oracle reuses the
+# minhash recursive-CTE components plus the exact quality expression.
+from photon_spark.queries import _STOP_SQL_LIST  # noqa: E402
+
+
+@q(
+    "dedup_retention_quality",
+    "WITH RECURSIVE pairs AS ({minhash}),"
+    " edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "  UNION SELECT doc_b, doc_a FROM pairs),"
+    " reach AS (SELECT a AS node, a AS label FROM edges"
+    "  UNION SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node),"
+    " comp AS (SELECT node, min(label) AS keeper FROM reach GROUP BY node),"
+    " qual AS (SELECT doc_id,"
+    "  floor((least(length(text) / 500.0, 1.0) * 0.4"
+    "  + least(((length(text) - (len(string_split(text, ' ')) - 1))"
+    "    / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3"
+    "  + least((CAST(len(list_filter(string_split(text, ' '),"
+    "      t -> list_contains({stops}, t))) AS DOUBLE)"
+    "    / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.3, 1.0) * 0.3)"
+    "  * 1000000 + 0.5) / 1000000 AS quality FROM documents),"
+    " ranked AS (SELECT c.node, row_number() OVER (PARTITION BY c.keeper"
+    "  ORDER BY qual.quality DESC, c.node ASC) AS rn"
+    "  FROM comp c JOIN qual ON qual.doc_id = c.node)"
+    " SELECT doc_id FROM documents WHERE doc_id NOT IN"
+    " (SELECT node FROM ranked WHERE rn > 1)".format(
+        minhash=_MINHASH_SQL, stops=_STOP_SQL_LIST
+    ),
+)
+def dd_retention_quality(spark, sf):
+    from photon_spark.operators import dedupe, textstats
+
+    docs = _t(spark, sf, "documents", spread=True)
+    scored = textstats.quality_score(docs)
+    comp = dedupe.dup_components(dedupe.minhash_lsh_pairs(docs))
+    return dedupe.keep_best_per_cluster(scored, comp).select("doc_id")
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -1402,6 +1443,7 @@ _TAIL = (
     # exact scoring expression:
     "t2_file_filter",
     "t13_semi_gate",  # r1+r2 green; parked to admit recrawl_schedule
+    "f3_politeness_window",  # r1+r2 green; parked to admit dedup_retention_quality
     "s2_robots_parse",
     "quality_score",
     "j1_seen_antijoin",  # r1+r2 green; frontier_dedup_schedule stays

@@ -1035,3 +1035,22 @@ def test_pack_shards_twophase_stable_across_invocations(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_keep_best_per_cluster(spark):
+    """Quality-aware retention keeps the argmax-quality member of each
+    cluster (tie → min doc_id); docs outside any cluster survive."""
+    from photon_spark.operators.dedupe import keep_best_per_cluster
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.1), (10, 0.7), (11, 0.7)],
+        "doc_id long, quality double",
+    )
+    comp = spark.createDataFrame(
+        # cluster A = {1,2,3} (keeper label 1), cluster B = {10,11};
+        # doc 4 is unclustered
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, keeper long",
+    )
+    got = {r["doc_id"] for r in keep_best_per_cluster(scored, comp).collect()}
+    assert got == {2, 4, 10}  # argmax quality; tie 10/11 → min id; singleton 4
