@@ -21,7 +21,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from photon_spark.plans.frontier import canonicalize_urls, dedup_candidates
+from photon_spark.plans.frontier import (
+    canonicalize_urls,
+    dedup_candidates,
+    dedup_candidates_parts,
+)
 from photon_spark.plans.schedule import schedule_wave
 
 
@@ -90,6 +94,102 @@ class StreamingScheduler:
 
     def start(self, url_stream: DataFrame, checkpoint_dir: str):
         """Attach to a readStream of (url string) and run continuously."""
+        return (
+            url_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+
+class StoreBackedScheduler:
+    """foreachBatch wave scheduler whose seen-state IS the batch
+    engine's Iceberg-shaped ``CrawlStore`` — one state store serves
+    both execution modes, so a crawl can start as a batch run, resume
+    as a stream, and vice versa (the north rule's 'resumable from
+    Iceberg checkpoints' with streaming discovery).
+
+    Exactly-once contract (the standard foreachBatch idempotence
+    pattern): the micro-batch id is the store wave id. Per batch the
+    order is (1) idempotent sink write — overwrite of the
+    ``batch_id=<n>`` partition dir, (2) store commit of the scheduled
+    delta. A crash between (1) and (2) replays the batch: the sink
+    overwrite rewrites identical rows (the schedule is deterministic
+    given the same input + seen snapshot, which the store guarantees —
+    its latest wave is still ``n-1``); a replay AFTER (2) is detected
+    by ``latest() >= batch_id`` and skipped outright, because commit
+    happening-after the sink write means both are on disk.
+
+    ``compact_every=K`` folds the delta tail into a consolidated base
+    every K batches (bucketed on url when the store was built with
+    ``bucket_seen>0``) and expires superseded deltas — after which the
+    per-batch dedup runs on the exchange-free base + broadcast-tail
+    plan (dedup_candidates_parts), the 10^10-|seen| rung.
+    """
+
+    def __init__(
+        self,
+        store,
+        out_dir: str,
+        budget: int | None = 100,
+        partitions: int = 8,
+        salts: int = 4,
+        compact_every: int | None = None,
+    ):
+        self.store = store
+        self.out_dir = out_dir
+        self.budget = budget
+        self.partitions = partitions
+        self.salts = salts
+        self.compact_every = compact_every
+
+    def _seen(self, spark: SparkSession):
+        """(base, delta) pair when a bucketed base exists, else the
+        plain snapshot-as-of-latest processed table."""
+        latest = self.store.latest()
+        if latest is None:
+            from photon_spark.session import jvm_empty
+
+            return None, jvm_empty(spark, "url string")
+        parts = self.store.processed_parts(spark)
+        if parts is not None:
+            return parts, None
+        return None, self.store.load(spark, latest[0])["processed"]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = self.store.latest()
+        if latest is not None and latest[0] >= batch_id:
+            # replay of a fully-committed batch (commit is the LAST
+            # step, so the sink partition for it is already on disk
+            # too): exactly-once by skipping.
+            return
+        canon = canonicalize_urls(batch_df.select("url")).dropDuplicates(["url"])
+        parts, seen = self._seen(spark)
+        if parts is not None:
+            fresh = dedup_candidates_parts(canon, parts[0], parts[1])
+        else:
+            fresh = dedup_candidates(canon, seen)
+        scheduled = schedule_wave(
+            fresh,
+            budget=self.budget,
+            partitions=self.partitions,
+            salts=self.salts,
+        ).select("url")
+        scheduled = scheduled.persist()
+        scheduled.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch_id={batch_id}")
+        )
+        self.store.commit(
+            batch_id,
+            {"processed": scheduled},
+            {"scheduled": scheduled.count(), "mode": "stream"},
+        )
+        scheduled.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.store.compact(spark)
+            self.store.expire()
+
+    def start(self, url_stream: DataFrame, checkpoint_dir: str):
         return (
             url_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

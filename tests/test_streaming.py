@@ -409,3 +409,155 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in scrub(batch).collect()}
     assert got == want
     assert 0 < len(got) < batch.count()  # the 'en' stratum was thinned
+
+
+def test_streaming_store_backed_scheduler(spark, tmp_path):
+    """StoreBackedScheduler: the stream's seen-state is a CrawlStore.
+    Three micro-batches with cross-batch repeats; compact_every=2 with
+    bucket_seen>0 so batch 2 dedups on the bucketed base + broadcast
+    tail plan. Exactly-once output, store waves = batch ids, and the
+    store's processed snapshot == everything ever scheduled."""
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.streaming.wave_stream import StoreBackedScheduler
+
+    in_dir = tmp_path / "urls_in"
+    in_dir.mkdir()
+    mk = lambda i: f"http://h{i % 5}.test/p/{i}"
+    batches = [
+        [(mk(i),) for i in range(100)],
+        # 50 repeats (as fragments -> same canonical) + 50 new
+        [(mk(i) + "#frag",) for i in range(50)]
+        + [(mk(i),) for i in range(100, 150)],
+        # all repeats + 25 new
+        [(mk(i),) for i in range(150)] + [(mk(i),) for i in range(150, 175)],
+    ]
+    for n, rows in enumerate(batches):
+        spark.createDataFrame(rows, "url string").coalesce(1).write.parquet(
+            str(in_dir / f"b{n}")
+        )
+
+    store = CrawlStore(str(tmp_path / "stream_store"), bucket_seen=4)
+    sched = StoreBackedScheduler(
+        store,
+        out_dir=str(tmp_path / "out"),
+        budget=1000,
+        partitions=2,
+        salts=2,
+        compact_every=2,
+    )
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    q = sched.start(stream, checkpoint_dir=str(tmp_path / "ckpt_store"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    want = {mk(i) for i in range(175)}
+    assert {r["url"] for r in out.collect()} == want
+    assert out.count() == 175  # no double-scheduling across batches
+    # store committed one wave per micro-batch and compacted at wave 1
+    latest = store.latest()
+    assert latest is not None and latest[0] == 2
+    assert latest[1]["_base"]["wave"] == 1
+    assert store.processed_parts(spark) is not None  # bucketed base live
+    seen = store.load(spark, 2)["processed"]
+    assert {r["url"] for r in seen.collect()} == want
+
+
+def test_streaming_store_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivery: re-running an already-committed batch
+    id must change neither the sink nor the store (exactly-once), and
+    replaying the LAST batch after a simulated crash-before-commit
+    converges to the same state."""
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.streaming.wave_stream import StoreBackedScheduler
+
+    store = CrawlStore(str(tmp_path / "replay_store"))
+    sched = StoreBackedScheduler(
+        store, out_dir=str(tmp_path / "out"), budget=1000, partitions=2
+    )
+    b0 = spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(40)], "url string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(20, 60)], "url string"
+    )
+    sched.process_batch(b0, 0)
+    sched.process_batch(b1, 1)
+
+    def state():
+        out = spark.read.parquet(str(tmp_path / "out"))
+        rows = sorted(
+            (r["url"], r["batch_id"]) for r in out.collect()
+        )
+        return rows, store.latest()
+
+    before = state()
+    assert len(before[0]) == 60 and before[1][0] == 1
+    # replay both batches (redelivery after a recovered failure)
+    sched.process_batch(b0, 0)
+    sched.process_batch(b1, 1)
+    assert state() == before
+    # crash-before-commit on a NEW batch: sink partition written, then
+    # the replay overwrites it and commits — still exactly-once
+    b2 = spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(50, 70)], "url string"
+    )
+    b2.withColumn("junk", F.lit(1)).drop("junk").write.mode("overwrite").parquet(
+        str(tmp_path / "out" / "batch_id=2")
+    )  # torn sink write from the failed attempt
+    sched.process_batch(b2, 2)
+    rows, latest = state()
+    assert latest[0] == 2
+    assert len(rows) == 70  # 60 + 10 genuinely new from b2
+    assert len({u for u, _ in rows}) == 70
+
+
+def test_streaming_store_checkpoint_resume(spark, tmp_path):
+    """Stop the stream, add more input, restart from the SAME
+    checkpoint: Spark redelivers nothing, batch ids continue, and the
+    cross-restart seen-state (the store) still dedups repeats."""
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.streaming.wave_stream import StoreBackedScheduler
+
+    in_dir = tmp_path / "urls_in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(50)], "url string"
+    ).coalesce(1).write.parquet(str(in_dir / "b0"))
+
+    store = CrawlStore(str(tmp_path / "resume_store"))
+    sched = StoreBackedScheduler(
+        store, out_dir=str(tmp_path / "out"), budget=1000, partitions=2
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir) + "/*")
+        )
+        q = sched.start(stream, checkpoint_dir=str(tmp_path / "ckpt_resume"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    # second leg: 30 repeats + 30 new, delivered after a restart
+    spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(20, 80)], "url string"
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    run()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 80
+    assert {r["url"] for r in out.collect()} == {
+        f"http://h.test/p/{i}" for i in range(80)
+    }
+    assert store.latest()[0] == 1  # batch ids continued from checkpoint
