@@ -61,6 +61,8 @@ HEADLINE = [
     "decontam_hits",
     "pack_shards_twophase",
     "recrawl_schedule",
+    "url_canonicalize_ext",
+    "semantic_dedup",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

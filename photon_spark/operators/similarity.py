@@ -355,6 +355,53 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication" — public): within an embedding cluster, keep one
+    representative of each semantic-duplicate neighborhood and prune
+    the rest.
+
+    Clusters here are the ``group_col`` blocking key (the fixture's
+    `label`; at scale the k-means cell id from ivf_topk's Lloyd stage —
+    same machinery, same plan shape). The retention rule is the
+    deterministic dominance form: a vector is PRUNED iff some
+    smaller-id member of its cluster sits at cosine ≥ threshold.
+    That makes the decision expressible identically in Spark and ANSI
+    SQL (no iterative greedy scan), at the cost of occasionally keeping
+    two members of a long duplicate CHAIN — the exact-group variant is
+    the existing composition cosine pairs → dup_components →
+    keep_best_per_cluster (dedup_retention / dedup_retention_quality).
+
+    Plan: the pair space is per-cluster quadratic (blocked self-join,
+    never global), the prune set is one distinct projection of the pair
+    frame, and the verdict is a left join back to the id universe —
+    one shuffle each, all map-side combinable. 100 TB: identical to
+    dedup_embedding_cosine's story; cluster-size skew is the hazard and
+    the two-stage bucket cap applies unchanged.
+    """
+    pairs = cosine_near_dup_pairs(embeddings, threshold, group_col, id_col)
+    dropped = (
+        pairs.select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        embeddings.select(id_col, group_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,

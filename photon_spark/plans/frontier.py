@@ -496,6 +496,53 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+#: query params that never change the resource — session/campaign
+#: trackers (public lists: Google Analytics utm_*, Facebook fbclid,
+#: Google Ads gclid, Microsoft msclkid, Mailchimp mc_eid, Instagram
+#: igshid). A param matches only by FULL name (anchored), with or
+#: without a value.
+_TRACKING_PARAM = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+)
+
+
+def canonicalize_urls_ext(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Extended canonicalization for frontier dedup QUALITY beyond the
+    reference's fragment-strip contract (Q1): `canonicalize_urls`
+    (lowercase scheme/host, default-port drop, fragment strip) plus
+    query-string normalization — strip tracking params
+    (:data:`_TRACKING_PARAM`), sort the survivors so param order stops
+    mattering, drop empty tokens and a now-empty ``?``.
+
+    At web scale this is the single biggest exact-dedup win after
+    fragment stripping: the same document reached via a newsletter
+    (utm_*), a social share (fbclid) and a plain link collapses to ONE
+    frontier row instead of three fetches. NOT applied on the
+    reference-parity path (the reference keeps query strings verbatim,
+    photon.py:91 — golden tests pin that); this is the opt-in
+    production knob.
+
+    Pure JVM expressions (split / filter / array_sort / array_join) —
+    narrow, stays in whole-stage codegen with the downstream hash.
+    """
+    df = canonicalize_urls(df, url_col)
+    url = F.col(url_col)
+    qpos = F.instr(url, "?")
+    pre = F.substring_index(url, "?", 1)
+    query = F.expr(f"substr(`{url_col}`, instr(`{url_col}`, '?') + 1)")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return df.withColumn(
+        url_col,
+        F.when((qpos == 0) | (qs == ""), pre).otherwise(
+            F.concat(pre, F.lit("?"), qs)
+        ),
+    )
+
+
 def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Arrow-batched pandas twin of `canonicalize_urls` — identical
     output (pytest-pinned parity); the template for canonicalization

@@ -244,6 +244,92 @@ def t3(spark, sf):
     )
 
 
+# Extended URL canonicalization (production frontier-dedup knob:
+# tracking-param strip + query sort on top of the Q1 contract).
+# Messy-URL universe: uppercase scheme/host, scheme-matched default
+# port, utm_/fbclid trackers, unsorted params, empty tokens, fragments
+# — every normalization path exercised and oracled.
+_MESSY_URL_SQL = (
+    "SELECT doc_id, (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)"
+    " || '://' || upper(source) || '.Test'"
+    " || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)"
+    " || '/doc/' || CAST(doc_id AS VARCHAR)"
+    " || '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '&fbclid=x' ELSE '' END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN '&' ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url"
+    " FROM documents"
+)
+
+_URL_PARTS_SQL = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^#]*)"
+
+_CANON_EXT_SQL = f"""
+WITH m AS ({_MESSY_URL_SQL}),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{_URL_PARTS_SQL}', 1)) AS scheme,
+    lower(regexp_extract(url, '{_URL_PARTS_SQL}', 2)) AS host,
+    regexp_extract(url, '{_URL_PARTS_SQL}', 3) AS rest
+  FROM m),
+d AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' AND host LIKE '%:80'
+           THEN regexp_replace(host, ':80$', '')
+         WHEN scheme = 'https' AND host LIKE '%:443'
+           THEN regexp_replace(host, ':443$', '')
+         ELSE host END AS host,
+    CASE WHEN instr(rest, '?') > 0
+           THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+    CASE WHEN instr(rest, '?') > 0
+           THEN substr(rest, instr(rest, '?') + 1) ELSE NULL END AS query
+  FROM p),
+q AS (
+  SELECT doc_id, scheme, host, path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))),
+      '&') AS qs
+  FROM d)
+SELECT doc_id, scheme || '://' || host || path ||
+  CASE WHEN qs IS NOT NULL AND qs <> '' THEN '?' || qs ELSE '' END AS url
+FROM q
+"""
+
+
+@q("url_canonicalize_ext", _CANON_EXT_SQL)
+def url_canonicalize_ext(spark, sf):
+    from photon_spark.plans.frontier import canonicalize_urls_ext
+
+    docs = _t(spark, sf, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://"),
+            F.upper(F.col("source")),
+            F.lit(".Test"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+                F.lit(":443")
+            ),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&b="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&a=1"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("&fbclid=x")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("&")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return canonicalize_urls_ext(messy)
+
+
 # T10 — exclusion regex filter
 @q(
     "t10_exclude_filter",

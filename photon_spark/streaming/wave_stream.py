@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from photon_spark.plans.frontier import (
     canonicalize_urls,
+    canonicalize_urls_ext,
     dedup_candidates,
     dedup_candidates_parts,
 )
@@ -134,6 +135,7 @@ class StoreBackedScheduler:
         partitions: int = 8,
         salts: int = 4,
         compact_every: int | None = None,
+        canonical_ext: bool = False,
     ):
         self.store = store
         self.out_dir = out_dir
@@ -141,6 +143,9 @@ class StoreBackedScheduler:
         self.partitions = partitions
         self.salts = salts
         self.compact_every = compact_every
+        # production knob: tracking-param strip + query sort on top of
+        # the Q1 canonicalization (frontier.canonicalize_urls_ext)
+        self.canonical_ext = canonical_ext
 
     def _seen(self, spark: SparkSession):
         """(base, delta) pair when a bucketed base exists, else the
@@ -163,7 +168,8 @@ class StoreBackedScheduler:
             # step, so the sink partition for it is already on disk
             # too): exactly-once by skipping.
             return
-        canon = canonicalize_urls(batch_df.select("url")).dropDuplicates(["url"])
+        _canon = canonicalize_urls_ext if self.canonical_ext else canonicalize_urls
+        canon = _canon(batch_df.select("url")).dropDuplicates(["url"])
         parts, seen = self._seen(spark)
         if parts is not None:
             fresh = dedup_candidates_parts(canon, parts[0], parts[1])

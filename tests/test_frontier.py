@@ -811,3 +811,32 @@ def test_crawl_with_authority_priority(spark, fixture_pages):
         host_ranks=ranks,
     )
     assert boosted.to_sets() == base.to_sets()
+
+
+def test_canonicalize_ext_query_normalization(spark):
+    """Extended canonicalization (production dedup knob, NOT the
+    reference-parity path): tracking params stripped by full anchored
+    name, survivors sorted, empty tokens and empty '?' dropped, and the
+    base canonicalize (case/port/fragment) still applied. URLs without
+    a query and non-parsing URLs pass through the base behavior."""
+    from photon_spark.plans.frontier import canonicalize_urls_ext
+
+    cases = [
+        # (input, expected)
+        ("HTTP://Host.Test:80/p?b=2&utm_source=x&a=1#f", "http://host.test/p?a=1&b=2"),
+        ("https://h.test:443/p?utm_campaign=c&fbclid=1&gclid=2", "https://h.test/p"),
+        ("http://h.test/p?z=1&&y=2&", "http://h.test/p?y=2&z=1"),
+        ("http://h.test/p", "http://h.test/p"),
+        ("http://h.test/p?", "http://h.test/p"),
+        # utm_ prefix only matches the FULL name (anchored): a param
+        # merely containing 'utm_' mid-name survives
+        ("http://h.test/p?xutm_source=1", "http://h.test/p?xutm_source=1"),
+        # value-less tracker and value-less survivor
+        ("http://h.test/p?fbclid&flag", "http://h.test/p?flag"),
+        # non-parsing URL: fragment-strip fallback; query normalization
+        # is purely syntactic so it applies here too
+        ("not a url?b=2&a=1#frag", "not a url?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["url"] for r in canonicalize_urls_ext(df).collect()]
+    assert got == [w for _, w in cases]

@@ -1054,3 +1054,50 @@ def test_keep_best_per_cluster(spark):
     )
     got = {r["doc_id"] for r in keep_best_per_cluster(scored, comp).collect()}
     assert got == {2, 4, 10}  # argmax quality; tie 10/11 → min id; singleton 4
+
+
+def test_semantic_dedup_matches_numpy_dominance(spark):
+    """semantic_dedup (SemDeDup-style pruning) vs an independent numpy
+    recomputation of the dominance rule on real fixture embeddings:
+    pruned iff some smaller-id same-label vector has floor-rounded
+    cosine >= threshold. Also: every label keeps its smallest id, and
+    lowering the threshold only grows the pruned set (monotonicity)."""
+    import math
+
+    import numpy as np
+
+    from photon_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        by_label.setdefault(r["label"], []).append((r["vec_id"], v / np.linalg.norm(v)))
+
+    def brute(threshold):
+        pruned = set()
+        for members in by_label.values():
+            members = sorted(members, key=lambda t: t[0])
+            for i, (ib, vb) in enumerate(members):
+                for ia, va in members[:i]:
+                    c = math.floor(float(va @ vb) * 1e6 + 0.5) / 1e6
+                    if c >= threshold:
+                        pruned.add(ib)
+                        break
+        return pruned
+
+    for tau in (0.3, 0.6):
+        got = {
+            r["vec_id"]: r["pruned"]
+            for r in semantic_dedup(emb, threshold=tau).collect()
+        }
+        assert len(got) == len(rows)  # verdict for every vector
+        want = brute(tau)
+        assert {i for i, p in got.items() if p} == want, f"tau={tau}"
+
+    # smallest id per label can never be pruned (nothing dominates it)
+    first = {min(i for i, _ in ms) for ms in by_label.values()}
+    got03 = {r["vec_id"] for r in semantic_dedup(emb, 0.3).filter("pruned").collect()}
+    assert not (got03 & first)
+    assert brute(0.6) <= brute(0.3)  # monotone in threshold

@@ -561,3 +561,29 @@ def test_streaming_store_checkpoint_resume(spark, tmp_path):
         f"http://h.test/p/{i}" for i in range(80)
     }
     assert store.latest()[0] == 1  # batch ids continued from checkpoint
+
+
+def test_streaming_store_canonical_ext_knob(spark, tmp_path):
+    """canonical_ext=True: tracking params and param order collapse to
+    one canonical frontier row before the seen-dedup."""
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.streaming.wave_stream import StoreBackedScheduler
+
+    store = CrawlStore(str(tmp_path / "ext_store"))
+    sched = StoreBackedScheduler(
+        store, out_dir=str(tmp_path / "out"), budget=1000,
+        partitions=2, canonical_ext=True,
+    )
+    b0 = spark.createDataFrame(
+        [
+            ("http://h.test/p?utm_source=mail&a=1",),
+            ("http://h.test/p?a=1&fbclid=x",),
+            ("http://h.test/p?a=1",),
+            ("http://h.test/q?b=2&a=1",),
+            ("http://h.test/q?a=1&b=2#frag",),
+        ],
+        "url string",
+    )
+    sched.process_batch(b0, 0)
+    out = {r["url"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out == {"http://h.test/p?a=1", "http://h.test/q?a=1&b=2"}
