@@ -63,6 +63,8 @@ HEADLINE = [
     "recrawl_schedule",
     "url_canonicalize_ext",
     "semantic_dedup",
+    "spans_reassemble",
+    "adaptive_budgets",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

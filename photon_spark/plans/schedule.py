@@ -358,3 +358,61 @@ def recrawl_schedule(
         .drop("_rn", "first_s")
         .withColumnRenamed("last_s", "last_seen_s")
     )
+
+
+def adaptive_host_budgets(
+    observations: DataFrame,
+    base: int = 8,
+    lo: int = 1,
+    hi: int = 64,
+    host_col: str = "host",
+    wave_col: str = "wave",
+    errors_col: str = "errors",
+) -> DataFrame:
+    """AIMD-shaped adaptive politeness: per-host wave budgets derived
+    from observed fetch outcomes, feeding ``schedule_wave(host_budgets
+    =...)`` exactly like the robots Crawl-delay budgets.
+
+    The congestion-control shape (public TCP AIMD): errors cut the
+    budget multiplicatively, clean waves grow it additively. Closed
+    form over the host's observation history — no sequential scan, so
+    the whole computation is ONE map-side-combinable groupBy over the
+    (host, wave, errors) log:
+
+        budget(host) = clamp(base div 2^min(err_waves, 6) + ok_waves,
+                             lo, hi)
+
+    where err_waves / ok_waves count the host's waves with / without
+    errors. The halving is a dyadic-rational double (exact for base ≤
+    2^52) floored to integer, so the DuckDB twin hash-matches. A host
+    the crawl has never errored on warms up one
+    unit per clean wave toward ``hi``; a flapping host collapses
+    toward ``lo`` within a handful of bad waves.
+
+    100 TB: the observation log is touched once, partial-aggregated
+    map-side into one row per host (≪ corpus; ~10^7 hosts max), and
+    the result joins back into schedule_wave as a broadcast — the
+    same zero-extra-exchange contract as host_budgets itself.
+    """
+    err_waves = F.sum(
+        F.when(F.col(errors_col) > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    ok_waves = F.sum(
+        F.when(F.col(errors_col) > 0, F.lit(0)).otherwise(F.lit(1))
+    )
+    g = (
+        observations.select(host_col, wave_col, errors_col)
+        .dropDuplicates([host_col, wave_col])
+        .groupBy(host_col)
+        .agg(err_waves.alias("_err"), ok_waves.alias("_ok"))
+    )
+    raw = (
+        F.lit(base).cast("long")
+        / F.pow(F.lit(2), F.least(F.col("_err"), F.lit(6)))
+    ).cast("long") + F.col("_ok")
+    return g.select(
+        F.col(host_col).alias("host"),
+        F.least(F.greatest(raw, F.lit(lo)), F.lit(hi))
+        .cast("int")
+        .alias("host_budget"),
+    )

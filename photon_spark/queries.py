@@ -330,6 +330,59 @@ def url_canonicalize_ext(spark, sf):
     return canonicalize_urls_ext(messy)
 
 
+# Interleaved span-document reassembly through the ENGINE's body_expr
+# (operators/extract.py — the kernel every crawl extraction reads
+# through). Spans are constructed deterministically from documents
+# OUT of offset order with a media span interleaved; correct
+# reassembly (filter kind='text', sort by offset, concat) inverts the
+# construction, so the oracle is simply the original text — any
+# ordering/filter/schema mistake in the span plumbing breaks equality.
+# This puts the input-hint invariant (span-sequence (kind, text,
+# media_ref, offset) semantics) through the driver's hash gate; the
+# golden crawl tests pin the same invariant end-to-end.
+@q(
+    "spans_reassemble",
+    "SELECT doc_id, text AS body,"
+    " 'img://' || CAST(doc_id AS VARCHAR) AS media_refs FROM documents",
+)
+def spans_reassemble(spark, sf):
+    from photon_spark.operators.extract import body_expr
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    t1 = F.array_join(F.slice(toks, 1, 5), " ")
+    t2 = F.when(
+        F.size(toks) > 5,
+        F.concat(F.lit(" "), F.array_join(F.slice(toks, 6, 1 << 30), " ")),
+    ).otherwise(F.lit(""))
+    mref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+
+    def span(kind, text, media, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    spans = F.array(
+        span("text", t2, F.lit(""), 2),
+        span("media", F.lit(""), mref, 1),
+        span("text", t1, F.lit(""), 0),
+    )
+    with_spans = docs.select("doc_id", spans.alias("spans"))
+    media_refs = F.array_join(
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+            lambda s: s["media_ref"],
+        ),
+        ",",
+    )
+    return with_spans.select(
+        "doc_id", body_expr().alias("body"), media_refs.alias("media_refs")
+    )
+
+
 # T10 — exclusion regex filter
 @q(
     "t10_exclude_filter",

@@ -1399,6 +1399,40 @@ def recrawl_q(spark, sf):
     )
 
 
+# AIMD adaptive politeness (plans/schedule.adaptive_host_budgets) —
+# per-host wave budgets from observed fetch outcomes, the input to
+# schedule_wave(host_budgets=...). Mapped onto events: user_id ≅ host,
+# hour bucket ≅ wave, event_type='error' ≅ fetch error.
+@q(
+    "adaptive_budgets",
+    "WITH obs AS (SELECT user_id AS host, date_trunc('hour', ts) AS wave,"
+    "  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors"
+    "  FROM events GROUP BY 1, 2),"
+    " g AS (SELECT host,"
+    "  SUM(CASE WHEN errors > 0 THEN 1 ELSE 0 END) AS err,"
+    "  SUM(CASE WHEN errors > 0 THEN 0 ELSE 1 END) AS ok FROM obs GROUP BY host)"
+    " SELECT host, CAST(least(greatest("
+    "  CAST(floor(8 / pow(2, least(err, 6))) AS BIGINT) + ok, 1), 64) AS INT)"
+    "  AS host_budget FROM g",
+)
+def adaptive_budgets_q(spark, sf):
+    from photon_spark.plans.schedule import adaptive_host_budgets
+
+    obs = (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.col("user_id").alias("host"),
+            F.date_trunc("hour", F.col("ts")).alias("wave"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors")
+        )
+    )
+    return adaptive_host_budgets(obs, base=8, lo=1, hi=64)
+
+
 # Quality-aware dedup retention — the production policy: of each
 # near-dup cluster keep the HIGHEST quality_score member (tie → min
 # doc_id), not the smallest id. Composes quality_score → LSH pairs →
@@ -1462,6 +1496,8 @@ _TAIL = (
     "t2_file_filter",
     "t1_token_extract",  # r1+r2 green + fuzz-parity pinned; parked to admit url_canonicalize_ext
     "q17_small_quantity_revenue",  # r1+r2 green; parked to admit semantic_dedup
+    "lang_id_stopword",  # r1+r2 green; parked to admit spans_reassemble
+    "ann_cosine_topk",  # r1+r2 green; parked to admit adaptive_budgets
     "t13_semi_gate",  # r1+r2 green; parked to admit recrawl_schedule
     "f3_politeness_window",  # r1+r2 green; parked to admit dedup_retention_quality
     "s2_robots_parse",

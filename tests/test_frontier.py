@@ -840,3 +840,42 @@ def test_canonicalize_ext_query_normalization(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["url"] for r in canonicalize_urls_ext(df).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_adaptive_host_budgets_aimd(spark):
+    """AIMD budgets: clean waves grow additively from base, error waves
+    halve multiplicatively, clamped to [lo, hi]; the output feeds
+    schedule_wave(host_budgets=...) and the cap is enforced per host."""
+    from photon_spark.plans.schedule import adaptive_host_budgets, schedule_wave
+
+    obs = spark.createDataFrame(
+        # hA: 3 clean waves -> 8 + 3 = 11
+        [("hA", 0, 0), ("hA", 1, 0), ("hA", 2, 0)]
+        # hB: 2 error waves + 1 clean -> 8 div 4 + 1 = 3
+        + [("hB", 0, 2), ("hB", 1, 1), ("hB", 2, 0)]
+        # hC: errors every wave, deep halving floors at lo=1
+        + [("hC", w, 1) for w in range(8)],
+        "host string, wave int, errors int",
+    )
+    budgets = {
+        r["host"]: r["host_budget"]
+        for r in adaptive_host_budgets(obs, base=8, lo=1, hi=64).collect()
+    }
+    assert budgets == {"hA": 11, "hB": 3, "hC": 1}
+
+    wave = spark.createDataFrame(
+        [(f"http://h{h}.test/p/{i}",) for h in ("A", "B", "C") for i in range(20)],
+        "url string",
+    )
+    bdf = spark.createDataFrame(
+        [(f"h{h}.test", b) for h, b in (("A", 11), ("B", 3), ("C", 1))],
+        "host string, host_budget int",
+    )
+    out = schedule_wave(wave, budget=100, host_budgets=bdf)
+    from pyspark.sql import functions as SF
+
+    got = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(SF.count("*").alias("n")).collect()
+    }
+    assert got == {"hA.test": 11, "hB.test": 3, "hC.test": 1}
