@@ -64,6 +64,15 @@ EXPECT: dict[str, dict] = {
     "recrawl_schedule": {"codegen": True, "max_exchanges": 3},
     "unigram_logprob": {"codegen": True},
     "mix_token_budget": {"codegen": True},
+    # late-r3 additions:
+    # pure narrow expression chains: only _t's single-file spread may
+    # exchange
+    "url_canonicalize_ext": {"codegen": True, "max_exchanges": 1},
+    "spans_reassemble": {"codegen": True, "max_exchanges": 1},
+    # label-blocked self-join + distinct prune set + verdict join back
+    "semantic_dedup": {"codegen": True},
+    # (host,wave) agg + host agg (both map-side combinable) + _t spread
+    "adaptive_budgets": {"codegen": True, "max_exchanges": 3},
 }
 
 
