@@ -374,45 +374,68 @@ def adaptive_host_budgets(
     =...)`` exactly like the robots Crawl-delay budgets.
 
     The congestion-control shape (public TCP AIMD): errors cut the
-    budget multiplicatively, clean waves grow it additively. Closed
-    form over the host's observation history — no sequential scan, so
-    the whole computation is ONE map-side-combinable groupBy over the
-    (host, wave, errors) log:
+    budget multiplicatively, clean waves grow it additively — and the
+    additive credit is the CLEAN STREAK (waves since the host's most
+    recent errored wave), not lifetime clean-wave count, so a host
+    with a long clean history still collapses as soon as it starts
+    failing. Closed form over the host's observation history — no
+    sequential scan:
 
-        budget(host) = clamp(base div 2^min(err_waves, 6) + ok_waves,
-                             lo, hi)
+        budget(host) = clamp(base div 2^min(err_waves, 6)
+                             + clean_streak, lo, hi)
 
-    where err_waves / ok_waves count the host's waves with / without
-    errors. The halving is a dyadic-rational double (exact for base ≤
-    2^52) floored to integer, so the DuckDB twin hash-matches. A host
-    the crawl has never errored on warms up one
-    unit per clean wave toward ``hi``; a flapping host collapses
-    toward ``lo`` within a handful of bad waves.
+    where err_waves counts the host's errored waves and clean_streak
+    counts its clean waves AFTER the last errored one (all waves, if
+    none errored). The halving is a dyadic-rational double (exact for
+    base ≤ 2^52) floored to integer, so the DuckDB twin hash-matches.
+    A never-errored host warms up one unit per clean wave toward
+    ``hi``; a flapping host sits near ``lo`` no matter how good its
+    past was.
+
+    A wave's verdict is deterministic under per-fetch logs: multiple
+    rows per (host, wave) collapse by MAX(errors) — one bad fetch
+    marks the wave errored — never by an arbitrary keep.
 
     100 TB: the observation log is touched once, partial-aggregated
-    map-side into one row per host (≪ corpus; ~10^7 hosts max), and
-    the result joins back into schedule_wave as a broadcast — the
-    same zero-extra-exchange contract as host_budgets itself.
+    map-side into one row per (host, wave) (≪ log), then two
+    host-keyed aggs over that collapsed frame and a host-keyed join —
+    all tiny next to the log scan; the result joins back into
+    schedule_wave as a broadcast, the same zero-extra-exchange
+    contract as host_budgets itself.
     """
-    err_waves = F.sum(
-        F.when(F.col(errors_col) > 0, F.lit(1)).otherwise(F.lit(0))
-    )
-    ok_waves = F.sum(
-        F.when(F.col(errors_col) > 0, F.lit(0)).otherwise(F.lit(1))
-    )
-    g = (
+    per_wave = (
         observations.select(host_col, wave_col, errors_col)
-        .dropDuplicates([host_col, wave_col])
+        .groupBy(host_col, wave_col)
+        .agg(F.max(F.col(errors_col)).alias("_errors"))
+    )
+    g = per_wave.groupBy(host_col).agg(
+        F.sum(F.when(F.col("_errors") > 0, 1).otherwise(0)).alias("_err"),
+        F.max(F.when(F.col("_errors") > 0, F.col(wave_col))).alias(
+            "_last_err"
+        ),
+    )
+    streak = (
+        per_wave.join(g, host_col)
+        .filter(
+            (F.col("_errors") == 0)
+            & (
+                F.col("_last_err").isNull()
+                | (F.col(wave_col) > F.col("_last_err"))
+            )
+        )
         .groupBy(host_col)
-        .agg(err_waves.alias("_err"), ok_waves.alias("_ok"))
+        .agg(F.count(F.lit(1)).alias("_streak"))
     )
     raw = (
         F.lit(base).cast("long")
         / F.pow(F.lit(2), F.least(F.col("_err"), F.lit(6)))
-    ).cast("long") + F.col("_ok")
-    return g.select(
-        F.col(host_col).alias("host"),
-        F.least(F.greatest(raw, F.lit(lo)), F.lit(hi))
-        .cast("int")
-        .alias("host_budget"),
+    ).cast("long") + F.coalesce(F.col("_streak"), F.lit(0))
+    return (
+        g.join(streak, host_col, "left")
+        .select(
+            F.col(host_col).alias("host"),
+            F.least(F.greatest(raw, F.lit(lo)), F.lit(hi))
+            .cast("int")
+            .alias("host_budget"),
+        )
     )

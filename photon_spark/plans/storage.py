@@ -174,6 +174,48 @@ class CrawlStore:
         except FileNotFoundError:
             return None
 
+    def _snapshot_paths(self, name: str, wave: int, meta: dict) -> list[str]:
+        """Parquet paths making up table `name`'s snapshot-as-of
+        `wave`: the consolidated base (if one covers ≤ wave) plus all
+        delta dirs in (base_wave, wave]."""
+        waves_index = meta.get("_waves_index", {})
+        base = meta.get("_base")
+        base_wave = base["wave"] if base and base["wave"] <= wave else None
+        paths = []
+        if base_wave is not None and name in base["tables"]:
+            paths.append(os.path.join(self.root, base["dir"], name))
+        floor = base_wave if base_wave is not None else -1
+        for w_str, tables in waves_index.items():
+            w = int(w_str)
+            if floor < w <= wave and name in tables:
+                p = self._delta_dir(w, name)
+                if not os.path.exists(p):
+                    why = (
+                        f"expired by compaction at wave {base['wave']}"
+                        if base
+                        else "missing on disk"
+                    )
+                    raise ValueError(
+                        f"snapshot-as-of wave {wave} needs delta {p}, {why}"
+                    )
+                paths.append(p)
+        return paths
+
+    def load_table(
+        self, spark: SparkSession, wave: int, name: str
+    ) -> DataFrame:
+        """Snapshot-as-of `wave` for ONE table — the streaming hot path
+        reads only `processed`; load()'s all-tables dict would pay a
+        parquet listing/schema read per state table per micro-batch."""
+        latest = self.latest()
+        meta = latest[1] if latest else {}
+        paths = self._snapshot_paths(name, wave, meta)
+        if paths:
+            return spark.read.parquet(*paths).dropDuplicates()
+        from photon_spark.session import jvm_empty
+
+        return jvm_empty(spark, STATE_SCHEMAS[name])
+
     def load(self, spark: SparkSession, wave: int) -> dict[str, DataFrame]:
         """Snapshot-as-of `wave`: consolidated base (if one covers ≤
         wave) plus all deltas in (base_wave, wave], deduplicated per
@@ -182,29 +224,9 @@ class CrawlStore:
         them (Iceberg expired-snapshot semantics)."""
         latest = self.latest()
         meta = latest[1] if latest else {}
-        waves_index = meta.get("_waves_index", {})
-        base = meta.get("_base")
-        base_wave = base["wave"] if base and base["wave"] <= wave else None
         out = {}
         for name, schema in STATE_SCHEMAS.items():
-            paths = []
-            if base_wave is not None and name in base["tables"]:
-                paths.append(os.path.join(self.root, base["dir"], name))
-            floor = base_wave if base_wave is not None else -1
-            for w_str, tables in waves_index.items():
-                w = int(w_str)
-                if floor < w <= wave and name in tables:
-                    p = self._delta_dir(w, name)
-                    if not os.path.exists(p):
-                        why = (
-                            f"expired by compaction at wave {base['wave']}"
-                            if base
-                            else "missing on disk"
-                        )
-                        raise ValueError(
-                            f"snapshot-as-of wave {wave} needs delta {p}, {why}"
-                        )
-                    paths.append(p)
+            paths = self._snapshot_paths(name, wave, meta)
             if paths:
                 out[name] = spark.read.parquet(*paths).dropDuplicates()
             else:

@@ -261,7 +261,10 @@ _MESSY_URL_SQL = (
     " FROM documents"
 )
 
-_URL_PARTS_SQL = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^#]*)"
+from photon_spark.plans.frontier import (  # noqa: E402
+    _TRACKING_PARAM as _TRACKING_PARAM_RE,
+    _URL_PARTS as _URL_PARTS_SQL,
+)
 
 _CANON_EXT_SQL = f"""
 WITH m AS ({_MESSY_URL_SQL}),
@@ -286,8 +289,7 @@ d AS (
 q AS (
   SELECT doc_id, scheme, host, path,
     array_to_string(list_sort(list_filter(string_split(query, '&'),
-      x -> x <> '' AND NOT regexp_matches(x,
-        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))),
+      x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_PARAM_RE}'))),
       '&') AS qs
   FROM d)
 SELECT doc_id, scheme || '://' || host || path ||

@@ -1410,10 +1410,16 @@ def recrawl_q(spark, sf):
     "  FROM events GROUP BY 1, 2),"
     " g AS (SELECT host,"
     "  SUM(CASE WHEN errors > 0 THEN 1 ELSE 0 END) AS err,"
-    "  SUM(CASE WHEN errors > 0 THEN 0 ELSE 1 END) AS ok FROM obs GROUP BY host)"
-    " SELECT host, CAST(least(greatest("
-    "  CAST(floor(8 / pow(2, least(err, 6))) AS BIGINT) + ok, 1), 64) AS INT)"
-    "  AS host_budget FROM g",
+    "  MAX(CASE WHEN errors > 0 THEN wave END) AS last_err"
+    "  FROM obs GROUP BY host),"
+    " s AS (SELECT o.host, COUNT(*) AS streak FROM obs o"
+    "  JOIN g ON o.host = g.host"
+    "  WHERE o.errors = 0 AND (g.last_err IS NULL OR o.wave > g.last_err)"
+    "  GROUP BY o.host)"
+    " SELECT g.host, CAST(least(greatest("
+    "  CAST(floor(8 / pow(2, least(err, 6))) AS BIGINT)"
+    "  + COALESCE(s.streak, 0), 1), 64) AS INT) AS host_budget"
+    " FROM g LEFT JOIN s ON g.host = s.host",
 )
 def adaptive_budgets_q(spark, sf):
     from photon_spark.plans.schedule import adaptive_host_budgets

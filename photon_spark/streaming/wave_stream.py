@@ -110,21 +110,32 @@ class StoreBackedScheduler:
     Iceberg checkpoints' with streaming discovery).
 
     Exactly-once contract (the standard foreachBatch idempotence
-    pattern): the micro-batch id is the store wave id. Per batch the
-    order is (1) idempotent sink write — overwrite of the
-    ``batch_id=<n>`` partition dir, (2) store commit of the scheduled
-    delta. A crash between (1) and (2) replays the batch: the sink
-    overwrite rewrites identical rows (the schedule is deterministic
-    given the same input + seen snapshot, which the store guarantees —
-    its latest wave is still ``n-1``); a replay AFTER (2) is detected
-    by ``latest() >= batch_id`` and skipped outright, because commit
-    happening-after the sink write means both are on disk.
+    pattern): store wave id = ``_stream_base + batch_id``, where
+    ``_stream_base`` is pinned in the manifest meta at the stream's
+    first commit — one past any pre-existing (batch-run) wave, so a
+    crawl's batch waves 0..k and the stream's micro-batch ids 0..n
+    never collide and the replay guard compares stream-lineage waves
+    only. Per batch the order is (1) idempotent sink write — overwrite
+    of the ``batch_id=<n>`` partition dir, (2) store commit of the
+    scheduled delta. A crash between (1) and (2) replays the batch:
+    the sink overwrite rewrites identical rows (the schedule is
+    deterministic given the same input + seen snapshot, which the
+    store guarantees — its latest wave is still ``wave-1``); a replay
+    AFTER (2) is detected by ``latest() >= wave`` and skipped
+    outright, because commit happening-after the sink write means both
+    are on disk. (Idempotence is keyed on Spark's batch ids, so it
+    holds per checkpoint lineage — restarting against a CLEARED
+    checkpoint is a new stream and needs a fresh/reset store, exactly
+    as with any batchId-keyed foreachBatch sink.)
 
     ``compact_every=K`` folds the delta tail into a consolidated base
-    every K batches (bucketed on url when the store was built with
-    ``bucket_seen>0``) and expires superseded deltas — after which the
-    per-batch dedup runs on the exchange-free base + broadcast-tail
-    plan (dedup_candidates_parts), the 10^10-|seen| rung.
+    (bucketed on url when the store was built with ``bucket_seen>0``)
+    and expires superseded deltas — after which the per-batch dedup
+    runs on the exchange-free base + broadcast-tail plan
+    (dedup_candidates_parts), the 10^10-|seen| rung. The trigger is
+    the actual tail length (``wave - base_wave >= K``), not the batch
+    counter, so a crash between commit and compact self-heals: the
+    next committed batch sees the overlong tail and compacts.
     """
 
     def __init__(
@@ -147,10 +158,10 @@ class StoreBackedScheduler:
         # the Q1 canonicalization (frontier.canonicalize_urls_ext)
         self.canonical_ext = canonical_ext
 
-    def _seen(self, spark: SparkSession):
+    def _seen(self, spark: SparkSession, latest):
         """(base, delta) pair when a bucketed base exists, else the
-        plain snapshot-as-of-latest processed table."""
-        latest = self.store.latest()
+        plain snapshot-as-of-latest processed table (single-table load
+        — the stream never touches the other state tables)."""
         if latest is None:
             from photon_spark.session import jvm_empty
 
@@ -158,19 +169,28 @@ class StoreBackedScheduler:
         parts = self.store.processed_parts(spark)
         if parts is not None:
             return parts, None
-        return None, self.store.load(spark, latest[0])["processed"]
+        return None, self.store.load_table(spark, latest[0], "processed")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         latest = self.store.latest()
-        if latest is not None and latest[0] >= batch_id:
-            # replay of a fully-committed batch (commit is the LAST
-            # step, so the sink partition for it is already on disk
-            # too): exactly-once by skipping.
+        meta_prev = latest[1] if latest else {}
+        stream_base = meta_prev.get("_stream_base")
+        if stream_base is None:
+            # first stream commit against this store: stream waves
+            # start AFTER any existing batch-run waves (batch->stream
+            # resume must not read new micro-batches as replays of the
+            # batch crawl's wave ids).
+            stream_base = (latest[0] + 1) if latest else 0
+        wave = stream_base + batch_id
+        if latest is not None and latest[0] >= wave:
+            # replay of a fully-committed micro-batch (commit is the
+            # LAST step, so the sink partition for it is already on
+            # disk too): exactly-once by skipping.
             return
         _canon = canonicalize_urls_ext if self.canonical_ext else canonicalize_urls
         canon = _canon(batch_df.select("url")).dropDuplicates(["url"])
-        parts, seen = self._seen(spark)
+        parts, seen = self._seen(spark, latest)
         if parts is not None:
             fresh = dedup_candidates_parts(canon, parts[0], parts[1])
         else:
@@ -186,14 +206,25 @@ class StoreBackedScheduler:
             os.path.join(self.out_dir, f"batch_id={batch_id}")
         )
         self.store.commit(
-            batch_id,
+            wave,
             {"processed": scheduled},
-            {"scheduled": scheduled.count(), "mode": "stream"},
+            {
+                "scheduled": scheduled.count(),
+                "mode": "stream",
+                "batch_id": batch_id,
+                "_stream_base": stream_base,
+            },
         )
         scheduled.unpersist()
-        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-            self.store.compact(spark)
-            self.store.expire()
+        if self.compact_every:
+            # trigger on actual tail length, not the batch counter —
+            # a crash between commit and compact self-heals next batch
+            cur = self.store.latest()
+            base = cur[1].get("_base") if cur else None
+            base_wave = base["wave"] if base else -1
+            if wave - base_wave >= self.compact_every:
+                self.store.compact(spark)
+                self.store.expire()
 
     def start(self, url_stream: DataFrame, checkpoint_dir: str):
         return (

@@ -849,19 +849,32 @@ def test_adaptive_host_budgets_aimd(spark):
     from photon_spark.plans.schedule import adaptive_host_budgets, schedule_wave
 
     obs = spark.createDataFrame(
-        # hA: 3 clean waves -> 8 + 3 = 11
+        # hA: 3 clean waves -> streak 3 -> 8 + 3 = 11
         [("hA", 0, 0), ("hA", 1, 0), ("hA", 2, 0)]
-        # hB: 2 error waves + 1 clean -> 8 div 4 + 1 = 3
+        # hB: 2 error waves then 1 clean -> 8 div 4 + streak 1 = 3
         + [("hB", 0, 2), ("hB", 1, 1), ("hB", 2, 0)]
-        # hC: errors every wave, deep halving floors at lo=1
-        + [("hC", w, 1) for w in range(8)],
+        # hC: errors every wave, deep halving + streak 0 floors at lo=1
+        + [("hC", w, 1) for w in range(8)]
+        # hD: LONG clean history then errors — the streak (not lifetime
+        # clean count) is the additive term, so the budget collapses:
+        # 8 div 2 + streak 0 = 4
+        + [("hD", w, 0) for w in range(56)]
+        + [("hD", 56, 3)]
+        # hE: early error, then recovery -> 8 div 2 + streak 4 = 8
+        + [("hE", 0, 1)]
+        + [("hE", w, 0) for w in range(1, 5)]
+        # hF: per-fetch log rows — one bad fetch among many clean rows
+        # in the SAME wave marks the wave errored (deterministic MAX,
+        # not an arbitrary dropDuplicates keep): 8 div 2 + streak 1 = 5
+        + [("hF", 0, 0)] * 9
+        + [("hF", 0, 2), ("hF", 1, 0)],
         "host string, wave int, errors int",
     )
     budgets = {
         r["host"]: r["host_budget"]
         for r in adaptive_host_budgets(obs, base=8, lo=1, hi=64).collect()
     }
-    assert budgets == {"hA": 11, "hB": 3, "hC": 1}
+    assert budgets == {"hA": 11, "hB": 3, "hC": 1, "hD": 4, "hE": 8, "hF": 5}
 
     wave = spark.createDataFrame(
         [(f"http://h{h}.test/p/{i}",) for h in ("A", "B", "C") for i in range(20)],

@@ -587,3 +587,56 @@ def test_streaming_store_canonical_ext_knob(spark, tmp_path):
     sched.process_batch(b0, 0)
     out = {r["url"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out == {"http://h.test/p?a=1", "http://h.test/q?a=1&b=2"}
+
+
+def test_streaming_store_batch_to_stream_resume(spark, tmp_path):
+    """A store with pre-existing BATCH-run waves 0..2 then serves a
+    stream: micro-batch ids 0..1 must NOT be read as replays of those
+    wave ids (stream waves are offset past them), and the stream dedups
+    against everything the batch run already processed."""
+    from photon_spark.plans.storage import CrawlStore
+    from photon_spark.streaming.wave_stream import StoreBackedScheduler
+
+    store = CrawlStore(str(tmp_path / "b2s_store"))
+    # batch-run lineage: waves 0..2 processed urls 0..29
+    for w in range(3):
+        delta = spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(w * 10, w * 10 + 10)],
+            "url string",
+        )
+        store.commit(w, {"processed": delta}, {"mode": "batch"})
+
+    sched = StoreBackedScheduler(
+        store, out_dir=str(tmp_path / "out"), budget=1000, partitions=2
+    )
+    # stream leg: batch 0 = 20 repeats of the batch run + 10 new,
+    # batch 1 = repeats of batch 0's new + 10 more new
+    sched.process_batch(
+        spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(10, 40)], "url string"
+        ),
+        0,
+    )
+    sched.process_batch(
+        spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(30, 50)], "url string"
+        ),
+        1,
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["url"], r["batch_id"]) for r in out.collect()}
+    want = {(f"http://h.test/p/{i}", 0) for i in range(30, 40)} | {
+        (f"http://h.test/p/{i}", 1) for i in range(40, 50)
+    }
+    assert got == want  # batch-run urls deduped; nothing skipped
+    latest = store.latest()
+    assert latest[0] == 4  # stream waves 3 and 4, past the batch lineage
+    assert latest[1]["_stream_base"] == 3
+    seen = store.load(spark, 4)["processed"]
+    assert seen.count() == 50  # full unified seen set
+    # replay of stream batch 1 (wave 4) after its commit: skipped
+    sched.process_batch(
+        spark.createDataFrame([("http://h.test/p/999",)], "url string"), 1
+    )
+    assert store.latest()[0] == 4
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20
