@@ -65,6 +65,7 @@ HEADLINE = [
     "semantic_dedup",
     "spans_reassemble",
     "adaptive_budgets",
+    "temperature_mix",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -291,6 +291,66 @@ def mix_token_budget(
     ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
 
 
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    total_budget: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based source mixing: target weights DERIVED from
+    corpus composition, w_s ∝ n_s^alpha (the public multilingual
+    T5 / XLM-R sampling-temperature recipe) — alpha=1 reproduces
+    natural proportions, alpha→0 approaches uniform, 0<alpha<1
+    up-samples small sources. The admit step is mix_token_budget's
+    greedy md5-ordered prefix, with budgets computed instead of given.
+
+    Cross-engine exactness: n_s^alpha is floored to INTEGER micro-units
+    (floor(pow(n_s, alpha)·1e6)) before the ratio, so the total and the
+    per-source budget (total_budget·p_s div Σp_t) are integer-exact —
+    no float summation order can flip a floor boundary between Spark
+    and the SQL oracle (pow itself is correctly-rounded IEEE in both).
+
+    Plan: one map-side-combinable source agg (|sources| rows) → 1-row
+    total via a window over the tiny frame → broadcast join of budgets
+    back to the corpus → the same single window exchange as
+    mix_token_budget. The corpus is touched twice (totals + admit) but
+    shuffled once.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    totals = (
+        documents.select("source", n_tokens.alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("_n_s"))
+    )
+    p = F.floor(F.pow(F.col("_n_s").cast("double"), F.lit(float(alpha))) * 1e6).cast(
+        "bigint"
+    )
+    budgets = totals.select(
+        "source",
+        p.alias("_p"),
+    ).select(
+        "source",
+        F.expr(f"({int(total_budget)} * _p) div sum(_p) over ()").alias(
+            "budget_tokens"
+        ),
+    )
+    h = _hex_prefix(F.col("doc_id"), 8)
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        documents.select("doc_id", "source", n_tokens.alias("n_tokens"), h.alias("h"))
+        .join(F.broadcast(budgets), "source")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    )
+    return scored.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("budget_tokens")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
+
+
 def length_percentile_gate(
     documents: DataFrame, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

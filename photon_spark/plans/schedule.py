@@ -408,34 +408,28 @@ def adaptive_host_budgets(
         .groupBy(host_col, wave_col)
         .agg(F.max(F.col(errors_col)).alias("_errors"))
     )
+    # last errored wave via a host window (not a self-join): the agg
+    # below reuses the window's host partitioning, so the whole
+    # host-level computation costs one exchange after the per-wave agg
+    w = Window.partitionBy(host_col)
+    per_wave = per_wave.withColumn(
+        "_last_err",
+        F.max(F.when(F.col("_errors") > 0, F.col(wave_col))).over(w),
+    )
+    in_streak = (F.col("_errors") == 0) & (
+        F.col("_last_err").isNull() | (F.col(wave_col) > F.col("_last_err"))
+    )
     g = per_wave.groupBy(host_col).agg(
         F.sum(F.when(F.col("_errors") > 0, 1).otherwise(0)).alias("_err"),
-        F.max(F.when(F.col("_errors") > 0, F.col(wave_col))).alias(
-            "_last_err"
-        ),
-    )
-    streak = (
-        per_wave.join(g, host_col)
-        .filter(
-            (F.col("_errors") == 0)
-            & (
-                F.col("_last_err").isNull()
-                | (F.col(wave_col) > F.col("_last_err"))
-            )
-        )
-        .groupBy(host_col)
-        .agg(F.count(F.lit(1)).alias("_streak"))
+        F.sum(F.when(in_streak, 1).otherwise(0)).alias("_streak"),
     )
     raw = (
         F.lit(base).cast("long")
         / F.pow(F.lit(2), F.least(F.col("_err"), F.lit(6)))
-    ).cast("long") + F.coalesce(F.col("_streak"), F.lit(0))
-    return (
-        g.join(streak, host_col, "left")
-        .select(
-            F.col(host_col).alias("host"),
-            F.least(F.greatest(raw, F.lit(lo)), F.lit(hi))
-            .cast("int")
-            .alias("host_budget"),
-        )
+    ).cast("long") + F.col("_streak")
+    return g.select(
+        F.col(host_col).alias("host"),
+        F.least(F.greatest(raw, F.lit(lo)), F.lit(hi))
+        .cast("int")
+        .alias("host_budget"),
     )

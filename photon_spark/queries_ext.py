@@ -1365,6 +1365,34 @@ def mix_budget(spark, sf):
     )
 
 
+# Temperature-based source mixing — weights DERIVED from corpus
+# composition, w_s ∝ n_s^alpha (public multilingual-T5/XLM-R sampling
+# temperature), integer micro-unit exactness (sampling.temperature_mix).
+@q(
+    "temperature_mix",
+    "WITH t AS (SELECT source, SUM(len(string_split(text, ' '))) AS n_s"
+    "  FROM documents GROUP BY source),"
+    " p AS (SELECT source,"
+    "  CAST(floor(pow(CAST(n_s AS DOUBLE), 0.5) * 1000000) AS BIGINT) AS p"
+    "  FROM t),"
+    " b AS (SELECT source, CAST((16384 * p) // (SELECT SUM(p) FROM p)"
+    "  AS BIGINT) AS budget_tokens FROM p),"
+    " s AS (SELECT doc_id, d.source, len(string_split(text, ' ')) AS n_tokens,"
+    "  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h, b.budget_tokens"
+    "  FROM documents d JOIN b ON d.source = b.source),"
+    " c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
+    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM s)"
+    " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
+    " WHERE cum_tokens - n_tokens < budget_tokens",
+)
+def temp_mix_q(spark, sf):
+    from photon_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf, "documents"), alpha=0.5, total_budget=16384
+    )
+
+
 # Freshness-driven recrawl scheduling (plans/schedule.recrawl_schedule)
 # — staleness × observed change rate, integer-exact scoring, top-k per
 # host. Mapped onto events: user_id ≅ host, event_type ≅ URL class,
@@ -1504,6 +1532,7 @@ _TAIL = (
     "q17_small_quantity_revenue",  # r1+r2 green; parked to admit semantic_dedup
     "lang_id_stopword",  # r1+r2 green; parked to admit spans_reassemble
     "ann_cosine_topk",  # r1+r2 green; parked to admit adaptive_budgets
+    "dedup_jaccard_verify",  # r1+r2 green; parked to admit temperature_mix
     "t13_semi_gate",  # r1+r2 green; parked to admit recrawl_schedule
     "f3_politeness_window",  # r1+r2 green; parked to admit dedup_retention_quality
     "s2_robots_parse",

@@ -73,6 +73,8 @@ EXPECT: dict[str, dict] = {
     "semantic_dedup": {"codegen": True},
     # (host,wave) agg + host agg (both map-side combinable) + _t spread
     "adaptive_budgets": {"codegen": True, "max_exchanges": 3},
+    # source agg + 1-row window total + broadcast budgets + admit window
+    "temperature_mix": {"codegen": True, "broadcast": True},
 }
 
 

@@ -1101,3 +1101,46 @@ def test_semantic_dedup_matches_numpy_dominance(spark):
     got03 = {r["vec_id"] for r in semantic_dedup(emb, 0.3).filter("pruned").collect()}
     assert not (got03 & first)
     assert brute(0.6) <= brute(0.3)  # monotone in threshold
+
+
+def test_temperature_mix_compresses_source_ratios(spark):
+    """Temperature sampling property: alpha=1 reproduces natural token
+    proportions, alpha=0 is uniform, and 0<alpha<1 sits strictly
+    between — small sources up-sampled, large ones down-sampled. Also:
+    admitted docs never exceed the per-source budget by more than one
+    document (greedy prefix contract)."""
+    from photon_spark.operators.sampling import temperature_mix
+
+    rows = []
+    # src_big: 900 docs x 10 tokens; src_small: 100 docs x 10 tokens
+    for i in range(900):
+        rows.append((i, "src_big", "t " * 9 + "t"))
+    for i in range(900, 1000):
+        rows.append((i, "src_small", "t " * 9 + "t"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def budgets(alpha):
+        out = temperature_mix(docs, alpha=alpha, total_budget=2048)
+        return {
+            r["source"]: r["budget_tokens"]
+            for r in out.select("source", "budget_tokens").distinct().collect()
+        }
+
+    b1, b05, b0 = budgets(1.0), budgets(0.5), budgets(0.0)
+    assert abs(b1["src_big"] / b1["src_small"] - 9.0) < 0.05  # natural 9:1 (floor granularity)
+    assert b0["src_big"] == b0["src_small"]  # uniform
+    r05 = b05["src_big"] / b05["src_small"]
+    assert 1.0 < r05 < 9.0  # strictly between (sqrt(9)=3)
+    assert abs(r05 - 3.0) < 0.05
+
+    # greedy prefix: per-source admitted tokens < budget + one doc
+    out = temperature_mix(docs, alpha=0.5, total_budget=2048)
+    agg = {
+        r["source"]: (r["tok"], r["budget_tokens"])
+        for r in out.groupBy("source", "budget_tokens")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    for src, (tok, budget) in agg.items():
+        assert tok < budget + 10, (src, tok, budget)  # ≤ one 10-token overshoot
+        assert tok >= min(budget, 0)
