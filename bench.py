@@ -66,6 +66,7 @@ HEADLINE = [
     "spans_reassemble",
     "adaptive_budgets",
     "temperature_mix",
+    "robots_rfc_gate",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

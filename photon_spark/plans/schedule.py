@@ -110,6 +110,54 @@ def robots_gate(
     return gated if "host" in wave.columns else gated.drop("host")
 
 
+def robots_gate_rfc(
+    wave: DataFrame,
+    rules: list[tuple[str, str, bool]],
+    url_col: str = "url",
+) -> DataFrame:
+    """RFC 9309 (public Robots Exclusion Protocol) Allow/Disallow gate:
+    ``*`` wildcards, ``$`` end anchors, LONGEST-match-wins with Allow
+    beating Disallow on ties — the semantics production crawlers
+    implement, a superset of `robots_gate`'s plain prefix Disallow.
+
+    ``rules``: [(host, path_pattern, allow)]. The rule set is compiled
+    DRIVER-SIDE into one chained CASE expression ordered by
+    (pattern length desc, allow first), so the first matching branch
+    IS the RFC's most-specific rule — the whole gate is a scan-side
+    boolean inside whole-stage codegen: zero joins, zero shuffles.
+    Right whenever the rule set fits an expression tree (robots rules
+    are ~10^1 per host; 10^3-10^4 total inline fine). For web-scale
+    rule corpora (10^6+ hosts' robots), the twin shape is a broadcast
+    join on host + per-(url, rule) match + argmax(length, allow) per
+    URL — same semantics, one broadcast, still no fact shuffle.
+
+    URLs whose host has no matching rule pass (RFC default-allow).
+    """
+    import re as _re
+
+    w = with_host(wave, url_col) if "host" not in wave.columns else wave
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$", 1
+    )
+
+    def rx(pat: str) -> str:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        esc = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+        return "^" + esc + ("$" if anchored else "")
+
+    expr = None
+    for host, pat, allow in sorted(
+        rules, key=lambda r: (-len(r[1]), not r[2], r[0], r[1])
+    ):
+        cond = (F.col("host") == host) & path.rlike(rx(pat))
+        branch = F.when(cond, F.lit(bool(allow)))
+        expr = branch if expr is None else expr.when(cond, F.lit(bool(allow)))
+    keep = F.lit(True) if expr is None else expr.otherwise(F.lit(True))
+    out = w.filter(keep)
+    return out if "host" in wave.columns else out.drop("host")
+
+
 def schedule_wave(
     wave: DataFrame,
     budget: int | None = None,

@@ -22,7 +22,7 @@ from photon_spark.operators.extract import (
     entropy_udf,
     normalize_scripts_col,
 )
-from photon_spark.queries import _STOP_SQL_LIST, _t, q
+from photon_spark.queries import _DOC_URL_SQL, _STOP_SQL_LIST, _t, q
 
 # ---------------------------------------------------------------------------
 # S2 — robots.txt rule extraction (reference core/zap.py:24-43)
@@ -1365,6 +1365,53 @@ def mix_budget(spark, sf):
     )
 
 
+# RFC 9309 robots gate — * wildcards, $ anchors, longest-match with
+# Allow precedence on ties (plans/schedule.robots_gate_rfc), compiled
+# into one scan-side CASE. The oracle replicates the compiled branch
+# ORDER (length desc, allow first) literally, so a wrong sort on the
+# engine side breaks the hash. Rules chosen to exercise: wildcard
+# block, longer-Allow override, $ anchor, same-length Allow-wins tie,
+# default-allow for unlisted hosts.
+_RFC_RULES = [
+    ("src0.test", "/doc/1*", False),
+    ("src0.test", "/doc/12*", True),
+    ("src1.test", "/doc/*1$", False),
+    ("src2.test", "/doc/", True),
+    ("src2.test", "/doc/2*", False),
+    ("src3.test", "/doc/33*", False),
+    ("src3.test", "/doc/*3*", True),
+]
+
+_RFC_HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+_RFC_PATH_SQL = (
+    r"regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$', 1)"
+)
+
+
+@q(
+    "robots_rfc_gate",
+    "WITH u AS ({doc_urls}),"
+    " p AS (SELECT url, {host} AS host, {path} AS path FROM u),"
+    " d AS (SELECT url, CASE"
+    "  WHEN host = 'src0.test' AND regexp_matches(path, '^/doc/12.*') THEN TRUE"
+    "  WHEN host = 'src3.test' AND regexp_matches(path, '^/doc/.*3.*') THEN TRUE"
+    "  WHEN host = 'src1.test' AND regexp_matches(path, '^/doc/.*1$') THEN FALSE"
+    "  WHEN host = 'src3.test' AND regexp_matches(path, '^/doc/33.*') THEN FALSE"
+    "  WHEN host = 'src0.test' AND regexp_matches(path, '^/doc/1.*') THEN FALSE"
+    "  WHEN host = 'src2.test' AND regexp_matches(path, '^/doc/2.*') THEN FALSE"
+    "  WHEN host = 'src2.test' AND regexp_matches(path, '^/doc/') THEN TRUE"
+    "  ELSE TRUE END AS keep FROM p)"
+    " SELECT url FROM d WHERE keep".format(
+        doc_urls=_DOC_URL_SQL, host=_RFC_HOST_SQL, path=_RFC_PATH_SQL
+    ),
+)
+def robots_rfc_q(spark, sf):
+    from photon_spark.plans.schedule import robots_gate_rfc
+    from photon_spark.queries import _doc_urls
+
+    return robots_gate_rfc(_doc_urls(spark, sf), _RFC_RULES).select("url")
+
+
 # Temperature-based source mixing — weights DERIVED from corpus
 # composition, w_s ∝ n_s^alpha (public multilingual-T5/XLM-R sampling
 # temperature), integer micro-unit exactness (sampling.temperature_mix).
@@ -1533,6 +1580,7 @@ _TAIL = (
     "lang_id_stopword",  # r1+r2 green; parked to admit spans_reassemble
     "ann_cosine_topk",  # r1+r2 green; parked to admit adaptive_budgets
     "dedup_jaccard_verify",  # r1+r2 green; parked to admit temperature_mix
+    "dedup_minhash_pairs",  # r1+r2 green; parked to admit robots_rfc_gate
     "t13_semi_gate",  # r1+r2 green; parked to admit recrawl_schedule
     "f3_politeness_window",  # r1+r2 green; parked to admit dedup_retention_quality
     "s2_robots_parse",

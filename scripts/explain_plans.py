@@ -75,6 +75,8 @@ EXPECT: dict[str, dict] = {
     "adaptive_budgets": {"codegen": True, "max_exchanges": 3},
     # source agg + 1-row window total + broadcast budgets + admit window
     "temperature_mix": {"codegen": True, "broadcast": True},
+    # rule set compiled to one scan-side CASE: only _t's spread may exchange
+    "robots_rfc_gate": {"codegen": True, "max_exchanges": 1},
 }
 
 

@@ -892,3 +892,37 @@ def test_adaptive_host_budgets_aimd(spark):
         for r in out.groupBy("host").agg(SF.count("*").alias("n")).collect()
     }
     assert got == {"hA.test": 11, "hB.test": 3, "hC.test": 1}
+
+
+def test_robots_gate_rfc_semantics(spark):
+    """RFC 9309 matching: * wildcards, $ anchors, longest-match wins,
+    Allow beats Disallow on equal length, unlisted hosts default-allow."""
+    from photon_spark.plans.schedule import robots_gate_rfc
+
+    rules = [
+        ("a.test", "/p/1*", False),
+        ("a.test", "/p/12*", True),      # longer -> overrides the block
+        ("a.test", "/q/*x$", False),     # anchor
+        ("b.test", "/p/33*", False),
+        ("b.test", "/p/*3*", True),      # same length as above: Allow wins tie
+    ]
+    urls = [
+        "http://a.test/p/10",    # blocked by /p/1*
+        "http://a.test/p/123",   # re-allowed by /p/12*
+        "http://a.test/q/ax",    # blocked by anchor
+        "http://a.test/q/axe",   # NOT blocked ($ anchors at end)
+        "http://a.test/other",   # no rule -> allow
+        "http://b.test/p/33",    # tie: both len-8 rules match -> Allow wins
+        "http://c.test/p/10",    # unlisted host -> allow
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = {r["url"] for r in robots_gate_rfc(df, rules).collect()}
+    assert kept == {
+        "http://a.test/p/123",
+        "http://a.test/q/axe",
+        "http://a.test/other",
+        "http://b.test/p/33",
+        "http://c.test/p/10",
+    }
+    # empty rule set: everything passes
+    assert robots_gate_rfc(df, []).count() == len(urls)
