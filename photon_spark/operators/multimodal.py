@@ -326,3 +326,91 @@ def binary_stats(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, n_bytes long, payload_md5 string"
     )
+
+
+def span_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document structure statistics of an interleaved text+media
+    span sequence (the input-hint document shape: spans:array<struct<
+    kind,text,media_ref,offset>>) — the profiling pass a multimodal
+    curation pipeline runs before packing/filtering: span counts by
+    kind, text volume, modality alternation count, and the ordered
+    media-reference list.
+
+    The span array arrives in ARBITRARY order (crawl extraction emits
+    spans as encountered); everything here re-establishes offset order
+    with an array_sort comparator and then runs entirely in JVM
+    higher-order functions (transform/filter/aggregate/zip_with) —
+    narrow, scan-side, zero shuffle, zero Python. At 100 TB this is a
+    pure map stage that fuses into whole-stage codegen with whatever
+    scan feeds it.
+
+    n_switches counts adjacent kind changes in offset order — the
+    text↔media interleaving degree (0 for a text-only doc).
+    """
+    s = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: a["offset"].cast("int") - b["offset"].cast("int"),
+    )
+    kinds = F.transform(s, lambda x: x["kind"])
+    n = F.size(s)
+    media = F.filter(s, lambda x: x["kind"] == F.lit("media"))
+    n_media = F.size(media)
+    text_chars = F.aggregate(
+        F.filter(s, lambda x: x["kind"] == F.lit("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x["text"]),
+    )
+    tail_len = F.greatest(n - 1, F.lit(0))  # slice() rejects negative lengths
+    n_switches = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(kinds, 1, tail_len),
+                F.slice(kinds, 2, tail_len),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_spans"),
+        (n - n_media).cast("bigint").alias("n_text"),
+        n_media.cast("bigint").alias("n_media"),
+        text_chars.alias("text_chars"),
+        n_switches.cast("bigint").alias("n_switches"),
+        F.element_at(kinds, 1).alias("first_kind"),
+        F.array_join(
+            F.transform(media, lambda x: x["media_ref"]), ","
+        ).alias("media_refs"),
+    )
+
+
+def media_ref_dedup(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Cross-document media deduplication by reference identity: the
+    same image/audio object embedded by many documents is stored (and
+    decoded, and feature-extracted) ONCE. Output one row per distinct
+    media_ref: how many spans and distinct documents cite it, and the
+    canonical keeper (min doc_id — every other span can point at the
+    keeper's stored object).
+
+    The content-hash twin — dedup by md5(payload) instead of by ref,
+    catching byte-identical objects under different URLs — is this
+    exact plan keyed on the hash column after attach_payload().
+
+    Plan shape at 100 TB: explode ONLY the media spans (text spans are
+    pruned before the explode), then one ref-keyed aggregation with
+    map-side combine. A viral object (10^8 citing spans) is exactly
+    the skew AQE's skew-join/partial-agg handles; the output is
+    |distinct refs|, already the reduced side for the rewrite join.
+    """
+    m = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col(spans_col), lambda x: x["kind"] == F.lit("media"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s")["media_ref"].alias("media_ref"))
+    return m.groupBy("media_ref").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_spans"),
+        F.min("doc_id").alias("keeper"),
+    )

@@ -383,3 +383,76 @@ def length_percentile_gate(
             & (F.col("n_tokens") <= F.col("hi_bound"))
         ).alias("kept"),
     )
+
+
+def dsir_select(
+    documents: DataFrame,
+    target: Column,
+    k: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped importance selection (public: Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    deterministic top-k variant: score every document by the
+    log-likelihood ratio of a target-subset unigram LM against the
+    raw-corpus unigram LM (both add-1 smoothed over the shared
+    vocabulary), then keep the k highest-weight documents. The paper
+    hashes n-grams into buckets purely to bound model memory; the
+    whitespace-unigram twin keeps the estimator identical in shape and
+    makes the whole computation SQL-oracle-able.
+
+    Plan shape at 100 TB: ONE token explode feeds ONE token-keyed
+    aggregation computing raw and target counts together (map-side
+    combinable conditional sums — the target model costs no second
+    pass), a 1-row totals frame joined by Catalyst as a broadcast, a
+    token-keyed join back, a doc-keyed regroup, and a TakeOrdered
+    top-k (per-partition heaps, no global sort). No driver actions.
+
+    Cross-engine determinism: each token's log-ratio is quantized to
+    integer micro-units once per VOCAB entry —
+    floor(ln((cnt_t+1)(N_r+V) / ((cnt_r+1)(N_t+V)))·1e6 + 0.5) with
+    the ratio formed by one IEEE division of exact integer products —
+    so per-document scores are exact integer sums (order-independent)
+    and the top-k boundary is decided on (integer score, key), never
+    on float round-off. Integer products stay < 2^63 up to ~3·10^9
+    tokens per model; beyond that split the ln into a difference of
+    two quantized terms.
+    """
+    toks = documents.select(
+        F.col(key_col).alias("k"),
+        target.cast("boolean").alias("tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = vocab.agg(
+        F.sum("cnt_r").alias("nr"),
+        F.sum("cnt_t").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    lp = vocab.crossJoin(totals).select(
+        "tok",
+        F.floor(
+            F.log(
+                ((F.col("cnt_t") + 1) * (F.col("nr") + F.col("v"))).cast("double")
+                / ((F.col("cnt_r") + 1) * (F.col("nt") + F.col("v"))).cast("double")
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lpm"),
+    )
+    per_doc = (
+        toks.join(lp, "tok")
+        .groupBy("k")
+        .agg(F.sum("lpm").alias("llr_micro"), F.count("*").alias("n_tokens"))
+    )
+    return (
+        per_doc.orderBy(F.col("llr_micro").desc(), F.col("k").asc())
+        .limit(int(k))
+        .select(F.col("k").alias(key_col), "n_tokens", "llr_micro")
+    )

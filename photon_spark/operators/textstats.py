@@ -699,3 +699,43 @@ def quality_classifier_linear(documents: DataFrame, dim: int = 1024) -> DataFram
         score.alias("clf_score"),
         (score >= F.lit(0.0)).alias("kept"),
     )
+
+
+def anchor_topk(edges: DataFrame, k: int = 2) -> DataFrame:
+    """Anchor-text corpus construction — the classic web-corpus
+    operator (anchor aggregation per target page, as in public
+    search-engine literature and the ORCAS/MS MARCO doc-expansion
+    datasets): collect every in-link's anchor text per target URL and
+    keep the k most frequent anchors (count desc, anchor asc).
+
+    Input: edges(target_url, anchor). Output: (target_url, anchor,
+    n_links, rank) for rank ≤ k.
+
+    Plan shape at 100 TB: one (target_url, anchor)-keyed aggregation
+    (map-side combinable — the dominant reducer of the raw link
+    volume), then a target-keyed window rank over the already-reduced
+    frame. Both exchanges are keyed; there is no global sort. Popular
+    targets (the classic anchor skew: a homepage with 10^8 in-links)
+    are already collapsed to one row per DISTINCT anchor before the
+    window, so window state per target is |distinct anchors|, not
+    |links|; if even that skews, salt the first aggregation on an
+    anchor-hash suffix and re-aggregate — the second pass is tiny.
+    """
+    from pyspark.sql import Window
+
+    g = edges.groupBy("target_url", "anchor").agg(
+        F.count("*").alias("n_links")
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "target_url",
+            "anchor",
+            "n_links",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1555,6 +1555,162 @@ def dd_retention_quality(spark, sf):
     return dedupe.keep_best_per_cluster(scored, comp).select("doc_id")
 
 
+# DSIR importance selection (Xie et al. 2023) — deterministic top-k
+# variant over whitespace unigrams (sampling.dsir_select): target LM =
+# the lang='en' subset, raw LM = the whole corpus; per-token log-ratio
+# quantized once per vocab entry, doc scores exact integer sums, top-k
+# decided on (integer score, doc_id) so the boundary is engine-exact.
+@q(
+    "dsir_select",
+    "WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,"
+    "  unnest(string_split(text, ' ')) AS tok FROM documents),"
+    " vocab AS (SELECT tok, COUNT(*) AS cnt_r,"
+    "  CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t"
+    "  FROM tk GROUP BY tok),"
+    " tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS nr,"
+    "  CAST(SUM(cnt_t) AS BIGINT) AS nt, COUNT(*) AS v FROM vocab),"
+    " lp AS (SELECT tok, CAST(floor(ln("
+    "  CAST((cnt_t + 1) * (nr + v) AS DOUBLE)"
+    "  / CAST((cnt_r + 1) * (nt + v) AS DOUBLE)) * 1000000.0 + 0.5)"
+    "  AS BIGINT) AS lpm FROM vocab, tot),"
+    " agg AS (SELECT doc_id, CAST(SUM(lpm) AS BIGINT) AS llr_micro,"
+    "  COUNT(*) AS n_tokens FROM tk JOIN lp USING (tok) GROUP BY doc_id)"
+    " SELECT doc_id, n_tokens, llr_micro FROM agg"
+    " ORDER BY llr_micro DESC, doc_id ASC LIMIT 200",
+)
+def dsir_q(spark, sf):
+    from photon_spark.operators.sampling import dsir_select
+
+    return dsir_select(
+        _t(spark, sf, "documents"), F.col("lang") == "en", k=200
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-span universe (input-hint shape) — spans constructed
+# deterministically from documents in SCRAMBLED array order: three text
+# spans at offsets 0/2/4 (tokens [0:2], [2:5], [5:]) plus an image span
+# at offset 1 (doc_id%2=0, ref collides mod 97) and an audio span at
+# offset 3 (doc_id%3=0, ref collides mod 53). The operators must
+# re-establish offset order themselves; the oracles are closed forms.
+
+_SPAN_STRUCT = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _interleaved_spans(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    t1 = F.array_join(F.slice(toks, 1, 2), " ")
+    t2 = F.array_join(F.slice(toks, 3, 3), " ")
+    t3 = F.array_join(F.slice(toks, 6, 1 << 30), " ")
+    img = F.concat(F.lit("img://"), (F.col("doc_id") % 97).cast("string"))
+    aud = F.concat(F.lit("aud://"), (F.col("doc_id") % 53).cast("string"))
+
+    def span(kind, text, media, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def maybe(cond, sp):  # typed empty array when the span is absent
+        return F.when(cond, F.array(sp)).otherwise(
+            F.filter(F.array(sp), lambda _: F.lit(False))
+        )
+
+    spans = F.concat(
+        F.array(span("text", t3, F.lit(""), 4)),
+        maybe(F.col("doc_id") % 3 == 0, span("media", F.lit(""), aud, 3)),
+        F.array(span("text", t1, F.lit(""), 0)),
+        maybe(F.col("doc_id") % 2 == 0, span("media", F.lit(""), img, 1)),
+        F.array(span("text", t2, F.lit(""), 2)),
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+_IMG_SQL = "'img://' || CAST(doc_id % 97 AS VARCHAR)"
+_AUD_SQL = "'aud://' || CAST(doc_id % 53 AS VARCHAR)"
+
+
+@q(
+    "interleave_span_stats",
+    "WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk,"
+    "  doc_id % 2 = 0 AS hi, doc_id % 3 = 0 AS ha FROM documents)"
+    " SELECT doc_id,"
+    " CAST(3 + CASE WHEN hi THEN 1 ELSE 0 END"
+    "  + CASE WHEN ha THEN 1 ELSE 0 END AS BIGINT) AS n_spans,"
+    " CAST(3 AS BIGINT) AS n_text,"
+    " CAST(CASE WHEN hi THEN 1 ELSE 0 END"
+    "  + CASE WHEN ha THEN 1 ELSE 0 END AS BIGINT) AS n_media,"
+    " CAST(length(array_to_string(tk[1:2], ' '))"
+    "  + length(array_to_string(tk[3:5], ' '))"
+    "  + length(array_to_string(tk[6:], ' ')) AS BIGINT) AS text_chars,"
+    " CAST(CASE WHEN hi AND ha THEN 4 WHEN hi OR ha THEN 2 ELSE 0 END"
+    "  AS BIGINT) AS n_switches,"
+    " 'text' AS first_kind,"
+    f" CASE WHEN hi AND ha THEN {_IMG_SQL} || ',' || {_AUD_SQL}"
+    f"  WHEN hi THEN {_IMG_SQL} WHEN ha THEN {_AUD_SQL}"
+    "  ELSE '' END AS media_refs"
+    " FROM b",
+)
+def span_stats_q(spark, sf):
+    from photon_spark.operators.multimodal import span_stats
+
+    return span_stats(_interleaved_spans(spark, sf))
+
+
+@q(
+    "media_ref_dedup",
+    f"WITH m AS (SELECT doc_id, {_IMG_SQL} AS media_ref"
+    "  FROM documents WHERE doc_id % 2 = 0"
+    f"  UNION ALL SELECT doc_id, {_AUD_SQL} FROM documents"
+    "  WHERE doc_id % 3 = 0)"
+    " SELECT media_ref, COUNT(DISTINCT doc_id) AS n_docs,"
+    " COUNT(*) AS n_spans, MIN(doc_id) AS keeper FROM m GROUP BY media_ref",
+)
+def media_dedup_q(spark, sf):
+    from photon_spark.operators.multimodal import media_ref_dedup
+
+    return media_ref_dedup(_interleaved_spans(spark, sf))
+
+
+# Anchor-text corpus construction (textstats.anchor_topk) — link
+# universe: each doc emits 3 out-links to 'http://t{(doc_id*31+j*17)%500}
+# .test/' with the doc's first-2-token anchor text; top-2 anchors per
+# target by (count desc, anchor asc).
+@q(
+    "anchor_text_topk",
+    "WITH e AS (SELECT 'http://t'"
+    "  || CAST((doc_id * 31 + j * 17) % 500 AS VARCHAR) || '.test/'"
+    "  AS target_url,"
+    "  array_to_string(string_split(text, ' ')[1:2], ' ') AS anchor"
+    "  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u),"
+    " g AS (SELECT target_url, anchor, COUNT(*) AS n_links FROM e"
+    "  GROUP BY 1, 2)"
+    " SELECT target_url, anchor, n_links, rank FROM"
+    " (SELECT *, row_number() OVER (PARTITION BY target_url"
+    "  ORDER BY n_links DESC, anchor ASC) AS rank FROM g)"
+    " WHERE rank <= 2",
+)
+def anchor_q(spark, sf):
+    docs = _t(spark, sf, "documents")
+    anchor = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    e = docs.select(
+        "doc_id",
+        anchor.alias("anchor"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("http://t"),
+            ((F.col("doc_id") * 31 + F.col("j") * 17) % 500).cast("string"),
+            F.lit(".test/"),
+        ).alias("target_url"),
+        "anchor",
+    )
+    return textstats.anchor_topk(e, k=2)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -1569,6 +1725,19 @@ from photon_spark.queries import Q  # noqa: E402
 # The first 50 stay all-oracled. The final six entries are rows-only by
 # nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
+    # twice-driver-verified (r1 + r2), parked late-r3 to admit the four
+    # new oracled ops (dsir_select, interleave_span_stats,
+    # media_ref_dedup, anchor_text_topk); each family keeps in-window
+    # representation: exact-dedup via dedup_cluster_keepers /
+    # dedup_retention_quality / semantic_dedup, the media axis gains
+    # TWO in-window entries, TPC-H keeps q1, and the frontier
+    # dedup+schedule composition stays driver-gated through
+    # url_canonicalize_ext / robots_rfc_gate / adaptive_budgets /
+    # recrawl_schedule (and golden-pinned end-to-end):
+    "dedup_exact",
+    "multimodal_binary_stats",
+    "q3_top_revenue_orders",
+    "frontier_dedup_schedule",
     # twice-driver-verified (r1 + r2), parked mid-r3 to admit the three
     # new oracled ops (unigram_logprob, source_quality_gate,
     # mix_token_budget); t3 stays in-window for the scope family, S2 is

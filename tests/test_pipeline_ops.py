@@ -1144,3 +1144,118 @@ def test_temperature_mix_compresses_source_ratios(spark):
     for src, (tok, budget) in agg.items():
         assert tok < budget + 10, (src, tok, budget)  # ≤ one 10-token overshoot
         assert tok >= min(budget, 0)
+
+
+def test_dsir_select_hand_checked(spark):
+    """Tiny corpus, hand-computed add-1 LLR: target (lang=en) tokens
+    rank above raw-only tokens; top-k boundary decided on the exact
+    integer score with doc_id tie-break."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.sampling import dsir_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "aa aa"),
+            (2, "de", "bb bb"),
+            (3, "en", "aa bb"),
+            (4, "de", "cc"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_select(docs, F.col("lang") == "en", k=2).collect()
+    }
+    # vocab: aa (r=3,t=3), bb (r=3,t=1), cc (r=1,t=0); Nr=7, Nt=4, V=3
+    lpm = lambda t, r: math.floor(  # noqa: E731
+        math.log(((t + 1) * 10) / ((r + 1) * 7)) * 1e6 + 0.5
+    )
+    assert set(out) == {1, 3}
+    assert out[1]["llr_micro"] == 2 * lpm(3, 3)
+    assert out[3]["llr_micro"] == lpm(3, 3) + lpm(1, 3)
+    assert out[1]["n_tokens"] == 2
+
+
+def test_span_stats_scrambled_order(spark):
+    """span_stats must re-establish offset order itself: a scrambled
+    media-first document and a text-only document."""
+    from photon_spark.operators.multimodal import span_stats
+
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        # offset order: media(m1)@0, text 'ab'@1, media(m2)@2, text 'c'@3
+        (
+            1,
+            [
+                ("text", "c", "", 3),
+                ("media", "", "m1", 0),
+                ("text", "ab", "", 1),
+                ("media", "", "m2", 2),
+            ],
+        ),
+        (2, [("text", "hello", "", 0)]),
+    ]
+    out = {r["doc_id"]: r for r in span_stats(
+        spark.createDataFrame(rows, schema)
+    ).collect()}
+    d1 = out[1]
+    assert (d1["n_spans"], d1["n_text"], d1["n_media"]) == (4, 2, 2)
+    assert d1["text_chars"] == 3
+    assert d1["n_switches"] == 3  # m,t,m,t
+    assert d1["first_kind"] == "media"
+    assert d1["media_refs"] == "m1,m2"  # offset order, not array order
+    d2 = out[2]
+    assert (d2["n_spans"], d2["n_media"], d2["n_switches"]) == (1, 0, 0)
+    assert d2["first_kind"] == "text"
+    assert d2["media_refs"] == ""
+
+
+def test_media_ref_dedup(spark):
+    """Shared refs collapse to one row with min-doc keeper; a doc
+    citing the same ref twice counts 2 spans but 1 doc."""
+    from photon_spark.operators.multimodal import media_ref_dedup
+
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        (5, [("media", "", "x", 0), ("media", "", "x", 1), ("text", "t", "", 2)]),
+        (9, [("media", "", "x", 0), ("media", "", "y", 1)]),
+        (7, [("text", "t", "", 0)]),
+    ]
+    out = {r["media_ref"]: r for r in media_ref_dedup(
+        spark.createDataFrame(rows, schema)
+    ).collect()}
+    assert set(out) == {"x", "y"}
+    assert (out["x"]["n_docs"], out["x"]["n_spans"], out["x"]["keeper"]) == (2, 3, 5)
+    assert (out["y"]["n_docs"], out["y"]["n_spans"], out["y"]["keeper"]) == (1, 1, 9)
+
+
+def test_anchor_topk_tiebreak(spark):
+    """Top-k anchors per target: count desc, then anchor asc on ties;
+    rank never exceeds k even with more distinct anchors."""
+    from photon_spark.operators.textstats import anchor_topk
+
+    e = spark.createDataFrame(
+        [
+            ("u", "beta"), ("u", "beta"),
+            ("u", "alpha"), ("u", "gamma"),  # tie at 1: alpha wins rank 2
+            ("v", "solo"),
+        ],
+        "target_url string, anchor string",
+    )
+    out = anchor_topk(e, k=2).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["target_url"], []).append(
+            (r["rank"], r["anchor"], r["n_links"])
+        )
+    assert sorted(by_t["u"]) == [(1, "beta", 2), (2, "alpha", 1)]
+    assert sorted(by_t["v"]) == [(1, "solo", 1)]
