@@ -77,6 +77,17 @@ EXPECT: dict[str, dict] = {
     "temperature_mix": {"codegen": True, "broadcast": True},
     # rule set compiled to one scan-side CASE: only _t's spread may exchange
     "robots_rfc_gate": {"codegen": True, "max_exchanges": 1},
+    # session additions (r3 tail):
+    # token agg + 1-row totals (broadcast) + token join back + doc agg
+    # + TakeOrdered — no global sort exchange
+    "dsir_select": {"codegen": True},
+    # array_sort + HOFs are a pure map stage: only _t's spread may
+    # exchange
+    "interleave_span_stats": {"codegen": True, "max_exchanges": 1},
+    # prune-then-explode + ONE ref-keyed agg (+ _t spread)
+    "media_ref_dedup": {"codegen": True, "max_exchanges": 2},
+    # (target,anchor) agg + per-target window rank (+ _t spread)
+    "anchor_text_topk": {"codegen": True, "max_exchanges": 3},
 }
 
 
