@@ -67,6 +67,10 @@ HEADLINE = [
     "adaptive_budgets",
     "temperature_mix",
     "robots_rfc_gate",
+    "dsir_select",
+    "interleave_span_stats",
+    "media_ref_dedup",
+    "anchor_text_topk",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))
