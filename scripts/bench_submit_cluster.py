@@ -1,0 +1,145 @@
+"""Scaling-efficiency protocol, spark-submit / multi-executor variant.
+
+The thread-level variant (scripts/bench_scaling.py, local[8] vs
+local[32]) evidences the north rule's N-vs-4N criterion with shared
+driver memory. This script runs the SAME frontier wave under
+`spark-submit --py-files` with `local-cluster[N,cores,memMB]` masters —
+N real executor JVMs, each with its own heap, block manager, and Python
+workers, shuffling over sockets — which is the standalone-cluster
+execution model in miniature. The pair is N and 4N EXECUTORS at equal
+cores-per-executor (the rule's literal phrasing), same input both
+sides:
+
+    efficiency = (throughput_4N_executors / throughput_N_executors) / 4
+
+Appends the record to BENCH/scaling_runs.jsonl (mode
+"spark-submit local-cluster"); BASELINE.md is curated by hand.
+
+Usage:
+    python scripts/bench_submit_cluster.py [n_urls] [low_execs] [high_execs]
+(defaults: 16M URLs, 2 -> 8 executors x 4 cores = 8 -> 32 cores)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORES_PER_EXEC = 4
+EXEC_MEM_MB = 6144
+
+
+def build_job_zip() -> str:
+    """Everything the job imports on driver + executors: the package,
+    the synthetic-frontier generator, and bench.py's wave runner."""
+    zpath = os.path.join("/tmp", f"photon_spark_job_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for pkg in ("photon_spark", "fixtures"):
+            for root, _dirs, files in os.walk(os.path.join(REPO, pkg)):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+        zf.write(os.path.join(REPO, "bench.py"), "bench.py")
+    return zpath
+
+
+def find_spark_submit() -> str:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def run_submit(n_execs: int, n_urls: int, zpath: str, reps: int) -> dict:
+    master = f"local-cluster[{n_execs},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    # local-cluster workers inherit no PYTHONPATH from the repo; the
+    # --py-files zip is the only code channel, as on a real cluster.
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        find_spark_submit(),
+        "--master", master,
+        "--py-files", zpath,
+        "--conf", f"spark.sql.shuffle.partitions={n_execs * CORES_PER_EXEC}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--driver-memory", "8g",
+        os.path.join(REPO, "scripts", "submit_frontier.py"),
+        "--n-urls", str(n_urls),
+        "--reps", str(reps),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SUBMIT_RESULT "):
+            r = json.loads(line[len("SUBMIT_RESULT "):])
+            r["n_executors"] = n_execs
+            r["cores_per_executor"] = CORES_PER_EXEC
+            return r
+    raise RuntimeError(
+        f"spark-submit failed (executors={n_execs}):\n"
+        f"STDOUT tail:\n{out.stdout[-2000:]}\nSTDERR tail:\n{out.stderr[-3000:]}"
+    )
+
+
+def run_best(n_execs: int, n_urls: int, zpath: str, sessions: int, reps: int) -> dict:
+    # Same estimator as bench_scaling.py: sandbox load is bursty, so
+    # steady-state capability = best across `sessions` separate
+    # spark-submit invocations (each already takes min over `reps`
+    # timed waves after a warmup).
+    best = None
+    for _ in range(sessions):
+        r = run_submit(n_execs, n_urls, zpath, reps)
+        if best is None or r["urls_per_s"] > best["urls_per_s"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    sessions = int(os.environ.get("SUBMIT_BENCH_SESSIONS", "2"))
+    reps = int(os.environ.get("SUBMIT_BENCH_REPS", "3"))
+
+    zpath = build_job_zip()
+    try:
+        r_low = run_best(low, n_urls, zpath, sessions, reps)
+        r_high = run_best(high, n_urls, zpath, sessions, reps)
+    finally:
+        os.unlink(zpath)
+
+    ratio = r_high["urls_per_s"] / r_low["urls_per_s"]
+    eff = ratio / (high / low)
+    report = {
+        "mode": "spark-submit local-cluster",
+        "n_urls": n_urls,
+        "low": r_low,
+        "high": r_high,
+        "speedup": round(ratio, 3),
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "target": 0.8,
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()

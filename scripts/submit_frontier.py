@@ -1,0 +1,50 @@
+"""spark-submit application main for the frontier wave job.
+
+This is the deployment shape the north rule names: the engine shipped
+to executors with `spark-submit --py-files photon_spark_job.zip` and a
+multi-executor master (in the sandbox, `local-cluster[N,cores,memMB]`,
+which launches N REAL separate executor JVMs with their own Python
+workers — unlike `local[K]`, code and data cross process boundaries
+exactly as on a standalone cluster).
+
+The job itself is bench_frontier's wave — vectorized canonicalization
+-> anti-join dedup vs seen -> salted per-host politeness cap — imported
+from the shipped zip, so what runs here is the same code path bench.py
+times in local mode.
+
+Usage (normally via scripts/bench_submit_cluster.py):
+    spark-submit --master local-cluster[2,4,4096] \
+        --py-files /tmp/photon_spark_job.zip \
+        scripts/submit_frontier.py --n-urls 8000000 --reps 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-urls", type=int, default=8_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    # master/conf come from spark-submit; --py-files puts the job zip
+    # on sys.path here AND on every executor's Python worker.
+    spark = SparkSession.builder.appName("photon_spark_submit_frontier").getOrCreate()
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+
+    from bench import bench_frontier
+
+    r = bench_frontier(spark, args.n_urls, reps=args.reps, include_bloom=False)
+    r["master"] = spark.sparkContext.master
+    r["default_parallelism"] = spark.sparkContext.defaultParallelism
+    print("SUBMIT_RESULT " + json.dumps(r))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
