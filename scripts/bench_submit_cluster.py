@@ -31,16 +31,18 @@ import zipfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORES_PER_EXEC = 4
-EXEC_MEM_MB = 6144
+# Per-executor shape is fixed across both legs (a real N-vs-4N pair
+# scales executor COUNT at constant per-executor cores/memory).
+CORES_PER_EXEC = int(os.environ.get("SUBMIT_BENCH_CORES_PER_EXEC", "4"))
+EXEC_MEM_MB = int(os.environ.get("SUBMIT_BENCH_EXEC_MEM_MB", "6144"))
 
 
-def build_job_zip() -> str:
+def build_job_zip(packages: tuple = ("photon_spark", "fixtures")) -> str:
     """Everything the job imports on driver + executors: the package,
     the synthetic-frontier generator, and bench.py's wave runner."""
     zpath = os.path.join("/tmp", f"photon_spark_job_{os.getpid()}.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
-        for pkg in ("photon_spark", "fixtures"):
+        for pkg in packages:
             for root, _dirs, files in os.walk(os.path.join(REPO, pkg)):
                 for fn in files:
                     if fn.endswith(".py"):
@@ -71,6 +73,9 @@ def run_submit(n_execs: int, n_urls: int, zpath: str, reps: int) -> dict:
         find_spark_submit(),
         "--master", master,
         "--py-files", zpath,
+        # local-cluster's memMB only sizes the WORKER; without this the
+        # executor JVMs run at the 1g default and OOM-loop on big waves.
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB}m",
         "--conf", f"spark.sql.shuffle.partitions={n_execs * CORES_PER_EXEC}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",

@@ -1,0 +1,85 @@
+"""Golden-crawl-under-spark-submit harness.
+
+Launches scripts/submit_crawl.py (the full fixture crawl checked
+against the pure-Python oracle) on `local-cluster[N,cores,memMB]`
+masters — real executor JVMs, code shipped only via --py-files — and
+appends the verdicts to BENCH/submit_crawl_runs.jsonl. The point is
+not throughput (the fixture site is tiny); it is that the engine's
+crawl ordering, URL-seen set, and output datasets are IDENTICAL to the
+oracle when executed multi-executor, which is the north rule's
+deployment shape for the correctness contract.
+
+Usage:
+    python scripts/bench_submit_crawl.py [n_execs ...]
+(default: 2 and 8 executors x 4 cores)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+from bench_submit_cluster import (  # noqa: E402 (sibling import by path)
+    CORES_PER_EXEC,
+    EXEC_MEM_MB,
+    REPO,
+    build_job_zip,
+    find_spark_submit,
+)
+
+
+def run_one(n_execs: int, zpath: str) -> dict:
+    master = f"local-cluster[{n_execs},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        find_spark_submit(),
+        "--master", master,
+        "--py-files", zpath,
+        "--conf", f"spark.sql.shuffle.partitions={n_execs * CORES_PER_EXEC}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--driver-memory", "4g",
+        os.path.join(REPO, "scripts", "submit_crawl.py"),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, cwd=REPO, env=env
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SUBMIT_CRAWL_RESULT "):
+            r = json.loads(line[len("SUBMIT_CRAWL_RESULT "):])
+            r["n_executors"] = n_execs
+            r["cores_per_executor"] = CORES_PER_EXEC
+            return r
+    raise RuntimeError(
+        f"spark-submit crawl failed (executors={n_execs}):\n"
+        f"STDOUT tail:\n{out.stdout[-2000:]}\nSTDERR tail:\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    execs = [int(a) for a in sys.argv[1:]] or [2, 8]
+    zpath = build_job_zip(("photon_spark", "fixtures", "oracle"))
+    try:
+        results = [run_one(n, zpath) for n in execs]
+    finally:
+        os.unlink(zpath)
+    report = {
+        "mode": "spark-submit local-cluster golden crawl",
+        "results": results,
+        "match": all(r["match"] for r in results),
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "BENCH", "submit_crawl_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""spark-submit application main for the END-TO-END golden crawl.
+
+The frontier twin (scripts/submit_frontier.py) evidences the scaling
+half of the north rule under `spark-submit --py-files` + real executor
+JVMs; this script evidences the CORRECTNESS half in the same
+deployment shape: the full crawl loop (zap seeds -> BFS waves ->
+extract -> dedup -> schedule) runs on a `local-cluster[N,cores,memMB]`
+master — code shipped only through the --py-files zip, Python workers
+and shuffles crossing real process boundaries — and the result is
+checked against the pure-Python reference oracle exactly as
+tests/test_engine_golden.py does in local mode:
+
+  * every output dataset set-equal to the oracle's,
+  * per-URL BFS wave index equal (crawl-ordering match rate 1.0),
+  * processed count equal (URL-seen set equal).
+
+Runs the default config (level 2) plus a level-4 + custom-regex +
+keys variant so both the breadth and the flag plumbing are exercised
+multi-executor.
+
+Usage (normally via scripts/bench_submit_crawl.py):
+    spark-submit --master local-cluster[2,4,4096] \
+        --py-files /tmp/photon_spark_job.zip scripts/submit_crawl.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def check(engine_result, oracle_result) -> dict:
+    """Same predicate as tests/test_engine_golden.py::assert_match,
+    returned as data instead of raised."""
+    got = engine_result.to_sets()
+    want = {k: set(map(str, v)) for k, v in oracle_result.datasets.items()}
+    dataset_mismatches = [n for n in want if got.get(n) != want[n]]
+    got_waves = {r["url"]: r["level"] for r in engine_result.waves.collect()}
+    return {
+        "datasets_checked": len(want),
+        "dataset_mismatches": dataset_mismatches,
+        "waves_equal": got_waves == oracle_result.waves,
+        "n_waves_urls": len(got_waves),
+        "processed_equal": (
+            engine_result.processed_count == len(oracle_result.processed)
+        ),
+        "processed_count": engine_result.processed_count,
+        "match": (
+            not dataset_mismatches
+            and got_waves == oracle_result.waves
+            and engine_result.processed_count == len(oracle_result.processed)
+        ),
+    }
+
+
+def main() -> None:
+    spark = SparkSession.builder.appName("photon_spark_submit_crawl").getOrCreate()
+
+    from fixtures.gen import ROOT, page_bodies, pages_df
+    from oracle.photon_oracle import crawl as oracle_crawl
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages = pages_df(spark).persist()
+    pages.count()
+
+    runs = []
+    cases = [
+        ("default_l2", EngineConfig(), {}),
+        (
+            "l4_regex_keys",
+            EngineConfig(
+                crawl_level=4, custom_regex=r"pan \d{16}", extract_keys=True
+            ),
+            {"crawl_level": 4, "custom_regex": r"pan \d{16}", "extract_keys": True},
+        ),
+    ]
+    for name, cfg, okw in cases:
+        t0 = time.time()
+        eng = run_crawl(spark, pages, ROOT, cfg)
+        ora = oracle_crawl(page_bodies(), ROOT, **okw)
+        rep = check(eng, ora)
+        rep["case"] = name
+        rep["sec"] = round(time.time() - t0, 3)
+        runs.append(rep)
+
+    # Crash-resume in the multi-executor shape: kill after wave 1,
+    # resume from the CrawlStore checkpoint, and require the resumed
+    # result to match the oracle exactly like an uninterrupted run
+    # (per-partition lineage + metrics live in the store the whole way).
+    import tempfile
+
+    from photon_spark.plans.storage import CrawlStore
+
+    with tempfile.TemporaryDirectory(prefix="submit_crawl_store_") as root:
+        store = CrawlStore(root)
+        cfg = EngineConfig(crawl_level=2)
+        t0 = time.time()
+        assert run_crawl(spark, pages, ROOT, cfg, store=store, stop_after_wave=1) is None
+        eng = run_crawl(spark, pages, ROOT, cfg, store=store, resume=True)
+        ora = oracle_crawl(page_bodies(), ROOT)
+        rep = check(eng, ora)
+        rep["case"] = "crash_resume_l2"
+        rep["sec"] = round(time.time() - t0, 3)
+        runs.append(rep)
+
+    sc = spark.sparkContext
+    out = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "runs": runs,
+        "match": all(r["match"] for r in runs),
+    }
+    print("SUBMIT_CRAWL_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
