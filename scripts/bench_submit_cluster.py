@@ -106,10 +106,16 @@ def run_best(n_execs: int, n_urls: int, zpath: str, sessions: int, reps: int) ->
     # spark-submit invocations (each already takes min over `reps`
     # timed waves after a warmup).
     best = None
+    history = []
     for _ in range(sessions):
         r = run_submit(n_execs, n_urls, zpath, reps)
+        history.append(r["sec"])
         if best is None or r["urls_per_s"] > best["urls_per_s"]:
             best = r
+    # Every session's min-wave latency, so BASELINE.md's session-history
+    # tables (and cross-invocation best merges) come straight from the
+    # jsonl instead of scraped logs.
+    best["session_secs"] = history
     return best
 
 
