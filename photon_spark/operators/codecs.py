@@ -1,0 +1,318 @@
+"""Pure-stdlib media codecs (zlib + struct + numpy) for the multimodal
+decode stage.
+
+Everything here parses/emits PUBLIC container formats from their specs
+— no external codec library:
+
+* **PNG** (RFC 2083 / W3C PNG spec): full REAL decode — chunk walk,
+  IHDR, concatenated-IDAT zlib inflate, and scanline unfiltering for
+  all five filter types (None/Sub/Up/Average/Paeth) at bit depth 8 for
+  greyscale / grey+alpha / RGB / RGBA, non-interlaced — plus a real
+  encoder (filter 0 rows, zlib deflate) used by the resize stage.
+* **JPEG** (ITU T.81): REAL metadata parse — the marker walk every
+  JPEG tool does (skip APPn/COM/DQT/DHT segments by their length
+  fields, stop at any SOFn) yielding width/height/components.
+  Pixel decode (Huffman + IDCT) stays stubbed in multimodal.py.
+* **MP4 / ISO-BMFF** (ISO 14496-12): REAL box-structure parse —
+  size/type walk incl. 64-bit largesize, recursion into moov/trak,
+  mvhd (v0/v1) timescale+duration, tkhd (v0/v1) 16.16 fixed-point
+  width/height. Sample decode stays stubbed (needs real codecs).
+
+The reference has no media handling at all (core/requester.py:60-70
+collapses every non-text body to the literal 'dummy'); this module is
+the engine-breadth media axis over the interleaved span documents
+(BASELINE input_hint: media spans carry a media_ref).
+
+Deterministic synthesizers (`synth_png`/`synth_jpeg`/`synth_mp4`)
+derive dimensions/duration from md5(ref) so a SQL oracle can compute
+the expected metadata in closed form while Spark round-trips the
+actual bytes — that is the `media_header_stats` driver gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared deterministic parameters (md5-closed-form, SQL-oracle-able)
+
+
+def ref_dims(ref: str) -> tuple[int, int]:
+    """Deterministic (width, height) for a synthesized media object.
+    SQL twin: 16 + CAST(concat('0x', substring(md5(ref), 1, 4)) AS
+    BIGINT) % 112 (and md5[5:8] % 63 for height)."""
+    d = hashlib.md5(ref.encode()).hexdigest()
+    return 16 + int(d[:4], 16) % 112, 16 + int(d[4:8], 16) % 63
+
+
+def ref_duration_ms(ref: str) -> int:
+    """Deterministic media duration; SQL twin over md5 digits 9-12."""
+    d = hashlib.md5(ref.encode()).hexdigest()
+    return 500 + int(d[8:12], 16) % 60000
+
+
+def _keystream(ref: str, n: int) -> bytes:
+    """Deterministic pseudo-random filler bytes (md5-seeded PCG64 —
+    vectorized; only the md5-derived HEADER fields are contract,
+    filler bytes just have to round-trip within a session)."""
+    seed = int(hashlib.md5(ref.encode()).hexdigest()[:16], 16)
+    gen = np.random.Generator(np.random.PCG64(seed))
+    return gen.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype → samples/pixel
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3|4) or (h, w) uint8 → valid PNG (filter 0 rows)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """PNG scanline unfiltering, all five filter types (spec §6)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per byte lane (x mod bpp)
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average: sequential left-dependency
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth: sequential left/up-left dependency
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL PNG decode → (width, height, (h, w, channels) uint8).
+    Supports bit depth 8, colortypes 0/2/4/6, non-interlaced."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = channels = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, depth, colortype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant (8-bit non-interlaced only)")
+            if colortype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG colortype {colortype}")
+            channels = _PNG_CHANNELS[colortype]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width < 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _unfilter(raw, height, stride, channels)
+    return width, height, px.reshape(height, width, channels)
+
+
+def synth_png(ref: str) -> bytes:
+    """Deterministic REAL PNG (RGB8, dims from md5(ref))."""
+    w, h = ref_dims(ref)
+    arr = np.frombuffer(_keystream(ref, w * h * 3), np.uint8).reshape(h, w, 3)
+    return encode_png(arr)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (metadata-only: the T.81 marker walk)
+
+# SOFn markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}  # TEM, RSTn: no length field
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """REAL JPEG header parse → (width, height, n_components)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # fill bytes
+        marker = payload[pos]
+        pos += 1
+        if marker in _JPEG_STANDALONE:
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if marker in _JPEG_SOF:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 2)
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy data follows, headers are over
+            break
+        pos += seglen
+    raise ValueError("no SOF marker before scan data")
+
+
+def synth_jpeg(ref: str) -> bytes:
+    """Deterministic structurally-valid JPEG: real SOI/APP0/DQT/SOF0/
+    SOS/EOI segment layout with md5-derived dimensions; entropy bytes
+    are an 0xFF-free keystream (not a photographic scan — the header
+    walk is what downstream parses)."""
+    w, h = ref_dims(ref)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + _keystream(ref + "/q", 64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 12) + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    entropy = bytes(b if b != 0xFF else 0 for b in _keystream(ref + "/e", 96))
+    return b"\xff\xd8" + app0 + dqt + sof0 + sos + entropy + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (box-structure metadata parse)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia"}
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed ISO-BMFF box")
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """REAL ISO-BMFF parse → {brand, duration_ms, width, height,
+    n_tracks}. Width/height come from the first video-sized tkhd."""
+    out = {"brand": "", "duration_ms": 0, "width": 0, "height": 0, "n_tracks": 0}
+
+    def visit(start: int, end: int) -> None:
+        for btype, body, bend in _walk_boxes(payload, start, end):
+            if btype == b"ftyp":
+                out["brand"] = payload[body : body + 4].decode("ascii", "replace")
+            elif btype in _MP4_CONTAINERS:
+                if btype == b"trak":
+                    out["n_tracks"] += 1
+                visit(body, bend)
+            elif btype == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    timescale, duration = struct.unpack_from(">IQ", payload, body + 20)
+                else:
+                    timescale, duration = struct.unpack_from(">II", payload, body + 12)
+                out["duration_ms"] = duration * 1000 // max(timescale, 1)
+            elif btype == b"tkhd":
+                ver = payload[body]
+                off = body + (88 if ver == 1 else 76)
+                w_fix, h_fix = struct.unpack_from(">II", payload, off)
+                if w_fix and h_fix:
+                    out["width"], out["height"] = w_fix >> 16, h_fix >> 16
+
+    visit(0, len(payload))
+    return out
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def synth_mp4(ref: str) -> bytes:
+    """Deterministic REAL-structure MP4: ftyp + moov(mvhd, trak(tkhd))
+    + mdat, dims/duration md5-derived. mdat carries keystream bytes
+    (no encoded samples — the box walk is what downstream parses)."""
+    w, h = ref_dims(ref)
+    dur = ref_duration_ms(ref)  # timescale 1000 ⇒ duration field == ms
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, dur)
+        + struct.pack(">IHH8x", 0x10000, 0x0100, 0)
+        + unity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+        + struct.pack(">III4xI8xHHHH", 0, 0, 1, dur, 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd)) + _box(
+        b"mdat", _keystream(ref + "/d", 64 + int(hashlib.md5(ref.encode()).hexdigest()[12:14], 16))
+    )

@@ -5,15 +5,22 @@ metadata; decode/feature-extraction runs as Arrow-batched pandas
 stages over ``mapInPandas``.
 
 Decode reality, by format:
-* **REAL** — formats parseable with the stdlib + numpy: PPM (P6)
-  images (full header+pixel decode, and a real nearest-neighbor
-  resize emitting valid PPM), WAV/PCM audio (stdlib `wave`: rate,
-  channels, frames), and concatenated-P6 "video" streams (real frame
-  splitting + sampling). These run end-to-end with no stub anywhere.
-* **STUBBED** — formats that need external codecs (JPEG/PNG/MP4 —
-  no PIL/ffmpeg in this container): a clearly-marked deterministic
-  fake behind the `IMG:` sentinel; anything else raises
-  NotImplementedError. In production only those stub bodies change.
+* **REAL** — formats parseable with the stdlib + numpy: PNG (full
+  chunk-walk + zlib-inflate + all-five-filter unfiltering decode AND
+  a real encoder — see operators/codecs.py), PPM (P6) images (full
+  header+pixel decode), real nearest-neighbor resize emitting valid
+  PNG/PPM, WAV/PCM audio (stdlib `wave`: rate, channels, frames),
+  and concatenated-P6 "video" streams (real frame splitting +
+  sampling). These run end-to-end with no stub anywhere.
+* **METADATA-REAL** — JPEG (T.81 marker walk → width/height/
+  components) and MP4/ISO-BMFF (box-structure walk → brand,
+  duration, tkhd dimensions): the header parse is real spec parsing
+  in codecs.py; only the *pixel/sample* decode (Huffman+IDCT,
+  video codecs) stays stubbed — those bodies are what libjpeg/ffmpeg
+  replace in production.
+* **STUBBED** — a clearly-marked deterministic fake behind the
+  `IMG:` sentinel (stands in for any codec-required format); unknown
+  payloads raise NotImplementedError honestly.
 
 Interleaved media spans from the crawl (kind='media' in the pages
 table) land here: `media_refs()` projects them; `attach_payload()` /
@@ -33,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from photon_spark.operators import codecs
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +142,14 @@ def attach_real_payload(refs: DataFrame, kind: str = "ppm") -> DataFrame:
     (kind='ppm'), PCM WAV (kind='wav'), or concatenated-P6 stream
     (kind='video') — synthesized in the same mapInPandas shape a
     blob-store fetch has, so everything downstream decodes genuinely."""
-    synth = {"ppm": synth_ppm, "wav": synth_wav, "video": synth_ppm_video}[kind]
+    synth = {
+        "ppm": synth_ppm,
+        "wav": synth_wav,
+        "video": synth_ppm_video,
+        "png": codecs.synth_png,
+        "jpeg": codecs.synth_jpeg,
+        "mp4": codecs.synth_mp4,
+    }[kind]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,26 +170,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Decode/feature stage over Arrow batches.
 
     byte length + sha1 always come from the actual payload. Format
-    sniffing picks the decoder: P6 PPM → REAL pixel decode
-    (width/height from the header); RIFF/WAVE → REAL stdlib parse
-    (width=sample rate, height=channels — documented overload of the
-    two int slots); `IMG:` → the marked deterministic stub (JPEG/PNG
-    stand-in); anything else raises NotImplementedError honestly.
+    sniffing picks the decoder: PNG → REAL full decode (codecs.py:
+    chunk walk + inflate + unfilter); P6 PPM → REAL pixel decode;
+    JPEG → REAL T.81 marker-walk header parse (dims without pixel
+    decode); MP4 → REAL ISO-BMFF box parse (tkhd dims); RIFF/WAVE →
+    REAL stdlib parse (width=sample rate, height=channels —
+    documented overload of the two int slots); `IMG:` → the marked
+    deterministic stub; anything else raises NotImplementedError.
     """
 
     def _decode(payload: bytes) -> tuple[str, int, int]:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, _pixels = codecs.decode_png(payload)  # REAL full decode
+            return ("png", w, h)
         if payload[:2] == b"P6":
             w, h, _pixels, _n = decode_ppm(payload)  # REAL decode
             return ("ppm", w, h)
+        if payload[:2] == b"\xff\xd8":
+            w, h, _ncomp = codecs.jpeg_dimensions(payload)  # REAL header parse
+            return ("jpeg", w, h)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            meta = codecs.mp4_metadata(payload)  # REAL box parse
+            return ("mp4", meta["width"], meta["height"])
         if _is_wav(payload):
             with wave_mod.open(io.BytesIO(payload), "rb") as wf:  # REAL
                 return ("wav", wf.getframerate(), wf.getnchannels())
         if payload[:4] == b"IMG:":
-            # STUB: JPEG/PNG need an image library this container lacks.
+            # STUB: generic codec-required stand-in (deterministic fake).
             h = sum(payload) % 7
-            return ("png" if h % 2 == 0 else "jpeg", 16 * (h + 1), 9 * (h + 1))
+            return (
+                "png-stub" if h % 2 == 0 else "jpeg-stub",
+                16 * (h + 1),
+                9 * (h + 1),
+            )
         raise NotImplementedError(
-            "no codec for this payload (JPEG/PNG/MP4 need external libs)"
+            "no codec for this payload (needs an external media library)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,24 +244,32 @@ FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sha1 strin
 def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFrame:
     """Resize stage over Arrow batches.
 
-    P6 PPM payloads get a REAL nearest-neighbor resample (numpy index
-    gather over the decoded pixel array, re-emitted as valid PPM — no
-    image library needed). `IMG:` fakes keep the marked stub (that body
-    is what PIL/libvips replaces in production); other formats raise.
+    PNG and P6 PPM payloads get a REAL nearest-neighbor resample
+    (numpy index gather over the genuinely decoded pixel array,
+    re-emitted as a valid file of the same format — codecs.decode_png/
+    encode_png for PNG, header+raster for PPM). `IMG:` fakes keep the
+    marked stub (that body is what PIL/libvips replaces in
+    production); other formats raise.
     """
 
     def _resize(payload: bytes, w: int, h: int) -> bytes:
-        if payload[:2] == b"P6":
-            sw, sh, px, _n = decode_ppm(payload)  # REAL decode
+        def _gather(px: np.ndarray) -> np.ndarray:
+            sh, sw = px.shape[:2]
             ys = (np.arange(h) * sh // h).clip(0, sh - 1)
             xs = (np.arange(w) * sw // w).clip(0, sw - 1)
-            out = px[ys][:, xs]  # nearest-neighbor gather
-            return b"P6\n%d %d\n255\n" % (w, h) + out.tobytes()
+            return px[ys][:, xs]  # nearest-neighbor gather
+
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            _sw, _sh, px = codecs.decode_png(payload)  # REAL decode
+            return codecs.encode_png(_gather(px))  # REAL re-encode
+        if payload[:2] == b"P6":
+            _sw, _sh, px, _n = decode_ppm(payload)  # REAL decode
+            return b"P6\n%d %d\n255\n" % (w, h) + _gather(px).tobytes()
         if payload[:4] == b"IMG:":
-            # STUB: JPEG/PNG resize needs an image library.
+            # STUB: codec-required formats need an image library.
             return b"RSZ:%dx%d:" % (w, h) + payload[4:]
         raise NotImplementedError(
-            "no codec for this payload (JPEG/PNG need external libs)"
+            "no pixel codec for this payload (JPEG/MP4 need external libs)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

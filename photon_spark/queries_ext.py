@@ -1711,6 +1711,75 @@ def anchor_q(spark, sf):
     return textstats.anchor_topk(e, k=2)
 
 
+# Media header metadata over REAL container bytes (operators/codecs.py).
+# One deterministic media object per selected document (format cycles
+# doc_id % 4: PNG / JPEG / MP4 / WAV); Spark synthesizes the actual
+# file bytes, then runs the production decode stage
+# (multimodal.extract_features): PNG = full chunk-walk + zlib inflate +
+# unfilter, JPEG = T.81 marker walk, MP4 = ISO-BMFF box walk, WAV =
+# stdlib parse. The oracle computes the expected metadata in CLOSED
+# FORM from md5(ref) — Spark's numbers come only from parsing real
+# bytes, so a hash match proves encoder + decoder agree with the
+# spec'd layouts. doc_id % 3 subset keeps the pixel volume bounded at
+# bench scale (all four formats still hit: 0,3,6,9 mod 4 = 0..3).
+@q(
+    "media_header_stats",
+    "SELECT doc_id,"
+    " concat('m', CAST(doc_id AS VARCHAR)) AS media_ref,"
+    " CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'"
+    "  WHEN 2 THEN 'mp4' ELSE 'wav' END AS format,"
+    " CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 ELSE 16 +"
+    "  CAST(concat('0x', substring(md5(concat('m',"
+    "   CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 112"
+    "  END AS INTEGER) AS width,"
+    " CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 16 +"
+    "  CAST(concat('0x', substring(md5(concat('m',"
+    "   CAST(doc_id AS VARCHAR))), 5, 4)) AS BIGINT) % 63"
+    "  END AS INTEGER) AS height"
+    " FROM documents WHERE doc_id % 3 = 0",
+)
+def media_header_q(spark, sf):
+    import pandas as pd  # noqa: F811
+
+    from photon_spark.operators import codecs
+    from photon_spark.operators.multimodal import extract_features, synth_wav
+
+    refs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+            (F.col("doc_id") % 4).cast("int").alias("k"),
+        )
+    )
+    synths = [codecs.synth_png, codecs.synth_jpeg, codecs.synth_mp4, synth_wav]
+
+    def attach(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": [
+                        synths[k](ref)
+                        for ref, k in zip(pdf["media_ref"], pdf["k"])
+                    ],
+                }
+            )
+
+    media = refs.mapInPandas(
+        attach, schema="doc_id string, media_ref string, payload binary"
+    )
+    return extract_features(media).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "media_ref",
+        "format",
+        "width",
+        "height",
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

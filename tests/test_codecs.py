@@ -1,0 +1,230 @@
+"""Pure-Python tests for the stdlib media codecs (operators/codecs.py)
+— no Spark session needed. The Spark-side integration (extract_features
+/ resize_images over these formats) is in test_pipeline_ops.py.
+
+Reference parity note: the reference has no media handling at all —
+core/requester.py:60-70 collapses every non-text body to 'dummy'.
+These codecs are the engine-breadth media axis over the interleaved
+span documents (BASELINE input_hint media_ref spans).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from photon_spark.operators import codecs as C
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def test_png_synth_roundtrip_matches_closed_form_dims():
+    for ref in ["m1", "m2", "x/long-ref", ""]:
+        payload = C.synth_png(ref)
+        w, h = C.ref_dims(ref)
+        dw, dh, arr = C.decode_png(payload)
+        assert (dw, dh) == (w, h)
+        assert arr.shape == (h, w, 3)
+        # pixel bytes are exactly the md5 keystream the synth wrote
+        assert arr.tobytes() == C._keystream(ref, w * h * 3)
+
+
+def test_png_encode_decode_identity_rgb_grey_rgba():
+    rng = np.random.RandomState(11)
+    for shape in [(4, 6), (4, 6, 2), (5, 3, 3), (2, 7, 4)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        dw, dh, out = C.decode_png(C.encode_png(img))
+        assert (dw, dh) == (shape[1], shape[0])
+        assert out.tobytes() == img.tobytes()
+
+
+def _filtered_png(img: np.ndarray, filter_of_row) -> bytes:
+    """Build a PNG whose scanlines use arbitrary filter types, applying
+    the spec's FORWARD filters independently of the decoder under test."""
+    h, w, c = img.shape
+    bpp, stride = c, w * c
+    rows = []
+    for y in range(h):
+        ft = filter_of_row(y)
+        cur = img[y].reshape(-1).astype(np.int64)
+        prev = (
+            img[y - 1].reshape(-1).astype(np.int64)
+            if y > 0
+            else np.zeros(stride, np.int64)
+        )
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = (cur - left) & 0xFF
+        elif ft == 2:
+            f = (cur - prev) & 0xFF
+        elif ft == 3:
+            f = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            f = (cur - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + C._chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_five_filter_types():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (10, 9, 3)).astype(np.uint8)
+    # every row cycles through None/Sub/Up/Average/Paeth
+    payload = _filtered_png(img, lambda y: y % 5)
+    _w, _h, dec = C.decode_png(payload)
+    assert dec.tobytes() == img.tobytes()
+    # and each filter type alone, over rows where all deps are active
+    for ft in range(5):
+        payload = _filtered_png(img, lambda y: ft)
+        _w, _h, dec = C.decode_png(payload)
+        assert dec.tobytes() == img.tobytes(), f"filter {ft}"
+
+
+def test_png_split_idat_and_malformed_rejected():
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    good = C.encode_png(img)
+    # re-split the IDAT into two chunks: decoders must concatenate
+    sig_len = 8
+    (ihdr_len,) = struct.unpack_from(">I", good, sig_len)
+    ihdr_end = sig_len + 12 + ihdr_len
+    (idat_len,) = struct.unpack_from(">I", good, ihdr_end)
+    idat = good[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+    rebuilt = (
+        good[:ihdr_end]
+        + C._chunk(b"IDAT", idat[:5])
+        + C._chunk(b"IDAT", idat[5:])
+        + C._chunk(b"IEND", b"")
+    )
+    _w, _h, dec = C.decode_png(rebuilt)
+    assert dec.tobytes() == img.tobytes()
+
+    with pytest.raises(ValueError):
+        C.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # no chunks
+    with pytest.raises(ValueError):
+        C.decode_png(b"plainly not a png")
+    # 16-bit depth honestly unsupported
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + C._chunk(b"IHDR", ihdr16)
+        + C._chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + C._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        C.decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+
+
+def test_jpeg_synth_dimensions_match_closed_form():
+    for ref in ["m1", "m7", "j/x", "edge"]:
+        w, h = C.ref_dims(ref)
+        assert C.jpeg_dimensions(C.synth_jpeg(ref)) == (w, h, 3)
+
+
+def test_jpeg_marker_walk_skips_segments_and_restart_markers():
+    """Dims must come from SOF even with extra APPn/COM segments and a
+    standalone TEM marker ahead of it — the walk skips by length."""
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    tem = b"\xff\x01"
+    sof = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 321, 123, 1) + b"\x01\x11\x00"
+    payload = b"\xff\xd8" + app1 + tem + com + sof + b"\xff\xd9"
+    assert C.jpeg_dimensions(payload) == (123, 321, 1)
+
+
+def test_jpeg_no_sof_rejected():
+    with pytest.raises(ValueError, match="no SOF"):
+        C.jpeg_dimensions(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError, match="SOI"):
+        C.jpeg_dimensions(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF
+
+
+def test_mp4_synth_metadata_matches_closed_form():
+    for ref in ["m2", "m6", "v/y"]:
+        meta = C.mp4_metadata(C.synth_mp4(ref))
+        w, h = C.ref_dims(ref)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["duration_ms"] == C.ref_duration_ms(ref)
+        assert meta["brand"] == "isom" and meta["n_tracks"] == 1
+
+
+def test_mp4_version1_boxes_and_largesize():
+    """64-bit mvhd/tkhd (version 1) and a largesize mdat parse to the
+    same fields — the shapes real muxers emit for >4 GiB files."""
+    unity = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd = C._box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 90000, 123456789)
+        + b"\x00" * 80,
+    )
+    tkhd = C._box(
+        b"tkhd",
+        b"\x01\x00\x00\x07"
+        + struct.pack(">QQI4xQ8xHHHH", 0, 0, 1, 5, 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 32) + b"x" * 16
+    payload = (
+        C._box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42")
+        + C._box(b"moov", mvhd + C._box(b"trak", tkhd))
+        + big_mdat
+    )
+    meta = C.mp4_metadata(payload)
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["duration_ms"] == 123456789 * 1000 // 90000
+    assert meta["brand"] == "mp42" and meta["n_tracks"] == 1
+
+
+def test_mp4_audio_track_has_no_dims_and_malformed_rejected():
+    """A zero-dim (audio) tkhd must not clobber the video track's dims;
+    truncated boxes raise."""
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def tkhd(w, h, tid):
+        return C._box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">III4xI8xHHHH", 0, 0, tid, 1000, 0, 0, 0, 0)
+            + unity
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    moov = C._box(
+        b"moov",
+        C._box(b"trak", tkhd(320, 240, 1)) + C._box(b"trak", tkhd(0, 0, 2)),
+    )
+    meta = C.mp4_metadata(C._box(b"ftyp", b"isom" + b"\x00" * 12) + moov)
+    assert (meta["width"], meta["height"]) == (320, 240)
+    assert meta["n_tracks"] == 2
+
+    with pytest.raises(ValueError, match="malformed"):
+        C.mp4_metadata(struct.pack(">I", 100) + b"moov" + b"\x00" * 8)
