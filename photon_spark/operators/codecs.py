@@ -17,6 +17,14 @@ Everything here parses/emits PUBLIC container formats from their specs
   size/type walk incl. 64-bit largesize, recursion into moov/trak,
   mvhd (v0/v1) timescale+duration, tkhd (v0/v1) 16.16 fixed-point
   width/height. Sample decode stays stubbed (needs real codecs).
+* **GIF** (GIF89a spec): full REAL decode — logical screen
+  descriptor, global/local color tables, graphic-control extensions,
+  variable-width LSB-first LZW decompression (incl. the KwKwK case,
+  code-width growth, clear codes, 12-bit cap), interlace reorder,
+  and partial-rect frame composition onto the canvas — plus a real
+  encoder (lockstep-simulated LZW literal emission) used for synth
+  payloads and resize output. Animated GIFs give the frame-sampling
+  stage a real-world multi-frame format.
 
 The reference has no media handling at all (core/requester.py:60-70
 collapses every non-text body to the literal 'dummy'); this module is
@@ -229,6 +237,254 @@ def synth_jpeg(ref: str) -> bytes:
     sos = b"\xff\xda" + struct.pack(">H", 12) + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
     entropy = bytes(b if b != 0xFF else 0 for b in _keystream(ref + "/e", 96))
     return b"\xff\xd8" + app0 + dqt + sof0 + sos + entropy + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# GIF (full decode incl. LZW; minimal real encoder)
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF LZW code stream order)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting min+1, LSB-first,
+    clear/end codes, KwKwK case, 12-bit dictionary cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, code_size, prev = end + 1, min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code} > {next_code})")
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode_literals(indices: bytes, min_code_size: int) -> bytes:
+    """Valid LZW stream emitting only literal codes, simulating the
+    decoder's dictionary growth in lockstep so code widths agree; a
+    clear code resets before the 12-bit cap (the classic
+    'uncompressed GIF' construction — larger output, real stream)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    w = _BitWriter()
+    w.write(clear, min_code_size + 1)
+    next_code, code_size = end + 1, min_code_size + 1
+    prev_emitted = False
+    for b in indices:
+        w.write(b, code_size)
+        if prev_emitted:  # decoder adds one entry per code after the first
+            next_code += 1
+            if next_code == (1 << code_size):
+                if code_size < 12:
+                    code_size += 1
+                else:
+                    w.write(clear, code_size)
+                    next_code, code_size = end + 1, min_code_size + 1
+                    prev_emitted = False
+                    continue
+        prev_emitted = True
+    w.write(end, code_size)
+    return w.finish()
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [y for start, step in _GIF_INTERLACE for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF decode → (width, height, frames) where frames is a
+    list of (h, w, 3) uint8 canvases (each frame composed onto the
+    previous canvas per the partial-rect semantics; disposal modes
+    beyond 'leave' are treated as leave — fine for opaque synth/test
+    content)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if global_pal is not None:
+        canvas[:, :] = global_pal[0]
+    frames: list[np.ndarray] = []
+    transparent = -1
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blen = payload[pos]
+                gc_packed = payload[pos + 1]
+                transparent = payload[pos + 4] if gc_packed & 1 else -1
+                pos += 1 + blen
+                pos += 1  # terminator
+            else:
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                blen = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code)[: iw * ih], np.uint8
+            ).reshape(ih, iw)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            rect = pal[np.minimum(idx, len(pal) - 1)]
+            if transparent >= 0:
+                keep = idx == transparent
+                rect = np.where(keep[:, :, None], canvas[top : top + ih, left : left + iw], rect)
+            canvas[top : top + ih, left : left + iw] = rect
+            frames.append(canvas.copy())
+            transparent = -1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, frames
+
+
+def encode_gif(
+    frames_idx: list[np.ndarray], palette: np.ndarray, delay_cs: int = 10
+) -> bytes:
+    """REAL GIF89a encoder from index frames + one global palette
+    (power-of-two sized, ≥4 entries); literal-code LZW (valid, not
+    size-optimal)."""
+    n_colors = len(palette)
+    if n_colors & (n_colors - 1) or n_colors < 4:
+        raise ValueError("palette size must be a power of two ≥ 4")
+    pal_bits = n_colors.bit_length() - 1
+    h, w = frames_idx[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    if len(frames_idx) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    min_code = max(2, pal_bits)
+    for idx in frames_idx:
+        out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, delay_cs, 0, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode_literals(idx.astype(np.uint8).tobytes(), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synth_gif(ref: str) -> bytes:
+    """Deterministic REAL animated GIF: md5-derived dims, 2-5 frames,
+    64-color keystream palette + per-frame keystream indices."""
+    w, h = ref_dims(ref)
+    d = hashlib.md5(ref.encode()).hexdigest()
+    n_frames = 2 + int(d[12:14], 16) % 4
+    palette = np.frombuffer(_keystream(ref + "/pal", 64 * 3), np.uint8).reshape(64, 3)
+    frames = [
+        (np.frombuffer(_keystream(f"{ref}/f{i}", w * h), np.uint8) % 64).reshape(h, w)
+        for i in range(n_frames)
+    ]
+    return encode_gif(frames, palette)
+
+
+def gif_n_frames(ref: str) -> int:
+    """Closed form for synth_gif's frame count (SQL twin over md5
+    digits 13-14)."""
+    return 2 + int(hashlib.md5(ref.encode()).hexdigest()[12:14], 16) % 4
+
+
+def gif_dimensions(payload: bytes) -> tuple[int, int]:
+    """Header-only dims (logical screen descriptor) — the cheap path
+    for the metadata stage; decode_gif is the full-pixel path."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h
 
 
 # ---------------------------------------------------------------------------

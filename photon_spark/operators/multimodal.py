@@ -149,6 +149,7 @@ def attach_real_payload(refs: DataFrame, kind: str = "ppm") -> DataFrame:
         "png": codecs.synth_png,
         "jpeg": codecs.synth_jpeg,
         "mp4": codecs.synth_mp4,
+        "gif": codecs.synth_gif,
     }[kind]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,6 +190,9 @@ def extract_features(media: DataFrame) -> DataFrame:
         if payload[:2] == b"\xff\xd8":
             w, h, _ncomp = codecs.jpeg_dimensions(payload)  # REAL header parse
             return ("jpeg", w, h)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = codecs.gif_dimensions(payload)  # REAL header parse
+            return ("gif", w, h)
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
             meta = codecs.mp4_metadata(payload)  # REAL box parse
             return ("mp4", meta["width"], meta["height"])
@@ -262,6 +266,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFr
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             _sw, _sh, px = codecs.decode_png(payload)  # REAL decode
             return codecs.encode_png(_gather(px))  # REAL re-encode
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL decode; thumbnail policy: first frame, re-emitted as
+            # PNG (resampled truecolor needs no re-quantization)
+            _sw, _sh, frames = codecs.decode_gif(payload)
+            return codecs.encode_png(_gather(frames[0]))
         if payload[:2] == b"P6":
             _sw, _sh, px, _n = decode_ppm(payload)  # REAL decode
             return b"P6\n%d %d\n255\n" % (w, h) + _gather(px).tobytes()
@@ -296,10 +305,12 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     mapInPandas whose output row count is a multiple of its input,
     partition-local, no shuffle.
 
-    Concatenated-P6 streams get REAL frame extraction: the stream is
-    split at PPM boundaries and `n_frames` evenly-spaced REAL frames
-    are hashed. `IMG:` fakes keep the marked stub (the body ffmpeg
-    replaces in production); other formats raise.
+    Concatenated-P6 streams and animated GIFs get REAL frame
+    extraction: P6 streams are split at PPM boundaries (per-frame FILE
+    bytes hashed); GIFs are fully decoded (LZW + composition) and the
+    composed RGB rasters hashed. In both, `n_frames` evenly-spaced
+    REAL frames are taken. `IMG:` fakes keep the marked stub (the body
+    ffmpeg replaces in production); other formats raise.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,8 +320,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 b = bytes(payload)
-                if b[:2] == b"P6":
-                    frames = split_ppm_stream(b)  # REAL frame split
+                if b[:2] == b"P6" or b[:6] in (b"GIF87a", b"GIF89a"):
+                    if b[:2] == b"P6":
+                        frames = split_ppm_stream(b)  # REAL frame split
+                    else:
+                        # REAL GIF decode: hash composed RGB rasters
+                        _w, _h, rasters = codecs.decode_gif(b)
+                        frames = [r.tobytes() for r in rasters]
                     take = min(n_frames, len(frames))
                     picks = [i * len(frames) // take for i in range(take)]
                     for i, fidx in enumerate(picks):

@@ -1713,26 +1713,28 @@ def anchor_q(spark, sf):
 
 # Media header metadata over REAL container bytes (operators/codecs.py).
 # One deterministic media object per selected document (format cycles
-# doc_id % 4: PNG / JPEG / MP4 / WAV); Spark synthesizes the actual
-# file bytes, then runs the production decode stage
+# doc_id % 5: PNG / JPEG / MP4 / WAV / GIF); Spark synthesizes the
+# actual file bytes, then runs the production decode stage
 # (multimodal.extract_features): PNG = full chunk-walk + zlib inflate +
 # unfilter, JPEG = T.81 marker walk, MP4 = ISO-BMFF box walk, WAV =
-# stdlib parse. The oracle computes the expected metadata in CLOSED
-# FORM from md5(ref) — Spark's numbers come only from parsing real
-# bytes, so a hash match proves encoder + decoder agree with the
-# spec'd layouts. doc_id % 3 subset keeps the pixel volume bounded at
-# bench scale (all four formats still hit: 0,3,6,9 mod 4 = 0..3).
+# stdlib parse, GIF = logical-screen-descriptor parse (the full
+# LZW-pixel decode is pytest-pinned). The oracle computes the expected
+# metadata in CLOSED FORM from md5(ref) — Spark's numbers come only
+# from parsing real bytes, so a hash match proves encoder + decoder
+# agree with the spec'd layouts. doc_id % 3 subset keeps the pixel
+# volume bounded at bench scale (all five formats still hit:
+# 0,3,6,9,12 mod 5 = 0,3,1,4,2).
 @q(
     "media_header_stats",
     "SELECT doc_id,"
     " concat('m', CAST(doc_id AS VARCHAR)) AS media_ref,"
-    " CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'"
-    "  WHEN 2 THEN 'mp4' ELSE 'wav' END AS format,"
-    " CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 ELSE 16 +"
+    " CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'"
+    "  WHEN 2 THEN 'mp4' WHEN 3 THEN 'wav' ELSE 'gif' END AS format,"
+    " CAST(CASE WHEN doc_id % 5 = 3 THEN 8000 ELSE 16 +"
     "  CAST(concat('0x', substring(md5(concat('m',"
     "   CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 112"
     "  END AS INTEGER) AS width,"
-    " CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 16 +"
+    " CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 16 +"
     "  CAST(concat('0x', substring(md5(concat('m',"
     "   CAST(doc_id AS VARCHAR))), 5, 4)) AS BIGINT) % 63"
     "  END AS INTEGER) AS height"
@@ -1750,10 +1752,16 @@ def media_header_q(spark, sf):
         .select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
-            (F.col("doc_id") % 4).cast("int").alias("k"),
+            (F.col("doc_id") % 5).cast("int").alias("k"),
         )
     )
-    synths = [codecs.synth_png, codecs.synth_jpeg, codecs.synth_mp4, synth_wav]
+    synths = [
+        codecs.synth_png,
+        codecs.synth_jpeg,
+        codecs.synth_mp4,
+        synth_wav,
+        codecs.synth_gif,
+    ]
 
     def attach(batches):
         for pdf in batches:

@@ -161,6 +161,107 @@ def test_jpeg_no_sof_rejected():
 
 
 # ---------------------------------------------------------------------------
+# GIF
+
+
+def test_gif_synth_roundtrip_frames_and_palette():
+    for ref in ["g1", "g2", "x/y"]:
+        payload = C.synth_gif(ref)
+        w, h = C.ref_dims(ref)
+        assert C.gif_dimensions(payload) == (w, h)
+        dw, dh, frames = C.decode_gif(payload)
+        assert (dw, dh) == (w, h)
+        assert len(frames) == C.gif_n_frames(ref)
+        pal = np.frombuffer(C._keystream(ref + "/pal", 64 * 3), np.uint8).reshape(
+            64, 3
+        )
+        for i, fr in enumerate(frames):
+            idx = (
+                np.frombuffer(C._keystream(f"{ref}/f{i}", w * h), np.uint8) % 64
+            ).reshape(h, w)
+            assert (fr == pal[idx]).all(), f"frame {i} mismatch"
+
+
+def test_gif_lzw_twelve_bit_cap_and_clear():
+    """A 24k-pixel 256-color frame walks the code width all the way to
+    12 bits and forces a mid-stream clear; pixels must survive."""
+    pal = (np.arange(256 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(256, 3)
+    big = (np.arange(200 * 120, dtype=np.int64) % 256).astype(np.uint8).reshape(120, 200)
+    _w, _h, frames = C.decode_gif(C.encode_gif([big], pal))
+    assert (frames[0] == pal[big]).all()
+
+
+def test_gif_lzw_kwkwk_case():
+    """Hand-built stream emitting a not-yet-defined code (the KwKwK
+    case real compressors produce): clear, 0, 6 → [0, 0, 0]."""
+    bw = C._BitWriter()
+    bw.write(4, 3)  # clear (min_code_size 2)
+    bw.write(0, 3)  # literal 0
+    bw.write(6, 3)  # == next_code → prev + prev[0]
+    bw.write(5, 3)  # end
+    assert C._lzw_decode(bw.finish(), 2) == b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="corrupt"):
+        bw2 = C._BitWriter()
+        bw2.write(4, 3)
+        bw2.write(0, 3)
+        bw2.write(7, 3)  # > next_code: genuinely corrupt
+        C._lzw_decode(bw2.finish(), 2)
+
+
+def _pal16() -> np.ndarray:
+    return (np.arange(48, dtype=np.int64) * 3 % 256).astype(np.uint8).reshape(16, 3)
+
+
+def test_gif_interlace_reorder():
+    rng = np.random.RandomState(3)
+    h, w = 11, 7
+    pal = _pal16()
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    order = [y for start, step in C._GIF_INTERLACE for y in range(start, h, step)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(4)
+    out += C._sub_blocks(C._lzw_encode_literals(idx[order].tobytes(), 4))
+    out += b"\x3b"
+    _w, _h, frames = C.decode_gif(bytes(out))
+    assert (frames[0] == pal[idx]).all()
+
+
+def test_gif_partial_rect_and_transparency_composition():
+    """Frame 2 is a 2x3 rect at (2,1) with a transparent index: only
+    opaque rect pixels overwrite the composed canvas."""
+    pal = _pal16()
+    f1 = np.zeros((6, 8), np.uint8)
+    rect = np.array([[1, 2], [5, 3], [4, 5]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 8, 6, 0x80 | 3, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 6, 0)
+    out.append(4)
+    out += C._sub_blocks(C._lzw_encode_literals(f1.tobytes(), 4))
+    out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 1, 0, 5, 0)  # transp idx 5
+    out += b"\x2c" + struct.pack("<HHHHB", 2, 1, 2, 3, 0)
+    out.append(4)
+    out += C._sub_blocks(C._lzw_encode_literals(rect.tobytes(), 4))
+    out += b"\x3b"
+    _w, _h, frames = C.decode_gif(bytes(out))
+    assert len(frames) == 2
+    want = pal[f1].copy()
+    opaque = rect != 5
+    want[1:4, 2:4][opaque] = pal[rect][opaque]
+    assert (frames[1] == want).all()
+
+
+def test_gif_malformed_rejected():
+    with pytest.raises(ValueError, match="not a GIF"):
+        C.decode_gif(b"JIF89a" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="no image data"):
+        C.decode_gif(b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3b")
+
+
+# ---------------------------------------------------------------------------
 # MP4 / ISO-BMFF
 
 

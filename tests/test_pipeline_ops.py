@@ -105,7 +105,7 @@ def test_multimodal_decode_raises_on_unknown_payload(spark):
     """Unknown formats fail loudly (no silent fake); a malformed PNG
     (real signature, truncated chunks) fails in the REAL decoder."""
     df = spark.createDataFrame(
-        [("d", "m.bin", bytearray(b"GIF89a...."))],
+        [("d", "m.bin", bytearray(b"BM......bmp-payload"))],
         "doc_id string, media_ref string, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|media library"):
@@ -642,7 +642,7 @@ def test_multimodal_real_png_jpeg_mp4_metadata(spark, fixture_pages):
     from photon_spark.operators.codecs import ref_dims
 
     refs = multimodal.media_refs(fixture_pages).limit(4)
-    for kind in ("png", "jpeg", "mp4"):
+    for kind in ("png", "jpeg", "mp4", "gif"):
         feats = multimodal.extract_features(
             multimodal.attach_real_payload(refs, kind=kind)
         ).collect()
@@ -651,6 +651,43 @@ def test_multimodal_real_png_jpeg_mp4_metadata(spark, fixture_pages):
             w, h = ref_dims(r["media_ref"])
             assert r["format"] == kind
             assert (r["width"], r["height"]) == (w, h)
+
+
+def test_multimodal_real_gif_frame_sampling_and_thumbnail(spark, fixture_pages):
+    """Animated GIF through the video stage: REAL LZW decode + frame
+    composition — sampled hashes equal sha1 of the actual composed RGB
+    rasters; resize emits a valid PNG thumbnail of frame 0."""
+    import hashlib
+
+    from photon_spark.operators.codecs import (
+        decode_gif,
+        decode_png,
+        gif_n_frames,
+        synth_gif,
+    )
+
+    refs = multimodal.media_refs(fixture_pages).limit(2)
+    media = multimodal.attach_real_payload(refs, kind="gif")
+    got = multimodal.sample_frames(media, n_frames=3).collect()
+    by_ref: dict = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append((r["frame_idx"], r["frame_sha1"]))
+    assert len(by_ref) == 2
+    for ref, frames in by_ref.items():
+        n_real = gif_n_frames(ref)  # 2..5
+        take = min(3, n_real)
+        assert len(frames) == take
+        _w, _h, rasters = decode_gif(synth_gif(ref))
+        picks = [i * n_real // take for i in range(take)]
+        want = [hashlib.sha1(rasters[p].tobytes()).hexdigest() for p in picks]
+        assert [s for _, s in sorted(frames)] == want
+
+    thumbs = multimodal.resize_images(media, width=9, height=5).collect()
+    for r in thumbs:
+        w, h, px = decode_png(bytes(r["resized"]))
+        assert (w, h) == (9, 5)
+        _sw, _sh, rasters = decode_gif(synth_gif(r["media_ref"]))
+        assert (px[0, 0] == rasters[0][0, 0]).all()
 
 
 def test_multimodal_real_png_resize_roundtrip(spark, fixture_pages):
