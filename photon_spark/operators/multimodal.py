@@ -360,6 +360,69 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+AUDIO_SCHEMA = (
+    "doc_id string, media_ref string, rate int, channels int, "
+    "n_samples long, duration_ms long, rms double, zcr double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over Arrow batches: stdlib `wave`
+    parse + numpy DSP on the actual PCM samples — RMS energy and
+    zero-crossing rate (the two standard cheap silence/voicing
+    screens a speech-data pipeline gates on), plus exact duration.
+    16-bit PCM only (what synth_wav and most speech corpora emit);
+    multi-channel is averaged to mono before the measures. Map-only,
+    no shuffle — at 100 TB this fuses with the payload-fetch stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "media_ref", "rate", "channels",
+                    "n_samples", "duration_ms", "rms", "zcr",
+                )
+            }
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if not _is_wav(b):
+                    raise NotImplementedError(
+                        "audio_features: only RIFF/WAVE PCM supported"
+                    )
+                with wave_mod.open(io.BytesIO(b), "rb") as wf:
+                    rate, nch = wf.getframerate(), wf.getnchannels()
+                    if wf.getsampwidth() != 2:
+                        raise NotImplementedError("16-bit PCM only")
+                    n = wf.getnframes()
+                    samples = np.frombuffer(
+                        wf.readframes(n), dtype="<i2"
+                    ).astype(np.float64)
+                if nch > 1:
+                    samples = samples.reshape(-1, nch).mean(axis=1)
+                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                # sign changes between consecutive samples, per sample
+                zc = (
+                    float(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                    / max(n - 1, 1)
+                )
+                rows["doc_id"].append(did)
+                rows["media_ref"].append(ref)
+                rows["rate"].append(rate)
+                rows["channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // max(rate, 1))
+                rows["rms"].append(rms)
+                rows["zcr"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
+
+
 def binary_stats(documents: DataFrame) -> DataFrame:
     """Oracle-friendly binary plumbing over the sf documents table:
     utf-8 payload length + md5 — exercised end-to-end through a pandas

@@ -690,6 +690,36 @@ def test_multimodal_real_gif_frame_sampling_and_thumbnail(spark, fixture_pages):
         assert (px[0, 0] == rasters[0][0, 0]).all()
 
 
+def test_multimodal_audio_features_real_dsp(spark, fixture_pages):
+    """RMS / zero-crossing rate / duration computed from the ACTUAL
+    PCM samples: a pure sine at the md5-derived frequency must show
+    zcr ≈ 2f/rate and rms ≈ amplitude/√2; duration is exact."""
+    import hashlib as _hl
+    import math
+
+    refs = multimodal.media_refs(fixture_pages).limit(3)
+    media = multimodal.attach_real_payload(refs, kind="wav")
+    got = multimodal.audio_features(media).collect()
+    assert len(got) == 3
+    for r in got:
+        freq = 200 + (int(_hl.md5(r["media_ref"].encode()).hexdigest()[:4], 16) % 800)
+        assert (r["rate"], r["channels"], r["n_samples"]) == (8000, 1, 400)
+        assert r["duration_ms"] == 400 * 1000 // 8000  # 50 ms exact
+        # sine of amplitude 20000: rms = 20000/√2 within 2% (finite window)
+        assert abs(r["rms"] - 20000 / math.sqrt(2)) / (20000 / math.sqrt(2)) < 0.02
+        # two crossings per period: zcr ≈ 2f/rate within half a period's
+        # worth of edge effect
+        want_zcr = 2 * freq / 8000
+        assert abs(r["zcr"] - want_zcr) < 2 / 400, (r["zcr"], want_zcr, freq)
+
+    bad = spark.createDataFrame(
+        [("d", "m", bytearray(b"not audio at all"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|RIFF"):
+        multimodal.audio_features(bad).collect()
+
+
 def test_multimodal_real_png_resize_roundtrip(spark, fixture_pages):
     """PNG resize genuinely decodes, gathers, and re-encodes: the
     output is a VALID PNG at target dims and the corner pixel survives
