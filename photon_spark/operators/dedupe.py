@@ -542,3 +542,74 @@ def keep_best_per_cluster(
         .select(key_col)
     )
     return docs_scored.select(key_col).join(losers, key_col, "left_anti")
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_dist: int = 3,
+    n_bands: int = 4,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """EXACT Hamming near-dup pairs over a fingerprint column
+    (perceptual image hash, simhash, audio fingerprint): all (a < b)
+    with popcount(hash_a XOR hash_b) <= max_dist.
+
+    Banded, not all-pairs: the hash is split into ``n_bands``
+    contiguous bit bands; by pigeonhole, two hashes within Hamming
+    distance ``max_dist < n_bands`` agree EXACTLY on at least one
+    band, so the band-equality self-join is a complete candidate
+    generator and the popcount filter makes the result exact — unlike
+    minhash LSH there is no recall loss to trade. (Requires
+    ``max_dist < n_bands``; raises otherwise.)
+
+    Scale: the only wide op is the self-join keyed on (band_idx,
+    band_value) — |rows|·n_bands candidate keys, quadratic only
+    within a band bucket. md5-style fingerprints make buckets
+    near-unique; byte-identical media should be removed by exact
+    dedup upstream (identical hashes all share every band — the one
+    degenerate-bucket hazard). All JVM-side: shift/mask banding,
+    xor + bit_count verify, whole-stage codegen end to end.
+    """
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"exactness needs max_dist < n_bands (got {max_dist} >= {n_bands})"
+        )
+    if hash_bits % n_bands:
+        raise ValueError("hash_bits must divide evenly into n_bands")
+    width = hash_bits // n_bands
+    mask = F.lit((1 << width) - 1)
+    h = F.col(hash_col)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(h, b * width).bitwiseAND(mask).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_h", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()  # a pair can agree on several bands
+    )
+    return pairs

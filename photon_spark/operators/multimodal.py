@@ -423,6 +423,72 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+DHASH_SCHEMA = "doc_id string, media_ref string, dhash long"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) over REALLY decoded pixels —
+    the standard perceptual fingerprint for near-dup image detection
+    in training-data pipelines (re-encodes, resizes, small crops and
+    noise keep the hash within a few bits).
+
+    Per image: decode (PNG chunk-walk / GIF LZW first frame / P6
+    PPM), integer ITU-R 601 luma ((299R+587G+114B)//1000 — integer
+    so the hash is bit-stable across platforms), nearest-neighbor
+    gather to 9x8, then bit (row r, col c) = luma[r,c] > luma[r,c+1],
+    row-major MSB-first, emitted as a signed long. Format-invariant
+    by construction: the same raster encoded as PNG, PPM, or
+    truecolor GIF hashes identically.
+
+    Map-only (fuses with the fetch/decode stage at 100 TB); feed the
+    output to dedupe.hamming_near_pairs for the exact banded
+    near-dup join and dup_components for clustering.
+    """
+
+    def _dhash(payload: bytes) -> int:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            _w, _h, px = codecs.decode_png(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            _w, _h, frames = codecs.decode_gif(payload)
+            px = frames[0]
+        elif payload[:2] == b"P6":
+            _w, _h, px, _n = decode_ppm(payload)
+        else:
+            raise NotImplementedError(
+                "no pixel codec for this payload (JPEG/MP4 need external libs)"
+            )
+        if px.ndim == 2:
+            luma = px.astype(np.int64)
+        elif px.shape[2] < 3:  # grayscale / gray+alpha PNG
+            luma = px[:, :, 0].astype(np.int64)
+        else:  # RGB / RGBA
+            p = px[:, :, :3].astype(np.int64)
+            luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+        sh, sw = luma.shape
+        ys = (np.arange(8) * sh // 8).clip(0, sh - 1)
+        xs = (np.arange(9) * sw // 9).clip(0, sw - 1)
+        g = luma[ys][:, xs]  # 8 rows x 9 cols
+        bits = (g[:, :-1] > g[:, 1:]).flatten()  # row-major, 64 bits
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= 1 << 63 else v  # two's-complement long
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "dhash": [_dhash(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
 def binary_stats(documents: DataFrame) -> DataFrame:
     """Oracle-friendly binary plumbing over the sf documents table:
     utf-8 payload length + md5 — exercised end-to-end through a pandas

@@ -1788,6 +1788,61 @@ def media_header_q(spark, sf):
     )
 
 
+# Perceptual-hash near-dup pairing (dedupe.hamming_near_pairs) — the
+# EXACT banded Hamming join graded against an O(n^2) brute force. The
+# 60-bit fingerprint universe is synthesized from md5(doc_id) with
+# PLANTED near-dups probing both sides of the threshold: doc_id%7==1
+# flips 2 bits of its (doc_id-1) base, %7==2 flips 3 (the boundary,
+# included), %7==3 flips 4 (excluded); derived hashes off one shared
+# base also interact (e.g. d%7==1 vs d%7==2 of the same base are at
+# distance 1; %7==3 vs %7==2 at exactly 3) so the brute force finds
+# cross pairs the planting didn't spell out. Spark answers with the
+# pigeonhole-complete 4x15-bit band join (never materializing n^2);
+# the oracle answers with the full quadratic join — a hash match
+# proves the banded candidate generator is genuinely lossless at
+# max_dist < n_bands, not just high-recall.
+_PH_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id - {k} AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@q(
+    "phash_hamming_pairs",
+    "WITH h AS (SELECT doc_id, CASE doc_id % 7"
+    f"  WHEN 1 THEN xor({_PH_SQL.format(k=1)}, 3)"
+    f"  WHEN 2 THEN xor({_PH_SQL.format(k=2)}, 7)"
+    f"  WHEN 3 THEN xor({_PH_SQL.format(k=3)}, 30)"
+    f"  ELSE {_PH_SQL.format(k=0)} END AS ph FROM documents)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS dist"
+    " FROM h a JOIN h b ON a.doc_id < b.doc_id"
+    " WHERE bit_count(xor(a.ph, b.ph)) <= 3",
+)
+def phash_pairs_q(spark, sf):
+    from photon_spark.operators.dedupe import hamming_near_pairs
+
+    def base(k):
+        return F.conv(
+            F.substring(F.md5((F.col("doc_id") - k).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    ph = (
+        F.when(F.col("doc_id") % 7 == 1, base(1).bitwiseXOR(F.lit(3).cast("long")))
+        .when(F.col("doc_id") % 7 == 2, base(2).bitwiseXOR(F.lit(7).cast("long")))
+        .when(F.col("doc_id") % 7 == 3, base(3).bitwiseXOR(F.lit(30).cast("long")))
+        .otherwise(base(0))
+    )
+    hashes = _t(spark, sf, "documents").select("doc_id", ph.alias("ph"))
+    pairs = hamming_near_pairs(
+        hashes, id_col="doc_id", hash_col="ph",
+        max_dist=3, n_bands=4, hash_bits=60,
+    )
+    return pairs.withColumn("dist", F.col("dist").cast("int"))
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -1371,3 +1371,110 @@ def test_anchor_topk_tiebreak(spark):
         )
     assert sorted(by_t["u"]) == [(1, "beta", 2), (2, "alpha", 1)]
     assert sorted(by_t["v"]) == [(1, "solo", 1)]
+
+
+def test_hamming_near_pairs_exact_vs_brute(spark):
+    """The banded join must equal the O(n^2) brute force EXACTLY
+    (pigeonhole completeness at max_dist < n_bands), including the
+    <=max_dist boundary, excluding max_dist+1, and emitting a pair
+    that agrees on several bands only once."""
+    import itertools
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),          # dist 3: boundary, included
+        (2, base ^ 0b11110),        # dist 4: excluded vs 0
+        (3, base),                  # identical: all 4 bands agree, dist 0
+        (4, 0x7EDCBA9876543210),    # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedupe.hamming_near_pairs(df, max_dist=3).collect()
+    }
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & (1 << 64) - 1).count("1")
+        if d <= 3:
+            want.add((ia, ib, d))
+    assert got == want
+    assert (0, 1, 3) in got and (0, 3, 0) in got
+    assert not any(2 in (a, b) and 0 in (a, b) for a, b, _ in got)
+    # identical pair (0,3) agrees on all bands but is emitted once: the
+    # set equality above already proves no duplicates survive distinct()
+    with pytest.raises(ValueError, match="max_dist < n_bands"):
+        dedupe.hamming_near_pairs(df, max_dist=4, n_bands=4)
+
+
+def test_image_dhash_format_invariance_and_neardup(spark):
+    """dHash comes from genuinely decoded pixels: the same raster
+    encoded as PNG and as P6 PPM hashes IDENTICALLY; a 2x nearest-
+    neighbor upscale hashes identically too (the 8x9 sample grid maps
+    onto the same source pixels); a different image is far; and the
+    banded Hamming join recovers exactly the variant cluster."""
+    import numpy as np
+
+    from photon_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    up = raster.repeat(2, axis=0).repeat(2, axis=1)  # exact 2x NN upscale
+    other = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+
+    def ppm(px):
+        return b"P6\n%d %d\n255\n" % (px.shape[1], px.shape[0]) + px.tobytes()
+
+    rows = [
+        ("d0", "png", bytearray(codecs.encode_png(raster))),
+        ("d1", "ppm", bytearray(ppm(raster))),
+        ("d2", "up2x", bytearray(ppm(up))),
+        ("d3", "other", bytearray(codecs.encode_png(other))),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    got = {r["media_ref"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    assert got["png"] == got["ppm"] == got["up2x"]
+    far = bin((got["png"] ^ got["other"]) & (1 << 64) - 1).count("1")
+    assert far > 10, far
+
+    hashes = multimodal.image_dhash(media).select(
+        F.col("media_ref").alias("doc_id"), F.col("dhash").alias("phash")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedupe.hamming_near_pairs(hashes, max_dist=3).collect()
+    }
+    assert pairs == {("png", "ppm"), ("png", "up2x"), ("ppm", "up2x")}
+
+
+def test_image_dhash_gif_and_grayscale_paths(spark):
+    """GIF first-frame decode feeds the same hash pipeline (palette
+    round-trip is lossless for synthesized palettes), and a 2-D
+    grayscale PNG array takes the luma==pixel path."""
+    import numpy as np
+
+    from photon_spark.operators import codecs
+
+    _, _, frames = codecs.decode_gif(codecs.synth_gif("g1"))
+    fh, fw, _c = frames[0].shape
+    ppm = b"P6\n%d %d\n255\n" % (fw, fh) + frames[0].tobytes()
+    gray = np.arange(16 * 24, dtype=np.uint8).reshape(16, 24) % 251
+    rows = [
+        ("g", "gif", bytearray(codecs.synth_gif("g1"))),
+        ("g", "gif-as-ppm", bytearray(ppm)),
+        ("g", "gray-png", bytearray(codecs.encode_png(gray))),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    got = {r["media_ref"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    assert got["gif"] == got["gif-as-ppm"]
+    assert isinstance(got["gray-png"], int)
+    bad = spark.createDataFrame(
+        [("x", "m", bytearray(b"JUNK"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.image_dhash(bad).collect()
