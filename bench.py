@@ -71,6 +71,9 @@ HEADLINE = [
     "interleave_span_stats",
     "media_ref_dedup",
     "anchor_text_topk",
+    "media_header_stats",
+    "phash_hamming_pairs",
+    "audio_constellation_match",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

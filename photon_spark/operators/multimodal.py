@@ -423,6 +423,137 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+FINGERPRINT_SCHEMA = "doc_id string, media_ref string, t int, lm_hash long"
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame: int = 256,
+    hop: int = 128,
+    fan_out: int = 3,
+) -> DataFrame:
+    """Constellation audio fingerprints (the Shazam/Chromaprint
+    landmark family) from REAL DSP over the PCM samples: Hann-windowed
+    rFFT frames, dominant spectral peak per frame, landmark hash =
+    (peak_bin_now, peak_bin_future, frame_gap) for the next `fan_out`
+    frames, packed into one long. Emits one row per landmark with its
+    anchor frame index, so downstream matching can vote on a
+    consistent time offset (audio_match_pairs).
+
+    Map-only extraction (fuses with fetch/decode at 100 TB); the
+    per-clip cost is O(n_frames · frame log frame) numpy work inside
+    the Arrow batch. 16-bit PCM WAV only, like audio_features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media_ref": [], "t": [], "lm_hash": []}
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if not _is_wav(b):
+                    raise NotImplementedError(
+                        "audio_fingerprint: only RIFF/WAVE PCM supported"
+                    )
+                with wave_mod.open(io.BytesIO(b), "rb") as wf:
+                    if wf.getsampwidth() != 2:
+                        raise NotImplementedError("16-bit PCM only")
+                    nch = wf.getnchannels()
+                    samples = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.float64)
+                if nch > 1:
+                    samples = samples.reshape(-1, nch).mean(axis=1)
+                n_frames = max((len(samples) - frame) // hop + 1, 0)
+                if n_frames < 2:
+                    continue
+                idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+                mags = np.abs(np.fft.rfft(samples[idx] * win, axis=1))
+                mags[:, 0] = 0.0  # ignore DC
+                peaks = mags.argmax(axis=1)  # dominant bin per frame
+                for dt in range(1, fan_out + 1):
+                    if n_frames <= dt:
+                        break
+                    f1 = peaks[:-dt]
+                    f2 = peaks[dt:]
+                    h = (f1.astype(np.int64) << 16) | (f2.astype(np.int64) << 8) | dt
+                    k = len(h)
+                    out["doc_id"].extend([did] * k)
+                    out["media_ref"].extend([ref] * k)
+                    out["t"].extend(range(k))
+                    out["lm_hash"].extend(h.tolist())
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype=t) for (c, t), v in zip(
+                    [("doc_id", "object"), ("media_ref", "object"),
+                     ("t", "int32"), ("lm_hash", "int64")],
+                    (out["doc_id"], out["media_ref"], out["t"], out["lm_hash"]),
+                )}
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=FINGERPRINT_SCHEMA
+    )
+
+
+def audio_match_pairs(
+    fingerprints: DataFrame,
+    min_votes: int = 5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audio near-dup / excerpt matching over constellation
+    fingerprints: self-join on landmark hash, then OFFSET VOTING —
+    two clips genuinely share audio only if many matched landmarks
+    agree on ONE time offset (t_a - t_b), which random hash
+    collisions never do. Returns (id_a, id_b, offset, votes) with
+    votes >= min_votes, id_a < id_b, best offset per pair.
+
+    Scale: the join is keyed on lm_hash (bucketed like LSH bands —
+    quadratic only within a hash bucket); `max_bucket` drops
+    degenerate hashes (the constellation analogue of boilerplate
+    shingles: silence / constant tones) before the join, the same
+    two-stage cap as minhash_lsh_pairs. The vote groupBy is map-side
+    combinable; everything after extraction is JVM-side.
+    """
+    from pyspark.sql import Window
+
+    fp = fingerprints.select(
+        F.col("doc_id").alias("_id"), "t", "lm_hash"
+    )
+    hot = (
+        fp.groupBy("lm_hash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("lm_hash")
+    )
+    fp = fp.join(F.broadcast(hot), "lm_hash", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.lm_hash") == F.col("b.lm_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (F.col("a.t") - F.col("b.t")).alias("offset"),
+        )
+        .groupBy("id_a", "id_b", "offset")
+        .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 DHASH_SCHEMA = "doc_id string, media_ref string, dhash long"
 
 

@@ -1843,6 +1843,86 @@ def phash_pairs_q(spark, sf):
     return pairs.withColumn("dist", F.col("dist").cast("int"))
 
 
+# Audio constellation matching end-to-end in the driver gate: Spark
+# synthesizes one REAL 16-bit PCM WAV per selected document (a pure
+# bin-centered tone whose frequency is a closed form of doc_id), runs
+# the production fingerprint stage (Hann rFFT frames, peak landmarks,
+# hash join, offset voting) — while the oracle states the answer in
+# CLOSED FORM: same-tone docs pair at offset 0 with exactly
+# 14+13+12=39 aligned votes (2048 samples / frame 256 / hop 128 → 15
+# frames; fan_out 3), different tones never pair (bin-centered tones
+# 4 bins apart cannot collide on a landmark). A hash match proves the
+# whole DSP pipeline — wave parse, windowing, FFT magnitude, argmax,
+# landmark packing, vote groupBy, best-offset window — is
+# deterministic and exactly right, not just plausible. doc_id%29
+# bounds the per-hash bucket (identical clips share every landmark,
+# the documented degenerate case) at bench scale.
+@q(
+    "audio_constellation_match",
+    "WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(0 AS INTEGER) AS offset, CAST(39 AS BIGINT) AS votes"
+    " FROM sel a JOIN sel b"
+    " ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5",
+)
+def audio_match_q(spark, sf):
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    from photon_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_match_pairs,
+    )
+
+    def tone(cls: int) -> bytes:
+        freq = (16 + 4 * cls) * 31.25  # exactly bin-centered at frame=256
+        sig = 10000 * _np.sin(2 * _np.pi * freq * _np.arange(2048) / 8000)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(_np.clip(sig, -32768, 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    refs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("media_ref"),
+            (F.col("doc_id") % 5).cast("int").alias("cls"),
+        )
+    )
+
+    def attach(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": [tone(int(c)) for c in pdf["cls"]],
+                }
+            )
+
+    media = refs.mapInPandas(
+        attach, schema="doc_id string, media_ref string, payload binary"
+    )
+    fp = audio_fingerprint(media).withColumn(
+        "doc_id", F.col("doc_id").cast("bigint")  # numeric pair order, as the oracle's
+    )
+    pairs = audio_match_pairs(fp, min_votes=5)
+    return pairs.select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.col("offset").cast("int").alias("offset"),
+        F.col("votes").cast("bigint").alias("votes"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -1478,3 +1478,56 @@ def test_image_dhash_gif_and_grayscale_paths(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.image_dhash(bad).collect()
+
+
+def _tone_wav(segfreqs, rate=8000, seglen=1024, noise=0.0, skip=0, seed=0):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sig = np.concatenate(
+        [
+            10000 * np.sin(2 * np.pi * f * np.arange(seglen) / rate)
+            for f in segfreqs
+        ]
+    )[skip:]
+    if noise:
+        sig = sig + rng.normal(0, noise, len(sig))
+    pcm = np.clip(sig, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_offset_voting(spark):
+    """Constellation matching is real retrieval semantics: a noisy,
+    256-sample-shifted copy aligns at ONE offset (two hops) with a
+    landslide of votes; a clip sharing only one 1024-sample segment
+    gets at most a segment's worth; unrelated audio doesn't pair."""
+    freqs_a = [500, 900, 1300, 700, 1100, 1500, 600, 1000]
+    rows = [
+        ("a", "a", bytearray(_tone_wav(freqs_a))),
+        ("b", "b", bytearray(_tone_wav(freqs_a, noise=300.0, skip=256, seed=1))),
+        ("c", "c", bytearray(_tone_wav([1500, 600, 1100, 500, 1300, 900, 1000, 700]))),
+        ("d", "d", bytearray(_tone_wav([2000, 2300, 2600, 2900, 3200, 3500, 2100, 2400]))),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    fp = multimodal.audio_fingerprint(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["votes"])
+        for r in multimodal.audio_match_pairs(fp, min_votes=5).collect()
+    }
+    off_ab, votes_ab = pairs[("a", "b")]
+    assert off_ab == 2, pairs[("a", "b")]       # b lost 256 samples = 2 hops
+    assert votes_ab > 100, votes_ab             # nearly every landmark aligns
+    if ("a", "c") in pairs:                     # shared single segments only
+        assert pairs[("a", "c")][1] < votes_ab / 4
+    assert not any("d" in p for p in pairs), pairs
