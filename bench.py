@@ -74,6 +74,7 @@ HEADLINE = [
     "media_header_stats",
     "phash_hamming_pairs",
     "audio_constellation_match",
+    "video_neardup_closed_form",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -551,10 +551,17 @@ def hamming_near_pairs(
     max_dist: int = 3,
     n_bands: int = 4,
     hash_bits: int = 64,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """EXACT Hamming near-dup pairs over a fingerprint column
     (perceptual image hash, simhash, audio fingerprint): all (a < b)
     with popcount(hash_a XOR hash_b) <= max_dist.
+
+    ``group_cols`` restricts pairing to rows that agree on those
+    columns (e.g. ``("frame_idx",)`` for per-position video frame
+    matching); the columns join into the band key — so groups also
+    partition the shuffle — and pass through to the output, one pair
+    row per (id_a, id_b, *group_cols).
 
     Banded, not all-pairs: the hash is split into ``n_bands``
     contiguous bit bands; by pigeonhole, two hashes within Hamming
@@ -584,6 +591,7 @@ def hamming_near_pairs(
     banded = df.select(
         F.col(id_col).alias("_id"),
         h.alias("_h"),
+        *[F.col(g).alias(f"_g_{g}") for g in group_cols],
         F.explode(
             F.array(
                 *[
@@ -595,18 +603,23 @@ def hamming_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_h", "bk.band", "bk.key")
+    ).select(
+        "_id", "_h", "bk.band", "bk.key", *[f"_g_{g}" for g in group_cols]
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id"))
+    )
+    for g in group_cols:
+        cond = cond & (F.col(f"a._g_{g}") == F.col(f"b._g_{g}"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
+            *[F.col(f"a._g_{g}").alias(g) for g in group_cols],
             F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)

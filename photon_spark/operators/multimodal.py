@@ -557,6 +557,29 @@ def audio_match_pairs(
 DHASH_SCHEMA = "doc_id string, media_ref string, dhash long"
 
 
+def _raster_dhash(px: np.ndarray) -> int:
+    """64-bit dHash of a decoded raster: integer ITU-R 601 luma
+    ((299R+587G+114B)//1000 — integer so the hash is bit-stable
+    across platforms), nearest-neighbor gather to 9x8, bit (r, c) =
+    luma[r,c] > luma[r,c+1], row-major MSB-first, signed long."""
+    if px.ndim == 2:
+        luma = px.astype(np.int64)
+    elif px.shape[2] < 3:  # grayscale / gray+alpha PNG
+        luma = px[:, :, 0].astype(np.int64)
+    else:  # RGB / RGBA
+        p = px[:, :, :3].astype(np.int64)
+        luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    sh, sw = luma.shape
+    ys = (np.arange(8) * sh // 8).clip(0, sh - 1)
+    xs = (np.arange(9) * sw // 9).clip(0, sw - 1)
+    g = luma[ys][:, xs]  # 8 rows x 9 cols
+    bits = (g[:, :-1] > g[:, 1:]).flatten()  # row-major, 64 bits
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= 1 << 63 else v  # two's-complement long
+
+
 def image_dhash(media: DataFrame) -> DataFrame:
     """64-bit difference hash (dHash) over REALLY decoded pixels —
     the standard perceptual fingerprint for near-dup image detection
@@ -588,22 +611,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
             raise NotImplementedError(
                 "no pixel codec for this payload (JPEG/MP4 need external libs)"
             )
-        if px.ndim == 2:
-            luma = px.astype(np.int64)
-        elif px.shape[2] < 3:  # grayscale / gray+alpha PNG
-            luma = px[:, :, 0].astype(np.int64)
-        else:  # RGB / RGBA
-            p = px[:, :, :3].astype(np.int64)
-            luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
-        sh, sw = luma.shape
-        ys = (np.arange(8) * sh // 8).clip(0, sh - 1)
-        xs = (np.arange(9) * sw // 9).clip(0, sw - 1)
-        g = luma[ys][:, xs]  # 8 rows x 9 cols
-        bits = (g[:, :-1] > g[:, 1:]).flatten()  # row-major, 64 bits
-        v = 0
-        for bit in bits:
-            v = (v << 1) | int(bit)
-        return v - (1 << 64) if v >= 1 << 63 else v  # two's-complement long
+        return _raster_dhash(px)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -617,6 +625,93 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "media_ref", "payload").mapInPandas(
         run, schema=DHASH_SCHEMA
+    )
+
+
+FRAME_DHASH_SCHEMA = "doc_id string, media_ref string, frame_idx int, dhash long"
+
+
+def frame_dhash(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Per-frame perceptual hashes for VIDEO near-dup: decode the
+    stream (concatenated-P6 split or full GIF LZW+composition),
+    sample `n_frames` evenly-spaced frames (the same picks as
+    sample_frames), dHash each decoded raster. Unlike frame_sha1,
+    the hash survives re-encodes and resizes — the actual video
+    near-dup signal. Map-only fan-out, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, refs, idxs, hashes = [], [], [], []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    rasters = [
+                        decode_ppm(fb)[2] for fb in split_ppm_stream(b)
+                    ]
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    _w, _h, rasters = codecs.decode_gif(b)
+                else:
+                    raise NotImplementedError(
+                        "no codec for this payload (MP4 etc. need ffmpeg)"
+                    )
+                take = min(n_frames, len(rasters))
+                picks = [i * len(rasters) // take for i in range(take)]
+                for i, fidx in enumerate(picks):
+                    ids.append(did)
+                    refs.append(ref)
+                    idxs.append(i)
+                    hashes.append(_raster_dhash(rasters[fidx]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                },
+                columns=["doc_id", "media_ref", "frame_idx", "dhash"],
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=FRAME_DHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    max_dist: int = 3,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs from per-frame perceptual hashes: clips
+    pair when >= min_frames sampled positions match within Hamming
+    max_dist at the SAME position (re-encode / resize variants keep
+    per-position hashes close; unrelated clips don't). Built on the
+    exact banded join (dedupe.hamming_near_pairs grouped by
+    frame_idx) + one map-side-combinable count agg. Clips are keyed
+    ``doc_id#media_ref`` so several videos in one document stay
+    distinct."""
+    from photon_spark.operators.dedupe import hamming_near_pairs
+
+    clips = frame_hashes.select(
+        F.concat_ws("#", "doc_id", "media_ref").alias("clip_id"),
+        "frame_idx",
+        "dhash",
+    )
+    pairs = hamming_near_pairs(
+        clips,
+        id_col="clip_id",
+        hash_col="dhash",
+        max_dist=max_dist,
+        group_cols=("frame_idx",),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_frames_matched"),
+            F.max("dist").alias("worst_dist"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
     )
 
 

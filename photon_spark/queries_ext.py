@@ -1923,6 +1923,89 @@ def audio_match_q(spark, sf):
     )
 
 
+# Video near-dup end-to-end in the driver gate: Spark synthesizes one
+# REAL 4-frame P6 frame-stream per selected document — frame content
+# is a closed form of the doc's CLASS (doc_id % 7), and odd doc_ids
+# carry the 2x nearest-neighbor UPSCALE of each frame, so same-class
+# payloads differ in bytes (exact/byte dedup finds nothing) while the
+# decoded-pixel dHash is scale-invariant at every sampled position.
+# The production pipeline (frame split -> pixel decode -> 9x8 luma
+# dHash -> banded per-position Hamming join -> vote count) must
+# recover exactly the same-class pairs with all 4 positions at
+# distance 0; cross-class frames sit >= 18 bits apart at every
+# position (deterministic: only 7x4 distinct frames exist —
+# verified in tests/test_pipeline_ops.py). The oracle states the
+# answer in closed form over the same class arithmetic.
+@q(
+    "video_neardup_closed_form",
+    "WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0)"
+    " SELECT concat(CAST(a.doc_id AS VARCHAR), '#v') AS id_a,"
+    " concat(CAST(b.doc_id AS VARCHAR), '#v') AS id_b,"
+    " CAST(4 AS BIGINT) AS n_frames_matched,"
+    " CAST(0 AS INTEGER) AS worst_dist"
+    " FROM sel a JOIN sel b"
+    " ON concat(CAST(a.doc_id AS VARCHAR), '#v')"
+    "  < concat(CAST(b.doc_id AS VARCHAR), '#v')"
+    " AND a.doc_id % 7 = b.doc_id % 7",
+)
+def video_neardup_q(spark, sf):
+    import pandas as pd  # noqa: F811
+
+    from photon_spark.operators.multimodal import (
+        decode_ppm,
+        frame_dhash,
+        synth_ppm,
+        video_neardup_pairs,
+    )
+
+    refs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.col("doc_id") % 7).cast("int").alias("cls"),
+            (F.col("doc_id") % 2).cast("int").alias("up"),
+        )
+    )
+
+    def attach(batches):
+        for pdf in batches:
+            payloads = []
+            for cls, up in zip(pdf["cls"], pdf["up"]):
+                frames = []
+                for i in range(4):
+                    ppm = synth_ppm(f"cls{cls}/f{i}")
+                    if up:
+                        w, h, px, _ = decode_ppm(ppm)
+                        big = px.repeat(2, axis=0).repeat(2, axis=1)
+                        ppm = (
+                            b"P6\n%d %d\n255\n" % (2 * w, 2 * h)
+                            + big.tobytes()
+                        )
+                    frames.append(ppm)
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": "v",
+                    "payload": payloads,
+                }
+            )
+
+    media = refs.mapInPandas(
+        attach, schema="doc_id string, media_ref string, payload binary"
+    )
+    pairs = video_neardup_pairs(
+        frame_dhash(media, n_frames=4), max_dist=3, min_frames=2
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_frames_matched").cast("bigint").alias("n_frames_matched"),
+        F.col("worst_dist").cast("int").alias("worst_dist"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -1531,3 +1531,86 @@ def test_audio_fingerprint_offset_voting(spark):
     if ("a", "c") in pairs:                     # shared single segments only
         assert pairs[("a", "c")][1] < votes_ab / 4
     assert not any("d" in p for p in pairs), pairs
+
+
+def test_hamming_near_pairs_group_cols(spark):
+    """group_cols partitions the pairing: identical hashes in
+    DIFFERENT groups never pair; a pair matching in two groups is
+    emitted once per group with the group column in the output."""
+    rows = [
+        ("a", 0, 100),
+        ("b", 0, 100),   # same group, identical -> pair at frame 0
+        ("c", 1, 100),   # identical hash but frame 1: no pair with a/b
+        ("a", 2, 777),
+        ("b", 2, 777),   # a,b also pair at frame 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, frame_idx int, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["frame_idx"], r["dist"])
+        for r in dedupe.hamming_near_pairs(
+            df, max_dist=3, group_cols=("frame_idx",)
+        ).collect()
+    }
+    assert got == {("a", "b", 0, 0), ("a", "b", 2, 0)}
+
+
+def test_frame_dhash_and_video_neardup(spark):
+    """Video near-dup end-to-end: a 2x nearest-neighbor upscale of a
+    P6 frame stream matches the original at every sampled position
+    (re-encode invariance per frame); a clip sharing only its first
+    frame is excluded by min_frames=2; unrelated clips never pair;
+    GIF payloads ride the same decoder; clips are keyed
+    doc_id#media_ref so two videos in one document stay distinct."""
+    import numpy as np
+
+    from photon_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+
+    def ppm(px):
+        return b"P6\n%d %d\n255\n" % (px.shape[1], px.shape[0]) + px.tobytes()
+
+    frames = [
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    clip_a = b"".join(ppm(f) for f in frames)
+    clip_up = b"".join(
+        ppm(f.repeat(2, axis=0).repeat(2, axis=1)) for f in frames
+    )
+    shared_first = b"".join(
+        ppm(f)
+        for f in [frames[0]]
+        + [rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8) for _ in range(3)]
+    )
+    unrelated = b"".join(
+        ppm(rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8))
+        for _ in range(4)
+    )
+    rows = [
+        ("d0", "a", bytearray(clip_a)),
+        ("d0", "up", bytearray(clip_up)),       # same doc: composite id test
+        ("d1", "head", bytearray(shared_first)),
+        ("d2", "x", bytearray(unrelated)),
+        ("d3", "gif", bytearray(codecs.synth_gif("v1"))),
+        ("d4", "gif2", bytearray(codecs.synth_gif("v1"))),  # byte-identical GIF
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    fh = multimodal.frame_dhash(media, n_frames=4)
+    per_clip = (
+        fh.groupBy("doc_id", "media_ref").count().collect()
+    )
+    assert all(r["count"] <= 4 for r in per_clip)
+    assert {(r["doc_id"], r["media_ref"]) for r in per_clip} == {
+        (d, m) for d, m, _ in rows
+    }
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_frames_matched"], r["worst_dist"])
+        for r in multimodal.video_neardup_pairs(fh, max_dist=3, min_frames=2).collect()
+    }
+    assert got[("d0#a", "d0#up")] == (4, 0)
+    n_gif = min(4, codecs.gif_n_frames("v1"))
+    assert got[("d3#gif", "d4#gif2")] == (n_gif, 0)
+    assert not any("d1#head" in p or "d2#x" in p for p in got), got
