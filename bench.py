@@ -75,6 +75,7 @@ HEADLINE = [
     "phash_hamming_pairs",
     "audio_constellation_match",
     "video_neardup_closed_form",
+    "boilerplate_strip_hostlines",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -739,3 +739,67 @@ def anchor_topk(edges: DataFrame, k: int = 2) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def boilerplate_strip(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_pct: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-host boilerplate line removal — the CCNet/trafilatura-class
+    web-pipeline operator the per-doc filters can't express: a line
+    (nav menu, footer, cookie banner) that appears in >= ``min_pct``%
+    of a host's documents (and in at least ``min_docs`` docs) is
+    template chrome, not content, and is stripped from EVERY document
+    of that host. Thresholds compare in integer cross-multiplication
+    (``n_docs * 100 >= total * min_pct``) so the boundary is exact
+    across engines. Output: (doc_id, clean_text, n_lines, n_removed).
+
+    Plan shape at 100 TB: ONE wide pass — explode lines, md5 them
+    (~40-byte shuffle rows, never the line text), aggregate distinct
+    doc-counts keyed (host, line_hash) with map-side partial
+    aggregation. Per-host doc totals are a tiny one-row-per-host agg
+    joined broadcast. The boilerplate set is inherently bounded — a
+    line in >= min_pct% of a host's docs means at most
+    (100/min_pct) x avg-lines-per-doc hashes per host — so it
+    collapses to one array row per host and broadcast-joins back onto
+    the corpus; the strip itself is a narrow array filter (zero
+    additional shuffle, no document reassembly pass).
+    """
+    src, txt = F.col(source_col), F.col(text_col)
+    lines = F.split(txt, "\n")
+    exploded = documents.select(
+        src.alias("_src"), F.col("doc_id"), F.explode(lines).alias("_line")
+    )
+    per_line = exploded.groupBy(
+        "_src", F.md5("_line").alias("_lh")
+    ).agg(F.count_distinct("doc_id").alias("_n_docs"))
+    per_source = documents.groupBy(src.alias("_src")).agg(
+        F.count("*").alias("_total")
+    )
+    boiler = (
+        per_line.join(F.broadcast(per_source), "_src")
+        .filter(
+            (F.col("_n_docs") >= min_docs)
+            & (F.col("_n_docs") * 100 >= F.col("_total") * min_pct)
+        )
+        .groupBy("_src")
+        .agg(F.collect_set("_lh").alias("_bl"))
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: ~F.coalesce(
+            F.array_contains(F.col("_bl"), F.md5(ln)), F.lit(False)
+        ),
+    )
+    return (
+        documents.join(F.broadcast(boiler), src == F.col("_src"), "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(lines).cast("bigint").alias("n_lines"),
+            (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -2006,6 +2006,71 @@ def video_neardup_q(spark, sf):
     )
 
 
+# Per-host boilerplate line removal (CCNet/trafilatura class): lines
+# planted as a closed form of the source — a nav line in EVERY doc
+# (frac 1, stripped), a subscribe line when doc_id % 3 != 0 (~2/3,
+# stripped at the 50% threshold), an offer line when doc_id % 7 == 0
+# (~1/7, kept; both moduli coprime to the 20-source doc_id cycle so
+# fractions hold within every source), plus a unique per-doc line
+# (n_docs=1 < min_docs, kept). Thresholds compare in integer
+# cross-multiplication, so the boundary is engine-exact. The oracle
+# restates the whole strip relationally (unnest + distinct-doc counts
+# + ordered string_agg re-assembly).
+@q(
+    "boilerplate_strip_hostlines",
+    "WITH base AS (SELECT doc_id, source,"
+    " 'nav menu for ' || source"
+    " || CASE WHEN doc_id % 3 <> 0 THEN chr(10) || 'subscribe to ' || source"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'special offer ' || source"
+    "    ELSE '' END"
+    " || chr(10) || 'u' || CAST(doc_id AS VARCHAR) || ' '"
+    " || array_to_string((string_split(text, ' '))[1:6], ' ') AS text"
+    " FROM documents),"
+    " arrs AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls"
+    "  FROM base),"
+    " l AS (SELECT doc_id, source, unnest(ls) AS line,"
+    "  unnest(generate_series(1, len(ls))) AS ord FROM arrs),"
+    " pl AS (SELECT source, md5(line) AS lh, COUNT(DISTINCT doc_id) AS n"
+    "  FROM l GROUP BY 1, 2),"
+    " ps AS (SELECT source, COUNT(*) AS total FROM base GROUP BY 1),"
+    " bl AS (SELECT pl.source, pl.lh FROM pl JOIN ps"
+    "  ON pl.source = ps.source"
+    "  WHERE pl.n >= 2 AND pl.n * 100 >= ps.total * 50)"
+    " SELECT l.doc_id,"
+    " coalesce(string_agg(CASE WHEN bl.lh IS NULL THEN l.line END,"
+    "  chr(10) ORDER BY l.ord), '') AS clean_text,"
+    " COUNT(*) AS n_lines, COUNT(bl.lh) AS n_removed"
+    " FROM l LEFT JOIN bl"
+    " ON l.source = bl.source AND md5(l.line) = bl.lh"
+    " GROUP BY l.doc_id",
+)
+def boilerplate_q(spark, sf):
+    toks = F.split(F.col("text"), " ")
+    src = F.col("source")
+    parts = F.array(
+        F.concat(F.lit("nav menu for "), src),
+        F.when(
+            F.col("doc_id") % 3 != 0, F.concat(F.lit("subscribe to "), src)
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("special offer "), src)
+        ),
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.concat_ws(" ", F.slice(toks, 1, 6)),
+        ),
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(F.array_compact(parts), "\n").alias("text"),
+    )
+    return textstats.boilerplate_strip(docs, min_pct=50, min_docs=2)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

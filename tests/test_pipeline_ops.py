@@ -1614,3 +1614,37 @@ def test_frame_dhash_and_video_neardup(spark):
     n_gif = min(4, codecs.gif_n_frames("v1"))
     assert got[("d3#gif", "d4#gif2")] == (n_gif, 0)
     assert not any("d1#head" in p or "d2#x" in p for p in got), got
+
+
+def test_boilerplate_strip_boundary_and_per_host(spark):
+    """The 50% threshold is inclusive via integer cross-multiply
+    (2 of 4 docs -> 200 >= 200 -> stripped); a single-occurrence line
+    survives min_docs; the SAME line is host-local (stripped from the
+    4-doc host, kept on the 1-doc host); a doc made entirely of
+    boilerplate strips to the empty string."""
+    from photon_spark.operators import textstats
+
+    rows = [
+        ("h", 0, "NAV\nB\nu0"),
+        ("h", 1, "NAV\nB"),          # all-boilerplate doc
+        ("h", 2, "NAV\nu2\nC"),
+        ("h", 3, "NAV\nu3"),
+        ("g", 4, "B\nu4"),           # B on host g: n_docs=1 < min_docs
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in textstats.boilerplate_strip(docs, min_pct=50, min_docs=2).collect()
+    }
+    # NAV: 4/4 docs; B: 2/4 = exactly 50% -> both stripped on h
+    assert got[0] == ("u0", 3, 2)
+    assert got[1] == ("", 2, 2)
+    assert got[2] == ("u2\nC", 3, 1)   # C: 1 doc < min_docs, kept
+    assert got[3] == ("u3", 2, 1)
+    assert got[4] == ("B\nu4", 2, 0)   # host-local: B survives on g
+    # raising min_pct past 50 keeps B (2*100 < 4*51)
+    strict = {
+        r["doc_id"]: r["n_removed"]
+        for r in textstats.boilerplate_strip(docs, min_pct=51, min_docs=2).collect()
+    }
+    assert strict[0] == 1 and strict[1] == 1
