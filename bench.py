@@ -76,6 +76,7 @@ HEADLINE = [
     "audio_constellation_match",
     "video_neardup_closed_form",
     "boilerplate_strip_hostlines",
+    "ann_sq8_rerank",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -2071,6 +2071,26 @@ def boilerplate_q(spark, sf):
     return textstats.boilerplate_strip(docs, min_pct=50, min_docs=2)
 
 
+# Quantized ANN, driver-gated for EXACTNESS: sq8_topk runs the full
+# production pipeline — int8 scalar quantization (the 4x-smaller
+# scan-side corpus), integer approx dot, top-(k*overfetch) candidate
+# window, id-keyed join back to full precision, exact re-rank — with
+# overfetch covering the corpus, where its output must equal brute
+# force EXACTLY (the re-score stage is exact and shares the
+# (cosine desc, id) tie-break). The oracle is the existing
+# brute-force SQL twin; recall at production overfetch is pinned in
+# pytest instead (quantization has no portable SQL twin).
+from photon_spark.queries import _ANN_SQL  # noqa: E402
+
+
+@q("ann_sq8_rerank", _ANN_SQL)
+def ann_sq8_q(spark, sf):
+    emb = _t(spark, sf, "embeddings", spread=True)
+    return similarity.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, overfetch=1000
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
