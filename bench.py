@@ -77,6 +77,7 @@ HEADLINE = [
     "video_neardup_closed_form",
     "boilerplate_strip_hostlines",
     "ann_sq8_rerank",
+    "trap_detect_flags",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -481,3 +481,60 @@ def adaptive_host_budgets(
         .cast("int")
         .alias("host_budget"),
     )
+
+
+def trap_flags(
+    urls: DataFrame,
+    max_depth: int = 12,
+    max_params: int = 8,
+    seg_repeat_limit: int = 3,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawler-trap detection — the classic frontier-hygiene heuristics
+    (public Heritrix/Nutch lineage) that keep an infinite URL space
+    from eating the crawl budget:
+
+    * ``seg_loop``: a path segment repeated >= seg_repeat_limit times
+      in ONE url (``/gal/img/gal/img/gal/...``) — the signature of a
+      relative-link cycle, the most common trap in the wild;
+    * ``too_deep``: path depth > max_depth (calendar walks, generated
+      directory towers);
+    * ``param_blowup``: >= max_params query parameters (session-id /
+      faceted-search explosion).
+
+    ``is_trap`` ORs them. Everything is a narrow scan-side expression
+    (parse_url + array HOFs — the per-URL repetition count is O(d^2)
+    over a <=max_depth-segment array, constant work); zero shuffle,
+    pipelines with the frontier scan, and dropping flagged rows pushes
+    into the source like url_policy_filter. At 10^10 URLs this is the
+    cheap gate that runs BEFORE the seen-set anti-join, shrinking the
+    wave the expensive stages see.
+    """
+    u = F.col(url_col)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    max_rep = F.when(depth == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                segs, lambda s: F.size(F.filter(segs, lambda x: x == s))
+            )
+        )
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    seg_loop = max_rep >= seg_repeat_limit
+    too_deep = depth > max_depth
+    param_blowup = n_params >= max_params
+    return urls.select(
+        "*",
+        depth.cast("bigint").alias("depth"),
+        max_rep.cast("bigint").alias("max_seg_repeat"),
+        n_params.cast("bigint").alias("n_params"),
+        seg_loop.alias("seg_loop"),
+        too_deep.alias("too_deep"),
+        param_blowup.alias("param_blowup"),
+        (seg_loop | too_deep | param_blowup).alias("is_trap"),
+    )

@@ -2080,6 +2080,65 @@ def boilerplate_q(spark, sf):
 # (cosine desc, id) tie-break). The oracle is the existing
 # brute-force SQL twin; recall at production overfetch is pinned in
 # pytest instead (quantization has no portable SQL twin).
+# Crawler-trap detection over a synthesized URL universe probing each
+# heuristic and its boundary: a 3x-repeated path segment (== the
+# limit, flagged) vs a 2x near-miss (benign), a 13-deep distinct-
+# segment tower (> max_depth 12, flagged, repetition 1 so ONLY the
+# depth flag fires), an 8-parameter query (== max_params, flagged),
+# and the benign '/doc/<id>?ref=1' tail. The oracle restates path/
+# query parsing + segment-repetition counting relationally; the CASE
+# branch order is pinned identically in both engines.
+_TRAP_URL_SQL = (
+    "SELECT 'http://' || source || '.test' || CASE"
+    " WHEN doc_id % 11 = 0 THEN '/gal/img/gal/img/gal/p' || CAST(doc_id AS VARCHAR)"
+    " WHEN doc_id % 13 = 0 THEN '/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12'"
+    " WHEN doc_id % 17 = 0 THEN '/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8'"
+    " WHEN doc_id % 19 = 0 THEN '/gal/img/gal/x'"
+    " ELSE '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=1' END AS url"
+    " FROM documents"
+)
+
+
+@q(
+    "trap_detect_flags",
+    f"WITH u AS ({_TRAP_URL_SQL}),"
+    " p AS (SELECT url,"
+    "  coalesce(regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1), '') AS path,"
+    "  CASE WHEN contains(url, '?')"
+    "   THEN regexp_extract(url, '\\?(.*)$', 1) ELSE '' END AS query"
+    "  FROM u),"
+    " s AS (SELECT url, query,"
+    "  list_filter(string_split(path, '/'), x -> x <> '') AS segs FROM p),"
+    " m AS (SELECT url, query, len(segs) AS depth,"
+    "  CASE WHEN len(segs) = 0 THEN 0 ELSE"
+    "   list_max(list_transform(segs,"
+    "    s2 -> len(list_filter(segs, x -> x = s2)))) END AS max_seg_repeat,"
+    "  CASE WHEN query = '' THEN 0"
+    "   ELSE len(string_split(query, '&')) END AS n_params FROM s)"
+    " SELECT url, depth, max_seg_repeat, n_params,"
+    "  max_seg_repeat >= 3 AS seg_loop,"
+    "  depth > 12 AS too_deep,"
+    "  n_params >= 8 AS param_blowup,"
+    "  (max_seg_repeat >= 3 OR depth > 12 OR n_params >= 8) AS is_trap"
+    " FROM m",
+)
+def trap_detect_q(spark, sf):
+    from photon_spark.plans.schedule import trap_flags
+
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 11 == 0, F.concat(F.lit("/gal/img/gal/img/gal/p"), d.cast("string")))
+        .when(d % 13 == 0, F.lit("/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12"))
+        .when(d % 17 == 0, F.lit("/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8"))
+        .when(d % 19 == 0, F.lit("/gal/img/gal/x"))
+        .otherwise(F.concat(F.lit("/doc/"), d.cast("string"), F.lit("?ref=1")))
+    )
+    urls = _t(spark, sf, "documents").select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test"), tail).alias("url")
+    )
+    return trap_flags(urls, max_depth=12, max_params=8, seg_repeat_limit=3)
+
+
 from photon_spark.queries import _ANN_SQL  # noqa: E402
 
 

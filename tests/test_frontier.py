@@ -926,3 +926,37 @@ def test_robots_gate_rfc_semantics(spark):
     }
     # empty rule set: everything passes
     assert robots_gate_rfc(df, []).count() == len(urls)
+
+
+def test_trap_flags_heuristics_and_edges(spark):
+    """Each trap heuristic fires independently at its exact boundary
+    and the degenerate URL shapes (no path, bare root, no query)
+    parse to zeros rather than nulls."""
+    from photon_spark.plans.schedule import trap_flags
+
+    urls = [
+        "http://h.test/gal/img/gal/img/gal/p1",   # seg 'gal' x3 == limit
+        "http://h.test/gal/img/gal/x",            # x2: near-miss, benign
+        "http://h.test/" + "/".join(f"s{i}" for i in range(13)),  # depth 13
+        "http://h.test/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",      # 8 params
+        "http://h.test/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7",          # 7: benign
+        "http://h.test",                          # no path at all
+        "http://h.test/",                         # bare root
+        "http://h.test/doc/9?ref=1",              # benign tail shape
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: (
+            r["depth"], r["max_seg_repeat"], r["n_params"],
+            r["seg_loop"], r["too_deep"], r["param_blowup"], r["is_trap"],
+        )
+        for r in trap_flags(df, max_depth=12, max_params=8).collect()
+    }
+    assert got[urls[0]] == (6, 3, 0, True, False, False, True)
+    assert got[urls[1]] == (4, 2, 0, False, False, False, False)
+    assert got[urls[2]] == (13, 1, 0, False, True, False, True)
+    assert got[urls[3]][2:] == (8, False, False, True, True)
+    assert got[urls[4]] == (1, 1, 7, False, False, False, False)
+    assert got[urls[5]] == (0, 0, 0, False, False, False, False)
+    assert got[urls[6]] == (0, 0, 0, False, False, False, False)
+    assert got[urls[7]] == (2, 1, 1, False, False, False, False)
