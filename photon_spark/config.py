@@ -66,6 +66,13 @@ class EngineConfig:
     # window of this many seconds. None = ignore Crawl-delay (the
     # reference never reads the line; parity default).
     crawl_delay_window: float | None = None
+    # Opt-in crawler-trap gate (plans/schedule.trap_flags): drop
+    # candidate links whose URL shape signals an infinite space
+    # (repeated path segment, depth cap, query-param explosion)
+    # BEFORE the seen-set anti-join. Default off — the fixture
+    # reference crawls a finite site and the goldens pin its exact
+    # URL set. Value = (max_depth, max_params, seg_repeat_limit).
+    trap_gate: tuple | None = None
     # Opt-in F4 priority scoring (plans/schedule.priority_score): ranks
     # each host's queue fuzzable/shallow-first before the politeness
     # cap. Default off — the reference has no ordering, and goldens pin

@@ -306,6 +306,26 @@ def run_crawl(
                 bloom = UrlBloom.build(
                     acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
                 )
+        # Opt-in trap gate: shrink the candidate set BEFORE the
+        # seen-set anti-join (the cheap scan-side heuristics run
+        # first, the expensive dedup sees only survivors). The
+        # `internal` DATASET keeps every discovered link — reference
+        # parity; traps are merely never scheduled for fetch.
+        candidates = acc["internal"]
+        if cfg.trap_gate is not None:
+            from photon_spark.plans.schedule import trap_flags
+
+            md, mp, sr = cfg.trap_gate
+            candidates = (
+                trap_flags(
+                    candidates,
+                    max_depth=md,
+                    max_params=mp,
+                    seg_repeat_limit=sr,
+                )
+                .filter(~F.col("is_trap"))
+                .select(*acc["internal"].columns)
+            )
         seen_parts = (
             store.processed_parts(spark)
             if store is not None and store.bucket_seen > 0
@@ -319,10 +339,10 @@ def run_crawl(
             from photon_spark.plans.frontier import dedup_candidates_parts
 
             links = dedup_candidates_parts(
-                acc["internal"], seen_parts[0], seen_parts[1], "url"
+                candidates, seen_parts[0], seen_parts[1], "url"
             )
         else:
-            links = dedup_candidates(acc["internal"], acc["processed"], "url", bloom)
+            links = dedup_candidates(candidates, acc["processed"], "url", bloom)
         if cfg.exclude:
             links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
         if disallows is not None:

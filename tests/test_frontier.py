@@ -960,3 +960,53 @@ def test_trap_flags_heuristics_and_edges(spark):
     assert got[urls[5]] == (0, 0, 0, False, False, False, False)
     assert got[urls[6]] == (0, 0, 0, False, False, False, False)
     assert got[urls[7]] == (2, 1, 1, False, False, False, False)
+
+
+def test_crawl_trap_gate_skips_fetch_keeps_dataset(spark):
+    """cfg.trap_gate drops trap-shaped candidates BEFORE scheduling
+    (they are never fetched) while the `internal` dataset still
+    records the discovered links (reference parity); the default
+    crawl fetches them."""
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    root = "http://t.test"
+    trap = "http://t.test/gal/img/gal/img/gal/p1"
+    ok = "http://t.test/ok.html"
+
+    def page(url, body):
+        return {
+            "doc_id": url,
+            "spans": [
+                {"kind": "text", "text": body, "media_ref": "", "offset": 0}
+            ],
+        }
+
+    pages = spark.createDataFrame(
+        [
+            # one anchor per line (Q2: the reference regex keeps only
+            # the LAST href on a physical line)
+            page(root, f'<a href="{trap}">T</a>\n<a href="{ok}">O</a>'),
+            page(trap, "<html>trap depths</html>"),
+            page(ok, "<html>fine</html>"),
+        ],
+        schema=(
+            "doc_id string, spans array<struct<"
+            "kind:string,text:string,media_ref:string,offset:int>>"
+        ),
+    )
+    default = run_crawl(spark, pages, root)
+    gated = run_crawl(
+        spark, pages, root, cfg=EngineConfig(trap_gate=(12, 8, 3))
+    )
+    default_fetched = {r["url"] for r in default.waves.collect()}
+    gated_fetched = {r["url"] for r in gated.waves.collect()}
+    assert trap in default_fetched
+    assert trap not in gated_fetched
+    assert ok in gated_fetched
+    assert default_fetched - gated_fetched == {trap}
+    # the discovered-links dataset is untouched by the gate
+    assert (
+        default.datasets["internal"].count()
+        == gated.datasets["internal"].count()
+    )
