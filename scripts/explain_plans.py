@@ -88,6 +88,18 @@ EXPECT: dict[str, dict] = {
     "media_ref_dedup": {"codegen": True, "max_exchanges": 2},
     # (target,anchor) agg + per-target window rank (+ _t spread)
     "anchor_text_topk": {"codegen": True, "max_exchanges": 3},
+    # session additions (media/quant/frontier-hygiene):
+    # JVM banding + band-keyed self-join + popcount verify
+    "phash_hamming_pairs": {"codegen": True},
+    # (host, line-md5) agg, per-host totals + boilerplate set both
+    # broadcast back; strip is a narrow array filter
+    "boilerplate_strip_hostlines": {"codegen": True, "broadcast": True},
+    # quantized scan vs broadcast queries; candidates join back
+    "ann_sq8_rerank": {"broadcast": True},
+    # scan-side parse_url + array HOFs: only _t's spread may exchange
+    "trap_detect_flags": {"codegen": True, "max_exchanges": 1},
+    # decode fan-out is map-only; the banded join + vote agg follow
+    "video_neardup_closed_form": {"codegen": True},
 }
 
 
