@@ -300,6 +300,47 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 36) -> DataFr
     )
 
 
+def _even_picks(n_avail: int, n_frames: int) -> list[int]:
+    """Indices of min(n_frames, n_avail) evenly-spaced frames — the
+    ONE pick formula both frame operators share (sample_frames and
+    frame_dhash must sample the same positions or per-position video
+    matching silently breaks)."""
+    take = min(n_frames, n_avail)
+    return [i * n_avail // take for i in range(take)]
+
+
+def _video_frames(b: bytes):
+    """Container dispatch both frame operators share:
+    ('p6', [frame_file_bytes...]) for concatenated-P6 streams,
+    ('gif', [composed_rgb_rasters...]) for animated GIFs,
+    ('stub', None) for the clearly-marked ``IMG:`` fake payloads;
+    anything else raises (MP4 etc. need ffmpeg)."""
+    if b[:2] == b"P6":
+        return "p6", split_ppm_stream(b)  # REAL frame split
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # REAL GIF decode (LZW + composition)
+        return "gif", codecs.decode_gif(b)[2]
+    if b[:4] == b"IMG:":
+        return "stub", None
+    raise NotImplementedError(
+        "no codec for this payload (MP4 etc. need ffmpeg)"
+    )
+
+
+def _stub_raster(b: bytes, i: int) -> np.ndarray:
+    """STUB pseudo-frame for ``IMG:`` fakes (the body ffmpeg replaces
+    in production): a deterministic 8x9 luma grid from an md5
+    keystream of (payload, frame index) — same determinism contract
+    as sample_frames' pseudo-frame sha1s."""
+    need = 8 * 9
+    out = bytearray()
+    c = 0
+    while len(out) < need:
+        out += hashlib.md5(b + bytes([i, c])).digest()
+        c += 1
+    return np.frombuffer(bytes(out[:need]), np.uint8).reshape(8, 9)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling — the one-to-many decode shape: a fan-out
     mapInPandas whose output row count is a multiple of its input,
@@ -320,25 +361,18 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 b = bytes(payload)
-                if b[:2] == b"P6" or b[:6] in (b"GIF87a", b"GIF89a"):
-                    if b[:2] == b"P6":
-                        frames = split_ppm_stream(b)  # REAL frame split
-                    else:
-                        # REAL GIF decode: hash composed RGB rasters
-                        _w, _h, rasters = codecs.decode_gif(b)
-                        frames = [r.tobytes() for r in rasters]
-                    take = min(n_frames, len(frames))
-                    picks = [i * len(frames) // take for i in range(take)]
-                    for i, fidx in enumerate(picks):
+                kind, frames = _video_frames(b)
+                if kind != "stub":
+                    if kind == "gif":
+                        frames = [r.tobytes() for r in frames]
+                    for i, fidx in enumerate(
+                        _even_picks(len(frames), n_frames)
+                    ):
                         ids.append(did)
                         refs.append(ref)
                         idxs.append(i)
                         shas.append(hashlib.sha1(frames[fidx]).hexdigest())
                     continue
-                if b[:4] != b"IMG:":
-                    raise NotImplementedError(
-                        "no codec for this payload (MP4 etc. need ffmpeg)"
-                    )
                 # STUB: pseudo-frames from the fake payload
                 for i in range(n_frames):
                     ids.append(did)
@@ -633,8 +667,9 @@ FRAME_DHASH_SCHEMA = "doc_id string, media_ref string, frame_idx int, dhash long
 
 def frame_dhash(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Per-frame perceptual hashes for VIDEO near-dup: decode the
-    stream (concatenated-P6 split or full GIF LZW+composition),
-    sample `n_frames` evenly-spaced frames (the same picks as
+    stream (shared `_video_frames` dispatch — concatenated-P6 split,
+    full GIF LZW+composition, or the marked ``IMG:`` stub), sample
+    evenly-spaced frames (`_even_picks`, the SAME positions as
     sample_frames), dHash each decoded raster. Unlike frame_sha1,
     the hash survives re-encodes and resizes — the actual video
     near-dup signal. Map-only fan-out, no shuffle."""
@@ -646,19 +681,16 @@ def frame_dhash(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 b = bytes(payload)
-                if b[:2] == b"P6":
-                    rasters = [
-                        decode_ppm(fb)[2] for fb in split_ppm_stream(b)
-                    ]
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    _w, _h, rasters = codecs.decode_gif(b)
-                else:
-                    raise NotImplementedError(
-                        "no codec for this payload (MP4 etc. need ffmpeg)"
-                    )
-                take = min(n_frames, len(rasters))
-                picks = [i * len(rasters) // take for i in range(take)]
-                for i, fidx in enumerate(picks):
+                kind, frames = _video_frames(b)
+                if kind == "p6":
+                    rasters = [decode_ppm(fb)[2] for fb in frames]
+                elif kind == "gif":
+                    rasters = frames
+                else:  # STUB pseudo-frames, deterministic
+                    rasters = [_stub_raster(b, i) for i in range(n_frames)]
+                for i, fidx in enumerate(
+                    _even_picks(len(rasters), n_frames)
+                ):
                     ids.append(did)
                     refs.append(ref)
                     idxs.append(i)
@@ -690,11 +722,19 @@ def video_neardup_pairs(
     exact banded join (dedupe.hamming_near_pairs grouped by
     frame_idx) + one map-side-combinable count agg. Clips are keyed
     ``doc_id#media_ref`` so several videos in one document stay
-    distinct."""
+    distinct; '%'→'%25' then '#'→'%23' escaping makes the key
+    INJECTIVE (doc_ids are URLs, which may legitimately contain
+    '#' — unescaped, ('a#b','c') and ('a','b#c') would merge and
+    their cross pairs vanish under the id_a < id_b cut)."""
     from photon_spark.operators.dedupe import hamming_near_pairs
 
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(F.col(c), "%", "%25"), "#", "%23"
+        )
+
     clips = frame_hashes.select(
-        F.concat_ws("#", "doc_id", "media_ref").alias("clip_id"),
+        F.concat_ws("#", esc("doc_id"), esc("media_ref")).alias("clip_id"),
         "frame_idx",
         "dhash",
     )

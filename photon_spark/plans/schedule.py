@@ -489,6 +489,7 @@ def trap_flags(
     max_params: int = 8,
     seg_repeat_limit: int = 3,
     url_col: str = "url",
+    out_prefix: str = "",
 ) -> DataFrame:
     """Crawler-trap detection — the classic frontier-hygiene heuristics
     (public Heritrix/Nutch lineage) that keep an infinite URL space
@@ -509,7 +510,25 @@ def trap_flags(
     into the source like url_policy_filter. At 10^10 URLs this is the
     cheap gate that runs BEFORE the seen-set anti-join, shrinking the
     wave the expensive stages see.
+
+    Output columns are appended to the input; ``out_prefix`` renames
+    them when the input already carries one of these names (frontier
+    rows commonly have their own ``depth``) — a collision raises
+    rather than producing an ambiguous duplicate column.
     """
+    names = [
+        out_prefix + c
+        for c in (
+            "depth", "max_seg_repeat", "n_params",
+            "seg_loop", "too_deep", "param_blowup", "is_trap",
+        )
+    ]
+    clash = set(names) & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"trap_flags output columns {sorted(clash)} already exist in"
+            f" the input — pass out_prefix to rename them"
+        )
     u = F.col(url_col)
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
     query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
@@ -530,11 +549,11 @@ def trap_flags(
     param_blowup = n_params >= max_params
     return urls.select(
         "*",
-        depth.cast("bigint").alias("depth"),
-        max_rep.cast("bigint").alias("max_seg_repeat"),
-        n_params.cast("bigint").alias("n_params"),
-        seg_loop.alias("seg_loop"),
-        too_deep.alias("too_deep"),
-        param_blowup.alias("param_blowup"),
-        (seg_loop | too_deep | param_blowup).alias("is_trap"),
+        depth.cast("bigint").alias(names[0]),
+        max_rep.cast("bigint").alias(names[1]),
+        n_params.cast("bigint").alias(names[2]),
+        seg_loop.alias(names[3]),
+        too_deep.alias(names[4]),
+        param_blowup.alias(names[5]),
+        (seg_loop | too_deep | param_blowup).alias(names[6]),
     )

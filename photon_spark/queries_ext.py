@@ -2145,8 +2145,14 @@ from photon_spark.queries import _ANN_SQL  # noqa: E402
 @q("ann_sq8_rerank", _ANN_SQL)
 def ann_sq8_q(spark, sf):
     emb = _t(spark, sf, "embeddings", spread=True)
+    # corpus-covering overfetch DERIVED from the actual corpus size
+    # (k * overfetch >= n at any scale factor) — exactness vs the
+    # brute-force oracle must not depend on a hardcoded bound; the
+    # count is one metadata-cheap driver action
+    k = 5
+    overfetch = -(-emb.count() // k)  # ceil(n / k)
     return similarity.sq8_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, overfetch=1000
+        emb, emb.filter(F.col("vec_id") < k), k=k, overfetch=overfetch
     )
 
 

@@ -1685,3 +1685,88 @@ def test_sq8_rerank_equals_brute_and_recall(spark):
     qrow = similarity.quantize_sq8(emb).first()
     assert all(-127 <= v <= 127 for v in qrow["q"])
     assert max(abs(v) for v in qrow["q"]) == 127  # max element saturates
+
+
+def test_video_oracle_class_frames_separation():
+    """Pins the property the video_neardup_closed_form oracle rests
+    on: the 7x4 class frames (synth_ppm('cls{c}/f{i}')) sit >= 18
+    Hamming bits apart across classes at every position, and each
+    frame's dHash is invariant under the exact 2x NN upscale the
+    entry plants. Pure-Python (no Spark) so an eroded margin fails
+    HERE, not as a confusing correctness-gate mismatch."""
+    import itertools
+
+    from photon_spark.operators.multimodal import (
+        _raster_dhash,
+        decode_ppm,
+        synth_ppm,
+    )
+
+    h = {}
+    for c in range(7):
+        for i in range(4):
+            px = decode_ppm(synth_ppm(f"cls{c}/f{i}"))[2]
+            up = px.repeat(2, axis=0).repeat(2, axis=1)
+            assert _raster_dhash(px) == _raster_dhash(up), (c, i)
+            h[(c, i)] = _raster_dhash(px)
+    min_d = min(
+        bin((h[(a, i)] ^ h[(b, i)]) & (1 << 64) - 1).count("1")
+        for i in range(4)
+        for a, b in itertools.combinations(range(7), 2)
+    )
+    assert min_d >= 18, min_d  # measured exactly 18; >> max_dist=3
+
+
+def test_frame_dhash_stub_domain_and_clip_escape(spark):
+    """frame_dhash accepts the same IMG: stub domain as sample_frames
+    (identical stub payloads hash identically and pair); and the
+    clip key is injective — ('a#b','c') and ('a','b#c') are DISTINCT
+    clips that PAIR rather than silently merging into one id."""
+    stub = bytearray(b"IMG:fake-video-1")
+    ppm_rows = []
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+
+    def ppm(px):
+        return b"P6\n%d %d\n255\n" % (px.shape[1], px.shape[0]) + px.tobytes()
+
+    clip = b"".join(ppm(f) for f in frames)
+    rows = [
+        ("s1", "v", stub),
+        ("s2", "v", stub),          # identical stub → pairs
+        ("a#b", "c", bytearray(clip)),
+        ("a", "b#c", bytearray(clip)),  # would collide without escaping
+    ] + ppm_rows
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    fh = multimodal.frame_dhash(media, n_frames=4)
+    assert fh.count() == 16  # stubs fan out to n_frames rows too
+    got = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in multimodal.video_neardup_pairs(fh, min_frames=2).collect()
+    }
+    assert got[("s1#v", "s2#v")] == 4
+    # ('a#b','c') → 'a%23b#c'; ('a','b#c') → 'a#b%23c' — distinct,
+    # and '#'(0x23) < '%'(0x25) puts the latter first
+    assert got[("a#b%23c", "a%23b#c")] == 4
+    assert len(got) == 2  # no accidental merges or cross pairs
+
+
+def test_trap_flags_collision_guard(spark):
+    """A pre-existing output-name column raises loudly; out_prefix
+    resolves it."""
+    from photon_spark.plans.schedule import trap_flags
+
+    df = spark.createDataFrame(
+        [("http://h.test/a", 3)], "url string, depth int"
+    )
+    with pytest.raises(ValueError, match="out_prefix"):
+        trap_flags(df)
+    out = trap_flags(df, out_prefix="trap_").collect()[0]
+    assert out["depth"] == 3 and out["trap_depth"] == 1
