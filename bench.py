@@ -78,6 +78,8 @@ HEADLINE = [
     "boilerplate_strip_hostlines",
     "ann_sq8_rerank",
     "trap_detect_flags",
+    "bm25_retrieval_topk",
+    "crawl_snapshot_diff",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -803,3 +803,78 @@ def boilerplate_strip(
             (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: tuple,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the crawled corpus — the ranking family
+    TF-IDF's per-doc top-terms does not cover: given a bag of query
+    ``terms``, score every document with the Lucene-shape BM25
+    (idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation k1,
+    length normalization b) and return the top-k (score desc, doc_id
+    asc).
+
+    Plan shape at 100 TB: per-term tf and doc length are narrow array
+    HOFs over ONE tokenization (zero shuffle, fused into the scan);
+    corpus stats (N, avgdl, per-term df) are ONE map-side-combinable
+    aggregation into a single row, broadcast back; scoring is a
+    narrow expression; the only ordering is a sort-limit over docs
+    with score > 0 (Spark plans TakeOrdered — per-partition heaps,
+    no global sort). No (doc, term) explode ever materializes.
+
+    Cross-engine exactness: the per-term partials are summed in the
+    terms' given order (fixed expression tree, same IEEE order both
+    engines) and the final score is 1e-6 floor-rounded before
+    ranking, the same ln-ulp shield tfidf_topk uses.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col("text"))
+
+    # NB: a two-parameter lambda would be treated by F.filter as the
+    # (element, index) form — capture the term via a closure factory
+    def eq(term):
+        return lambda t: t == F.lit(term)
+
+    m = documents.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(term))).alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    g = m.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    s = m.join(F.broadcast(g))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        df_t = F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n") - df_t + 0.5) / (df_t + 0.5) + 1.0
+        )
+        norm = tf + k1 * (
+            1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        score = score + idf * (tf * (k1 + 1.0)) / norm
+    r6 = F.floor(score * 1000000.0 + 0.5) / 1000000.0
+    scored = s.select("doc_id", r6.alias("score")).filter(F.col("score") > 0)
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "score", "rank")

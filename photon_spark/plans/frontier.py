@@ -640,3 +640,49 @@ def dedup_candidates_parts(
     if seen_delta is not None:
         out = out.join(F.broadcast(seen_delta), url_col, "left_anti")
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Crawl-to-crawl change detection: diff two (url, content_hash)
+    snapshots into (url, status, old_hash, new_hash) with status in
+    {'added', 'removed', 'changed'} — the observation stream
+    `plans/schedule.recrawl_schedule` scores change rates from, and
+    the maintenance report every production recrawl loop runs.
+    Unchanged URLs (the overwhelmingly dominant case at web scale)
+    are filtered out INSIDE the join projection so they never reach
+    the output.
+
+    Plan shape at 10^10 URLs: ONE full-outer sort-merge join keyed on
+    url. When both snapshots live in the bucketed store
+    (CrawlStore(bucket_seen=N) writes `processed` bucketed+sorted on
+    url), both sides read pre-partitioned off bucket files and the
+    join plans with ZERO exchange — the same property
+    dedup_candidates_parts exploits. Hash comparison is a narrow
+    expression; no state beyond the join.
+    """
+    o = old.select(
+        F.col(url_col).alias("_u"), F.col(hash_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(url_col).alias("_u"), F.col(hash_col).alias("new_hash")
+    )
+    j = o.join(n, "_u", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.col("_u").alias(url_col),
+            status.alias("status"),
+            "old_hash",
+            "new_hash",
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -2139,6 +2139,110 @@ def trap_detect_q(spark, sf):
     return trap_flags(urls, max_depth=12, max_params=8, seg_repeat_limit=3)
 
 
+# Crawl snapshot diff — two snapshots synthesized from documents with
+# closed-form membership and content drift: old = doc_id % 5 != 4
+# with hash md5(text); new = doc_id % 5 != 0 with md5(text || 'x')
+# when doc_id % 3 == 0. So %5==4 docs are 'added', %5==0 'removed'
+# (including those that would also have changed — removal wins, both
+# engines), %3==0 survivors 'changed', everything else unchanged and
+# EXCLUDED from the output. The oracle restates the diff as a full
+# outer join with the same CASE order.
+@q(
+    "crawl_snapshot_diff",
+    "WITH o AS (SELECT 'http://' || source || '.test/doc/'"
+    "   || CAST(doc_id AS VARCHAR) AS url, md5(text) AS old_hash"
+    "  FROM documents WHERE doc_id % 5 <> 4),"
+    " n AS (SELECT 'http://' || source || '.test/doc/'"
+    "   || CAST(doc_id AS VARCHAR) AS url,"
+    "   md5(text || CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE '' END)"
+    "   AS new_hash"
+    "  FROM documents WHERE doc_id % 5 <> 0)"
+    " SELECT coalesce(o.url, n.url) AS url,"
+    "  CASE WHEN o.old_hash IS NULL THEN 'added'"
+    "   WHEN n.new_hash IS NULL THEN 'removed'"
+    "   WHEN o.old_hash <> n.new_hash THEN 'changed' END AS status,"
+    "  o.old_hash, n.new_hash"
+    " FROM o FULL OUTER JOIN n ON o.url = n.url"
+    " WHERE CASE WHEN o.old_hash IS NULL THEN 'added'"
+    "  WHEN n.new_hash IS NULL THEN 'removed'"
+    "  WHEN o.old_hash <> n.new_hash THEN 'changed' END IS NOT NULL",
+)
+def snapshot_diff_q(spark, sf):
+    from photon_spark.plans.frontier import snapshot_diff
+
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        url.alias("url"), F.md5("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("x")).otherwise(
+                    F.lit("")
+                ),
+            )
+        ).alias("content_hash"),
+    )
+    return snapshot_diff(old, new)
+
+
+# BM25 retrieval — the query-time ranking family (Robertson/Lucene
+# shape) over the crawled corpus. The oracle restates the exact
+# pipeline with the SAME IEEE expression order (per-term partials
+# summed in query order, (1.2 + 1.0) saturation, (0.75*dl)/avgdl
+# length norm) and the same 1e-6 floor-round + doc_id tie-break, so
+# ln-ulp drift cannot flip the emitted top-k.
+_BM25_TERMS = ("join", "vector", "merge")
+
+
+def _bm25_part(i: int) -> str:
+    return (
+        f" ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (CAST(tf{i} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf{i} AS DOUBLE)"
+        f"    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+    )
+
+
+@q(
+    "bm25_retrieval_topk",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    "  FROM documents),"
+    " m AS (SELECT doc_id, len(toks) AS dl,"
+    + ",".join(
+        f"  len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    + "  FROM d),"
+    " g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,"
+    + ",".join(
+        f"  CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    + "  FROM m),"
+    " sc AS (SELECT doc_id, floor((0.0 +"
+    + " +".join(_bm25_part(i) for i in range(len(_BM25_TERMS)))
+    + " ) * 1000000.0 + 0.5) / 1000000.0 AS score FROM m, g)"
+    " SELECT doc_id, score, rank FROM ("
+    "  SELECT doc_id, score,"
+    "   row_number() OVER (ORDER BY score DESC, doc_id) AS rank"
+    "  FROM sc WHERE score > 0) t WHERE rank <= 10",
+)
+def bm25_q(spark, sf):
+    return textstats.bm25_topk(
+        _t(spark, sf, "documents"), _BM25_TERMS, k=10
+    )
+
+
 from photon_spark.queries import _ANN_SQL  # noqa: E402
 
 

@@ -100,6 +100,11 @@ EXPECT: dict[str, dict] = {
     "trap_detect_flags": {"codegen": True, "max_exchanges": 1},
     # decode fan-out is map-only; the banded join + vote agg follow
     "video_neardup_closed_form": {"codegen": True},
+    # 1-row corpus-stats agg broadcast back; TakeOrdered, no global sort
+    "bm25_retrieval_topk": {"codegen": True, "broadcast": True},
+    # full-outer join (plain parquet here exchanges; the ZERO-exchange
+    # claim is pinned over bucketed snapshots in test_bucketing)
+    "crawl_snapshot_diff": {"codegen": True},
 }
 
 

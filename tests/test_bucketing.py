@@ -121,3 +121,34 @@ def test_bucketed_join_correctness_matches_plain(spark, bucketed_tables):
     }
     want = {(i, i % 17) for i in range(0, 2000, 2)}
     assert got == want
+
+
+def test_snapshot_diff_over_cobucketed_snapshots(spark, bucketed_tables):
+    """The snapshot_diff scale claim: over two co-bucketed snapshot
+    tables the full-outer join plans with ZERO exchange on either
+    side (same property the per-wave dedup exploits)."""
+    from photon_spark.plans.frontier import snapshot_diff
+
+    left, right = bucketed_tables
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # diff on the bucketed column itself: casting the key to
+        # string would strip the bucketing output partitioning
+        old = spark.table(left).select(
+            "doc_id", F.col("fp").alias("content_hash")
+        )
+        new = spark.table(right).select(
+            "doc_id", F.md5(F.col("sig").cast("string")).alias("content_hash")
+        )
+        diff = snapshot_diff(old, new, url_col="doc_id")
+        n = diff.count()
+        # odds exist only in old (1000 'removed'); evens exist in both
+        # and changed EXCEPT the 9 even doc_ids < 17 where sig == id
+        # (md5 strings equal -> genuinely unchanged -> excluded)
+        assert n == 2000 - 9
+        assert not has_exchange(diff), (
+            "diff over co-bucketed snapshots must not shuffle"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)

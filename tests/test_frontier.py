@@ -1010,3 +1010,28 @@ def test_crawl_trap_gate_skips_fetch_keeps_dataset(spark):
         default.datasets["internal"].count()
         == gated.datasets["internal"].count()
     )
+
+
+def test_snapshot_diff_statuses(spark):
+    """Hand case covering all four outcomes: added (new only),
+    removed (old only — wins even when the content also differs,
+    by CASE order), changed (hash drift), unchanged (EXCLUDED)."""
+    from photon_spark.plans.frontier import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+        "url string, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [("u2", "h2"), ("u3", "h3x"), ("u4", "h4")],
+        "url string, content_hash string",
+    )
+    got = {
+        r["url"]: (r["status"], r["old_hash"], r["new_hash"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": ("removed", "h1", None),
+        "u3": ("changed", "h3", "h3x"),
+        "u4": ("added", None, "h4"),
+    }

@@ -1770,3 +1770,49 @@ def test_trap_flags_collision_guard(spark):
         trap_flags(df)
     out = trap_flags(df, out_prefix="trap_").collect()[0]
     assert out["depth"] == 3 and out["trap_depth"] == 1
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a pure-Python reference on a 4-doc corpus: tf
+    saturation, idf (rare 'zeta' outranks common 'alpha'), length
+    normalization (shorter doc wins at equal tf), zero-score docs
+    excluded, (score desc, doc_id) tie-break."""
+    import math
+
+    from photon_spark.operators import textstats
+
+    rows = [
+        (0, "alpha beta alpha zeta"),
+        (1, "alpha beta beta gamma gamma gamma gamma gamma"),
+        (2, "alpha zeta"),
+        (3, "delta delta delta"),
+    ]
+    terms = ("alpha", "zeta")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in textstats.bm25_topk(docs, terms, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    corpus = {d: t.split(" ") for d, t in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    want = []
+    for d, toks in corpus.items():
+        s = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            df = sum(1 for t in corpus.values() if term in t)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (1.2 + 1.0)) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * len(toks) / avgdl)
+            )
+        s = math.floor(s * 1e6 + 0.5) / 1e6
+        if s > 0:
+            want.append((d, s))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want[:3])]
+    assert [d for d, _, _ in got] == [2, 0, 1]  # short zeta doc first
+    assert all(3 != d for d, _, _ in got)       # no-term doc excluded
