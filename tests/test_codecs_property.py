@@ -1,0 +1,91 @@
+"""Property-based codec tests (hypothesis, pure Python — no Spark).
+
+The decoders/encoders in operators/codecs.py were written from the
+format specs; the unit tests in test_codecs.py pin hand-picked edge
+cases. These properties push randomized inputs through the full
+round-trips so a spec misreading that happens to survive the fixed
+cases still gets caught: PNG encode→decode is the identity for every
+supported shape, GIF encode→decode composes back to exactly
+palette[indices] for full-frame streams, and the dHash sampling grid
+is invariant under ANY integer nearest-neighbor upscale (the property
+the video/image near-dup oracles rest on, proven here beyond the 2x
+case the entries plant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from photon_spark.operators import codecs
+from photon_spark.operators.multimodal import _even_picks, _raster_dhash
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_dims,
+    channels=st.sampled_from([0, 3, 4]),  # 0 = 2-D grayscale array
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_identity(dims, channels, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 0 else (h, w, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dw, dh, px = codecs.decode_png(codecs.encode_png(arr))
+    assert (dw, dh) == (w, h)
+    want = arr[:, :, None] if channels == 0 else arr
+    assert px.shape == want.shape
+    assert (px == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims=_dims,
+    n_frames=st.integers(1, 4),
+    pal_bits=st.integers(2, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_composes_palette_lookup(dims, n_frames, pal_bits, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    n_colors = 1 << pal_bits
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, n_colors, size=(h, w)).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    gw, gh, rasters = codecs.decode_gif(codecs.encode_gif(frames, palette))
+    assert (gw, gh) == (w, h)
+    assert len(rasters) == n_frames
+    for idx, raster in zip(frames, rasters):
+        assert (raster == palette[idx]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=st.tuples(st.integers(2, 32), st.integers(2, 32)),
+    k=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dhash_invariant_under_any_integer_upscale(dims, k, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    up = px.repeat(k, axis=0).repeat(k, axis=1)
+    # floor((a*k*s)//8 / k) == floor(a*s/8): the 8x9 sample grid lands
+    # on the same source pixels at every integer scale
+    assert _raster_dhash(px) == _raster_dhash(up)
+
+
+@settings(max_examples=60, deadline=None)
+@given(n_avail=st.integers(1, 500), n_frames=st.integers(1, 16))
+def test_even_picks_properties(n_avail, n_frames):
+    picks = _even_picks(n_avail, n_frames)
+    assert len(picks) == min(n_frames, n_avail)
+    assert all(0 <= p < n_avail for p in picks)
+    assert picks == sorted(set(picks))  # strictly increasing
+    assert picks[0] == 0                # always includes the start
