@@ -80,6 +80,7 @@ HEADLINE = [
     "trap_detect_flags",
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
+    "chunk_passages_rag",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -878,3 +878,46 @@ def bm25_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "score", "rank")
+
+
+def chunk_passages(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Passage chunking — the RAG / training-prep shape: split each
+    document into fixed-size token windows (``chunk_tokens``) sliding
+    by ``chunk_tokens - overlap``, so consecutive passages share
+    ``overlap`` tokens and no token is dropped (the final window
+    clamps at the document tail; a short doc yields one passage).
+    Output: (doc_id, passage_idx, passage, n_tokens) with stable ids.
+
+    Passage count is pure integer arithmetic —
+    max(1, ceil((n - overlap) / stride)) — so both engines agree
+    exactly. Plan shape at 100 TB: ONE tokenization, an explode whose
+    multiplier is n/stride (the unavoidable output size), and slice/
+    concat HOFs — zero shuffle, no window function, pipelines with
+    the scan.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - overlap + stride - 1) / F.lit(stride))
+    ).cast("int")
+    exploded = documents.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("passage_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("passage_idx") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("passage_idx").cast("bigint").alias("passage_idx"),
+        F.array_join(piece, " ").alias("passage"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )

@@ -2139,6 +2139,31 @@ def trap_detect_q(spark, sf):
     return trap_flags(urls, max_depth=12, max_params=8, seg_repeat_limit=3)
 
 
+# Passage chunking (RAG / training-prep): fixed 64-token windows
+# sliding by 48 (16-token overlap); the passage count is pure integer
+# arithmetic (max(1, ceil((n-16)/48))) and the windows are list
+# slices, so the oracle restates it exactly — tail clamping, short
+# single-passage docs, and stable (doc_id, passage_idx) ids included.
+@q(
+    "chunk_passages_rag",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    "  FROM documents),"
+    " c AS (SELECT doc_id, toks,"
+    "  GREATEST(1, (len(toks) - 16 + 47) // 48) AS n_chunks FROM d),"
+    " e AS (SELECT doc_id, toks,"
+    "  unnest(generate_series(0, n_chunks - 1)) AS passage_idx FROM c)"
+    " SELECT doc_id, passage_idx,"
+    "  array_to_string(toks[passage_idx * 48 + 1 : passage_idx * 48 + 64],"
+    "   ' ') AS passage,"
+    "  len(toks[passage_idx * 48 + 1 : passage_idx * 48 + 64]) AS n_tokens"
+    " FROM e",
+)
+def chunk_passages_q(spark, sf):
+    return textstats.chunk_passages(
+        _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 # Crawl snapshot diff — two snapshots synthesized from documents with
 # closed-form membership and content drift: old = doc_id % 5 != 4
 # with hash md5(text); new = doc_id % 5 != 0 with md5(text || 'x')

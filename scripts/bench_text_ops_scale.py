@@ -1,0 +1,107 @@
+"""Measured throughput of the session's text operators at 10^6 docs.
+
+SCALE.md claims one-exchange / zero-shuffle shapes for
+boilerplate_strip, bm25_topk, and chunk_passages; this measures them
+on a synthesized 1M-document corpus (deterministic expressions, no
+files) so the claims carry wall-clock evidence, not just plan audits.
+Per-op timing is an isolated count()/collect() over a fresh lazy
+plan; min of reps is the steady state.
+
+Usage: python scripts/bench_text_ops_scale.py [n_docs] [cores] [reps]
+Appends one JSON line to BENCH/text_ops_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.textstats import (
+        bm25_topk,
+        boilerplate_strip,
+        chunk_passages,
+    )
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name="text_ops_scale")
+
+    # Deterministic corpus: 1000 hosts, ~40 content tokens/doc across
+    # 3 lines, plus one per-host nav line (every doc) and one per-host
+    # promo line (2/3 of docs) — the boilerplate signal at 1M scale.
+    words = ("the quick brown fox jumps over lazy dog spark join merge "
+             "vector scan hash row batch filter column order data").split()
+    warr = F.array(*[F.lit(w) for w in words])
+    tok = lambda seed: warr[  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * 131 + seed), F.lit(len(words))).cast("int")
+    ]
+    line = lambda s0: F.concat_ws(  # noqa: E731
+        " ", *[tok(s0 * 17 + j) for j in range(13)]
+    )
+    src = F.concat(F.lit("h"), (F.col("id") % 1000).cast("string"))
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("nav menu for host "), src),
+        F.when(
+            F.col("id") % 3 != 0, F.concat(F.lit("promo banner "), src)
+        ).otherwise(line(7)),
+        line(1),
+        line(2),
+        line(3),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), src.alias("source"), body.alias("text")
+    ).persist()
+    docs.count()  # materialize input once so op timings exclude synth
+
+    def best(fn):
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t0)
+        return min(times)
+
+    results = {}
+    t = best(lambda: boilerplate_strip(docs).select(
+        F.sum("n_removed")).collect())
+    results["boilerplate_strip"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t)}
+    t = best(lambda: bm25_topk(docs, ("join", "vector", "merge"),
+                               k=10).collect())
+    results["bm25_topk"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t)}
+    t = best(lambda: chunk_passages(docs, chunk_tokens=16, overlap=4)
+             .select(F.count("*"), F.sum("n_tokens")).collect())
+    n_passages = chunk_passages(docs, 16, 4).count()
+    results["chunk_passages"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t),
+        "passages": n_passages}
+    docs.unpersist()
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "n_docs": n_docs, "cores": cores, "reps": reps, "ops": results,
+    }
+    out = os.path.join(REPO, "BENCH", "text_ops_scale.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,8 @@ EXPECT: dict[str, dict] = {
     # full-outer join (plain parquet here exchanges; the ZERO-exchange
     # claim is pinned over bucketed snapshots in test_bucketing)
     "crawl_snapshot_diff": {"codegen": True},
+    # sequence-explode + slice HOFs: only _t's spread may exchange
+    "chunk_passages_rag": {"codegen": True, "max_exchanges": 1},
 }
 
 

@@ -1816,3 +1816,42 @@ def test_bm25_hand_computed(spark):
     assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want[:3])]
     assert [d for d, _, _ in got] == [2, 0, 1]  # short zeta doc first
     assert all(3 != d for d, _, _ in got)       # no-term doc excluded
+
+
+def test_chunk_passages_edges(spark):
+    """Tail clamping, single-passage short docs, overlap continuity
+    (every token appears; consecutive passages share exactly
+    `overlap` tokens except at the tail), and the exact boundary
+    where one extra token spawns a new passage."""
+    from photon_spark.operators import textstats
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (0, words(3)),     # short: one passage, 3 tokens
+        (1, words(8)),     # == chunk: exactly one passage
+        (2, words(9)),     # chunk+1: second passage appears
+        (3, words(20)),    # multiple passages, clamped tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.chunk_passages(docs, chunk_tokens=8, overlap=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["passage_idx"]] = (
+            r["passage"].split(" "), r["n_tokens"]
+        )
+    assert list(got[0]) == [0] and got[0][0][1] == 3
+    assert list(got[1]) == [0] and got[1][0][1] == 8
+    assert sorted(got[2]) == [0, 1]
+    # stride 6: passage 1 of doc 2 covers tokens 6..8 (3 tokens)
+    assert got[2][1][0] == ["w6", "w7", "w8"]
+    # doc 3: n=20, stride 6 -> ceil(18/6)=3 passages
+    assert sorted(got[3]) == [0, 1, 2]
+    p0, p1, p2 = (got[3][i][0] for i in range(3))
+    assert p0[-2:] == p1[:2] and p1[-2:] == p2[:2]  # overlap continuity
+    assert p2 == [f"w{i}" for i in range(12, 20)]   # tail covers the end
+    union = set(p0) | set(p1) | set(p2)
+    assert union == {f"w{i}" for i in range(20)}    # no token dropped
+    with pytest.raises(ValueError, match="overlap"):
+        textstats.chunk_passages(docs, chunk_tokens=4, overlap=4)
