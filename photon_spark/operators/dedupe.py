@@ -626,3 +626,128 @@ def hamming_near_pairs(
         .distinct()  # a pair can agree on several bands
     )
     return pairs
+
+
+def substring_dup_ranges(
+    documents: DataFrame,
+    window_tokens: int = 8,
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, n-gram-posting formulation): every token window of
+    `window_tokens` that appears verbatim in >= `min_docs` DISTINCT
+    documents marks its token range as duplicated; overlapping and
+    adjacent marked ranges within a document merge into maximal
+    spans. Document-level dedup (minhash/Jaccard above) misses these
+    shared boilerplate passages inside otherwise-unique documents.
+
+    Output: (key, start_tok, end_tok) — merged duplicate spans,
+    end-exclusive token positions.
+
+    Stages and scale shape (the suffix-array of the paper replaced by
+    the shuffle-native equivalent):
+    1. posting build — narrow scan-side HOF (sequence → transform →
+       md5 of the joined window), |tokens| rows of (16B hash, key,
+       pos) out of the scan;
+    2. duplicated-gram selection — one groupBy on the gram hash with
+       a distinct-doc count (map-side partial aggregation), then a
+       semi join of postings against it (same key → same shuffle
+       partitioning, AQE-planned);
+    3. island merge — per-document window (partitionBy key), the
+       classic gaps-and-islands running max; a document's hits fit
+       one task by construction.
+    Boilerplate grams shared by millions of docs are NOT a skew
+    hazard: stage 2 only counts them (partial agg) and the semi join
+    fans them back out to their original postings — no within-bucket
+    pairing exists in this operator at all.
+    """
+    from pyspark.sql import Window
+
+    W = int(window_tokens)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - W),
+        lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, W), " ")),
+    )
+    postings = (
+        documents.select(key_col, toks.alias("_toks"))
+        .filter(F.size("_toks") >= W)
+        .select(key_col, F.posexplode(grams).alias("pos", "gram"))
+    )
+    dup_grams = (
+        postings.groupBy("gram")
+        .agg(F.count_distinct(key_col).alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("gram")
+    )
+    hits = postings.join(dup_grams, "gram", "left_semi")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.select(
+        key_col,
+        "pos",
+        # new island when this window starts past everything seen so
+        # far (end-exclusive: touching spans merge)
+        F.when(
+            F.col("pos") > F.coalesce(F.max(F.col("pos") + W).over(w_prev), F.lit(-1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        flagged.groupBy(key_col, "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + W).cast("bigint").alias("end_tok"),
+        )
+        .select(key_col, "start_tok", "end_tok")
+    )
+
+
+def substring_dup_retention(
+    documents: DataFrame,
+    window_tokens: int = 8,
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document retention after substring-level dedup: how many
+    tokens survive once every cross-document duplicate span from
+    substring_dup_ranges is stripped (the paper's ExactSubstr cut,
+    reported as a per-document fraction). One extra groupBy + one
+    broadcast-sized join back to the per-document token counts.
+    """
+    spans = substring_dup_ranges(
+        documents, window_tokens=window_tokens, key_col=key_col, min_docs=min_docs
+    )
+    dup_per_doc = spans.groupBy(key_col).agg(
+        F.sum(F.col("end_tok") - F.col("start_tok")).alias("dup_tokens")
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    base = documents.select(key_col, n_tok.alias("n_tokens"))
+    return (
+        base.join(dup_per_doc, key_col, "left")
+        .select(
+            key_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+        # integer parts-per-million (floor) instead of a rounded
+        # double: keeps the value a pure integer function of the
+        # inputs on every engine (the repo's cross-engine float
+        # policy)
+        .withColumn(
+            "kept_ppm",
+            F.expr("((n_tokens - dup_tokens) * 1000000) div n_tokens"),
+        )
+    )

@@ -456,3 +456,96 @@ def dsir_select(
         .limit(int(k))
         .select(F.col("k").alias(key_col), "n_tokens", "llr_micro")
     )
+
+
+def concat_chunk_pack(
+    documents: DataFrame,
+    chunk_tokens: int,
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the canonical pretraining
+    batch-assembly step: documents are laid end-to-end in a
+    deterministic shuffled order (md5(key), then key) and the token
+    stream is cut every `chunk_tokens`, so every training sequence is
+    exactly full and a document straddling a boundary contributes a
+    piece to each side (GPT-style packing; pack_shards is the
+    coarse whole-document sibling).
+
+    Output: one row per (document, chunk) piece —
+    (key, chunk_id, doc_off, chunk_off, n_tok): tokens
+    [doc_off, doc_off+n_tok) of the document land at
+    [chunk_off, chunk_off+n_tok) of chunk chunk_id. Pure integer
+    prefix-sum arithmetic, reproducible across engines and runs.
+
+    Scale: the global token offset uses the two-phase cumulative sum
+    (range-partition by order key → per-partition totals → broadcast
+    exclusive offsets → partition-local Arrow running sum), so no
+    single global window task exists; the piece explosion is
+    JVM-side sequence()+explode. One range exchange total. Skew-free
+    by construction (md5 order keys are uniform).
+    """
+    spark = documents.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    L = int(chunk_tokens)
+    toks = F.size(F.split(F.col("text"), " "))
+    part = (
+        documents.select(
+            key_col,
+            F.md5(F.col(key_col).cast("string")).alias("_ord"),
+            toks.alias("n_tokens"),
+        )
+        .repartitionByRange(n, F.col("_ord"), F.col(key_col))
+        .sortWithinPartitions("_ord", key_col)
+        .withColumn("pid", F.spark_partition_id())
+        # pinned for the same reason as pack_shards_twophase: the
+        # offsets pass and the cumsum pass must see ONE range
+        # partitioning (RangePartitioner boundaries are sampled per
+        # RDD and would otherwise drift between the two actions)
+        .persist()
+    )
+    sums = part.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    run, offsets = 0, {}
+    for pid, s in sorted((r["pid"], r["s"]) for r in sums):
+        offsets[pid] = run
+        run += s
+    bc = spark.sparkContext.broadcast(offsets)
+
+    key_t = dict(part.dtypes)[key_col]
+    mid_schema = f"{key_col} {key_t}, n_tokens long, off long"
+
+    def cumsum(batches):
+        start = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if start is None:
+                start = bc.value.get(int(pdf["pid"].iloc[0]), 0)
+            t64 = pdf["n_tokens"].astype("int64")
+            out = pdf[[key_col]].copy()
+            out["n_tokens"] = t64
+            out["off"] = start + t64.cumsum() - t64
+            start += int(t64.sum())
+            yield out
+
+    with_off = part.mapInPandas(cumsum, schema=mid_schema).localCheckpoint(
+        eager=True
+    )
+    part.unpersist()
+    first = F.expr(f"off div {L}")
+    last = F.expr(f"(off + n_tokens - 1) div {L}")
+    pieces = with_off.select(
+        key_col,
+        "n_tokens",
+        "off",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    p_start = F.greatest(F.col("off"), F.col("chunk_id") * L)
+    p_end = F.least(F.col("off") + F.col("n_tokens"), (F.col("chunk_id") + 1) * L)
+    return pieces.select(
+        key_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (p_start - F.col("off")).cast("bigint").alias("doc_off"),
+        (p_start - F.col("chunk_id") * L).cast("bigint").alias("chunk_off"),
+        (p_end - p_start).cast("bigint").alias("n_tok"),
+    )

@@ -921,3 +921,36 @@ def chunk_passages(
         F.array_join(piece, " ").alias("passage"),
         F.size(piece).cast("bigint").alias("n_tokens"),
     )
+
+
+def normalize_text(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical text cleanup — the normalization pass every public
+    pretraining pipeline (C4, CCNet, fineweb) runs before hashing or
+    filtering: strip C0 control characters and DEL, collapse
+    whitespace runs (space/tab/newline/VT/FF/CR) to a single space,
+    trim, casefold to lowercase. Emitted alongside the original
+    length so downstream gates can key on how much was removed.
+
+    Map-only JVM regexp_replace — no shuffle, whole-stage codegen;
+    the character classes are spelled with explicit \\xNN escapes so
+    Java regex and RE2 (the DuckDB oracle) agree byte-for-byte.
+    """
+    ctrl = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), ctrl, ""), ws, " "
+            )
+        )
+    )
+    return documents.select(
+        key_col,
+        norm.alias("norm_text"),
+        F.length(text_col).cast("bigint").alias("orig_len"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from photon_spark.operators import similarity, textstats
+from photon_spark.operators import dedupe, sampling, similarity, textstats
 from photon_spark.operators.extract import (
     custom_regex_over_docs,
     entropy_udf,
@@ -2285,6 +2285,138 @@ def ann_sq8_q(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk to fixed token windows (the
+# GPT-style pretraining batch-assembly step; pack_shards' fine-grained
+# sibling). Two-phase global cumsum in the engine; the oracle states
+# the same prefix-sum arithmetic with one window + generate_series.
+
+_SEQPACK_L = 64
+
+
+@q(
+    "seqpack_chunks",
+    f"WITH d AS (SELECT doc_id,"
+    f"  len(string_split(text, ' ')) AS n_tokens,"
+    f"  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),"
+    f" o AS (SELECT doc_id, n_tokens,"
+    f"  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id"
+    f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    f"   AS BIGINT) AS off"
+    f"  FROM d)"
+    f", e AS (SELECT doc_id, n_tokens, off,"
+    f"  unnest(generate_series(off // {_SEQPACK_L},"
+    f"   (off + n_tokens - 1) // {_SEQPACK_L})) AS c FROM o)"
+    f" SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,"
+    f"  CAST(GREATEST(off, c * {_SEQPACK_L}) - off AS BIGINT) AS doc_off,"
+    f"  CAST(GREATEST(off, c * {_SEQPACK_L}) - c * {_SEQPACK_L} AS BIGINT)"
+    f"   AS chunk_off,"
+    f"  CAST(LEAST(off + n_tokens, (c + 1) * {_SEQPACK_L})"
+    f"   - GREATEST(off, c * {_SEQPACK_L}) AS BIGINT) AS n_tok"
+    f" FROM e",
+)
+def seqpack_q(spark, sf):
+    return sampling.concat_chunk_pack(
+        _t(spark, sf, "documents", spread=True), chunk_tokens=_SEQPACK_L
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level duplicate spans (Lee et al. 2022 ExactSubstr,
+# n-gram-posting formulation) + the per-document retention it implies.
+
+_SUBSTR_W = 8
+
+_SUBSTR_SPANS_SQL = (
+    f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    f"  FROM documents),"
+    f" e AS (SELECT doc_id, toks,"
+    f"  unnest(generate_series(0, len(toks) - {_SUBSTR_W})) AS pos"
+    f"  FROM d WHERE len(toks) >= {_SUBSTR_W}),"
+    f" p AS (SELECT doc_id, pos,"
+    f"  md5(array_to_string(toks[pos + 1 : pos + {_SUBSTR_W}], ' '))"
+    f"   AS gram FROM e),"
+    f" dup AS (SELECT gram FROM p GROUP BY gram"
+    f"  HAVING count(DISTINCT doc_id) >= 2),"
+    f" h AS (SELECT doc_id, pos FROM p"
+    f"  WHERE gram IN (SELECT gram FROM dup)),"
+    f" f AS (SELECT doc_id, pos,"
+    f"  CASE WHEN pos > COALESCE(MAX(pos + {_SUBSTR_W}) OVER ("
+    f"   PARTITION BY doc_id ORDER BY pos"
+    f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)"
+    f"  THEN 1 ELSE 0 END AS ni FROM h),"
+    f" i AS (SELECT doc_id, pos, SUM(ni) OVER ("
+    f"  PARTITION BY doc_id ORDER BY pos"
+    f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island"
+    f"  FROM f)"
+    f" SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,"
+    f"  CAST(MAX(pos) + {_SUBSTR_W} AS BIGINT) AS end_tok"
+    f" FROM i GROUP BY doc_id, island"
+)
+
+
+@q("substr_dup_spans", _SUBSTR_SPANS_SQL)
+def substr_spans_q(spark, sf):
+    return dedupe.substring_dup_ranges(
+        _t(spark, sf, "documents", spread=True), window_tokens=_SUBSTR_W
+    )
+
+
+@q(
+    "substr_dup_retention",
+    f"WITH spans AS ({_SUBSTR_SPANS_SQL}),"
+    f" dpd AS (SELECT doc_id,"
+    f"  SUM(end_tok - start_tok) AS dup_tokens FROM spans"
+    f"  GROUP BY doc_id)"
+    f" SELECT d.doc_id,"
+    f"  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,"
+    f"  CAST(COALESCE(dpd.dup_tokens, 0) AS BIGINT) AS dup_tokens,"
+    f"  (CAST(len(string_split(d.text, ' ')) AS BIGINT)"
+    f"   - CAST(COALESCE(dpd.dup_tokens, 0) AS BIGINT)) * 1000000"
+    f"  // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS kept_ppm"
+    f" FROM documents d LEFT JOIN dpd ON d.doc_id = dpd.doc_id",
+)
+def substr_retention_q(spark, sf):
+    return dedupe.substring_dup_retention(
+        _t(spark, sf, "documents", spread=True), window_tokens=_SUBSTR_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (C4/CCNet-style cleanup). The raw `documents`
+# text is already clean, so a noisy variant is synthesized with
+# IDENTICAL expressions on both sides (same pattern as the robots /
+# sitemap entries): leading tab + uppercase marker, embedded BEL
+# control char, doubled trailing newlines.
+
+_NOISY_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit("\tA  "),
+    F.col("text"),
+    F.lit("\x07Zx \n\n"),
+)
+_NOISY_SQL = (
+    "chr(9) || 'A  ' || text || chr(7) || 'Zx ' || chr(10) || chr(10)"
+)
+
+
+@q(
+    "text_normalize_stats",
+    f"WITH noisy AS (SELECT doc_id, {_NOISY_SQL} AS text FROM documents),"
+    " n AS (SELECT doc_id, text,"
+    "  lower(trim(regexp_replace(regexp_replace(text,"
+    "   '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),"
+    "   '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS norm_text FROM noisy)"
+    " SELECT doc_id, norm_text,"
+    "  CAST(length(text) AS BIGINT) AS orig_len,"
+    "  CAST(length(norm_text) AS BIGINT) AS norm_len FROM n",
+)
+def text_norm_q(spark, sf):
+    noisy = _t(spark, sf, "documents").select(
+        "doc_id", _NOISY_SPARK().alias("text")
+    )
+    return textstats.normalize_text(noisy)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -2299,6 +2431,33 @@ from photon_spark.queries import Q  # noqa: E402
 # The first 50 stay all-oracled. The final six entries are rows-only by
 # nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
+    # r4-session rotation: parked to pull the ten entries the previous
+    # session registered past position 50 (media_header_stats …
+    # ann_sq8_rerank) plus the four new oracled ops (seqpack_chunks,
+    # substr_dup_spans, substr_dup_retention, text_normalize_stats)
+    # into the driver's window. Every entry parked here has a
+    # driver-green row already (q1 in r1+r2; the rest in r2); the
+    # once-r1-verified entries (j2_union_dedup, topk_per_group,
+    # window_tumbling_counts, token_count, fingerprint_md5, u1_except,
+    # u1_intersect, q6_forecast_revenue) stay in-window for their
+    # second driver pass. Family representation kept: fingerprints via
+    # fingerprint_md5, embeddings via semantic_dedup + the ANN
+    # entries, packing via pack_shards_twophase + seqpack_chunks,
+    # TPC-H via q6, quality via quality_classifier + gopher_repetition.
+    "q1_pricing_summary",
+    "session_windows",
+    "token_count_bpe",
+    "fingerprint_winnow",
+    "dedup_embedding_cosine",
+    "f4_priority_scoring",
+    "dedup_cluster_keepers",
+    "pack_shards_by_source",
+    "tfidf_topterms",
+    "stratified_sample_lang",
+    "gopher_quality",
+    "host_pagerank",
+    "pii_redact",
+    "embed_centroids",
     # twice-driver-verified (r1 + r2), parked late-r3 to admit the four
     # new oracled ops (dsir_select, interleave_span_stats,
     # media_ref_dedup, anchor_text_topk); each family keeps in-window

@@ -1855,3 +1855,167 @@ def test_chunk_passages_edges(spark):
     assert union == {f"w{i}" for i in range(20)}    # no token dropped
     with pytest.raises(ValueError, match="overlap"):
         textstats.chunk_passages(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    # token counts 5, 7, 3, 10, 1, 6 — total 32; L=8 → exactly 4 chunks
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([5, 7, 3, 10, 1, 6])
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_seqpack_tiles_chunks_exactly(pack_docs):
+    from photon_spark.operators.sampling import concat_chunk_pack
+
+    L = 8
+    out = concat_chunk_pack(pack_docs, chunk_tokens=L).collect()
+    # per-doc pieces reassemble the whole document contiguously
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    n_by_doc = {0: 5, 1: 7, 2: 3, 3: 10, 4: 1, 5: 6}
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r["doc_off"])
+        assert rows[0]["doc_off"] == 0
+        covered = 0
+        for r in rows:
+            assert r["doc_off"] == covered
+            covered += r["n_tok"]
+        assert covered == n_by_doc[d]
+    # every chunk is exactly full (total 32 = 4 * L), tiled with no
+    # overlap: piece (chunk_off, n_tok) ranges partition [0, L)
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    assert set(by_chunk) == {0, 1, 2, 3}
+    for c, rows in by_chunk.items():
+        rows.sort(key=lambda r: r["chunk_off"])
+        pos = 0
+        for r in rows:
+            assert r["chunk_off"] == pos
+            pos += r["n_tok"]
+        assert pos == L
+    # at least one document straddles a boundary (32 tokens, 6 docs,
+    # none aligned by construction)
+    assert any(r["doc_off"] > 0 for r in out)
+
+
+def test_seqpack_matches_single_window_reference(pack_docs):
+    import hashlib
+
+    from photon_spark.operators.sampling import concat_chunk_pack
+
+    L = 8
+    got = {
+        (r["doc_id"], r["chunk_id"], r["doc_off"], r["chunk_off"], r["n_tok"])
+        for r in concat_chunk_pack(pack_docs, chunk_tokens=L, num_partitions=3).collect()
+    }
+    # driver-side reference: one global cumsum in md5(doc_id) order
+    rows = [(r["doc_id"], len(r["text"].split(" "))) for r in pack_docs.collect()]
+    rows.sort(key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]))
+    want, off = set(), 0
+    for doc_id, n in rows:
+        for c in range(off // L, (off + n - 1) // L + 1):
+            s, e = max(off, c * L), min(off + n, (c + 1) * L)
+            want.add((doc_id, c, s - off, s - c * L, e - s))
+        off += n
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level duplicate spans (Lee et al. ExactSubstr shape)
+
+
+def test_substring_dup_ranges_merge_and_isolation(spark):
+    from photon_spark.operators.dedupe import substring_dup_ranges
+
+    shared = " ".join(f"s{i}" for i in range(12))     # 12-token passage
+    tail = " ".join(f"t{i}" for i in range(6))        # second shared run
+    rows = [
+        (0, f"a0 a1 {shared} a2 a3 {tail}"),
+        (1, f"b0 {shared} b1 b2 b3 b4 {tail}"),
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),         # unique: no spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dup_ranges(docs, window_tokens=4).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], set()).add((r["start_tok"], r["end_tok"]))
+    # doc 2 is clean
+    assert 2 not in spans
+    # doc 0: shared at tokens [2, 14), tail at [16, 22) — two islands,
+    # each the MERGE of all its overlapping 4-token windows
+    assert spans[0] == {(2, 14), (16, 22)}
+    # doc 1: shared at [1, 13), tail at [17, 23)
+    assert spans[1] == {(1, 13), (17, 23)}
+
+
+def test_substring_dup_adjacent_windows_merge(spark):
+    from photon_spark.operators.dedupe import substring_dup_ranges
+
+    # two shared 4-token runs TOUCHING back-to-back in doc 0 (positions
+    # [0,4) and [4,8)) but appearing separately in docs 1 and 2 — the
+    # middle windows spanning the junction only exist in doc 0, so the
+    # islands are adjacent (end == next start) and must merge
+    a = "p0 p1 p2 p3"
+    b = "q0 q1 q2 q3"
+    rows = [
+        (0, f"{a} {b}"),
+        (1, f"x0 x1 {a} x2 x3"),
+        (2, f"y0 {b} y1 y2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dup_ranges(docs, window_tokens=4).collect()
+    spans0 = {(r["start_tok"], r["end_tok"]) for r in out if r["doc_id"] == 0}
+    assert spans0 == {(0, 8)}
+
+
+def test_substring_dup_retention_counts(spark):
+    from photon_spark.operators.dedupe import substring_dup_retention
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (0, f"a0 a1 {shared}"),                       # 10 tokens, 8 dup
+        (1, f"{shared} b0 b1 b2 b3 b4 b5"),           # 14 tokens, 8 dup
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),         # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["kept_ppm"])
+        for r in substring_dup_retention(docs, window_tokens=4).collect()
+    }
+    assert got[0] == (10, 8, 200000)
+    assert got[1] == (14, 8, 428571)                  # floor(6e6/14)
+    assert got[2] == (10, 0, 1000000)
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+
+
+def test_normalize_text_strips_collapses_casefolds(spark):
+    from photon_spark.operators.textstats import normalize_text
+
+    rows = [
+        (0, "\t Hello\x00World  FOO \n\nbar\x07 "),
+        (1, "already clean"),
+        (2, "A\x0bB\fC\rD"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_text"], r["orig_len"], r["norm_len"])
+        for r in normalize_text(docs).collect()
+    }
+    # NUL and BEL removed (glueing the chars they separated),
+    # whitespace runs collapsed, trimmed, lowercased
+    assert got[0] == ("helloworld foo bar", 26, 18)
+    assert got[1] == ("already clean", 13, 13)
+    # VT / FF / CR are whitespace → single spaces
+    assert got[2] == ("a b c d", 7, 7)
