@@ -81,6 +81,9 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
     "chunk_passages_rag",
+    "seqpack_chunks",
+    "substr_dup_spans",
+    "text_normalize_stats",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -549,3 +549,60 @@ def concat_chunk_pack(
         (p_start - F.col("chunk_id") * L).cast("bigint").alias("chunk_off"),
         (p_end - p_start).cast("bigint").alias("n_tok"),
     )
+
+
+def global_order_rank(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a dense
+    0-based rank in md5(key) order — the reproducible corpus shuffle
+    a training run consumes (and the order concat_chunk_pack packs
+    in). A naive row_number() needs one global window task; this is
+    the two-phase equivalent: range-partition by the order key,
+    count per partition (a numPartitions-row driver collect), then a
+    partition-local Arrow pass adds the exclusive offset to a local
+    arange. One range exchange total, skew-free (md5 keys are
+    uniform).
+    """
+    import numpy as np
+
+    spark = documents.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        documents.select(
+            key_col, F.md5(F.col(key_col).cast("string")).alias("_ord")
+        )
+        .repartitionByRange(n, F.col("_ord"), F.col(key_col))
+        .sortWithinPartitions("_ord", key_col)
+        .withColumn("pid", F.spark_partition_id())
+        # same pinning rationale as pack_shards_twophase: the count
+        # pass and the rank pass must see ONE range partitioning
+        .persist()
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    run, offsets = 0, {}
+    for pid, c in sorted((r["pid"], r["c"]) for r in counts):
+        offsets[pid] = run
+        run += c
+    bc = spark.sparkContext.broadcast(offsets)
+    key_t = dict(part.dtypes)[key_col]
+
+    def rank(batches):
+        start = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if start is None:
+                start = bc.value.get(int(pdf["pid"].iloc[0]), 0)
+            out = pdf[[key_col]].copy()
+            out["rank"] = np.arange(start, start + len(pdf), dtype="int64")
+            start += len(pdf)
+            yield out
+
+    result = part.mapInPandas(
+        rank, schema=f"{key_col} {key_t}, rank long"
+    ).localCheckpoint(eager=True)
+    part.unpersist()
+    return result

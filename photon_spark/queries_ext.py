@@ -2417,6 +2417,65 @@ def text_norm_q(spark, sf):
     return textstats.normalize_text(noisy)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic global training order (two-phase rank — the order
+# concat_chunk_pack packs in, materialized as an explicit rank).
+
+
+@q(
+    "train_order_rank",
+    "SELECT doc_id, CAST(row_number() OVER ("
+    " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)"
+    " AS rank FROM documents",
+)
+def train_order_q(spark, sf):
+    return sampling.global_order_rank(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth: CUBE grouping sets (rollup_lineitem_counts' sibling —
+# all four groupings in one pass) and per-user event inter-arrival
+# deltas (LAG frame breadth next to the tumbling/session windows).
+
+
+@q(
+    "cube_lineitem_counts",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n,"
+    " CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem"
+    " GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def cube_q(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "event_interarrival",
+    "SELECT user_id, event_id,"
+    " epoch_ms(ts) - lag(epoch_ms(ts)) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms"
+    " FROM events",
+)
+def interarrival_q(spark, sf):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; the session TZ is pinned UTC,
+    # so the cast is an identity relabel
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("delta_ms"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -2446,6 +2505,14 @@ _TAIL = (
     # TPC-H via q6, quality via quality_classifier + gopher_repetition.
     "q1_pricing_summary",
     "session_windows",
+    # r1-driver-verified, parked to admit train_order_rank /
+    # cube_lineitem_counts / event_interarrival (the window family is
+    # represented by event_interarrival + session-window entries, the
+    # top-k shape by anchor_text_topk, token counting by the substring
+    # ops' tokenization + token_count_bpe's r2 row):
+    "topk_per_group",
+    "window_tumbling_counts",
+    "token_count",
     "token_count_bpe",
     "fingerprint_winnow",
     "dedup_embedding_cosine",

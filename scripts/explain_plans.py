@@ -107,6 +107,24 @@ EXPECT: dict[str, dict] = {
     "crawl_snapshot_diff": {"codegen": True},
     # sequence-explode + slice HOFs: only _t's spread may exchange
     "chunk_passages_rag": {"codegen": True, "max_exchanges": 1},
+    # this-session additions:
+    # the returned frame reads the checkpointed two-phase cumsum, so
+    # only the JVM-side piece explosion remains: zero shuffles (the
+    # range exchange lives in the checkpointed prefix jobs)
+    "seqpack_chunks": {"codegen": True, "max_exchanges": 0},
+    # gram-keyed distinct-doc agg + semi join (AQE reuses the
+    # partitioning) + per-doc island window (+ _t spread)
+    "substr_dup_spans": {"codegen": True},
+    # map-only regexp chain: only _t's spread may exchange — and the
+    # documents table is under the spread threshold at sf0.1, so zero
+    "text_normalize_stats": {"codegen": True, "max_exchanges": 1},
+    # returned frame reads the checkpointed two-phase rank: no shuffle
+    "train_order_rank": {"max_exchanges": 0},
+    # Expand for the 4 grouping sets + ONE final agg exchange
+    "cube_lineitem_counts": {"codegen": True, "max_exchanges": 1},
+    # one user-keyed window exchange (events is under the spread
+    # threshold at sf0.01)
+    "event_interarrival": {"codegen": True, "max_exchanges": 1},
 }
 
 

@@ -2019,3 +2019,19 @@ def test_normalize_text_strips_collapses_casefolds(spark):
     assert got[1] == ("already clean", 13, 13)
     # VT / FF / CR are whitespace → single spaces
     assert got[2] == ("a b c d", 7, 7)
+
+
+def test_global_order_rank_dense_and_deterministic(spark):
+    import hashlib
+
+    from photon_spark.operators.sampling import global_order_rank
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(37)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["rank"] for r in global_order_rank(docs, num_partitions=5).collect()}
+    order = sorted(range(37), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = {doc: r for r, doc in enumerate(order)}
+    assert got == want
+    # dense 0..n-1 — no gaps across partition boundaries
+    assert sorted(got.values()) == list(range(37))
