@@ -2285,6 +2285,19 @@ def ann_sq8_q(spark, sf):
     )
 
 
+@q("ann_pq_rerank", _ANN_SQL)
+def ann_pq_q(spark, sf):
+    emb = _t(spark, sf, "embeddings", spread=True)
+    # same corpus-covering-overfetch gate as ann_sq8_rerank: the PQ-ADC
+    # stage only orders candidates, the exact re-rank makes the result
+    # equal brute force when every row is a candidate
+    k = 5
+    overfetch = -(-emb.count() // k)  # ceil(n / k)
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < k), k=k, overfetch=overfetch
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — concat-and-chunk to fixed token windows (the
 # GPT-style pretraining batch-assembly step; pack_shards' fine-grained
@@ -2513,6 +2526,7 @@ _TAIL = (
     "topk_per_group",
     "window_tumbling_counts",
     "token_count",
+    "fingerprint_md5",  # r1-green; parked to admit ann_pq_rerank
     "token_count_bpe",
     "fingerprint_winnow",
     "dedup_embedding_cosine",

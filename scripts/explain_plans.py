@@ -96,6 +96,8 @@ EXPECT: dict[str, dict] = {
     "boilerplate_strip_hostlines": {"codegen": True, "broadcast": True},
     # quantized scan vs broadcast queries; candidates join back
     "ann_sq8_rerank": {"broadcast": True},
+    # PQ-coded scan vs broadcast query-id frame; candidates join back
+    "ann_pq_rerank": {"broadcast": True},
     # scan-side parse_url + array HOFs: only _t's spread may exchange
     "trap_detect_flags": {"codegen": True, "max_exchanges": 1},
     # decode fan-out is map-only; the banded join + vote agg follow

@@ -2035,3 +2035,65 @@ def test_global_order_rank_dense_and_deterministic(spark):
     assert got == want
     # dense 0..n-1 — no gaps across partition boundaries
     assert sorted(got.values()) == list(range(37))
+
+
+# ---------------------------------------------------------------------------
+# product-quantized ANN
+
+
+def test_pq_codes_shape_and_rerank_equals_brute(spark):
+    import numpy as np
+
+    from photon_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated clusters of 20 in 16 dims
+    centers = rng.randn(3, 16) * 4
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    books = similarity.train_pq_codebooks(emb, m_sub=4, n_codes=8)
+    codes = similarity.quantize_pq(emb, books).collect()
+    assert len(codes) == 60
+    assert all(len(r["codes"]) == 4 for r in codes)          # m_sub bytes/row
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+
+    brute = similarity.brute_force_topk(emb, queries, k=5).collect()
+    covered = similarity.pq_topk(
+        emb, queries, k=5, overfetch=12, m_sub=4, n_codes=8
+    ).collect()  # k*overfetch = 60 = corpus → exact
+    key = lambda rs: sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rs)  # noqa: E731
+    assert key(covered) == key(brute)
+
+
+def test_pq_low_overfetch_recall_floor(spark):
+    import numpy as np
+
+    from photon_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 5
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(16) * 0.25])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(
+            emb, queries, k=5, overfetch=3, m_sub=4, n_codes=8
+        ).collect()
+    }
+    # ADC scans 1/8th the bytes; on clustered data the candidate set
+    # must still recover most true neighbors before the exact re-rank
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, recall
