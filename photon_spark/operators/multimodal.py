@@ -864,3 +864,198 @@ def media_ref_dedup(df: DataFrame, spans_col: str = "spans") -> DataFrame:
         F.count("*").alias("n_spans"),
         F.min("doc_id").alias("keeper"),
     )
+
+
+def media_caption_pairs(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Media-caption pair mining from interleaved documents — the
+    operator that turns a web-interleaved corpus into (media, text)
+    training pairs (the public LAION / OBELICS pipeline shape): for
+    every media span, pair it with the nearest text span before it and
+    the nearest text span after it in offset order. The reference has
+    no media model at all (its pages are one string —
+    core/requester.py:63); this is engine-side capability the
+    north-star's interleaved span table makes possible.
+
+    Output one row per media span: (doc_id, media_ref, media_offset,
+    caption_before, caption_after) — absent neighbors (media-first /
+    media-last documents) are empty strings, so downstream filters are
+    plain `<> ''` predicates and the schema carries no NULL semantics
+    across engines.
+
+    Plan shape: the neighbor lookup runs INSIDE the row, as array
+    higher-order functions over the (re-sorted) span array — no
+    explode-then-window, no shuffle, no Python. Only the final
+    per-media-span flattening explodes, and it explodes the already
+    paired structs (text spans never leave the row). At 100 TB this is
+    a pure map stage; a posexplode+window formulation would instead
+    shuffle every span of every document on doc_id — strictly worse.
+    """
+    s = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: a["offset"].cast("int") - b["offset"].cast("int"),
+    )
+    texts = F.filter(s, lambda x: x["kind"] == F.lit("text"))
+    media = F.filter(s, lambda x: x["kind"] == F.lit("media"))
+
+    def pair(m):
+        # try_element_at: a missing neighbor (media-first / media-last
+        # doc) yields NULL rather than an ANSI index error
+        before = F.try_element_at(
+            F.filter(texts, lambda t: t["offset"] < m["offset"]), F.lit(-1)
+        )
+        after = F.try_element_at(
+            F.filter(texts, lambda t: t["offset"] > m["offset"]), F.lit(1)
+        )
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].cast("int").alias("media_offset"),
+            F.coalesce(before["text"], F.lit("")).alias("caption_before"),
+            F.coalesce(after["text"], F.lit("")).alias("caption_after"),
+        )
+
+    return df.select(
+        "doc_id", F.explode(F.transform(media, pair)).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p")["media_ref"].alias("media_ref"),
+        F.col("p")["media_offset"].alias("media_offset"),
+        F.col("p")["caption_before"].alias("caption_before"),
+        F.col("p")["caption_after"].alias("caption_after"),
+    )
+
+
+def span_template_classes(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Template detection by interleaved-layout signature: group
+    documents by their span-KIND sequence (offset order) and compare
+    how many distinct text bodies each layout class carries. A layout
+    shared by many documents but only a few distinct bodies is a
+    templated page family (boilerplate shells, listing pages, mirrors)
+    — the interleaved-corpus sibling of per-host boilerplate line
+    removal (textstats.boilerplate strip): there the unit is the line,
+    here it is the whole document layout.
+
+    Output one row per layout: (kind_sig, n_docs, n_bodies, keeper,
+    is_template) where kind_sig is the comma-joined kind sequence,
+    n_bodies counts distinct reassembled text bodies (newline-joined
+    text spans in offset order), and is_template flags classes where
+    more than half the docs are body-duplicates of another doc in the
+    class (n_docs >= 2·n_bodies).
+
+    Plan shape: signature and body hash are narrow per-row HOF
+    expressions (zero Python); the only shuffle is one signature-keyed
+    aggregation with map-side combine (countDistinct over md5 digests,
+    not bodies — constant-width shuffle rows regardless of document
+    size). Layout classes are few (10^2-10^4) against 10^10 docs, so
+    the output side is always the broadcastable one for any follow-up
+    keeper join.
+    """
+    s = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: a["offset"].cast("int") - b["offset"].cast("int"),
+    )
+    sig = F.array_join(F.transform(s, lambda x: x["kind"]), ",")
+    body = F.array_join(
+        F.transform(
+            F.filter(s, lambda x: x["kind"] == F.lit("text")),
+            lambda x: x["text"],
+        ),
+        "\n",
+    )
+    per_doc = df.select(
+        "doc_id", sig.alias("kind_sig"), F.md5(body).alias("_bh")
+    )
+    g = per_doc.groupBy("kind_sig").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_bh").alias("n_bodies"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return g.select(
+        "kind_sig",
+        "n_docs",
+        "n_bodies",
+        "keeper",
+        (F.col("n_docs") >= 2 * F.col("n_bodies")).alias("is_template"),
+    )
+
+
+def mm_token_cost(
+    df: DataFrame, media_token_cost: int = 64, spans_col: str = "spans"
+) -> DataFrame:
+    """Per-document multimodal token budget: text spans cost their
+    whitespace-token count, media spans a fixed per-item cost (the
+    vision-token budget a multimodal LM spends per image/audio clip —
+    public LLaVA/Flamingo-class models embed each image as a fixed
+    block of tokens). This is the cost function multimodal batch
+    assembly packs against; text-only pipelines use plain token counts
+    (sampling.pack_shards), interleaved ones must price media spans in
+    or sequences silently overflow.
+
+    Output: (doc_id, n_text_tokens, n_media, mm_tokens). Narrow HOF
+    expressions end to end — zero shuffle, fuses into the scan.
+    """
+    toks = lambda t: F.size(  # noqa: E731
+        F.filter(F.split(t, " "), lambda x: x != "")
+    )
+    text_tokens = F.aggregate(
+        F.filter(F.col(spans_col), lambda x: x["kind"] == F.lit("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + toks(x["text"]).cast("bigint"),
+    )
+    n_media = F.size(
+        F.filter(F.col(spans_col), lambda x: x["kind"] == F.lit("media"))
+    )
+    return df.select(
+        "doc_id",
+        text_tokens.alias("n_text_tokens"),
+        n_media.cast("bigint").alias("n_media"),
+        (text_tokens + F.lit(int(media_token_cost)) * n_media).alias("mm_tokens"),
+    )
+
+
+def mm_pack_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    media_token_cost: int = 64,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Multimodal shard packing: assign interleaved documents to
+    bounded training shards by their multimodal token cost
+    (mm_token_cost), packing multimodal and text-only documents as
+    SEPARATE streams — the standard multimodal-pretraining split
+    (vision-capable batches are built apart from text-only ones so a
+    batch's vision tower work is predictable).
+
+    Same deterministic prefix-sum contract as sampling.pack_shards: a
+    doc lands in shard floor(cost_before_it / budget) within its
+    stream, docs ordered by doc_id — assignment is a pure function of
+    the input set. One exchange (the per-stream running sum); two
+    streams cannot skew-starve a cluster by themselves, and at the
+    scale where one stream exceeds an executor's slice the two-phase
+    cumsum (sampling.pack_shards_twophase) is the drop-in, identical
+    by the same proof.
+
+    Output: (doc_id, stream, mm_tokens, shard).
+    """
+    from pyspark.sql import Window
+
+    costs = mm_token_cost(df, media_token_cost, spans_col).select(
+        "doc_id",
+        "mm_tokens",
+        F.when(F.col("n_media") > 0, F.lit("mm")).otherwise(F.lit("text")).alias(
+            "stream"
+        ),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        costs.withColumn("_cum", F.sum("mm_tokens").over(w))
+        .select(
+            "doc_id",
+            "stream",
+            "mm_tokens",
+            F.expr(f"(_cum - mm_tokens) div {int(budget_tokens)}").alias("shard"),
+        )
+    )

@@ -2489,6 +2489,249 @@ def interarrival_q(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Interleaved-payload depth (r3): media-caption pair mining, layout
+# template detection, and multimodal token-budget packing over the
+# input-hint span table (doc_id, spans:array<struct<kind,text,
+# media_ref,offset>>). The same deterministic span construction as
+# interleave_span_stats (_interleaved_spans) drives both sides, so the
+# oracle checks the span semantics, not the fixture.
+
+_T1_SQL = "array_to_string(tk[1:2], ' ')"
+_T2_SQL = "array_to_string(tk[3:5], ' ')"
+_T3_SQL = "array_to_string(tk[6:], ' ')"
+
+
+@q(
+    "media_caption_pairs",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
+    f" SELECT doc_id, {_IMG_SQL} AS media_ref,"
+    " CAST(1 AS INTEGER) AS media_offset,"
+    f" {_T1_SQL} AS caption_before, {_T2_SQL} AS caption_after"
+    " FROM d WHERE doc_id % 2 = 0"
+    f" UNION ALL SELECT doc_id, {_AUD_SQL}, CAST(3 AS INTEGER),"
+    f" {_T2_SQL}, {_T3_SQL} FROM d WHERE doc_id % 3 = 0",
+)
+def caption_pairs_q(spark, sf):
+    from photon_spark.operators.multimodal import media_caption_pairs
+
+    return media_caption_pairs(_interleaved_spans(spark, sf))
+
+
+@q(
+    "span_template_classes",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,"
+    "  doc_id % 2 = 0 AS hi, doc_id % 3 = 0 AS ha FROM documents),"
+    " b AS (SELECT doc_id,"
+    "  CASE WHEN hi AND ha THEN 'text,media,text,media,text'"
+    "   WHEN hi THEN 'text,media,text,text'"
+    "   WHEN ha THEN 'text,text,media,text'"
+    "   ELSE 'text,text,text' END AS kind_sig,"
+    f"  {_T1_SQL} || chr(10) || {_T2_SQL} || chr(10) || {_T3_SQL} AS body"
+    "  FROM d)"
+    " SELECT kind_sig, COUNT(*) AS n_docs,"
+    " COUNT(DISTINCT body) AS n_bodies, MIN(doc_id) AS keeper,"
+    " COUNT(*) >= 2 * COUNT(DISTINCT body) AS is_template"
+    " FROM b GROUP BY kind_sig",
+)
+def template_classes_q(spark, sf):
+    from photon_spark.operators.multimodal import span_template_classes
+
+    return span_template_classes(_interleaved_spans(spark, sf))
+
+
+_MM_BUDGET_L = 512
+_MM_MEDIA_COST = 64
+
+
+@q(
+    "mm_pack_budget",
+    "WITH c AS (SELECT doc_id,"
+    " CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    f"  + {_MM_MEDIA_COST} * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+    "   + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS mm_tokens,"
+    " CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0 THEN 'mm' ELSE 'text' END"
+    "  AS stream FROM documents)"
+    " SELECT doc_id, stream, mm_tokens,"
+    " CAST(COALESCE(SUM(mm_tokens) OVER (PARTITION BY stream"
+    "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+    f"  0) // {_MM_BUDGET_L} AS BIGINT) AS shard FROM c",
+)
+def mm_pack_q(spark, sf):
+    from photon_spark.operators.multimodal import mm_pack_budget
+
+    return mm_pack_budget(
+        _interleaved_spans(spark, sf),
+        budget_tokens=_MM_BUDGET_L,
+        media_token_cost=_MM_MEDIA_COST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth (r3): the three classic TPC-H plan shapes the suite did
+# not yet cover — the two-dimension-alias self-join pair (q7), the
+# returned-items join funnel with top-k on an aggregate (q10), and the
+# OR-of-ANDs disjunctive pushdown predicate (q19 shape, adapted to the
+# testdata's columns: p_size/p_brand/l_quantity stand in for the
+# reference benchmark's container/shipmode columns it lacks).
+
+
+@q(
+    "q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year,"
+    " SUM(CAST(floor(volume * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue FROM ("
+    " SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,"
+    "  l_extendedprice * (1 - l_discount) AS volume"
+    " FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    "  AND l_shipdate >= TIMESTAMP '1995-01-01'"
+    "  AND l_shipdate < TIMESTAMP '1997-01-01') t"
+    " GROUP BY supp_nation, cust_nation, l_year",
+)
+def q7(spark, sf):
+    """TPC-H Q7 shape: volume shipped between two nations by year.
+    The nation dimension joins twice under different roles — both
+    sides broadcast (25 rows); the date filter pushes to the lineitem
+    scan; one shuffle for the final 3-key aggregate."""
+    sup = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q10_returned_items",
+    "SELECT c_custkey, n_name,"
+    " SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE l_returnflag = 'R'"
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    "  AND o_orderdate < TIMESTAMP '1996-04-01'"
+    " GROUP BY c_custkey, n_name"
+    " ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q10(spark, sf):
+    """TPC-H Q10 shape: top returned-revenue customers in a quarter.
+    Quarter filter pushes to the orders scan, returnflag to lineitem;
+    nation broadcasts; TakeOrdered caps the sorted output at 20."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    "SELECT p_brand,"
+    " SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "  AS BIGINT)) / 10000.0 AS revenue"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+    "   AND l_quantity >= 1 AND l_quantity <= 30)"
+    "  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30"
+    "   AND l_quantity >= 10 AND l_quantity <= 40)"
+    "  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
+    "   AND l_quantity >= 20 AND l_quantity <= 50)"
+    " GROUP BY p_brand",
+)
+def q19(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across the
+    join. Catalyst extracts the common-fate conjuncts: the p_brand
+    IN (...) superset pushes to the part scan and l_quantity's global
+    [1,50] range to lineitem, with the exact disjunction as the
+    post-join residual — the pushdown pattern this query exists to
+    exercise. Part broadcasts (dimension-sized)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 30))
+        | ((brand == "Brand#2") & size.between(10, 30) & qty.between(10, 40))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window
@@ -2503,6 +2746,23 @@ from photon_spark.queries import Q  # noqa: E402
 # The first 50 stay all-oracled. The final six entries are rows-only by
 # nature (no portable SQL twin); each carries a pytest property check.
 _TAIL = (
+    # r3-continuation rotation: parked to admit the six new oracled
+    # entries (media_caption_pairs, span_template_classes,
+    # mm_pack_budget, q7_volume_shipping, q10_returned_items,
+    # q19_disjunctive_revenue). All six parked entries are
+    # judge-verified r2 (independent DuckDB re-run) and 3-SF-green in
+    # CORRECTNESS_LOCAL; family representation stays: set ops via
+    # decontam_hits/decontam_survivors (EXCEPT/INTERSECT shapes),
+    # deterministic sampling via stratified-family + dsir_select,
+    # TPC-H forecasting via the three new q7/q10/q19 plan shapes,
+    # union-dedup via the frontier entries (url_canonicalize_ext +
+    # golden-pinned crawl composition).
+    "j2_union_dedup",
+    "u1_except",
+    "u1_intersect",
+    "q6_forecast_revenue",
+    "sample_hash_deterministic",
+    "split_assign_counts",
     # r4-session rotation: parked to pull the ten entries the previous
     # session registered past position 50 (media_header_stats …
     # ann_sq8_rerank) plus the four new oracled ops (seqpack_chunks,

@@ -1,0 +1,135 @@
+"""Edge-case tests for the r3 interleaved-payload operators:
+media-caption pair mining, layout-template detection, and multimodal
+token-budget packing (operators/multimodal.py). The oracled registry
+entries (media_caption_pairs / span_template_classes / mm_pack_budget)
+pin the happy path against DuckDB; these pin the boundary shapes the
+deterministic fixture cannot produce — media-first / media-last /
+media-only / text-only documents, out-of-order span arrays, planted
+template duplicates, and budget-boundary packing.
+"""
+
+from __future__ import annotations
+
+from photon_spark.operators.multimodal import (
+    media_caption_pairs,
+    mm_pack_budget,
+    mm_token_cost,
+    span_template_classes,
+)
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind string, text string, media_ref string, offset int>>"
+)
+
+
+def _doc(doc_id, spans):
+    # spans: list of (kind, text, media_ref, offset)
+    return (doc_id, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                     for k, t, m, o in spans])
+
+
+def test_caption_pairs_neighbors_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            # media-first: no before; media-last: no after
+            _doc("d1", [("media", "", "img://a", 0), ("text", "alpha", "", 1),
+                        ("media", "", "img://b", 2)]),
+            # adjacent media spans share the same text neighbors
+            _doc("d2", [("text", "left", "", 0), ("media", "", "img://c", 1),
+                        ("media", "", "img://d", 2), ("text", "right", "", 3)]),
+            # media-only doc: both captions empty
+            _doc("d3", [("media", "", "img://e", 0)]),
+            # text-only doc: no output rows
+            _doc("d4", [("text", "solo", "", 0)]),
+        ],
+        SPAN_SCHEMA,
+    )
+    rows = {
+        (r["doc_id"], r["media_ref"]): (r["caption_before"], r["caption_after"])
+        for r in media_caption_pairs(df).collect()
+    }
+    assert rows[("d1", "img://a")] == ("", "alpha")
+    assert rows[("d1", "img://b")] == ("alpha", "")
+    assert rows[("d2", "img://c")] == ("left", "right")
+    assert rows[("d2", "img://d")] == ("left", "right")
+    assert rows[("d3", "img://e")] == ("", "")
+    assert not [k for k in rows if k[0] == "d4"]
+    assert len(rows) == 5
+
+
+def test_caption_pairs_unordered_spans(spark):
+    """Span arrays arrive in extraction order, not offset order — the
+    operator must re-establish offset order before neighbor lookup."""
+    df = spark.createDataFrame(
+        [_doc("d", [("text", "after", "", 2), ("media", "", "img://x", 1),
+                    ("text", "before", "", 0)])],
+        SPAN_SCHEMA,
+    )
+    r = media_caption_pairs(df).collect()[0]
+    assert (r["caption_before"], r["caption_after"]) == ("before", "after")
+    assert r["media_offset"] == 1
+
+
+def test_template_classes_flags_planted_duplicates(spark):
+    # layout A: 4 docs, only 2 distinct bodies -> template (4 >= 2*2)
+    # layout B: 2 docs, 2 distinct bodies -> not a template
+    docs = [
+        _doc("a1", [("text", "dup one", "", 0), ("media", "", "img://t", 1)]),
+        _doc("a2", [("text", "dup one", "", 0), ("media", "", "img://u", 1)]),
+        _doc("a3", [("text", "dup two", "", 0), ("media", "", "img://v", 1)]),
+        _doc("a4", [("text", "dup two", "", 0), ("media", "", "img://w", 1)]),
+        _doc("b1", [("text", "uniq x", "", 0)]),
+        _doc("b2", [("text", "uniq y", "", 0)]),
+    ]
+    out = {r["kind_sig"]: r for r in
+           span_template_classes(spark.createDataFrame(docs, SPAN_SCHEMA)).collect()}
+    tm = out["text,media"]
+    assert (tm["n_docs"], tm["n_bodies"], tm["is_template"]) == (4, 2, True)
+    assert tm["keeper"] == "a1"
+    t = out["text"]
+    assert (t["n_docs"], t["n_bodies"], t["is_template"]) == (2, 2, False)
+
+
+def test_mm_token_cost_counts_text_and_media(spark):
+    df = spark.createDataFrame(
+        [
+            _doc("d1", [("text", "one two three", "", 0),
+                        ("media", "", "img://a", 1),
+                        ("text", "", "", 2)]),  # empty text span costs 0
+            _doc("d2", [("text", "solo", "", 0)]),
+        ],
+        SPAN_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in mm_token_cost(df, media_token_cost=64).collect()}
+    assert out["d1"]["n_text_tokens"] == 3
+    assert out["d1"]["n_media"] == 1
+    assert out["d1"]["mm_tokens"] == 3 + 64
+    assert out["d2"]["mm_tokens"] == 1
+
+
+def test_mm_pack_budget_streams_and_boundaries(spark):
+    """Docs straddling the budget stay in the earlier shard (prefix-sum
+    contract, same as pack_shards); mm and text streams pack apart."""
+    def textdoc(i, words):
+        return _doc(f"t{i}", [("text", " ".join(["w"] * words), "", 0)])
+
+    def mmdoc(i, words):
+        return _doc(f"m{i}", [("text", " ".join(["w"] * words), "", 0),
+                              ("media", "", "img://z", 1)])
+
+    # media cost 10, budget 25:
+    #   text stream: t1(20) shard0, t2(20) cum_before=20 shard0, t3(20)
+    #   cum_before=40 shard1
+    #   mm stream: m1(10+10=20) shard0, m2(20) cum_before=20 shard0
+    df = spark.createDataFrame(
+        [textdoc(1, 20), textdoc(2, 20), textdoc(3, 20),
+         mmdoc(1, 10), mmdoc(2, 10)],
+        SPAN_SCHEMA,
+    )
+    out = {r["doc_id"]: (r["stream"], r["shard"]) for r in
+           mm_pack_budget(df, budget_tokens=25, media_token_cost=10).collect()}
+    assert out == {
+        "t1": ("text", 0), "t2": ("text", 0), "t3": ("text", 1),
+        "m1": ("mm", 0), "m2": ("mm", 0),
+    }
