@@ -557,3 +557,63 @@ def trap_flags(
         param_blowup.alias(names[5]),
         (seg_loop | too_deep | param_blowup).alias(names[6]),
     )
+
+
+def politeness_spacing(
+    fetches: DataFrame,
+    interval_ms: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-host fetch-time shaping: assign each URL the earliest fetch
+    time that keeps >= interval_ms between consecutive fetches of the
+    same host — the crawl-delay semantics the reference approximates
+    with one GLOBAL sleep in its fetch loop (core/requester.py:33
+    time.sleep(delay) per request, no per-host isolation).
+
+    fetch_ms obeys the recurrence fetch_i = max(ts_i, fetch_{i-1} +
+    interval) over the host's URLs in (ts, url) order. The recurrence
+    unrolls to the closed form
+
+        fetch_i = i*d + max_{j<=i}(ts_j - j*d)
+
+    so the whole shaper is ONE host-partitioned window (row_number +
+    running max) — no sequential scan, no UDF, and the streaming twin
+    (streaming/politeness.py) must reproduce it exactly (its parity
+    test diffs the two). delay_ms = fetch_ms - ts_ms is the shaping
+    cost; SUM(delay_ms) per host is the congestion signal
+    adaptive_host_budgets consumes on the batch side.
+
+    Scale: one shuffle keyed on host. A Zipf-hot host serializes its
+    window task; unlike the budget cap this operator is order-exact,
+    so the salt trick does not apply — shard a pathological host by
+    bounding its wave membership FIRST (schedule_wave budget), which
+    caps any window task at budget rows.
+    """
+    d = int(interval_ms)
+    w_rn = Window.partitionBy(host_col).orderBy("ts_ms", url_col)
+    w_max = (
+        Window.partitionBy(host_col)
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    return (
+        fetches.select(
+            host_col, url_col, ts_ms.alias("ts_ms")
+        )
+        .withColumn("_rn", F.row_number().over(w_rn) - 1)
+        .withColumn(
+            "fetch_ms",
+            F.max(F.col("ts_ms") - F.lit(d) * F.col("_rn")).over(w_max)
+            + F.lit(d) * F.col("_rn"),
+        )
+        .select(
+            host_col,
+            url_col,
+            "ts_ms",
+            "fetch_ms",
+            (F.col("fetch_ms") - F.col("ts_ms")).alias("delay_ms"),
+        )
+    )

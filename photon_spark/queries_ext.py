@@ -2568,6 +2568,36 @@ def mm_pack_q(spark, sf):
     )
 
 
+@q(
+    "politeness_spacing",
+    "WITH c AS (SELECT 'h' || CAST(user_id % 7 AS VARCHAR) AS host,"
+    "  'u' || CAST(event_id AS VARCHAR) AS url, epoch_ms(ts) AS ts_ms"
+    "  FROM events),"
+    " o AS (SELECT host, url, ts_ms,"
+    "  ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts_ms, url) - 1 AS rn"
+    "  FROM c),"
+    " f AS (SELECT host, url, ts_ms,"
+    "  MAX(ts_ms - 250 * rn) OVER (PARTITION BY host ORDER BY rn"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 250 * rn"
+    "   AS fetch_ms FROM o)"
+    " SELECT host, url, ts_ms, fetch_ms, fetch_ms - ts_ms AS delay_ms FROM f",
+)
+def politeness_spacing_q(spark, sf):
+    """Per-host crawl-delay shaping via the closed-form running-max
+    window (plans/schedule.politeness_spacing); the streaming twin
+    (streaming/politeness.py) is parity-tested against this exact
+    output."""
+    from photon_spark.plans.schedule import politeness_spacing
+
+    ev = _t(spark, sf, "events")
+    cand = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        "ts",
+    )
+    return politeness_spacing(cand, interval_ms=250)
+
+
 # ---------------------------------------------------------------------------
 # OLAP breadth (r3): the three classic TPC-H plan shapes the suite did
 # not yet cover — the two-dimension-alias self-join pair (q7), the
@@ -2763,6 +2793,10 @@ _TAIL = (
     "q6_forecast_revenue",
     "sample_hash_deterministic",
     "split_assign_counts",
+    # parked to admit politeness_spacing (judge-verified r2; its
+    # sibling dedup_jaccard_verify is driver-green r2 and the
+    # containment op keeps its planted-passage pytests):
+    "dedup_containment_verify",
     # r4-session rotation: parked to pull the ten entries the previous
     # session registered past position 50 (media_header_stats …
     # ann_sq8_rerank) plus the four new oracled ops (seqpack_chunks,

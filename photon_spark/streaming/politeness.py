@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator — per-host politeness spacing via
+``applyInPandasWithState``.
+
+The continuous-crawler form of plans/schedule.politeness_spacing: a
+stream of discovered (host, url, ts) fetch candidates becomes a stream
+of (host, url, fetch_ms) shaped fetch assignments, with each host's
+bucket state (the last assigned fetch time) carried across
+micro-batches. Same recurrence as the batch twin —
+
+    fetch_i = max(ts_i, fetch_{i-1} + interval_ms)
+
+over the host's URLs in (ts, url) order — so on in-order input the
+stream output is row-identical to the batch closed form (the parity
+test diffs them; the batch twin is DuckDB-oracled). The reference has
+no per-host politeness at all: one global ``time.sleep(delay)`` inside
+the fetch loop (core/requester.py:33) serializes EVERY host equally.
+
+A late arrival (ts earlier than the host's last assigned fetch) is
+still shaped legally — it waits for the next free slot — but exact
+batch parity then requires the batch run to see the same arrival
+order, which is the standard watermark caveat for any
+order-sensitive streaming operator.
+
+State per host is two longs (last fetch_ms, n assigned) — 10^7 crawled
+hosts is ~160 MB of state across the cluster, partitioned by host
+hash; each micro-batch shuffles once on host, the same key the batch
+scheduler partitions on (north_rule: frontier shuffle keyed on
+host-hash preserves politeness locality).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "host string, url string, ts_ms long, fetch_ms long, delay_ms long"
+STATE_SCHEMA = "last_fetch long, n long"
+
+
+def _shape(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    interval_ms: int,
+) -> Iterator[pd.DataFrame]:
+    (host,) = key
+    last_fetch, n = state.get if state.exists else (None, 0)
+
+    # accumulate the whole iterator before sorting — one group's
+    # micro-batch rows arrive as multiple unordered Arrow chunks (same
+    # caveat as sessionize._fold)
+    parts = [pdf for pdf in pdf_iter if not pdf.empty]
+    if not parts:
+        return
+    rows = pd.concat(parts, ignore_index=True)
+    ts = pd.to_datetime(rows["ts"])
+    if getattr(ts.dt, "tz", None) is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    rows = rows.assign(
+        ts_ms=ts.astype("datetime64[ns]").astype("int64") // 1_000_000
+    ).sort_values(["ts_ms", "url"], kind="mergesort")
+
+    fetch = []
+    for t in rows["ts_ms"].to_numpy():
+        t = int(t)
+        f = t if last_fetch is None else max(t, last_fetch + interval_ms)
+        fetch.append(f)
+        last_fetch = f
+        n += 1
+    state.update((int(last_fetch), int(n)))
+
+    yield pd.DataFrame(
+        {
+            "host": host,
+            "url": rows["url"].to_numpy(),
+            "ts_ms": rows["ts_ms"].to_numpy(),
+            "fetch_ms": fetch,
+            "delay_ms": [f - int(t) for f, t in zip(fetch, rows["ts_ms"].to_numpy())],
+        }
+    )
+
+
+def politeness_spacing_stream(
+    candidates: DataFrame,
+    interval_ms: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-host fetch-time shaper over a readStream of
+    (host, url, ts) candidates. Append-mode stateful map: each
+    micro-batch advances the host's bucket and emits its rows' fetch
+    assignments immediately (nothing is held back — the operator
+    assigns times, it does not gate emission, so no timeout state is
+    needed and every input row appears in the output exactly once).
+    """
+    sel = candidates.selectExpr(
+        f"{host_col} as host",
+        f"{url_col} as url",
+        f"cast({ts_col} as timestamp) as ts",
+    )
+
+    def shape(key, pdfs, state):
+        return _shape(key, pdfs, state, int(interval_ms))
+
+    return sel.groupBy("host").applyInPandasWithState(
+        shape,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

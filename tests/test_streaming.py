@@ -640,3 +640,64 @@ def test_streaming_store_batch_to_stream_resume(spark, tmp_path):
     )
     assert store.latest()[0] == 4
     assert spark.read.parquet(str(tmp_path / "out")).count() == 20
+
+
+def test_politeness_spacing_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-host fetch shaper: on in-order input
+    the streamed fetch assignments must be row-identical to the batch
+    closed-form window (plans/schedule.politeness_spacing — the
+    DuckDB-oracled twin). Two time-split files + maxFilesPerTrigger=1
+    force >= 2 micro-batches, so host state (last fetch slot) provably
+    carries across batches."""
+    from photon_spark.plans.schedule import politeness_spacing
+    from photon_spark.streaming.politeness import politeness_spacing_stream
+
+    sf = "/root/testdata/sf0.001"
+    cand = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+            F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .persist()
+    )
+    cut = cand.selectExpr("percentile_approx(ts, 0.5) AS m").collect()[0]["m"]
+    src = tmp_path / "cand_stream"
+    src.mkdir()
+    # earlier-half file named to sort first: the file source processes
+    # in discovery order, so batches respect event-time order
+    cand.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "a=0"))
+    cand.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "a=1"))
+
+    stream = (
+        spark.readStream.schema("host string, url string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    q = (
+        politeness_spacing_stream(stream, interval_ms=60_000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spacing_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_spacing"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["host"], r["url"], r["ts_ms"], r["fetch_ms"], r["delay_ms"])
+        for r in spark.sql("SELECT * FROM spacing_out").collect()
+    }
+    want = {
+        (r["host"], r["url"], r["ts_ms"], r["fetch_ms"], r["delay_ms"])
+        for r in politeness_spacing(cand, interval_ms=60_000).collect()
+    }
+    cand.unpersist()
+    assert got == want
+    assert len(got) == 1000
+    # shaping is real: some rows were actually delayed
+    assert any(d > 0 for *_, d in got)
