@@ -78,6 +78,13 @@ HEADLINE = [
     "boilerplate_strip_hostlines",
     "ann_sq8_rerank",
     "trap_detect_flags",
+    "media_caption_pairs",
+    "span_template_classes",
+    "mm_pack_budget",
+    "politeness_spacing",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
     "chunk_passages_rag",

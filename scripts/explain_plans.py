@@ -127,6 +127,25 @@ EXPECT: dict[str, dict] = {
     # one user-keyed window exchange (events is under the spread
     # threshold at sf0.01)
     "event_interarrival": {"codegen": True, "max_exchanges": 1},
+    # r3-continuation additions:
+    # in-row HOF neighbor lookup + output-sized explode: only the
+    # documents spread may exchange
+    "media_caption_pairs": {"codegen": True, "max_exchanges": 1},
+    # narrow signature + ONE sig-keyed agg (+ spread)
+    "span_template_classes": {"codegen": True, "max_exchanges": 2},
+    # narrow cost HOFs + ONE per-stream window exchange (+ spread)
+    "mm_pack_budget": {"codegen": True, "max_exchanges": 2},
+    # row_number + running max share ONE host-keyed sort+exchange
+    # (events under the spread threshold)
+    "politeness_spacing": {"codegen": True, "max_exchanges": 1},
+    # nation joined twice under different roles: both sides broadcast
+    "q7_volume_shipping": {"pushed": True, "broadcast": True},
+    # quarter filter pushed to orders, returnflag to lineitem; nation
+    # broadcast; TakeOrdered caps the output
+    "q10_returned_items": {"pushed": True, "broadcast": True},
+    # brand/size/quantity conjunct supersets pushed to both scans;
+    # part broadcast; exact disjunction as post-join residual
+    "q19_disjunctive_revenue": {"pushed": True, "broadcast": True},
 }
 
 
