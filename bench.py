@@ -85,6 +85,9 @@ HEADLINE = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q19_disjunctive_revenue",
+    "weighted_sample_docs",
+    "bpe_pair_counts",
+    "cms_host_heavy_hitters",
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
     "chunk_passages_rag",

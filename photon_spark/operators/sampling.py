@@ -606,3 +606,38 @@ def global_order_rank(
     ).localCheckpoint(eager=True)
     part.unpersist()
     return result
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    max_weight: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: keep each
+    row with probability weight/max_weight — the quality-weighted
+    corpus downsampling step (keep high-quality documents at full
+    rate, low-quality ones proportionally less; public DoReMi /
+    quality-mixing lineage), with hash_sample's determinism contract
+    (a row's fate is a pure function of its key + weight, stable under
+    data growth).
+
+    Exact integer arithmetic end to end: keep iff
+
+        h * max_weight < weight * 2^32
+
+    where h is the first 8 md5 hex digits of the key as an integer —
+    no float thresholds, no engine-dependent rounding, so the DuckDB
+    twin is bit-identical. Weights are integers (e.g. quality scores
+    bucketed 0..max_weight); weight >= max_weight keeps always,
+    weight <= 0 never. Products stay far below 2^63 for any sane
+    max_weight (< 2^31).
+
+    Scan-side narrow expression — zero shuffle, pushes into the source
+    when the caller filters.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w = F.col(weight_col).cast("bigint")
+    return df.filter(h * F.lit(int(max_weight)) < w * F.lit(1 << 32))

@@ -954,3 +954,40 @@ def normalize_text(
         F.length(text_col).cast("bigint").alias("orig_len"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies at the character
+    level — the first merge-candidate table of BPE tokenizer training
+    (public Sennrich et al. 2016: repeatedly merge the most frequent
+    adjacent pair). One iteration over the raw corpus is the expensive
+    distributed step; the merge loop itself runs driver-side on the
+    (tiny) pair table.
+
+    Plan shape: two explodes (words, then the word's length-1 sliding
+    pairs) multiply the scan to O(chars) rows — but partial aggregation
+    collapses every partition to its distinct pairs (bounded by
+    alphabet², ~10^3-10^4) before the exchange, so the shuffle is
+    O(distinct_pairs * partitions) regardless of corpus size; the
+    final top-k is a TakeOrdered over the aggregated frame. Ties break
+    on the pair string for cross-engine rank stability.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(int(k))
+    )

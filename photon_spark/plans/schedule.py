@@ -617,3 +617,59 @@ def politeness_spacing(
             (F.col("fetch_ms") - F.col("ts_ms")).alias("delay_ms"),
         )
     )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str = "host", depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch build over a key column — the sub-linear
+    heavy-hitter counter for streams/frontiers whose distinct-key set
+    is itself too big to aggregate exactly (the HLL's counting sibling:
+    HLL answers "how many distinct", CMS answers "how often is THIS
+    one", both in O(sketch) space). Public Cormode & Muthukrishnan
+    (2005) structure: depth rows of width counters; per row i the key
+    increments cell (i, xxhash64(i, key) mod width); a point estimate
+    is min_i over the key's cells and overestimates by at most
+    eps*N (eps = e/width) with probability 1 - exp(-depth).
+
+    Plan shape at 10^10 rows: the depth-way explode multiplies the
+    scan, but partial aggregation collapses every partition to at most
+    depth*width rows BEFORE the exchange — the shuffle is O(depth *
+    width * partitions), independent of input size, and the finished
+    sketch (depth*width rows) broadcasts for estimation.
+    """
+    e = df.select(F.col(key_col).cast("string").alias("_k")).select(
+        "_k",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("i"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col("i"), F.col("_k")), F.lit(int(width)))
+    return (
+        e.select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "host",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point estimates for `keys` from a cms_sketch: est = min over
+    the key's depth cells (missing cell = 0). The sketch side is
+    depth*width rows — always the broadcast side; the probe is one
+    key-keyed aggregation. Estimates NEVER undercount (every cell the
+    key hashes to holds at least its true count)."""
+    e = keys.select(F.col(key_col).cast("string").alias("_k")).distinct().select(
+        "_k",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("i"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col("i"), F.col("_k")), F.lit(int(width)))
+    j = e.select("_k", "i", bucket.alias("bucket")).join(
+        F.broadcast(sketch), ["i", "bucket"], "left"
+    )
+    return j.groupBy("_k").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
+    ).select(F.col("_k").alias(key_col), "est")

@@ -146,6 +146,14 @@ EXPECT: dict[str, dict] = {
     # brand/size/quantity conjunct supersets pushed to both scans;
     # part broadcast; exact disjunction as post-join residual
     "q19_disjunctive_revenue": {"pushed": True, "broadcast": True},
+    # scan-side integer compare: zero exchanges (documents is under
+    # the spread threshold here)
+    "weighted_sample_docs": {"codegen": True, "max_exchanges": 1},
+    # one pair-keyed agg exchange + TakeOrdered (+ forced spread)
+    "bpe_pair_counts": {"codegen": True, "max_exchanges": 2},
+    # sketch agg exchange + broadcast probe + est agg (+ no spread:
+    # events is dimension-scale at sf0.01)
+    "cms_host_heavy_hitters": {"broadcast": True, "max_exchanges": 3},
 }
 
 

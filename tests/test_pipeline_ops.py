@@ -2097,3 +2097,91 @@ def test_pq_low_overfetch_recall_floor(spark):
     # must still recover most true neighbors before the exact re-rank
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.6, recall
+
+
+# ---------------------------------------------------------------------------
+# r3-continuation: weighted sampling, CMS heavy hitters, BPE pair counts
+
+
+def test_weighted_sample_exact_boundaries_and_monotonicity(spark):
+    from photon_spark.operators.sampling import weighted_sample
+
+    rows = [(i,) for i in range(2000)]
+    ids = spark.createDataFrame(rows, "doc_id long")
+
+    # weight 0 keeps nothing; weight == max keeps everything
+    w0 = ids.withColumn("w", F.lit(0))
+    wmax = ids.withColumn("w", F.lit(10))
+    assert weighted_sample(w0, "w", 10).count() == 0
+    assert weighted_sample(wmax, "w", 10).count() == 2000
+
+    # monotone in weight: the w=3 sample is a subset of the w=7 sample
+    k3 = {r["doc_id"] for r in
+          weighted_sample(ids.withColumn("w", F.lit(3)), "w", 10).collect()}
+    k7 = {r["doc_id"] for r in
+          weighted_sample(ids.withColumn("w", F.lit(7)), "w", 10).collect()}
+    assert k3 <= k7
+    # and the rates land near w/max (md5 is uniform; 2000 keys)
+    assert abs(len(k3) / 2000 - 0.3) < 0.05
+    assert abs(len(k7) / 2000 - 0.7) < 0.05
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The exact-integer rule is reproducible outside Spark: keep iff
+    int(md5(key)[:8], 16) * max_w < w * 2**32."""
+    import hashlib
+
+    from photon_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 7) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+    want = {
+        i for i, w in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) * 10 < w * (1 << 32)
+    }
+    assert got == want
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    from photon_spark.plans.schedule import cms_estimate, cms_sketch
+
+    # Zipf-ish: key k appears 1000 // (k+1) times, 50 keys, N ~ 4500
+    rows = []
+    truth = {}
+    for k in range(50):
+        n = 1000 // (k + 1)
+        truth[f"host{k}"] = n
+        rows += [(f"host{k}",)] * n
+    df = spark.createDataFrame(rows, "host string").repartition(8)
+    n_total = len(rows)
+
+    depth, width = 4, 1024
+    sketch = cms_sketch(df, "host", depth=depth, width=width)
+    est = {
+        r["host"]: r["est"]
+        for r in cms_estimate(sketch, df, "host", depth=depth, width=width).collect()
+    }
+    assert set(est) == set(truth)
+    import math
+
+    eps_bound = math.e / width * n_total  # classic CMS guarantee scale
+    for h, t in truth.items():
+        assert est[h] >= t, f"{h} undercounted: {est[h]} < {t}"
+        assert est[h] <= t + max(3 * eps_bound, 3), f"{h} overshoots: {est[h]} vs {t}"
+
+    # sketch is bounded: at most depth*width cells regardless of input
+    assert sketch.count() <= depth * width
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from photon_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("aab aab ab",), ("b aab",)], "text string"
+    )
+    # words: aab x3, ab x1, b x1 (len<2 dropped)
+    # pairs: aab -> aa, ab (x3 words) ; ab -> ab
+    # counts: aa=3, ab=3+1=4
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, k=10).collect()]
+    assert got == [("ab", 4), ("aa", 3)]
