@@ -701,3 +701,54 @@ def test_politeness_spacing_stream_matches_batch(spark, tmp_path):
     assert len(got) == 1000
     # shaping is real: some rows were actually delayed
     assert any(d > 0 for *_, d in got)
+
+
+def test_streaming_cms_linearity_matches_batch(spark, tmp_path):
+    """CMS is linear: after streaming the input as multiple
+    micro-batches, the stored sketch must be CELL-IDENTICAL to
+    cms_sketch over the whole input, and estimates must never
+    undercount the true counts."""
+    from photon_spark.plans.schedule import cms_sketch
+    from photon_spark.streaming.heavy_hitters import StreamingHeavyHitters
+
+    rows = [(f"host{k}",) for k in range(40) for _ in range(200 // (k + 1))]
+    df = spark.createDataFrame(rows, "host string")
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], "host string").coalesce(1).write.parquet(
+        str(src / "a=0")
+    )
+    spark.createDataFrame(rows[half:], "host string").coalesce(1).write.parquet(
+        str(src / "a=1")
+    )
+
+    hh = StreamingHeavyHitters(
+        spark, str(tmp_path / "hh_state"), depth=4, width=512
+    )
+    stream = (
+        spark.readStream.schema("host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    q = hh.attach(stream, str(tmp_path / "hh_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["i"], r["bucket"]): r["c"] for r in hh.sketch().collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_sketch(df, "host", depth=4, width=512).collect()
+    }
+    assert got == want
+
+    truth = {}
+    for h, in rows:
+        truth[h] = truth.get(h, 0) + 1
+    est = {r["host"]: r["est"] for r in hh.estimate(df).collect()}
+    assert all(est[h] >= t for h, t in truth.items())
