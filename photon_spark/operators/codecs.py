@@ -572,3 +572,45 @@ def synth_mp4(ref: str) -> bytes:
     return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd)) + _box(
         b"mdat", _keystream(ref + "/d", 64 + int(hashlib.md5(ref.encode()).hexdigest()[12:14], 16))
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG ancillary-metadata stripping (privacy pass over media payloads)
+
+_PNG_CRITICAL = {b"IHDR", b"PLTE", b"IDAT", b"IEND"}
+# ancillary chunks that do not affect decoded pixels; tEXt/iTXt/zTXt
+# and eXIf are the PII carriers (camera serials, GPS, author strings)
+_PNG_KEEP_ANCILLARY = {b"tRNS", b"gAMA", b"sRGB"}  # pixel-affecting-ish
+
+
+def png_strip_metadata(payload: bytes) -> tuple[bytes, list[str]]:
+    """Remove ancillary metadata chunks (tEXt/zTXt/iTXt/eXIf/tIME/...)
+    from a PNG, keeping critical chunks and the few ancillary ones that
+    shape rendering (tRNS/gAMA/sRGB). Returns (clean_bytes,
+    removed_chunk_tags). The decoded pixel array is bit-identical
+    before and after (pytest round-trips through decode_png).
+
+    This is the media-side PII pass (textstats.redact_pii's binary
+    sibling): EXIF GPS / camera-serial / author text rides PNG text
+    chunks through web pipelines unless deliberately dropped.
+    """
+    sig = payload[:8]
+    if sig != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    out = [sig]
+    removed: list[str] = []
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        tag = payload[i + 4 : i + 8]
+        end = i + 8 + length + 4  # data + crc
+        chunk = payload[i:end]
+        if tag in _PNG_CRITICAL or tag in _PNG_KEEP_ANCILLARY:
+            out.append(chunk)
+        else:
+            removed.append(tag.decode("latin-1"))
+        if tag == b"IEND":
+            break
+        i = end
+    return b"".join(out), removed

@@ -1059,3 +1059,49 @@ def mm_pack_budget(
             F.expr(f"(_cum - mm_tokens) div {int(budget_tokens)}").alias("shard"),
         )
     )
+
+
+def strip_media_metadata(media: DataFrame) -> DataFrame:
+    """Privacy pass over media payloads — the binary sibling of
+    textstats.redact_pii: drop ancillary metadata chunks (PNG
+    tEXt/zTXt/iTXt/eXIf/tIME carry GPS, camera serials, author
+    strings) while leaving decoded pixels bit-identical
+    (codecs.png_strip_metadata; pytest round-trips the pixel array).
+    Non-PNG payloads pass through unchanged with removed=[].
+
+    Output: (doc_id, media_ref, payload, removed array<string>,
+    bytes_saved). Map-only Arrow stage — zero shuffle, same
+    mapInPandas shape as every decode stage here; at 100 TB this
+    pipelines with the payload fetch.
+    """
+    from photon_spark.operators.codecs import png_strip_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, removed, saved = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    clean, tags = png_strip_metadata(b)
+                else:
+                    clean, tags = b, []
+                outs.append(clean)
+                removed.append(tags)
+                saved.append(len(b) - len(clean))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": outs,
+                    "removed": removed,
+                    "bytes_saved": saved,
+                }
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, media_ref string, payload binary,"
+            " removed array<string>, bytes_saved long"
+        ),
+    )

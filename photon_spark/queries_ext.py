@@ -2809,6 +2809,73 @@ def q19(spark, sf):
     )
 
 
+# Media privacy pass (multimodal.strip_media_metadata): PNG ancillary
+# chunks planted DETERMINISTICALLY from doc_id — tEXt always (data
+# "Author\0u{doc_id}", 20+len(doc_id) chunk bytes), eXIf (44 bytes)
+# when doc_id%2==0, tIME (19) when doc_id%3==0 — so the oracle states
+# the expected removed-chunk count and exact bytes reclaimed in CLOSED
+# FORM, while Spark's numbers come only from walking real PNG chunk
+# framing. Pixel bit-identity before/after is pytest-pinned
+# (test_codecs / test_pipeline_ops). doc_id%7==0 subset bounds the
+# synthesized pixel volume at bench scale.
+@q(
+    "mm_strip_metadata",
+    "SELECT doc_id,"
+    " CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+    "  + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)"
+    "  AS n_removed,"
+    " CAST(20 + length(CAST(doc_id AS VARCHAR))"
+    "  + CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 0 END"
+    "  + CASE WHEN doc_id % 3 = 0 THEN 19 ELSE 0 END AS BIGINT)"
+    "  AS bytes_saved"
+    " FROM documents WHERE doc_id % 7 = 0",
+)
+def mm_strip_q(spark, sf):
+    import numpy as np  # noqa: F811
+    import pandas as pd  # noqa: F811
+
+    from photon_spark.operators.codecs import _chunk, encode_png
+    from photon_spark.operators.multimodal import strip_media_metadata
+
+    refs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def attach(batches):
+        arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        base = encode_png(arr)
+        iend = _chunk(b"IEND", b"")
+        head = base[: -len(iend)]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dirty = head + _chunk(b"tEXt", b"Author\x00u%d" % did)
+                if did % 2 == 0:
+                    dirty += _chunk(b"eXIf", b"\x00" * 32)
+                if did % 3 == 0:
+                    dirty += _chunk(b"tIME", b"\x07\xe8\x01\x01\x00\x00\x00")
+                payloads.append(dirty + iend)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": ["p%d" % int(d) for d in pdf["doc_id"]],
+                    "payload": payloads,
+                }
+            )
+
+    media = refs.mapInPandas(
+        attach, schema="doc_id long, media_ref string, payload binary"
+    )
+    return strip_media_metadata(media).select(
+        "doc_id",
+        F.size("removed").alias("n_removed"),
+        "bytes_saved",
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

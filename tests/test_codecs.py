@@ -329,3 +329,37 @@ def test_mp4_audio_track_has_no_dims_and_malformed_rejected():
 
     with pytest.raises(ValueError, match="malformed"):
         C.mp4_metadata(struct.pack(">I", 100) + b"moov" + b"\x00" * 8)
+
+
+def test_png_strip_metadata_pixels_identical():
+    import numpy as np
+
+    from photon_spark.operators.codecs import (
+        _chunk,
+        decode_png,
+        encode_png,
+        png_strip_metadata,
+    )
+
+    arr = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(5, 6, 3)
+    clean_png = encode_png(arr)
+    # inject PII-carrying ancillary chunks before IEND (legal placement)
+    iend = _chunk(b"IEND", b"")
+    assert clean_png.endswith(iend)
+    dirty = (
+        clean_png[: -len(iend)]
+        + _chunk(b"tEXt", b"Author\x00Jane Crawler")
+        + _chunk(b"eXIf", b"\x00" * 32)
+        + _chunk(b"tIME", b"\x07\xe8\x01\x01\x00\x00\x00")
+        + iend
+    )
+    stripped, removed = png_strip_metadata(dirty)
+    assert sorted(removed) == ["eXIf", "tEXt", "tIME"]
+    assert len(stripped) < len(dirty)
+    w0, h0, px0 = decode_png(dirty)
+    w1, h1, px1 = decode_png(stripped)
+    assert (w0, h0) == (w1, h1)
+    assert (px0 == px1).all()
+    # idempotent: nothing left to strip
+    again, removed2 = png_strip_metadata(stripped)
+    assert removed2 == [] and again == stripped

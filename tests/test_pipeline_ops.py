@@ -2185,3 +2185,29 @@ def test_bpe_pair_counts_hand_computed(spark):
     # counts: aa=3, ab=3+1=4
     got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, k=10).collect()]
     assert got == [("ab", 4), ("aa", 3)]
+
+
+def test_strip_media_metadata_stage(spark):
+    """Spark privacy pass: PNG ancillary chunks dropped with pixels
+    intact; non-PNG payloads pass through byte-identical."""
+    import numpy as np
+
+    from photon_spark.operators.codecs import _chunk, decode_png, encode_png
+    from photon_spark.operators.multimodal import strip_media_metadata
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    png = encode_png(arr)
+    iend = _chunk(b"IEND", b"")
+    dirty = png[: -len(iend)] + _chunk(b"tEXt", b"gps\x001.2,3.4") + iend
+    other = b"P6\n1 1\n255\nabc"
+
+    df = spark.createDataFrame(
+        [(1, "img://a", bytearray(dirty)), (2, "img://b", bytearray(other))],
+        "doc_id long, media_ref string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in strip_media_metadata(df).collect()}
+    assert out[1]["removed"] == ["tEXt"]
+    assert out[1]["bytes_saved"] > 0
+    _w, _h, px = decode_png(bytes(out[1]["payload"]))
+    assert (px == arr).all()
+    assert bytes(out[2]["payload"]) == other and out[2]["removed"] == []
