@@ -1,0 +1,227 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units", public).
+
+Training never touches the raw corpus more than once: the corpus is
+collapsed to a (word, freq) table in one pass (web text repeats words
+heavily — the table is orders of magnitude smaller than the corpus and
+is what every practical BPE trainer iterates over). Each of the k merge
+rounds is then two bounded operations on that table:
+
+  1. pair counts — explode each word's adjacent symbol pairs weighted
+     by word frequency, aggregate. Partial aggregation collapses every
+     partition to its distinct pairs before the exchange, so the
+     shuffle is O(distinct_pairs x partitions), independent of corpus
+     size; the argmax is a TakeOrdered(1).
+  2. merge apply — a pure JVM ``aggregate`` (fold) expression rewrites
+     each word's symbol array greedily left-to-right. No Python runs
+     inside the loop; the only driver traffic per round is the single
+     winning pair.
+
+Lineage is truncated with an eager ``localCheckpoint`` per round (the
+word table is vocabulary-sized, cheap to materialize; on a real cluster
+pass ``checkpoint_dir`` to use reliable ``checkpoint`` instead, since
+localCheckpoint does not survive executor loss).
+
+Encoding the corpus with the learned merges is the map-only scale path:
+an Arrow-batched ``mapInPandas`` stage applying the standard
+rank-greedy BPE encode, memoized per distinct word within each batch.
+
+Reference parity note: Photon has no tokenizer; this is part of the
+beyond-reference training-data-pipeline surface (SURVEY.md §2.3),
+sharing tokenization conventions with textstats.bpe_pair_counts
+(whitespace words, character-level initial symbols).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass -> (word, freq). Map-side combinable groupBy;
+    the result is vocabulary-sized (the training working set)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    """word -> array of single-character symbols (JVM-side)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array of struct<a,b> for each adjacent symbol position.
+    Overlapping positions count separately ('aaa' -> (a,a) twice),
+    matching the reference algorithm's position-wise counter."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, F.lit(1) + i).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right rewrite of one merge (a,b)->ab as a pure
+    JVM fold: append each symbol unless the accumulator's tail is `a`
+    and the symbol is `b`, in which case replace the tail with `ab`.
+    try_element_at returns NULL on the empty accumulator (ANSI-safe),
+    which falls through to the append branch."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    min_freq: int = 2,
+    checkpoint_dir: Optional[str] = None,
+) -> List[Tuple[str, str, int]]:
+    """Learn k BPE merges over the corpus; returns [(left, right,
+    pair_freq)] in merge order. Deterministic: argmax ties break on
+    (left, right) lexicographically, so the merge sequence is a pure
+    function of the corpus regardless of partitioning.
+
+    Stops early when no adjacent pair reaches min_freq (merging
+    singleton pairs only memorizes whole words).
+    """
+    spark = df.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    wf = word_freqs(df, text_col).select(
+        _chars(F.col("word")).alias("syms"), "freq"
+    )
+    wf = wf.localCheckpoint(eager=True)
+
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(int(k)):
+        top = (
+            wf.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        prev = wf
+        nxt = wf.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq")
+        if checkpoint_dir is not None:
+            wf = nxt.checkpoint(eager=True)
+        else:
+            wf = nxt.localCheckpoint(eager=True)
+        prev.unpersist()
+    wf.unpersist()
+    return merges
+
+
+def bpe_train_df(
+    spark: SparkSession,
+    df: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """bpe_train as a DataFrame: (rank, left, right, merged, pair_freq),
+    rank = merge order starting at 1. The merge table is tokenizer
+    metadata (k rows) — tiny, broadcastable to the encode stage."""
+    merges = bpe_train(df, k=k, text_col=text_col, min_freq=min_freq)
+    rows = [
+        (i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, pair_freq bigint",
+    )
+
+
+def _encode_word(
+    word: str, ranks: dict, cache: dict
+) -> List[str]:
+    """Standard rank-greedy BPE encode of one word: repeatedly merge
+    the present pair with the lowest training rank."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list. Map-only
+    Arrow-batched stage (mapInPandas); the merge table rides the UDF
+    closure (k entries — tokenizer-metadata sized). Per-batch word
+    memoization exploits natural-language repetition, so cost tracks
+    distinct words per batch, not tokens."""
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, {out_col} array<string>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            toks = [
+                [
+                    t
+                    for w in (txt.split(" ") if txt else [])
+                    if w
+                    for t in _encode_word(w, ranks, cache)
+                ]
+                for txt in pdf[text_col].astype("object").fillna("")
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

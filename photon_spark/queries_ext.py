@@ -2876,6 +2876,22 @@ def mm_strip_q(spark, sf):
     )
 
 
+@q("bpe_train_merges", None)  # rows-only: k-round iterative trainer has
+# no portable SQL twin; the merge sequence is pytest-pinned against a
+# pure-Python Sennrich-2016 reference (tests/test_bpe.py) and is
+# partition-invariant by construction (deterministic argmax tie-break).
+def bpe_train_q(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe.bpe_train_df):
+    one corpus pass to a word-frequency table, then k merge rounds of
+    bounded pair-aggregation + a JVM fold rewrite — no Python inside
+    the loop, one winning pair per round over the wire."""
+    from photon_spark.operators import bpe
+
+    return bpe.bpe_train_df(
+        spark, _t(spark, sf, "documents"), k=8, min_freq=2
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

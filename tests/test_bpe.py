@@ -1,0 +1,130 @@
+"""Distributed BPE trainer/encoder vs a pure-Python reference.
+
+The reference implements Sennrich et al. 2016 directly on a Counter:
+position-wise adjacent-pair counts over the word-frequency table,
+argmax with (count desc, pair asc) tie-break, greedy left-to-right
+merge apply. The Spark trainer must reproduce the merge sequence
+exactly, at any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from photon_spark.operators import bpe
+
+
+def _ref_train(corpus, k, min_freq=2):
+    wf = Counter()
+    for text in corpus:
+        for w in text.split(" "):
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append((a, b, n))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats saw the other cats",
+    "low lower lowest low low",
+    "newer newest new new news",
+    "aaa aaaa aa aaa banana bandana",
+    "the the the them theme",
+    "",
+    "xyz",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [(f"d{i}", t) for i, t in enumerate(CORPUS)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_train_matches_reference(spark, corpus_df):
+    got = bpe.bpe_train(corpus_df, k=16)
+    want = _ref_train(CORPUS, k=16)
+    assert got == want
+    assert len(got) > 4  # corpus is rich enough to be a real check
+
+
+def test_train_partition_invariant(spark, corpus_df):
+    one = bpe.bpe_train(corpus_df.repartition(1), k=8)
+    many = bpe.bpe_train(corpus_df.repartition(7), k=8)
+    assert one == many
+
+
+def test_train_df_shape(spark, corpus_df):
+    mdf = bpe.bpe_train_df(spark, corpus_df, k=6)
+    rows = mdf.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["pair_freq"] >= 2
+
+
+def test_encode_matches_reference_greedy(spark, corpus_df):
+    merges = bpe.bpe_train(corpus_df, k=12)
+    enc = bpe.bpe_encode(corpus_df, merges).collect()
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    by_id = {r["doc_id"]: r["tokens"] for r in enc}
+    for i, text in enumerate(CORPUS):
+        want = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            while len(syms) >= 2:
+                cand = [
+                    (ranks[(syms[i2], syms[i2 + 1])], i2)
+                    for i2 in range(len(syms) - 1)
+                    if (syms[i2], syms[i2 + 1]) in ranks
+                ]
+                if not cand:
+                    break
+                _, i2 = min(cand)
+                syms[i2 : i2 + 2] = [syms[i2] + syms[i2 + 1]]
+            want.extend(syms)
+        assert by_id[f"d{i}"] == want
+
+
+def test_encode_roundtrip_concat(spark, corpus_df):
+    """Tokenization is lossless per word: concatenating a doc's tokens
+    reproduces its text with spaces removed."""
+    merges = bpe.bpe_train(corpus_df, k=12)
+    for r in bpe.bpe_encode(corpus_df, merges).collect():
+        assert "".join(r["tokens"]) == CORPUS[int(r["doc_id"][1:])].replace(
+            " ", ""
+        )
+
+
+def test_min_freq_stops(spark):
+    df = spark.createDataFrame(
+        [("d0", "ab cd ef")], "doc_id string, text string"
+    )
+    assert bpe.bpe_train(df, k=10, min_freq=2) == []
+    assert len(bpe.bpe_train(df, k=2, min_freq=1)) == 2
