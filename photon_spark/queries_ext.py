@@ -2892,6 +2892,50 @@ def bpe_train_q(spark, sf):
     )
 
 
+@q(
+    "range_join_counts",
+    "WITH w AS (SELECT CAST(i AS INTEGER) AS win_id,"
+    "  epoch_us(TIMESTAMP '2024-01-01 00:00:00') + i*43200000000 AS lo,"
+    "  epoch_us(TIMESTAMP '2024-01-01 00:00:00') + i*43200000000"
+    "   + 57600000000 AS hi"
+    "  FROM range(60) t(i)),"
+    " p AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)"
+    " SELECT win_id, COUNT(*) AS n_events,"
+    "  SUM(CAST(FLOOR(value*100) AS BIGINT)) AS value_cents"
+    " FROM p JOIN w ON p.ts_us >= w.lo AND p.ts_us <= w.hi"
+    " GROUP BY win_id",
+)
+def range_join_q(spark, sf):
+    """Bucketed range join (operators/rangejoin.points_in_intervals):
+    events against 60 overlapping 16-hour campaign windows (12-hour
+    stride — every event can match two windows). The oracle runs the
+    plain non-equi join; the Spark plan is the bucketized equi-join +
+    residual, whose shuffle stays hash-partitioned at any scale
+    instead of degenerating to a nested-loop product."""
+    from photon_spark.operators.rangejoin import points_in_intervals
+
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    hour_us = 3600 * 1_000_000
+    iv = (
+        spark.range(60)
+        .select(
+            F.col("id").cast("int").alias("win_id"),
+            (base + F.col("id") * (12 * hour_us)).alias("lo"),
+            (base + F.col("id") * (12 * hour_us) + 16 * hour_us).alias("hi"),
+        )
+    )
+    pts = _t(spark, sf, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    j = points_in_intervals(pts, iv, "ts_us", bucket_width=6 * hour_us)
+    return j.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

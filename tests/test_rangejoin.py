@@ -1,0 +1,111 @@
+"""Bucketed range joins vs brute-force non-equi join on adversarial
+interval layouts: zero-length, negative-coordinate, nested, duplicate,
+and many-bucket-spanning intervals, at bucket widths 1 / 7 / 1000."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from photon_spark.operators import rangejoin
+
+
+def _mk(spark, seed=4242):
+    rng = random.Random(seed)
+    pts = [(i, rng.randint(-50, 450)) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        lo = rng.randint(-60, 420)
+        ln = rng.choice([0, 1, 2, 5, 30, 200])
+        ivs.append((j, lo, lo + ln))
+    ivs.append((40, -60, 460))  # spans everything
+    ivs.append((41, 100, 100))  # zero-length on a round number
+    ivs.append((42, 100, 100))  # duplicate interval
+    p = spark.createDataFrame(pts, "pid int, v int")
+    iv = spark.createDataFrame(ivs, "iid int, lo int, hi int")
+    return p, iv, pts, ivs
+
+
+def _brute_points(pts, ivs):
+    return sorted(
+        (pid, iid)
+        for pid, v in pts
+        for iid, lo, hi in ivs
+        if lo <= v <= hi
+    )
+
+
+@pytest.mark.parametrize("width", [1, 7, 1000])
+def test_points_in_intervals_exact(spark, width):
+    p, iv, pts, ivs = _mk(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in rangejoin.points_in_intervals(
+            p, iv, "v", "lo", "hi", bucket_width=width
+        ).collect()
+    )
+    assert got == _brute_points(pts, ivs)
+    assert len(got) > 300  # layout actually produces multi-matches
+
+
+def test_points_cap_raises(spark):
+    p, iv, _, _ = _mk(spark)
+    with pytest.raises(Exception, match="buckets > cap"):
+        rangejoin.points_in_intervals(
+            p, iv, "v", "lo", "hi", bucket_width=1,
+            max_buckets_per_interval=100,
+        ).count()
+    # generous cap passes
+    n = rangejoin.points_in_intervals(
+        p, iv, "v", "lo", "hi", bucket_width=1,
+        max_buckets_per_interval=1000,
+    ).count()
+    assert n == len(_brute_points(*_mk(spark)[2:]))
+
+
+@pytest.mark.parametrize("width", [1, 7, 1000])
+def test_interval_overlap_exact_no_dups(spark, width):
+    rng = random.Random(99)
+    a = [(i, rng.randint(0, 300), 0) for i in range(60)]
+    a = [(i, lo, lo + rng.choice([0, 3, 25, 150])) for i, lo, _ in a]
+    b = [(j, rng.randint(0, 300), 0) for j in range(45)]
+    b = [(j, lo, lo + rng.choice([0, 5, 40, 200])) for j, lo, _ in b]
+    da = spark.createDataFrame(a, "aid int, lo int, hi int")
+    db = spark.createDataFrame(b, "bid int, lo int, hi int")
+    got = [
+        (r["aid"], r["bid_r"])
+        for r in rangejoin.interval_overlap_join(
+            da, db, bucket_width=width
+        ).collect()
+    ]
+    want = sorted(
+        (ai, bj)
+        for ai, alo, ahi in a
+        for bj, blo, bhi in b
+        if alo <= bhi and blo <= ahi
+    )
+    assert sorted(got) == want
+    assert len(got) == len(set(got))  # owner-bucket rule: no dup pairs
+    assert len(want) > 400
+
+
+def test_timestamp_points(spark):
+    p = spark.createDataFrame(
+        [(1, "2024-01-01 05:30:00"), (2, "2024-01-02 00:00:01")],
+        "pid int, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 12:00:00")],
+        "iid int, lo string, hi string",
+    ).select(
+        "iid",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    got = rangejoin.points_in_intervals(
+        p, iv, "ts", bucket_width=3600
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 10)]
