@@ -100,6 +100,37 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k rows per group, deterministically: rank each group's
+    rows by (md5(key), key) and keep the first k. Unlike rate-based
+    stratified sampling this guarantees the cardinality (the common
+    ask for eval-set carving and per-source caps); unlike a reservoir
+    it is a pure function of the data — stable across runs, engines,
+    and partitionings, and a row's membership only changes when a
+    LOWER-hashed row arrives in its group.
+
+    One group-keyed window; skew note: a group with 10^9 rows
+    serializes its sort on one partition — cap with a two-stage
+    (group, salt) pre-rank (schedule_wave's pattern) when k << group
+    size at that scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_skg_rn", F.row_number().over(w))
+        .filter(F.col("_skg_rn") <= int(k))
+        .drop("_skg_rn")
+    )
+
+
 def pack_shards(
     documents: DataFrame,
     budget_tokens: int,

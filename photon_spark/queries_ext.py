@@ -2936,6 +2936,63 @@ def range_join_q(spark, sf):
     )
 
 
+_HITS_EDGES_SQL = (
+    "SELECT DISTINCT o_custkey % 80 AS src,"
+    " (o_orderkey // 3) % 80 AS dst FROM orders"
+)
+
+
+@q(
+    "hits_host_scores",
+    f"WITH e AS ({_HITS_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " a1 AS (SELECT dst AS host, COUNT(*) AS a FROM e GROUP BY dst),"
+    " na1 AS (SELECT nodes.host, COALESCE(a1.a, 0) AS a FROM nodes"
+    "  LEFT JOIN a1 USING(host)),"
+    " h1 AS (SELECT e.src AS host, SUM(na1.a) AS h FROM e"
+    "  JOIN na1 ON e.dst = na1.host GROUP BY e.src),"
+    " nh1 AS (SELECT nodes.host, COALESCE(h1.h, 0) AS h FROM nodes"
+    "  LEFT JOIN h1 USING(host)),"
+    " a2 AS (SELECT e.dst AS host, SUM(nh1.h) AS a FROM e"
+    "  JOIN nh1 ON e.src = nh1.host GROUP BY e.dst),"
+    " na2 AS (SELECT nodes.host, COALESCE(a2.a, 0) AS a FROM nodes"
+    "  LEFT JOIN a2 USING(host)),"
+    " h2 AS (SELECT e.src AS host, SUM(na2.a) AS h FROM e"
+    "  JOIN na2 ON e.dst = na2.host GROUP BY e.src),"
+    " nh2 AS (SELECT nodes.host, COALESCE(h2.h, 0) AS h FROM nodes"
+    "  LEFT JOIN h2 USING(host))"
+    " SELECT na2.host, CAST(na2.a AS BIGINT) AS auth_score,"
+    "  CAST(nh2.h AS BIGINT) AS hub_score"
+    " FROM na2 JOIN nh2 USING(host)",
+)
+def hits_q(spark, sf):
+    """HITS hub/authority over a derived host graph
+    (plans/schedule.hits_scores): integer-exact unnormalized power
+    iteration, 2 rounds, vs the fully-unrolled SQL twin."""
+    from photon_spark.plans.schedule import hits_scores
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 80).alias("src"),
+        F.expr("(o_orderkey div 3) % 80").alias("dst"),
+    )
+    return hits_scores(e, iters=2)
+
+
+@q(
+    "sample_k_per_group",
+    "WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+    "  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+    " ) AS rn FROM documents)"
+    " SELECT doc_id, lang FROM r WHERE rn <= 7",
+)
+def sample_k_q(spark, sf):
+    """Exact k-per-group deterministic carve
+    (operators/sampling.sample_k_per_group): guarantees cardinality
+    per stratum, membership a pure function of md5(doc_id)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return sampling.sample_k_per_group(docs, "lang", k=7)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -1,0 +1,88 @@
+"""Units for hits_scores (vs a pure-Python HITS) and
+sample_k_per_group (cardinality, determinism, partition invariance)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from photon_spark.operators import sampling
+from photon_spark.plans.schedule import hits_scores
+
+
+def _ref_hits(edges, iters):
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: 0 for n in nodes}
+        for u, v in edges:
+            auth[v] += hub[u]
+        hub = {n: 0 for n in nodes}
+        for u, v in edges:
+            hub[u] += auth[v]
+    return auth, hub
+
+
+def test_hits_matches_reference(spark):
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["host"]: (r["auth_score"], r["hub_score"])
+        for r in hits_scores(df, iters=3).collect()
+    }
+    auth, hub = _ref_hits(edges, 3)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+    assert max(a for a, _ in got.values()) > 0
+
+
+def test_hits_dangling_nodes(spark):
+    # sink (no out-edges) and source (no in-edges) must appear with 0s
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    got = {
+        r["host"]: (r["auth_score"], r["hub_score"])
+        for r in hits_scores(df, iters=2).collect()
+    }
+    auth, hub = _ref_hits([(1, 2), (2, 3), (1, 3)], 2)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+    assert got[3][1] == 0  # pure sink: zero hub
+    assert got[1][0] == 0  # pure source: zero authority
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    rows = [(i, f"g{i % 5}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.sample_k_per_group(df, "grp", k=9, key_col="doc_id")
+    got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    # exact cardinality per group
+    from collections import Counter
+
+    assert Counter(g for g, _ in got) == {f"g{i}": 9 for i in range(5)}
+    # matches the pure-Python selection rule
+    want = []
+    for g in range(5):
+        members = [i for i in range(300) if i % 5 == g]
+        members.sort(
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        want.extend((f"g{g}", i) for i in members[:9])
+    assert got == sorted(want)
+    # partition invariance
+    again = sorted(
+        (r["grp"], r["doc_id"])
+        for r in sampling.sample_k_per_group(
+            df.repartition(13), "grp", k=9, key_col="doc_id"
+        ).collect()
+    )
+    assert again == got
+
+
+def test_sample_k_small_groups_keep_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    assert sampling.sample_k_per_group(df, "grp", k=10).count() == 3
