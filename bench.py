@@ -94,6 +94,10 @@ HEADLINE = [
     "seqpack_chunks",
     "substr_dup_spans",
     "text_normalize_stats",
+    "bpe_train_merges",
+    "range_join_counts",
+    "hits_host_scores",
+    "sample_k_per_group",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

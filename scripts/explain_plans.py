@@ -154,6 +154,20 @@ EXPECT: dict[str, dict] = {
     # sketch agg exchange + broadcast probe + est agg (+ no spread:
     # events is dimension-scale at sf0.01)
     "cms_host_heavy_hitters": {"broadcast": True, "max_exchanges": 3},
+    # this-session additions:
+    # returned frame is the collected merge table (LocalTableScan);
+    # the k training rounds are internal jobs, pinned by
+    # tests/test_bpe.py against the pure-Python reference
+    "bpe_train_merges": {"max_exchanges": 0},
+    # 60-row interval side broadcasts into the bucketed equi-join;
+    # win_id agg is map-side combinable
+    "range_join_counts": {"codegen": True, "broadcast": True},
+    # returned frame reads hits_scores' eager checkpoint (same shape
+    # as host_pagerank); the broadcast half-rounds live in the
+    # internal jobs, pinned by tests/test_graph_sampling.py
+    "hits_host_scores": {"max_exchanges": 0},
+    # ONE lang-keyed window exchange (+ documents spread)
+    "sample_k_per_group": {"codegen": True, "max_exchanges": 2},
 }
 
 
