@@ -130,6 +130,82 @@ def minhash_signatures_fast(documents: DataFrame, n_hashes: int = MINHASHES) -> 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Signature frame -> (doc_id, band, key) LSH band rows."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    bands: int = BANDS,
+    n_hashes: int = MINHASHES,
+    max_bucket: int = 50,
+    fast: bool = False,
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Bipartite LSH candidates: near-dups of a NEW ingest batch
+    against an EXISTING corpus — the incremental-ingestion shape. The
+    corpus is never self-joined (that quadratic work was paid when the
+    corpus itself was deduped); candidate generation is one equi-join
+    of the small new side's band keys against the corpus band table.
+
+    At 100 TB the corpus-side signatures/bands are a stored artifact
+    (computed once per doc at ingest) — pass them via ``corpus_sig``
+    so only the new batch hashes; the join then reads the corpus band
+    table pre-partitioned on (band, key). Skew guard caps CORPUS
+    bucket membership (boilerplate buckets can hold 10^7 corpus docs;
+    a new doc landing there would emit 10^7 candidate rows) — same
+    count-filter → semi-join pattern as the self-join variant, and the
+    new side is left intact so no candidate disappears on the small
+    side.
+
+    Returns distinct (new_doc, corpus_doc) pairs sharing ≥1 band.
+    """
+    rows_per_band = n_hashes // bands
+    sig_fn = minhash_signatures_fast if fast else minhash_signatures
+    nb = _band_keys(sig_fn(new_docs, n_hashes), bands, rows_per_band)
+    if corpus_sig is None:
+        corpus_sig = sig_fn(corpus_docs, n_hashes)
+    cb = _band_keys(corpus_sig, bands, rows_per_band)
+    ok = (
+        cb.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "key")
+    )
+    cb_ok = cb.join(ok, ["band", "key"], "left_semi")
+    return (
+        nb.join(
+            cb_ok.select(
+                "band", "key", F.col("doc_id").alias("corpus_doc")
+            ),
+            ["band", "key"],
+        )
+        .select(F.col("doc_id").alias("new_doc"), "corpus_doc")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     bands: int = BANDS,
@@ -146,23 +222,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     sig_fn = minhash_signatures_fast if fast else minhash_signatures
     sig = sig_fn(documents, n_hashes)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    banded = _band_keys(sig, bands, rows_per_band)
     # Skew guard, two-stage so a degenerate bucket (boilerplate docs —
     # can be 10^7 members at crawl scale) is NEVER materialized in an
     # aggregation buffer: (1) count-only groupBy (map-side partial, a

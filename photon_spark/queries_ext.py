@@ -2993,6 +2993,48 @@ def sample_k_q(spark, sf):
     return sampling.sample_k_per_group(docs, "lang", k=7)
 
 
+_MINHASH_INCR_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles FROM toks
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 8),
+      h -> list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+  FROM sig, unnest(range(0, 4)) AS t(b)
+), newb AS (
+  SELECT * FROM banded WHERE doc_id % 10 = 0
+), corpb AS (
+  SELECT * FROM banded WHERE doc_id % 10 <> 0
+), okc AS (
+  SELECT b, key FROM corpb GROUP BY b, key HAVING count(*) <= 50
+)
+SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+FROM newb n
+JOIN corpb c ON n.b = c.b AND n.key = c.key
+JOIN okc ON okc.b = n.b AND okc.key = n.key
+"""
+
+
+@q("dedup_incremental_pairs", _MINHASH_INCR_SQL)
+def dd_incremental(spark, sf):
+    """Bipartite incremental dedup
+    (operators/dedupe.minhash_lsh_pairs_incremental): every 10th
+    document plays the fresh ingest batch, the rest the existing
+    corpus; candidates = new-side band keys equi-joined against the
+    (bucket-capped) corpus band table — the corpus is never
+    self-joined."""
+    docs = _t(spark, sf, "documents", spread=True)
+    return dedupe.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

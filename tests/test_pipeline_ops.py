@@ -2211,3 +2211,57 @@ def test_strip_media_metadata_stage(spark):
     _w, _h, px = decode_png(bytes(out[1]["payload"]))
     assert (px == arr).all()
     assert bytes(out[2]["payload"]) == other and out[2]["removed"] == []
+
+
+def test_incremental_lsh_bipartite(spark):
+    """New-batch vs corpus candidates: planted cross-boundary near-dup
+    found, corpus-internal dup pairs never emitted, precomputed
+    corpus_sig path identical."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the golden afternoon light near the riverbank meadow"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, base), (102, "unrelated corpus text about "
+          "catalyst optimizer rules and shuffle partition tuning")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " extra tail"), (2, "fresh unseen content with no "
+          "relation to anything already stored in the corpus")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in dedupe.minhash_lsh_pairs_incremental(new, corpus).collect()
+    }
+    assert (1, 100) in got and (1, 101) in got
+    assert not any(n == 2 for n, _ in got)          # novel doc is clean
+    assert all(n in (1, 2) for n, _ in got)         # never corpus x corpus
+    # precomputed corpus signatures (the stored-artifact path) agree
+    sig = dedupe.minhash_signatures(corpus)
+    again = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in dedupe.minhash_lsh_pairs_incremental(
+            new, corpus, corpus_sig=sig
+        ).collect()
+    }
+    assert again == got
+
+
+def test_incremental_lsh_corpus_bucket_cap(spark):
+    """A degenerate corpus bucket (boilerplate shared by many corpus
+    docs) is dropped by the cap instead of fanning out per new doc."""
+    boiler = "identical boilerplate page body repeated across the whole mirror set"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(100, 160)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(1, boiler)], "doc_id long, text string")
+    capped = dedupe.minhash_lsh_pairs_incremental(
+        new, corpus, max_bucket=50
+    )
+    assert capped.count() == 0
+    uncapped = dedupe.minhash_lsh_pairs_incremental(
+        new, corpus, max_bucket=1000
+    )
+    assert uncapped.count() == 60
