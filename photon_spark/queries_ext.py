@@ -3035,6 +3035,86 @@ def dd_incremental(spark, sf):
     )
 
 
+# Sitemap-index recursion — the planted tree is built from the SAME
+# literal bodies on both sides; the Spark side runs the level-
+# synchronous resolver, the oracle unrolls the three waves (incl. the
+# seen-set anti-joins) as CTEs.
+_SM = {
+    "https://ex.com/sitemap.xml": (
+        "<sitemapindex><loc>https://ex.com/sm/1.xml</loc>"
+        "<loc>https://ex.com/sm/2.xml</loc>"
+        "<loc>https://ex.com/sm/3.xml</loc>"
+        "<loc>https://ex.com/sm/404.xml</loc></sitemapindex>"
+    ),
+    "https://ex.com/sm/1.xml": (
+        "<urlset><loc>https://ex.com/p/100</loc>"
+        "<loc>https://ex.com/p/101</loc>"
+        "<loc>https://ex.com/p/102</loc></urlset>"
+    ),
+    "https://ex.com/sm/2.xml": (
+        "<urlset><loc>https://ex.com/p/200</loc>"
+        "<loc>https://ex.com/p/201</loc></urlset>"
+    ),
+    "https://ex.com/sm/3.xml": (
+        "<sitemapindex><loc>https://ex.com/sm/4.xml</loc>"
+        "<loc>https://ex.com/sm/1.xml</loc></sitemapindex>"
+    ),
+    "https://ex.com/sm/4.xml": (
+        "<urlset><loc>https://ex.com/p/400</loc>"
+        "<loc>https://ex.com/p/401</loc></urlset>"
+    ),
+}
+_SM_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in _SM.items())
+_SM_FETCH = (
+    "SELECT c.sm_url, c.depth,"
+    " contains(p.body, '<sitemapindex') AS is_index,"
+    " regexp_extract_all(p.body, '<loc>(.*?)</loc>', 1) AS locs"
+    " FROM {cur} c JOIN p ON p.sm = c.sm_url"
+    " WHERE NOT contains(p.body, '<body')"
+)
+_SITEMAP_TREE_SQL = (
+    f"WITH p(sm, body) AS (VALUES {_SM_VALUES}),"
+    " cur0(sm_url, depth) AS (VALUES ('https://ex.com/sitemap.xml', 0)),"
+    f" f0 AS ({_SM_FETCH.format(cur='cur0')}),"
+    " leaf0 AS (SELECT unnest(locs) AS url, depth, sm_url AS src_sitemap"
+    "  FROM f0 WHERE NOT is_index),"
+    " k1 AS (SELECT unnest(locs) AS sm_url, depth + 1 AS depth FROM f0"
+    "  WHERE is_index),"
+    " cur1 AS (SELECT sm_url, MIN(depth) AS depth FROM k1"
+    "  WHERE sm_url NOT IN (SELECT sm_url FROM cur0) GROUP BY sm_url),"
+    f" f1 AS ({_SM_FETCH.format(cur='cur1')}),"
+    " leaf1 AS (SELECT unnest(locs) AS url, depth, sm_url AS src_sitemap"
+    "  FROM f1 WHERE NOT is_index),"
+    " k2 AS (SELECT unnest(locs) AS sm_url, depth + 1 AS depth FROM f1"
+    "  WHERE is_index),"
+    " cur2 AS (SELECT sm_url, MIN(depth) AS depth FROM k2"
+    "  WHERE sm_url NOT IN (SELECT sm_url FROM cur0"
+    "   UNION SELECT sm_url FROM cur1) GROUP BY sm_url),"
+    f" f2 AS ({_SM_FETCH.format(cur='cur2')}),"
+    " leaf2 AS (SELECT unnest(locs) AS url, depth, sm_url AS src_sitemap"
+    "  FROM f2 WHERE NOT is_index)"
+    " SELECT url, CAST(depth AS INTEGER) AS depth, src_sitemap FROM"
+    " (SELECT * FROM leaf0 UNION ALL SELECT * FROM leaf1"
+    "  UNION ALL SELECT * FROM leaf2)"
+)
+
+
+@q("sitemap_tree_locs", _SITEMAP_TREE_SQL)
+def sitemap_tree_q(spark, sf):
+    """Recursive sitemap-index resolution
+    (sources/sitemap.sitemap_tree_locs): planted 3-level tree with a
+    duplicate child listing and a dangling 404 ref; the oracle unrolls
+    the same waves (fetch join → leaf/index split → seen anti-join)
+    as chained CTEs."""
+    from photon_spark.sources.sitemap import sitemap_tree_locs
+
+    pages = spark.createDataFrame(
+        list(_SM.items()), "doc_id string, body string"
+    )
+    out = sitemap_tree_locs(pages, ["https://ex.com/sitemap.xml"])
+    return out.select("url", F.col("depth").cast("int").alias("depth"), "src_sitemap")
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -1,0 +1,95 @@
+"""Recursive sitemap-index resolution (sitemaps.org protocol, public).
+
+The reference reads exactly one flat sitemap (`core/zap.py:45-57` —
+`<loc>` regex over `root+'/sitemap.xml'`); real sites front their URL
+inventory with a `<sitemapindex>` whose `<loc>` entries are MORE
+sitemap files (up to 50k per index, nested). This resolver walks that
+tree level-synchronously — the same wave pattern as the crawl loop:
+
+  wave d: join the current sitemap-URL set against the pages table
+          (one equi-join; the sitemap set is dimension-scale next to
+          the page corpus), split fetched bodies on `<sitemapindex>`
+          vs `<urlset>`, emit leaf `<loc>`s, and feed index children
+          (cycle-guarded by an anti-join against the visited set)
+          into wave d+1.
+
+Per wave: one join + one bounded `isEmpty` driver check; lineage is
+truncated per level. `<loc>` extraction is JVM `regexp_extract_all`
+(this is a beyond-reference operator — the Photon-parity flat path in
+kernels.sitemap_locs keeps Python `re`); bodies containing '<body'
+are skipped, matching the kernel's fancy-404 gate (zap.py:48).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+LOC_RE = "<loc>(.*?)</loc>"
+
+
+def sitemap_tree_locs(
+    pages: DataFrame,
+    roots: List[str],
+    max_depth: int = 5,
+    doc_col: str = "doc_id",
+    body_col: str = "body",
+) -> DataFrame:
+    """Resolve sitemap indexes recursively against a fetched-pages
+    table. Returns (url, depth, src_sitemap): every `<urlset>` loc
+    reachable from `roots`, the index depth it was found at (roots
+    are depth 0), and the sitemap file that listed it.
+
+    Missing sitemap files (listed in an index but absent from
+    `pages`) drop out of the fetch join; revisited files (two indexes
+    listing the same child, or a cycle) are fetched once — first
+    depth wins, like the crawl loop's seen set.
+    """
+    spark = pages.sparkSession
+    cur = spark.createDataFrame(
+        [(r, 0) for r in dict.fromkeys(roots)], "sm_url string, depth int"
+    )
+    seen = cur.select("sm_url")
+    body_ok = ~F.col(body_col).contains("<body")
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(LOC_RE), 1)
+    leaf_waves: List[DataFrame] = []
+    for _ in range(int(max_depth)):
+        fetched = (
+            cur.join(pages, cur["sm_url"] == pages[doc_col])
+            .filter(body_ok)
+            .select(
+                "sm_url",
+                "depth",
+                F.col(body_col).contains("<sitemapindex").alias("is_index"),
+                locs.alias("locs"),
+            )
+        )
+        leaf_waves.append(
+            fetched.filter(~F.col("is_index")).select(
+                F.explode("locs").alias("url"),
+                "depth",
+                F.col("sm_url").alias("src_sitemap"),
+            )
+        )
+        nxt = (
+            fetched.filter("is_index")
+            .select(
+                F.explode("locs").alias("sm_url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .groupBy("sm_url")
+            .agg(F.min("depth").alias("depth"))
+            .join(seen, "sm_url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.select("sm_url")).localCheckpoint(
+            eager=True
+        )
+        cur = nxt
+    out = leaf_waves[0]
+    for w in leaf_waves[1:]:
+        out = out.unionByName(w)
+    return out

@@ -1,0 +1,87 @@
+"""sitemap_tree_locs: nesting, cycles, dedup, dangling refs, the
+'<body' fancy-404 gate, and the depth cap."""
+
+from __future__ import annotations
+
+from photon_spark.sources.sitemap import sitemap_tree_locs
+
+
+def _idx(*children):
+    return "<sitemapindex>" + "".join(
+        f"<loc>{c}</loc>" for c in children
+    ) + "</sitemapindex>"
+
+
+def _urlset(*urls):
+    return "<urlset>" + "".join(f"<loc>{u}</loc>" for u in urls) + "</urlset>"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, body string")
+
+
+def test_three_level_tree_with_cycle_and_dup(spark):
+    pages = _pages(
+        spark,
+        [
+            ("root.xml", _idx("a.xml", "b.xml", "c.xml")),
+            ("a.xml", _urlset("p1", "p2")),
+            ("b.xml", _idx("d.xml", "a.xml")),      # re-lists a.xml (dup)
+            ("c.xml", _idx("root.xml")),            # cycle back to root
+            ("d.xml", _idx("e.xml")),
+            ("e.xml", _urlset("p3")),
+        ],
+    )
+    got = sorted(
+        (r["url"], r["depth"], r["src_sitemap"])
+        for r in sitemap_tree_locs(pages, ["root.xml"]).collect()
+    )
+    # a.xml emits once (depth 1, not again via b.xml); e.xml at depth 3
+    assert got == [
+        ("p1", 1, "a.xml"),
+        ("p2", 1, "a.xml"),
+        ("p3", 3, "e.xml"),
+    ]
+
+
+def test_dangling_and_body_gate(spark):
+    pages = _pages(
+        spark,
+        [
+            ("root.xml", _idx("missing.xml", "soft404.xml", "ok.xml")),
+            ("soft404.xml", "<html><body>not found</body></html>"),
+            ("ok.xml", _urlset("q1")),
+        ],
+    )
+    got = [
+        (r["url"], r["depth"])
+        for r in sitemap_tree_locs(pages, ["root.xml"]).collect()
+    ]
+    assert got == [("q1", 1)]
+
+
+def test_depth_cap_stops(spark):
+    pages = _pages(
+        spark,
+        [
+            ("0.xml", _idx("1.xml")),
+            ("1.xml", _idx("2.xml")),
+            ("2.xml", _urlset("deep")),
+        ],
+    )
+    assert sitemap_tree_locs(pages, ["0.xml"], max_depth=2).count() == 0
+    got = sitemap_tree_locs(pages, ["0.xml"], max_depth=3).collect()
+    assert [(r["url"], r["depth"]) for r in got] == [("deep", 2)]
+
+
+def test_multiple_roots_dedup(spark):
+    pages = _pages(
+        spark,
+        [
+            ("r1.xml", _idx("s.xml")),
+            ("r2.xml", _idx("s.xml")),
+            ("s.xml", _urlset("x")),
+        ],
+    )
+    got = sitemap_tree_locs(pages, ["r1.xml", "r2.xml", "r1.xml"]).collect()
+    assert [(r["url"], r["depth"]) for r in got] == [("x", 1)]
