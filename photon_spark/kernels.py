@@ -301,6 +301,15 @@ def sitemap_locs(body: str) -> list[str]:
     return rx.SITEMAP_LOC.findall(body)
 
 
+def robots_sitemaps(body: str) -> list[str]:
+    """Sitemap: URLs declared in robots.txt (sitemaps.org extension —
+    beyond-reference; zap.py hardcodes root+'/sitemap.xml'). Same
+    '<body' fancy-404 gate as robots_paths."""
+    if "<body" in body:
+        return []
+    return rx.ROBOTS_SITEMAP.findall(body)
+
+
 # ---------------------------------------------------------------------------
 # Fetch modeling (S1) — the sandbox "network" is the pages table
 

@@ -146,6 +146,11 @@ SITEMAP_LOC = re.compile(r"<loc>(.*?)</loc>")
 # Yandex, documented in their public crawler docs); the reference
 # ignores it entirely (core/zap.py only reads Allow/Disallow lines).
 ROBOTS_CRAWL_DELAY = re.compile(r"Crawl-delay:\s*(\d+(?:\.\d+)?)", re.IGNORECASE)
+# Sitemap: lines are part of the public sitemaps.org robots.txt
+# extension (also RFC 9309 §2.3's example of an other-record line);
+# the reference never reads them (core/zap.py hardcodes
+# root+'/sitemap.xml').
+ROBOTS_SITEMAP = re.compile(r"Sitemap:\s*(\S+)", re.IGNORECASE)
 
 # jscanner junk filter (reference photon.py:300).
 ENDPOINT_JUNK = re.compile(r"[}{><\"\']")

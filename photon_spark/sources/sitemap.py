@@ -27,6 +27,38 @@ from typing import List
 from pyspark.sql import DataFrame, functions as F
 
 LOC_RE = "<loc>(.*?)</loc>"
+SITEMAP_LINE_RE = "(?i)Sitemap:\\s*(\\S+)"
+
+
+def discover_sitemap_roots(
+    pages: DataFrame,
+    main_url: str,
+    doc_col: str = "doc_id",
+    body_col: str = "body",
+) -> List[str]:
+    """Sitemap roots for a host: the conventional root+'/sitemap.xml'
+    plus every `Sitemap:` URL its robots.txt declares (sitemaps.org
+    robots extension — how large sites actually advertise their index
+    files; the reference reads neither, zap.py:45 hardcodes the
+    conventional path only).
+
+    One filtered lookup of the single robots row — a bounded driver
+    collect of the same class as the crawl loop's zap stage."""
+    robots = (
+        pages.filter(F.col(doc_col) == main_url + "/robots.txt")
+        .filter(~F.col(body_col).contains("<body"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(body_col), F.lit(SITEMAP_LINE_RE), 1
+                )
+            ).alias("u")
+        )
+        .collect()
+    )
+    roots = [main_url + "/sitemap.xml"]
+    roots += [r["u"] for r in robots]
+    return list(dict.fromkeys(roots))
 
 
 def sitemap_tree_locs(

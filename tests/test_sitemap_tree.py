@@ -85,3 +85,49 @@ def test_multiple_roots_dedup(spark):
     )
     got = sitemap_tree_locs(pages, ["r1.xml", "r2.xml", "r1.xml"]).collect()
     assert [(r["url"], r["depth"]) for r in got] == [("x", 1)]
+
+
+def test_discover_roots_from_robots(spark):
+    from photon_spark.sources.sitemap import discover_sitemap_roots
+
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://ex.com/robots.txt",
+                "User-agent: *\nDisallow: /private\n"
+                "sitemap: https://ex.com/sm_a.xml\n"
+                "Sitemap: https://cdn.ex.com/sm_b.xml\n",
+            ),
+        ],
+    )
+    got = discover_sitemap_roots(pages, "https://ex.com")
+    assert got == [
+        "https://ex.com/sitemap.xml",
+        "https://ex.com/sm_a.xml",
+        "https://cdn.ex.com/sm_b.xml",
+    ]
+
+
+def test_discover_roots_soft404_and_missing(spark):
+    from photon_spark.sources.sitemap import discover_sitemap_roots
+
+    pages = _pages(
+        spark,
+        [("https://ex.com/robots.txt", "<html><body>404</body></html>")],
+    )
+    assert discover_sitemap_roots(pages, "https://ex.com") == [
+        "https://ex.com/sitemap.xml"
+    ]
+    empty = _pages(spark, [("x", "y")])
+    assert discover_sitemap_roots(empty, "https://ex.com") == [
+        "https://ex.com/sitemap.xml"
+    ]
+
+
+def test_kernel_robots_sitemaps():
+    from photon_spark import kernels as K
+
+    body = "User-agent: *\nSITEMAP: https://a/s.xml\nSitemap: https://b/t.xml"
+    assert K.robots_sitemaps(body) == ["https://a/s.xml", "https://b/t.xml"]
+    assert K.robots_sitemaps("<html><body>nope") == []
