@@ -602,6 +602,71 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-trained bigram LM score per document — the next rung of
+    the CCNet perplexity-filter ladder above unigram_logprob (public
+    CCNet / Wenzek et al. 2019 filter with KenLM; a corpus-trained
+    bigram MLE keeps it closed-form: every scored bigram exists in the
+    training counts, so P(w2|w1) = C(w1,w2)/C(w1,·) has no zeros and
+    needs no smoothing).
+
+    Plan shape: bigrams come straight off the token array as a JVM
+    transform (no posexplode/self-join — a doc's pairs never leave its
+    row until the single explode whose multiplier is the output size);
+    one (w1,w2)-keyed count, one w1-keyed context count derived from
+    it (map-side combinable), a pair-keyed join back, one doc-keyed
+    regroup. Same exact-integer micro-unit quantization as
+    unigram_logprob: per-token ln is floored to 1e-6 units BEFORE the
+    per-doc sum, so sums are order-independent and cross-engine exact.
+
+    Low avg_logprob = improbable word transitions (gibberish,
+    keyword-stuffed spam) even when every individual word is common —
+    what the unigram score cannot see.
+    """
+    toks = tokens_col(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, F.lit(1) + i).alias("w2"),
+        ),
+    )
+    bg = documents.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = bgc.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    lp = bgc.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lpm"),
+    )
+    per_doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("lpm").alias("sum_micro"), F.count("*").alias("n_bigrams"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.floor(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1000000.0)
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("avg_logprob"),
+    )
+
+
 def source_quality_gate(
     documents: DataFrame, cutoff: float = 0.5
 ) -> DataFrame:

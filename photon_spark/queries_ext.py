@@ -3115,6 +3115,30 @@ def sitemap_tree_q(spark, sf):
     return out.select("url", F.col("depth").cast("int").alias("depth"), "src_sitemap")
 
 
+@q(
+    "bigram_logprob",
+    "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tk,"
+    "  unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),"
+    " bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),"
+    " ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bgc GROUP BY w1),"
+    " lp AS (SELECT bgc.w1, bgc.w2, CAST(floor(ln(CAST(cnt AS DOUBLE)"
+    "  / CAST(ctx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lpm"
+    "  FROM bgc JOIN ctx USING (w1)),"
+    " agg AS (SELECT doc_id, SUM(lpm) AS sum_micro, COUNT(*) AS n_bigrams"
+    "  FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id)"
+    " SELECT doc_id, n_bigrams,"
+    " floor(CAST(sum_micro AS DOUBLE)"
+    "  / (CAST(n_bigrams AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)"
+    "  / 1000000.0 AS avg_logprob FROM agg",
+)
+def bigram_lp(spark, sf):
+    """Corpus-trained bigram LM filter (textstats.bigram_logprob):
+    the unigram entry's ladder rung above — catches improbable word
+    TRANSITIONS; same integer micro-unit exactness bridge."""
+    return textstats.bigram_logprob(_t(spark, sf, "documents"))
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -2265,3 +2265,32 @@ def test_incremental_lsh_corpus_bucket_cap(spark):
         new, corpus, max_bucket=1000
     )
     assert uncapped.count() == 60
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Verify against an explicit hand-built bigram model: corpus
+    counts C(a,b)=2, C(b,a)=1, C(a,c)=1 give contexts ctx(a)=3,
+    ctx(b)=1; per-doc scores follow exactly."""
+    import math
+
+    from photon_spark.operators import textstats
+
+    rows = [(1, "a b a b"), (2, "a c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in textstats.bigram_logprob(df).collect()
+    }
+    # corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> ctx a=3, b=1
+    def lpm(c, ctx):
+        return math.floor(math.log(c / ctx) * 1e6 + 0.5)
+
+    d1 = lpm(2, 3) + lpm(1, 1) + lpm(2, 3)
+    d2 = lpm(1, 3)
+    exp1 = math.floor(d1 / (3 * 1e6) * 1e6 + 0.5) / 1e6
+    exp2 = math.floor(d2 / (1 * 1e6) * 1e6 + 0.5) / 1e6
+    assert got[1] == (3, exp1)
+    assert got[2] == (1, exp2)
+    assert 3 not in got  # single-token doc has no bigrams
+    # gibberish transitions score below natural repetition
+    assert got[2][1] < got[1][1]
