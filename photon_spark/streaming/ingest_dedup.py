@@ -1,0 +1,156 @@
+"""Streaming incremental near-dup gate — foreachBatch LSH ingestion.
+
+The batch twin is ``dedupe.minhash_lsh_pairs_incremental`` (new batch
+vs stored corpus, no corpus self-join); this maintainer runs it per
+micro-batch and GROWS the corpus with each batch's clean survivors:
+
+  batch N: band-key the new docs → match against the stored corpus
+  band table (bucket-capped) AND against lower-keyed batch siblings
+  (a batch can contain near-dups of itself) → flagged docs are
+  recorded with their matched corpus doc; clean docs' band keys are
+  appended to the corpus state.
+
+State layout (parquet, following StreamingScheduler's pattern):
+  <state>/bands/batch=N/   clean band keys admitted by batch N
+  <state>/flags/batch=N/   (new_doc, matched_doc) rejections of batch N
+Each batch writes ONLY its own batch= subdirectory with overwrite —
+replaying a batch (checkpoint recovery) rewrites the same files, so
+the state is exactly-once idempotent without a manifest.
+
+At 100 TB the corpus band table is the stored artifact of the batch
+dedup pass (computed once per admitted doc); per micro-batch work is
+one band-keyed equi-join of the (small) batch against it — the same
+economics that make the batch twin incremental.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.operators.dedupe import (
+    _band_keys,
+    minhash_signatures,
+)
+
+
+class StreamingIngestDedup:
+    """foreachBatch maintainer: LSH near-dup gate with a parquet-backed
+    growing corpus band table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        bands: int = 4,
+        n_hashes: int = 8,
+        max_bucket: int = 50,
+    ):
+        self.spark = spark
+        self.bands = bands
+        self.n_hashes = n_hashes
+        self.max_bucket = max_bucket
+        self._bands_dir = os.path.join(state_dir, "bands")
+        self._flags_dir = os.path.join(state_dir, "flags")
+
+    def _read(
+        self, base: str, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        if not os.path.isdir(base):
+            return None
+        subs = [
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("batch=")
+            and (exclude_batch is None or d != f"batch={exclude_batch}")
+        ]
+        if not subs:
+            return None
+        return self.spark.read.parquet(*subs)
+
+    def corpus_bands(
+        self, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        """The admitted corpus's band table (doc_id, band, key)."""
+        return self._read(self._bands_dir, exclude_batch)
+
+    def flags(self) -> DataFrame | None:
+        """All rejections so far (new_doc, matched_doc)."""
+        return self._read(self._flags_dir)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows_per_band = self.n_hashes // self.bands
+        nb = _band_keys(
+            minhash_signatures(batch_df, self.n_hashes),
+            self.bands,
+            rows_per_band,
+        ).localCheckpoint(eager=True)
+
+        # vs the stored corpus, bucket-capped on the corpus side;
+        # exclude this batch's own prior state so checkpoint REPLAY of
+        # a batch can't match the batch against itself
+        corpus = self.corpus_bands(exclude_batch=batch_id)
+        if corpus is not None:
+            ok = (
+                corpus.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") <= self.max_bucket)
+                .select("band", "key")
+            )
+            c_ok = corpus.join(ok, ["band", "key"], "left_semi")
+            vs_corpus = (
+                nb.join(
+                    c_ok.select(
+                        "band", "key", F.col("doc_id").alias("matched_doc")
+                    ),
+                    ["band", "key"],
+                )
+                .select(F.col("doc_id").alias("new_doc"), "matched_doc")
+            )
+        else:
+            # empty frame with the caller's doc_id type
+            vs_corpus = nb.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("doc_id").alias("matched_doc"),
+            ).limit(0)
+
+        # vs lower-keyed batch siblings (deterministic keeper rule)
+        sib = (
+            nb.alias("a")
+            .join(
+                nb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("new_doc"),
+                F.col("b.doc_id").alias("matched_doc"),
+            )
+        )
+        # a sibling flagged against an ALSO-flagged sibling still counts
+        # as a rejection (its content exists in the batch's keeper chain)
+        flagged = vs_corpus.unionByName(sib).distinct().localCheckpoint(
+            eager=True
+        )
+        clean_bands = nb.join(
+            flagged.select(F.col("new_doc").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+
+        clean_bands.write.mode("overwrite").parquet(
+            os.path.join(self._bands_dir, f"batch={batch_id}")
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(self._flags_dir, f"batch={batch_id}")
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

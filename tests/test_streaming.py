@@ -752,3 +752,102 @@ def test_streaming_cms_linearity_matches_batch(spark, tmp_path):
         truth[h] = truth.get(h, 0) + 1
     est = {r["host"]: r["est"] for r in hh.estimate(df).collect()}
     assert all(est[h] >= t for h, t in truth.items())
+
+
+def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
+    """The LSH ingest gate: batch-1 clean docs join the corpus; a
+    batch-2 near-dup of a batch-1 survivor is flagged; within-batch
+    siblings keep the lowest doc_id; novel docs stay clean. Matches
+    the batch twin applied sequentially."""
+    import pandas as pd
+
+    from photon_spark.operators import dedupe
+    from photon_spark.streaming.ingest_dedup import StreamingIngestDedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the golden afternoon light near the riverbank meadow"
+    )
+    novel = (
+        "completely unrelated prose describing catalyst rule batches "
+        "and adaptive query execution stage coalescing behavior"
+    )
+    third = (
+        "a third body of text about cuckoo filters and deterministic "
+        "eviction walks over four slot buckets in the seen set"
+    )
+    src = tmp_path / "ingest_stream"
+    src.mkdir()
+    gate = StreamingIngestDedup(spark, str(tmp_path / "state"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        # batch 1: two near-dup siblings + one novel
+        pd.DataFrame(
+            {"doc_id": [10, 11, 12], "text": [base, base + " tail", novel]}
+        ).to_parquet(str(src / "b0.parquet"))
+        q.processAllAvailable()
+        flags1 = {
+            (r["new_doc"], r["matched_doc"])
+            for r in gate.flags().collect()
+        }
+        assert flags1 == {(11, 10)}  # sibling keeps lowest id
+        admitted1 = {
+            r["doc_id"] for r in gate.corpus_bands().select("doc_id").distinct().collect()
+        }
+        assert admitted1 == {10, 12}
+
+        # batch 2: near-dup of the batch-1 survivor + a novel doc
+        pd.DataFrame(
+            {"doc_id": [20, 21], "text": [base + " extra", third]}
+        ).to_parquet(str(src / "b1.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    flags2 = {
+        (r["new_doc"], r["matched_doc"]) for r in gate.flags().collect()
+    }
+    assert (20, 10) in flags2 and (11, 10) in flags2
+    assert not any(n == 21 for n, _ in flags2)
+    admitted = {
+        r["doc_id"]
+        for r in gate.corpus_bands().select("doc_id").distinct().collect()
+    }
+    assert admitted == {10, 12, 21}
+
+    # parity with the batch twin applied sequentially: batch-2 new docs
+    # vs the corpus that batch 1 admitted
+    corpus_docs = spark.createDataFrame(
+        [(10, base), (12, novel)], "doc_id long, text string"
+    )
+    new2 = spark.createDataFrame(
+        [(20, base + " extra"), (21, third)], "doc_id long, text string"
+    )
+    twin = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in dedupe.minhash_lsh_pairs_incremental(new2, corpus_docs).collect()
+    }
+    assert twin == {(n, m) for (n, m) in flags2 if n >= 20}
+
+
+def test_streaming_ingest_dedup_replay_idempotent(spark, tmp_path):
+    """Reprocessing the same batch_id overwrites its own state subdirs:
+    corpus and flags are unchanged after a replay."""
+    from photon_spark.streaming.ingest_dedup import StreamingIngestDedup
+
+    gate = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "totally different words live in this second document body")],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b, 0)
+    before_bands = sorted(map(tuple, gate.corpus_bands().collect()))
+    gate.process_batch(b, 0)  # replay
+    after_bands = sorted(map(tuple, gate.corpus_bands().collect()))
+    assert after_bands == before_bands
+    assert gate.flags().count() == 0
