@@ -98,6 +98,11 @@ HEADLINE = [
     "range_join_counts",
     "hits_host_scores",
     "sample_k_per_group",
+    "dedup_incremental_pairs",
+    "bigram_logprob",
+    "sitemap_tree_locs",
+    "keyword_scan_counts",
+    "compression_ratio_stats",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

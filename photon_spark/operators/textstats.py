@@ -1056,3 +1056,164 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-term keyword scanning (content blocklists / policy term audits)
+
+
+def _ac_build(terms: list[str]):
+    """Aho-Corasick automaton (Aho & Corasick 1975, public): goto
+    trie + BFS failure links + merged output sets. Built once on the
+    driver, shipped in the UDF closure (the term list is policy
+    metadata — 10^4-10^5 strings, well under broadcast scale)."""
+    goto: list[dict] = [{}]
+    out: list[set] = [set()]
+    for t in terms:
+        s = 0
+        for ch in t:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].add(t)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    dq = deque()
+    for s in goto[0].values():
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] |= out[fail[s]]
+    return goto, fail, out
+
+
+def _ac_scan(text: str, goto, fail, out) -> dict:
+    counts: dict = {}
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            for t in out[s]:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def keyword_scan(
+    documents: DataFrame,
+    terms: list[str],
+    mode: str = "auto",
+    regex_max_terms: int = 256,
+) -> DataFrame:
+    """(doc_id, term, n) occurrence counts for a fixed term list over
+    lowercased text — the content-side sibling of the URL blocklist
+    (UT1-style policy audits scan BODIES for flagged terms, not just
+    hosts). Substring semantics, overlapping matches counted (the
+    Aho-Corasick contract; 'hers' hits 'he', 'her', 'hers').
+
+    Two physical strategies, identical output (pytest-pinned):
+    * 'regex' — one JVM regexp_count per term (wrapped in a
+      lookahead so self-overlapping terms count every position, the
+      Aho-Corasick contract): pure codegen, zero Python; right while
+      the term list stays small (cost is per-term per-row).
+    * 'ac' — Arrow-batched Aho-Corasick: ONE pass over each document
+      regardless of term count; the automaton builds once driver-side
+      and rides the closure. Right at 10^4+ terms where the regex
+      alternation degrades.
+    'auto' picks by len(terms) vs regex_max_terms. Both are map-only
+    until the final explode, whose multiplier is the output size.
+    """
+    terms = sorted(set(t.lower() for t in terms if t))
+    if not terms:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, term string, n bigint"
+        )
+    use_ac = mode == "ac" or (mode == "auto" and len(terms) > regex_max_terms)
+    low = F.lower(F.col("text"))
+    if not use_ac:
+        import re as _re
+
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.regexp_count(low, F.lit("(?=" + _re.escape(t) + ")"))
+                    .cast("bigint")
+                    .alias("n"),
+                )
+                for t in terms
+            ]
+        )
+        return (
+            documents.select(
+                "doc_id",
+                F.explode(F.filter(pairs, lambda p: p["n"] > 0)).alias("p"),
+            )
+            .select("doc_id", "p.term", "p.n")
+        )
+
+    import pandas as pd  # noqa: F811
+
+    goto, fail_, out = _ac_build(terms)
+
+    def run(batches):
+        for pdf in batches:
+            ids, ts, ns = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                c = _ac_scan((txt or "").lower(), goto, fail_, out)
+                for t, n in sorted(c.items()):
+                    ids.append(did)
+                    ts.append(t)
+                    ns.append(n)
+            yield pd.DataFrame({"doc_id": ids, "term": ts, "n": ns})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, term string, n bigint"
+    )
+
+
+def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
+    """zlib compressed/raw size ratio per document — the cheap
+    repetition/boilerplate proxy the public FineWeb/Dolma pipelines
+    gate on (highly repetitive or templated bodies compress far
+    better than natural prose). Map-only Arrow stage; ratio in exact
+    integer micro-units (floor(1e6·c/r)) so thresholds are
+    engine-stable. Rows with empty text get ratio_micro = NULL."""
+    import pandas as pd  # noqa: F811
+    import zlib
+
+    def run(batches):
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8", "surrogatepass")
+                for t in pdf["text"]
+            ]
+            ratio = [
+                (len(zlib.compress(b, level)) * 1000000) // len(b)
+                if b
+                else None
+                for b in raw
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "ratio_micro": pd.array(ratio, dtype="Int64"),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, n_bytes bigint, ratio_micro bigint"
+    )

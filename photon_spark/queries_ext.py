@@ -3139,6 +3139,40 @@ def bigram_lp(spark, sf):
     return textstats.bigram_logprob(_t(spark, sf, "documents"))
 
 
+_KW_TERMS = ("the", "fox", "data", "crawl", "with")
+
+
+@q(
+    "keyword_scan_counts",
+    "WITH t(term) AS (VALUES "
+    + ", ".join(f"('{t}')" for t in _KW_TERMS)
+    + "), c AS (SELECT doc_id, t.term,"
+    "  CAST((length(lower(text)) - length(replace(lower(text), t.term, '')))"
+    "   / length(t.term) AS BIGINT) AS n"
+    "  FROM documents CROSS JOIN t)"
+    " SELECT doc_id, term, n FROM c WHERE n > 0",
+)
+def keyword_scan_q(spark, sf):
+    """Multi-term content scan (textstats.keyword_scan, regex path —
+    the AC path is pytest-pinned identical): occurrence counts per
+    (doc, term). Oracle counts via the replace-length trick, which
+    equals the lookahead count because none of these terms can
+    self-overlap (no term has a proper border)."""
+    return textstats.keyword_scan(
+        _t(spark, sf, "documents"), list(_KW_TERMS), mode="regex"
+    )
+
+
+@q("compression_ratio_stats", None)  # rows-only: DuckDB has no zlib;
+# the exact contract floor(1e6·|zlib(text)|/|text|) is pytest-pinned
+# byte-for-byte against Python zlib (tests/test_keyword_scan.py).
+def compression_ratio_q(spark, sf):
+    """zlib compression-ratio quality signal
+    (textstats.compression_ratio): map-only Arrow stage, the
+    FineWeb/Dolma-style repetition proxy."""
+    return textstats.compression_ratio(_t(spark, sf, "documents"))
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -168,6 +168,18 @@ EXPECT: dict[str, dict] = {
     "hits_host_scores": {"max_exchanges": 0},
     # ONE lang-keyed window exchange (+ documents spread)
     "sample_k_per_group": {"codegen": True, "max_exchanges": 2},
+    # band-keyed new-vs-corpus equi-join + corpus bucket-cap semi-join
+    "dedup_incremental_pairs": {"codegen": True},
+    # per-level joins against the literal planted tree (dimension-scale
+    # both sides here; the pages side is the corpus in production)
+    "sitemap_tree_locs": {},
+    # pair-keyed count + context rollup + pair join back + doc regroup
+    "bigram_logprob": {"codegen": True},
+    # per-term regexp_count array + output-sized explode: only _t's
+    # spread may exchange
+    "keyword_scan_counts": {"codegen": True, "max_exchanges": 1},
+    # map-only Arrow stage (zlib per doc) — no shuffle at all
+    "compression_ratio_stats": {"max_exchanges": 1},
 }
 
 

@@ -1,0 +1,71 @@
+"""keyword_scan (regex vs Aho-Corasick parity) + compression_ratio."""
+
+from __future__ import annotations
+
+import zlib
+
+from photon_spark.operators import textstats
+
+
+DOCS = [
+    (1, "She sells seashells; he said HERS are hers again hers"),
+    (2, "aaa banana bandana"),
+    (3, ""),
+    (4, "zzz qqq www xyz"),
+]
+TERMS = ["he", "she", "hers", "an", "aa", "banana"]
+
+
+def _collect(df):
+    return sorted(
+        (r["doc_id"], r["term"], r["n"]) for r in df.collect()
+    )
+
+
+def test_regex_vs_ac_parity_overlapping_terms(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rx = _collect(textstats.keyword_scan(df, TERMS, mode="regex"))
+    ac = _collect(textstats.keyword_scan(df, TERMS, mode="ac"))
+    assert rx == ac
+    got = {(d, t): n for d, t, n in rx}
+    # hand counts: 'he' inside she/seashells/he/hers(x3 lowercased)
+    text1 = DOCS[0][1].lower()
+    assert got[(1, "he")] == text1.count("he")
+    assert got[(1, "hers")] == 3
+    assert got[(1, "she")] == 2  # 'She' + 'seashells'
+    # self-overlapping term counts every position: 'aa' in 'aaa' = 2
+    assert got[(2, "aa")] == 2
+    assert got[(2, "an")] == 4  # ban-an-a (2) + band-an-a... lowercase
+    assert (3, "he") not in got and not any(d == 4 for d, _ in got)
+
+
+def test_keyword_scan_auto_switch(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    small = textstats.keyword_scan(df, TERMS, mode="auto")
+    # ac forced by a tiny threshold
+    forced = textstats.keyword_scan(
+        df, TERMS, mode="auto", regex_max_terms=2
+    )
+    assert _collect(small) == _collect(forced)
+
+
+def test_keyword_scan_empty_terms(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert textstats.keyword_scan(df, []).count() == 0
+
+
+def test_compression_ratio_signal(spark):
+    rep = "spam spam spam " * 50
+    nat = (
+        "the committee convened thursday to review four distinct "
+        "proposals regarding watershed management near the estuary"
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, nat), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textstats.compression_ratio(df).collect()}
+    assert got[1]["ratio_micro"] < got[2]["ratio_micro"]
+    assert got[3]["ratio_micro"] is None and got[3]["n_bytes"] == 0
+    # exact contract: floor(1e6 * len(zlib)/len(raw))
+    b = rep.encode()
+    assert got[1]["ratio_micro"] == len(zlib.compress(b, 6)) * 1000000 // len(b)
