@@ -103,6 +103,7 @@ HEADLINE = [
     "sitemap_tree_locs",
     "keyword_scan_counts",
     "compression_ratio_stats",
+    "retry_backoff_schedule",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

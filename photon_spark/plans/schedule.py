@@ -378,6 +378,59 @@ def hits_scores(
     return out
 
 
+def retry_backoff_schedule(
+    attempts: DataFrame,
+    max_retries: int = 4,
+    backoff_cap: int = 16,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Exponential-backoff retry scheduling over the fetch-attempt log
+    (url, wave, ok) — the engine-side answer to the reference's dead
+    `failed` set (Q5: requester.py:62 compares int to str, so Photon
+    never retries anything; real crawlers re-attempt transient
+    failures with backoff, e.g. the public Heritrix/Nutch retry
+    policies).
+
+    For every URL with ≥1 failure and NO success yet:
+      next_wave = last_failed_wave + min(2^n_failures, backoff_cap)
+    dropped permanently once n_failures ≥ max_retries. Integer
+    end-to-end (shiftleft, no float pow) — cross-engine exact.
+
+    One map-side-combinable groupBy over the attempt log; the output
+    is one row per still-retryable URL, ready to left-join the wave
+    scheduler (admit rows with next_wave ≤ current wave). At crawl
+    scale the attempt log is append-only alongside the metrics table;
+    the aggregation prunes to the failure tail, which is orders of
+    magnitude below frontier size.
+    """
+    ok = F.col(ok_col).cast("boolean")
+    agg = attempts.groupBy(F.col(url_col).alias("url")).agg(
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("int").alias("n_failures"),
+        F.max(F.when(~ok, F.col(wave_col))).cast("int").alias("last_fail_wave"),
+        F.max(F.when(ok, 1).otherwise(0)).alias("_succ"),
+    )
+    return (
+        agg.filter(
+            (F.col("_succ") == 0)
+            & (F.col("n_failures") >= 1)
+            & (F.col("n_failures") < int(max_retries))
+        )
+        .select(
+            "url",
+            "n_failures",
+            (
+                F.col("last_fail_wave")
+                + F.least(
+                    F.expr("shiftleft(1, n_failures)"),
+                    F.lit(int(backoff_cap)),
+                )
+            ).alias("next_wave"),
+        )
+    )
+
+
 def url_policy_flags(
     urls: DataFrame,
     blocked_hosts: tuple[str, ...] = (),

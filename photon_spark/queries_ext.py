@@ -3173,6 +3173,42 @@ def compression_ratio_q(spark, sf):
     return textstats.compression_ratio(_t(spark, sf, "documents"))
 
 
+@q(
+    "retry_backoff_schedule",
+    "WITH a AS (SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS url,"
+    "  CAST((event_id // 3000) % 6 AS INTEGER) AS wave,"
+    "  (event_id % 5) <> 0 AND (event_id % 3000) % 7 <> 0 AS ok"
+    "  FROM events),"
+    " g AS (SELECT url,"
+    "  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS INTEGER)"
+    "   AS n_failures,"
+    "  CAST(MAX(CASE WHEN NOT ok THEN wave END) AS INTEGER)"
+    "   AS last_fail_wave,"
+    "  MAX(CASE WHEN ok THEN 1 ELSE 0 END) AS succ FROM a GROUP BY url)"
+    " SELECT url, n_failures,"
+    "  last_fail_wave + least(1 << n_failures, 16) AS next_wave"
+    " FROM g WHERE succ = 0 AND n_failures >= 1 AND n_failures < 4",
+)
+def retry_backoff_q(spark, sf):
+    """Exponential-backoff retry scheduling
+    (plans/schedule.retry_backoff_schedule) over an events-derived
+    fetch-attempt log; integer shiftleft backoff, cross-engine
+    exact."""
+    from photon_spark.plans.schedule import retry_backoff_schedule
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(F.lit("u"), (F.col("event_id") % 3000).cast("string")).alias(
+            "url"
+        ),
+        F.expr("CAST((event_id div 3000) % 6 AS INT)").alias("wave"),
+        (
+            (F.col("event_id") % 5 != 0)
+            & (F.col("event_id") % 3000 % 7 != 0)
+        ).alias("ok"),
+    )
+    return retry_backoff_schedule(ev)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -180,6 +180,9 @@ EXPECT: dict[str, dict] = {
     "keyword_scan_counts": {"codegen": True, "max_exchanges": 1},
     # map-only Arrow stage (zlib per doc) — no shuffle at all
     "compression_ratio_stats": {"max_exchanges": 1},
+    # ONE url-keyed map-side-combinable agg (events is dimension-scale
+    # at sf0.01: no spread)
+    "retry_backoff_schedule": {"codegen": True, "max_exchanges": 2},
 }
 
 

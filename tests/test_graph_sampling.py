@@ -86,3 +86,35 @@ def test_sample_k_small_groups_keep_all(spark):
         [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
     )
     assert sampling.sample_k_per_group(df, "grp", k=10).count() == 3
+
+
+def test_retry_backoff_schedule_cases(spark):
+    from photon_spark.plans.schedule import retry_backoff_schedule
+
+    rows = [
+        # u1: one failure at wave 2 -> retry at 2 + 2^1 = 4
+        ("u1", 2, False),
+        # u2: failed then succeeded -> excluded
+        ("u2", 0, False), ("u2", 1, True),
+        # u3: three failures, last at wave 5 -> 5 + 2^3 = 13
+        ("u3", 1, False), ("u3", 3, False), ("u3", 5, False),
+        # u4: four failures -> dropped (max_retries=4)
+        ("u4", 0, False), ("u4", 1, False), ("u4", 2, False), ("u4", 3, False),
+        # u5: five failures with cap: 2^5=32 capped at 16 (max_retries=9)
+        ("u5", 0, False), ("u5", 1, False), ("u5", 2, False),
+        ("u5", 3, False), ("u5", 7, False),
+        # u6: success only -> excluded
+        ("u6", 0, True),
+    ]
+    df = spark.createDataFrame(rows, "url string, wave int, ok boolean")
+    got = {
+        r["url"]: (r["n_failures"], r["next_wave"])
+        for r in retry_backoff_schedule(df).collect()
+    }
+    assert got == {"u1": (1, 4), "u3": (3, 13)}
+    wide = {
+        r["url"]: (r["n_failures"], r["next_wave"])
+        for r in retry_backoff_schedule(df, max_retries=9).collect()
+    }
+    assert wide["u5"] == (5, 7 + 16)  # backoff capped
+    assert "u2" not in wide and "u6" not in wide
