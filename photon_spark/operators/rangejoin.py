@@ -59,6 +59,10 @@ def points_in_intervals(
     construction. Intervals explode to ceil(len/W)+1 buckets; pass
     max_buckets_per_interval to fail fast on pathological spans
     instead of silently exploding the shuffle.
+
+    The two frames must not share column names (the output carries
+    both sides unprefixed); inverted intervals (lo > hi) match
+    nothing, as in the SQL BETWEEN they replace.
     """
     w = int(bucket_width)
     p = points.withColumn("_rj_b", _bucket(F.col(point_col), w))

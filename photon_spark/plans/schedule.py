@@ -335,6 +335,8 @@ def hits_scores(
     rows, broadcast each half-round; each half-round is one map-side
     join + one host-keyed partial-agg shuffle over the edge set.
     """
+    if int(iters) < 1:
+        raise ValueError("iters must be >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -422,8 +424,10 @@ def retry_backoff_schedule(
             "n_failures",
             (
                 F.col("last_fail_wave")
+                # clamp the shift amount: shiftleft is 32-bit, so a
+                # large max_retries would wrap before least() applies
                 + F.least(
-                    F.expr("shiftleft(1, n_failures)"),
+                    F.expr("shiftleft(1, least(n_failures, 30))"),
                     F.lit(int(backoff_cap)),
                 )
             ).alias("next_wave"),

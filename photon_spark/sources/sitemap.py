@@ -78,6 +78,8 @@ def sitemap_tree_locs(
     listing the same child, or a cycle) are fetched once — first
     depth wins, like the crawl loop's seen set.
     """
+    if int(max_depth) < 1:
+        raise ValueError("max_depth must be >= 1")
     spark = pages.sparkSession
     cur = spark.createDataFrame(
         [(r, 0) for r in dict.fromkeys(roots)], "sm_url string, depth int"

@@ -118,3 +118,17 @@ def test_retry_backoff_schedule_cases(spark):
     }
     assert wide["u5"] == (5, 7 + 16)  # backoff capped
     assert "u2" not in wide and "u6" not in wide
+
+
+def test_edge_guards(spark):
+    import pytest as _pt
+
+    from photon_spark.plans.schedule import hits_scores
+    from photon_spark.sources.sitemap import sitemap_tree_locs
+
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with _pt.raises(ValueError):
+        hits_scores(e, iters=0)
+    p = spark.createDataFrame([("a", "b")], "doc_id string, body string")
+    with _pt.raises(ValueError):
+        sitemap_tree_locs(p, ["a"], max_depth=0)
