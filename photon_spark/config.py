@@ -73,6 +73,14 @@ class EngineConfig:
     # reference crawls a finite site and the goldens pin its exact
     # URL set. Value = (max_depth, max_params, seg_repeat_limit).
     trap_gate: tuple | None = None
+    # Opt-in recursive sitemap resolution (sources/sitemap): seed the
+    # frontier from <sitemapindex> trees and robots.txt Sitemap: lines
+    # instead of only the flat root sitemap. Default off — the
+    # reference reads root+'/sitemap.xml' alone (core/zap.py:45-57)
+    # and the goldens pin that seed set. On a flat-sitemap site the
+    # recursive walk returns the same locs, so enabling it there is a
+    # no-op (pytest-pinned).
+    sitemap_recursive: bool = False
     # Opt-in F4 priority scoring (plans/schedule.priority_score): ranks
     # each host's queue fuzzable/shallow-first before the politeness
     # cap. Default off — the reference has no ordering, and goldens pin

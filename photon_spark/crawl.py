@@ -239,6 +239,27 @@ def run_crawl(
         internal0 = set(cfg.seeds) | {main_url} | set(robots_urls) | set(sitemap_urls)
         state = {name: _empty(spark, sch) for name, sch in STATE_SCHEMAS.items()}
         state["internal"] = _urls(spark, sorted(internal0))
+        if cfg.sitemap_recursive:
+            # opt-in beyond-reference seeding: walk <sitemapindex>
+            # trees from the conventional root + robots Sitemap: lines;
+            # the leaf set stays a DataFrame (sitemap trees can carry
+            # 10^7 URLs — never collect them into the driver seed set)
+            from photon_spark.sources.sitemap import (
+                discover_sitemap_roots,
+                sitemap_tree_locs,
+            )
+
+            roots = discover_sitemap_roots(body, main_url)
+            leaves = (
+                sitemap_tree_locs(body, roots)
+                .select("url")
+                .distinct()
+            )
+            state["internal"] = (
+                state["internal"]
+                .unionByName(leaves)
+                .dropDuplicates(["url"])
+            )
         if cfg.exclude:
             state["internal"] = state["internal"].filter(
                 ~F.col("url").rlike(cfg.exclude)

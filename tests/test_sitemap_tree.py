@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from photon_spark.sources.sitemap import sitemap_tree_locs
 
 
@@ -131,3 +133,75 @@ def test_kernel_robots_sitemaps():
     body = "User-agent: *\nSITEMAP: https://a/s.xml\nSitemap: https://b/t.xml"
     assert K.robots_sitemaps(body) == ["https://a/s.xml", "https://b/t.xml"]
     assert K.robots_sitemaps("<html><body>nope") == []
+
+
+def _mini_site(spark, flat=False):
+    """Tiny one-host site: root page links a.html; sitemap is either a
+    flat urlset or an index chaining to a child urlset that reveals
+    deep.html (reachable ONLY through the sitemap tree)."""
+    host = "http://smx.test"
+    sm_child = host + "/sm_child.xml"
+    if flat:
+        sm_body = _urlset(host + "/a.html")
+    else:
+        sm_body = _idx(sm_child)
+    rows = [
+        (host, "<html><a href=" + host + "/a.html>a</a></html>"),
+        (host + "/robots.txt", "User-agent: *\n"),
+        (host + "/sitemap.xml", sm_body),
+        (host + "/a.html", "<html>leaf page</html>"),
+        (host + "/deep.html", "<html>sitemap-only page</html>"),
+    ]
+    if not flat:
+        rows.append((sm_child, _urlset(host + "/deep.html")))
+    span_rows = [
+        (d, [{"kind": "text", "text": b, "media_ref": "", "offset": 0}])
+        for d, b in rows
+    ]
+    df = spark.createDataFrame(
+        span_rows,
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    return df, host
+
+
+def test_crawl_sitemap_recursive_opt_in(spark):
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages, host = _mini_site(spark)
+    # default: the index body has no <loc>-reachable page URLs in
+    # internal beyond what the flat parser returns (the child SITEMAP
+    # url itself is a loc of the index and enters as a seed)
+    base = run_crawl(spark, pages, host)
+    internal_default = {
+        r["value"]
+        for r in base.results.filter(F.col("dataset") == "internal").collect()
+    }
+    assert host + "/deep.html" not in internal_default
+
+    rec = run_crawl(
+        spark, pages, host, cfg=EngineConfig(sitemap_recursive=True)
+    )
+    internal_rec = {
+        r["value"]
+        for r in rec.results.filter(F.col("dataset") == "internal").collect()
+    }
+    assert host + "/deep.html" in internal_rec
+    # everything the default found is still there
+    assert internal_default - internal_rec == set()
+
+
+def test_crawl_sitemap_recursive_flat_noop(spark):
+    """On a flat-sitemap site, recursive mode is a no-op: identical
+    dataset contents."""
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    pages, host = _mini_site(spark, flat=True)
+    a = run_crawl(spark, pages, host)
+    b = run_crawl(spark, pages, host, cfg=EngineConfig(sitemap_recursive=True))
+    da = sorted(map(tuple, a.results.collect()))
+    db = sorted(map(tuple, b.results.collect()))
+    assert da == db
