@@ -91,6 +91,32 @@ def main() -> None:
     results["chunk_passages"] = {
         "sec": round(t, 3), "docs_per_s": round(n_docs / t),
         "passages": n_passages}
+
+    # session additions: BPE encode (merges trained once on a 10k-doc
+    # sample — tokenizer training is amortized across the corpus),
+    # Aho-Corasick keyword scan at a term count far past the regex
+    # crossover, and the zlib compression-ratio signal
+    from photon_spark.operators.bpe import bpe_encode, bpe_train
+    from photon_spark.operators.textstats import (
+        compression_ratio,
+        keyword_scan,
+    )
+
+    merges = bpe_train(docs.limit(10_000), k=24, min_freq=2)
+    t = best(lambda: bpe_encode(docs.select("doc_id", "text"), merges)
+             .select(F.sum(F.size("tokens"))).collect())
+    results["bpe_encode"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t),
+        "n_merges": len(merges)}
+    terms = [a + b for a in words for b in words][:2000]
+    t = best(lambda: keyword_scan(docs, terms, mode="ac")
+             .select(F.sum("n")).collect())
+    results["keyword_scan_ac_2000_terms"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t)}
+    t = best(lambda: compression_ratio(docs)
+             .select(F.sum("ratio_micro")).collect())
+    results["compression_ratio"] = {
+        "sec": round(t, 3), "docs_per_s": round(n_docs / t)}
     docs.unpersist()
 
     rec = {
