@@ -63,8 +63,11 @@ class StreamingIngestDedup:
         subs = [
             os.path.join(base, d)
             for d in os.listdir(base)
-            if d.startswith("batch=")
-            and (exclude_batch is None or d != f"batch={exclude_batch}")
+            if (
+                d.startswith("batch=")
+                and (exclude_batch is None or d != f"batch={exclude_batch}")
+            )
+            or d == "base"  # compacted fold of earlier batches
         ]
         if not subs:
             return None
@@ -108,6 +111,10 @@ class StreamingIngestDedup:
                     ["band", "key"],
                 )
                 .select(F.col("doc_id").alias("new_doc"), "matched_doc")
+                # a replayed batch meets its OWN rows once compact()
+                # folded them into base (batch-id exclusion can't see
+                # them there): a doc is never a duplicate of itself
+                .where(F.col("new_doc") != F.col("matched_doc"))
             )
         else:
             # empty frame with the caller's doc_id type
@@ -147,6 +154,46 @@ class StreamingIngestDedup:
         flagged.write.mode("overwrite").parquet(
             os.path.join(self._flags_dir, f"batch={batch_id}")
         )
+
+    def compact(self) -> int:
+        """Fold all batch=N band directories into one ``base`` dir —
+        the same delta→base rewrite CrawlStore.compact() runs for the
+        crawl's seen table (small-file pressure grows one dir per
+        micro-batch; the band table is read by EVERY batch's join).
+        Returns the number of batch dirs folded.
+
+        Write-then-swap: the new base lands under a temp name and
+        replaces the old base atomically before the batch dirs are
+        removed, so a concurrent reader never sees a torn state. Run
+        it between batches (foreachBatch serializes with the stream);
+        replaying a pre-compaction batch afterwards re-admits that
+        batch's rows next to the base copy — duplicate band rows only
+        duplicate LSH candidates, which the downstream distinct
+        already removes.
+        """
+        import shutil
+
+        if not os.path.isdir(self._bands_dir):
+            return 0
+        subs = [
+            d
+            for d in os.listdir(self._bands_dir)
+            if d.startswith("batch=")
+        ]
+        if not subs:
+            return 0
+        merged = self._read(self._bands_dir).dropDuplicates(
+            ["doc_id", "band", "key"]
+        )
+        base = os.path.join(self._bands_dir, "base")
+        tmp = base + "._compact"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+        for d in subs:
+            shutil.rmtree(os.path.join(self._bands_dir, d))
+        return len(subs)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

@@ -851,3 +851,62 @@ def test_streaming_ingest_dedup_replay_idempotent(spark, tmp_path):
     after_bands = sorted(map(tuple, gate.corpus_bands().collect()))
     assert after_bands == before_bands
     assert gate.flags().count() == 0
+
+
+def test_streaming_ingest_dedup_compaction(spark, tmp_path):
+    """compact() folds batch dirs into one base with identical distinct
+    content; matching behavior and subsequent growth are unchanged."""
+    from photon_spark.streaming.ingest_dedup import StreamingIngestDedup
+
+    gate = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    texts = [
+        "first body of words entirely unlike any of the other ones here",
+        "second document text with its own private vocabulary set",
+        "third entry describing bucket routed shard construction rules",
+    ]
+    for i, t in enumerate(texts):
+        gate.process_batch(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), i
+        )
+    before = sorted(map(tuple, gate.corpus_bands().collect()))
+    folded = gate.compact()
+    assert folded == 3
+    after = sorted(map(tuple, gate.corpus_bands().collect()))
+    assert after == before
+    import os
+
+    assert os.path.isdir(str(tmp_path / "state" / "bands" / "base"))
+    # post-compaction batch: near-dup of a compacted doc is flagged
+    gate.process_batch(
+        spark.createDataFrame(
+            [(30, texts[0] + " tail")], "doc_id long, text string"
+        ),
+        3,
+    )
+    flags = {
+        (r["new_doc"], r["matched_doc"]) for r in gate.flags().collect()
+    }
+    assert (30, 0) in flags
+    # and another compaction folds base + the new batch dir into one
+    assert gate.compact() == 1
+    assert sorted(map(tuple, gate.corpus_bands().collect())) == after
+
+
+def test_streaming_ingest_dedup_replay_after_compaction(spark, tmp_path):
+    """Replaying a batch AFTER compaction folded its rows into base:
+    self-matches are filtered, the batch re-admits, corpus content is
+    unchanged after the next compact."""
+    from photon_spark.streaming.ingest_dedup import StreamingIngestDedup
+
+    gate = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b0, 0)
+    gate.compact()
+    before = sorted(map(tuple, gate.corpus_bands().collect()))
+    gate.process_batch(b0, 0)  # checkpoint replay, post-compaction
+    assert gate.flags().count() == 0        # no self-flag
+    gate.compact()
+    assert sorted(map(tuple, gate.corpus_bands().collect())) == before
