@@ -1,0 +1,126 @@
+"""Measured throughput of the bucketed range join at 10^7 points.
+
+SCALE.md claims the bucketization turns the non-equi join into
+hash-partitioned shuffles; this measures it on synthesized inputs
+(deterministic expressions, no files) and — at a size where it can
+finish — the BroadcastNestedLoopJoin Spark would otherwise plan, so
+the crossover carries wall-clock evidence.
+
+Usage: python scripts/bench_range_join.py [n_points] [n_intervals] [cores]
+Appends one JSON line to BENCH/range_join_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_iv = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.rangejoin import (
+        interval_overlap_join,
+        points_in_intervals,
+    )
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name="range_join_scale")
+
+    span = n_points  # one time unit per point on average
+    pts = spark.range(n_points).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(span)).alias("v"),
+    ).persist()
+    # intervals ~100x bucket width, deterministic starts
+    width = max(1, span // n_iv)
+    iv = spark.range(n_iv).select(
+        F.col("id").alias("iid"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(span)).alias("lo"),
+    ).select(
+        "iid", "lo", (F.col("lo") + 3 * width).alias("hi")
+    ).persist()
+    pts.count()
+    iv.count()
+
+    def best(fn, reps=3):
+        times = []
+        out = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            times.append(time.monotonic() - t0)
+        return min(times), out
+
+    sec, matches = best(
+        lambda: points_in_intervals(
+            pts, iv, "v", bucket_width=width
+        ).count()
+    )
+    results = {
+        "bucketed_points_in_intervals": {
+            "sec": round(sec, 3),
+            "points_per_s": round(n_points / sec),
+            "matches": matches,
+        }
+    }
+
+    # owner-bucket interval overlap: intervals vs a shifted copy
+    iv2 = iv.select(
+        F.col("iid").alias("jid"),
+        (F.col("lo") + width).alias("lo"),
+        (F.col("hi") + width).alias("hi"),
+    )
+    sec, n_over = best(
+        lambda: interval_overlap_join(iv, iv2, bucket_width=width).count()
+    )
+    results["interval_overlap_join"] = {
+        "sec": round(sec, 3),
+        "intervals_per_s": round(n_iv / sec),
+        "pairs": n_over,
+    }
+
+    # the plan Spark picks unaided, at 1% of the size (it would not
+    # finish at full size — that is the point)
+    small_pts = pts.limit(n_points // 100).persist()
+    small_pts.count()
+    sec, m_small = best(
+        lambda: small_pts.join(
+            F.broadcast(iv),
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+        ).count(),
+        reps=1,
+    )
+    results["bnl_join_at_1pct"] = {
+        "sec": round(sec, 3),
+        "points_per_s": round(n_points // 100 / sec),
+        "matches": m_small,
+    }
+    small_pts.unpersist()
+    pts.unpersist()
+    iv.unpersist()
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "n_points": n_points, "n_intervals": n_iv, "cores": cores,
+        "bucket_width": width, "ops": results,
+    }
+    out_path = os.path.join(REPO, "BENCH", "range_join_scale.jsonl")
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
