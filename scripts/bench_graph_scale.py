@@ -1,0 +1,85 @@
+"""Measured throughput of the host-graph operators at 10^6 edges.
+
+host_rank (PageRank power iteration) and hits_scores (hub/authority)
+both claim broadcast-rank-vector + one host-keyed partial-agg shuffle
+per (half-)round; this measures them on a synthesized Zipf-ish host
+graph so the claims carry wall-clock evidence at a graph size three
+orders of magnitude above the oracle entries.
+
+Usage: python scripts/bench_graph_scale.py [n_edges] [n_hosts] [cores]
+Appends one JSON line to BENCH/graph_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.schedule import hits_scores, host_rank
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name="graph_scale")
+
+    # skewed dst (authority hubs): square the hash to concentrate mass
+    e = spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_hosts)).alias("src"),
+        F.pmod(
+            F.pmod(F.xxhash64(F.col("id") + 3), F.lit(n_hosts))
+            * F.pmod(F.xxhash64(F.col("id") + 5), F.lit(1000)),
+            F.lit(n_hosts),
+        ).alias("dst"),
+    ).persist()
+    e.count()
+
+    def best(fn, reps=3):
+        times, out = [], None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            times.append(time.monotonic() - t0)
+        return min(times), out
+
+    sec, n_pr = best(lambda: host_rank(e, iters=3).count())
+    results = {
+        "host_rank_3_iters": {
+            "sec": round(sec, 3),
+            "edges_per_s": round(n_edges / sec),
+            "hosts": n_pr,
+        }
+    }
+    sec, n_h = best(lambda: hits_scores(e, iters=2).count())
+    results["hits_2_iters"] = {
+        "sec": round(sec, 3),
+        "edges_per_s": round(n_edges / sec),
+        "hosts": n_h,
+    }
+    e.unpersist()
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "n_edges": n_edges, "n_hosts": n_hosts, "cores": cores,
+        "ops": results,
+    }
+    out_path = os.path.join(REPO, "BENCH", "graph_scale.jsonl")
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
