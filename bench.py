@@ -104,6 +104,10 @@ HEADLINE = [
     "keyword_scan_counts",
     "compression_ratio_stats",
     "retry_backoff_schedule",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q22_dormant_rich_customers",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -3209,6 +3209,168 @@ def retry_backoff_q(spark, sf):
     return retry_backoff_schedule(ev)
 
 
+# Four more TPC-H plan shapes (q12/q14/q18/q22 adapted to the reduced
+# testdata schemas) — conditional aggregation, ratio-of-sums,
+# having-gated semi-join top-k, and anti-join + scalar subquery.
+
+
+@q(
+    "q12_late_shipment_priority",
+    "SELECT l_linestatus,"
+    " SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS high_line_count,"
+    " SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY"
+    " GROUP BY l_linestatus",
+)
+def q12(spark, sf):
+    """TPC-H Q12 shape: late shipments split by order priority —
+    conditional aggregation (SUM of CASE) after an equi-join with a
+    non-equi residual on the date columns."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@q(
+    "q14_promo_revenue_ratio",
+    "SELECT floor(100.0 * promo / total * 1000000 + 0.5) / 1000000"
+    "  AS promo_pct FROM ("
+    " SELECT SUM(CASE WHEN p_type = 'PROMO' THEN"
+    "   CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "    AS BIGINT) ELSE 0 END) AS promo,"
+    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "    AS BIGINT)) AS total"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+    "  AND l_shipdate < TIMESTAMP '1996-06-01') t",
+)
+def q14(spark, sf):
+    """TPC-H Q14 shape: promo revenue share — a ratio of two sums off
+    one scan (single-row result). Each addend is quantized to exact
+    integer 1e-4 units BEFORE summing, so both engines divide the
+    same two integers; part broadcasts into the join."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-06-01")
+    )
+    part = _t(spark, sf, "part")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("bigint")
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+            "promo"
+        ),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        (
+            F.floor(
+                100.0 * F.col("promo") / F.col("total") * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("promo_pct")
+    )
+
+
+@q(
+    "q18_large_volume_customers",
+    "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey"
+    "  HAVING SUM(l_quantity) > 120)"
+    " SELECT c_name, o_orderkey, o_totalprice,"
+    "  (SELECT CAST(floor(SUM(l_quantity) * 100 + 0.5) AS BIGINT)"
+    "   FROM lineitem WHERE l_orderkey = o_orderkey) AS qty_centi"
+    " FROM orders JOIN customer ON c_custkey = o_custkey"
+    " WHERE o_orderkey IN (SELECT l_orderkey FROM big)"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def q18(spark, sf):
+    """TPC-H Q18 shape: large-volume orders — HAVING-gated aggregate
+    subquery feeding a semi-join funnel, then TakeOrdered(100) (heap
+    per partition, no global sort). Quantity re-aggregated in integer
+    centi-units for the output row."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("_q"),
+            F.floor(F.sum("l_quantity") * 100 + 0.5)
+            .cast("bigint")
+            .alias("qty_centi"),
+        )
+        .filter(F.col("_q") > 120)
+        .select("l_orderkey", "qty_centi")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "qty_centi")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "q22_dormant_rich_customers",
+    "WITH in_scope AS (SELECT c_custkey, c_acctbal,"
+    "   c_nationkey % 7 AS code FROM customer"
+    "   WHERE c_nationkey % 7 IN (0, 2, 4)),"
+    " avg_bal AS (SELECT AVG(c_acctbal) AS a FROM in_scope"
+    "   WHERE c_acctbal > 0.0)"
+    " SELECT code, COUNT(*) AS numcust,"
+    "  SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS totacctbal_centi"
+    " FROM in_scope, avg_bal"
+    " WHERE c_acctbal > a"
+    "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+    "   AND o_orderdate >= TIMESTAMP '2001-01-01')"
+    " GROUP BY code",
+)
+def q22(spark, sf):
+    """TPC-H Q22 shape: high-balance customers DORMANT since the
+    cutoff (no orders on/after it) — scalar AVG subquery (1-row cross
+    join) + LEFT ANTI join + grouped count. The avg threshold stays a
+    DataFrame (no driver collect); balances summed in integer
+    centi-units."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_nationkey") % 7).alias("code"),
+    ).filter(F.col("code").isin(0, 2, 4))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")).alias(
+                "totacctbal_centi"
+            ),
+        )
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

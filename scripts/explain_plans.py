@@ -183,6 +183,14 @@ EXPECT: dict[str, dict] = {
     # ONE url-keyed map-side-combinable agg (events is dimension-scale
     # at sf0.01: no spread)
     "retry_backoff_schedule": {"codegen": True, "max_exchanges": 2},
+    # conditional SUM(CASE) after the o=l equi-join + date residual
+    "q12_late_shipment_priority": {"codegen": True},
+    # part broadcasts; single-row two-sum agg, division after
+    "q14_promo_revenue_ratio": {"pushed": True, "broadcast": True},
+    # HAVING-gated agg subquery -> join funnel -> TakeOrdered(100)
+    "q18_large_volume_customers": {"codegen": True},
+    # 1-row avg broadcast cross join + LEFT ANTI + grouped count
+    "q22_dormant_rich_customers": {"pushed": True, "broadcast": True},
 }
 
 
