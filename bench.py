@@ -108,6 +108,7 @@ HEADLINE = [
     "q14_promo_revenue_ratio",
     "q18_large_volume_customers",
     "q22_dormant_rich_customers",
+    "q15_top_supplier",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

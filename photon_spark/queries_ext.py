@@ -3371,6 +3371,55 @@ def q22(spark, sf):
     )
 
 
+@q(
+    "q15_top_supplier",
+    "WITH rev AS (SELECT l_suppkey AS supplier_no,"
+    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "   AS BIGINT)) AS total_rev"
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    "   AND l_shipdate < TIMESTAMP '1996-04-01'"
+    "  GROUP BY l_suppkey)"
+    " SELECT s_suppkey, s_name, total_rev FROM supplier"
+    " JOIN rev ON s_suppkey = supplier_no"
+    " WHERE total_rev = (SELECT MAX(total_rev) FROM rev)",
+)
+def q15(spark, sf):
+    """TPC-H Q15 shape: the supplier(s) at the revenue maximum — an
+    aggregate view referenced twice (per-supplier revenue AND its
+    global max). The revenue frame is persisted so the two references
+    share one computation; the 1-row max rides a broadcast cross
+    join. Revenue in exact integer 1e-4 units, so 'equal to the max'
+    is an integer comparison on both engines (a float revenue would
+    make equality engine-dependent)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + 0.5
+                ).cast("bigint")
+            ).alias("total_rev")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    sup = _t(spark, sf, "supplier")
+    out = (
+        sup.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .localCheckpoint(eager=True)
+    )
+    rev.unpersist()
+    return out
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

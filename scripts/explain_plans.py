@@ -191,6 +191,10 @@ EXPECT: dict[str, dict] = {
     "q18_large_volume_customers": {"codegen": True},
     # 1-row avg broadcast cross join + LEFT ANTI + grouped count
     "q22_dormant_rich_customers": {"pushed": True, "broadcast": True},
+    # returned frame reads the eager checkpoint (rev persisted across
+    # its two references; the broadcast max lives in the checkpoint's
+    # producing job)
+    "q15_top_supplier": {"max_exchanges": 0},
 }
 
 
