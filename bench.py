@@ -109,6 +109,7 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q22_dormant_rich_customers",
     "q15_top_supplier",
+    "q8_market_share",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -3420,6 +3420,86 @@ def q15(spark, sf):
     return out
 
 
+@q(
+    "q8_market_share",
+    "WITH vol AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)"
+    "   AS o_year,"
+    "  CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "   AS BIGINT) AS volume,"
+    "  n2.n_name AS supp_nation"
+    " FROM part JOIN lineitem ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    " JOIN region ON n1.n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA' AND p_type = 'PROMO'"
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    "  AND o_orderdate < TIMESTAMP '1998-01-01')"
+    " SELECT o_year,"
+    "  floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume"
+    "   ELSE 0 END) AS DOUBLE) / SUM(volume) * 1000000 + 0.5) / 1000000"
+    "   AS mkt_share"
+    " FROM vol GROUP BY o_year",
+)
+def q8(spark, sf):
+    """TPC-H Q8 shape: one nation's market share of PROMO-part volume
+    in a region, by order year — a 7-join funnel (nation twice under
+    different roles, region gating the customer side) feeding a
+    per-group ratio of conditional to total volume. Volume quantized
+    to integer 1e-4 units before summing; all dimensions broadcast."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_regionkey").alias("_c_rk")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_s_nk"))
+        .join(F.broadcast(reg), F.col("_c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_1", F.col("volume")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("volume")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("mkt_share")
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -195,6 +195,8 @@ EXPECT: dict[str, dict] = {
     # its two references; the broadcast max lives in the checkpoint's
     # producing job)
     "q15_top_supplier": {"max_exchanges": 0},
+    # 7-join funnel, every dimension broadcast; ONE o_year agg
+    "q8_market_share": {"pushed": True, "broadcast": True},
 }
 
 
