@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis, pure Python — no Spark) for the
+continuation-session kernels: the Aho-Corasick scanner against `re`
+lookahead counting on arbitrary text/term sets, and the rank-greedy
+BPE encoder's structural invariants."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from photon_spark.operators.bpe import _encode_word
+from photon_spark.operators.textstats import _ac_build, _ac_scan
+
+_alpha = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet="abc ", max_size=80),
+    terms=st.sets(_alpha, min_size=1, max_size=8),
+)
+def test_ac_scan_equals_regex_lookahead_counts(text, terms):
+    """AC counts every occurrence position of every term — identical
+    to the (?=term) lookahead count, including self-overlapping terms
+    over a 3-letter alphabet (the adversarial case for both)."""
+    terms = sorted(terms)
+    goto, fail, out = _ac_build(terms)
+    got = _ac_scan(text, goto, fail, out)
+    want = {
+        t: n
+        for t in terms
+        if (n := len(re.findall(f"(?={re.escape(t)})", text))) > 0
+    }
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="abcd", min_size=1, max_size=12),
+    merge_pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+        ),
+        max_size=6,
+        unique=True,
+    ),
+)
+def test_bpe_encode_invariants(word, merge_pairs):
+    """Encode is lossless (tokens concatenate back to the word), every
+    token is either a single char or the concat of a learned merge's
+    sides, and encoding is deterministic under cache reuse."""
+    ranks = {p: i for i, p in enumerate(merge_pairs)}
+    toks = _encode_word(word, ranks, {})
+    assert "".join(toks) == word
+    merged_values = {a + b for a, b in merge_pairs}
+    for t in toks:
+        # a token longer than 1 char must be built from learned merges
+        if len(t) > 1:
+            assert any(
+                t == m or m in t for m in merged_values
+            ) or t in merged_values
+    # no adjacent token pair should still be mergeable at a rank lower
+    # than any merge that produced the current tokens (greedy fixpoint:
+    # simply assert no adjacent pair is in ranks at all after encoding
+    # when every token is a single char)
+    if all(len(t) == 1 for t in toks):
+        for i in range(len(toks) - 1):
+            assert (toks[i], toks[i + 1]) not in ranks
+    # deterministic under memoization
+    cache = {}
+    assert _encode_word(word, ranks, cache) == toks
+    assert _encode_word(word, ranks, cache) == toks
