@@ -66,6 +66,12 @@ class EngineConfig:
     # window of this many seconds. None = ignore Crawl-delay (the
     # reference never reads the line; parity default).
     crawl_delay_window: float | None = None
+    # Opt-in RFC 9309 §2.2.1 user-agent group selection for the robots
+    # rules (kernels.robots_group_rules): when set (e.g. 'photonbot'),
+    # the Disallow gate and Crawl-delay come from the most-specific
+    # matching User-agent group instead of every line in the file.
+    # None = reference-faithful all-lines parse (zap.py:29).
+    robots_agent: str | None = None
     # Opt-in crawler-trap gate (plans/schedule.trap_flags): drop
     # candidate links whose URL shape signals an infinite space
     # (repeated path segment, depth cap, query-param explosion)

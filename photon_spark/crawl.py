@@ -228,12 +228,25 @@ def run_crawl(
         robots_urls = [main_url + p for p in K.robots_paths(robots_body)]
         from urllib.parse import urlparse
 
-        disallow_rules = [
-            (urlparse(main_url).netloc, p)
-            for rule, p in K.robots_rules(robots_body)
-            if rule == "disallow"
-        ]
-        crawl_delay = K.robots_crawl_delay(robots_body)
+        if cfg.robots_agent is not None:
+            # RFC 9309 group selection: gate + delay from the
+            # most-specific User-agent group for this crawler
+            group_rules, group_delay = K.robots_group_rules(
+                robots_body, cfg.robots_agent
+            )
+            disallow_rules = [
+                (urlparse(main_url).netloc, p)
+                for rule, p in group_rules
+                if rule == "disallow" and p
+            ]
+            crawl_delay = group_delay
+        else:
+            disallow_rules = [
+                (urlparse(main_url).netloc, p)
+                for rule, p in K.robots_rules(robots_body)
+                if rule == "disallow"
+            ]
+            crawl_delay = K.robots_crawl_delay(robots_body)
         sitemap_urls = K.sitemap_locs(special.get(main_url + "/sitemap.xml", DUMMY))
 
         internal0 = set(cfg.seeds) | {main_url} | set(robots_urls) | set(sitemap_urls)

@@ -301,6 +301,87 @@ def sitemap_locs(body: str) -> list[str]:
     return rx.SITEMAP_LOC.findall(body)
 
 
+def robots_group_rules(
+    body: str, agent: str
+) -> tuple[list[tuple[str, str]], float | None]:
+    """RFC 9309 §2.2.1 user-agent group selection (beyond-reference:
+    zap.py:29 reads every Allow/Disallow line regardless of which
+    User-agent group owns it). Returns (rules, crawl_delay) for the
+    group(s) that apply to `agent`:
+
+    * lines are grouped under the preceding run of User-agent lines;
+      rules before any User-agent line belong to no group (ignored);
+    * a group matches when its UA token is a case-insensitive prefix
+      of the crawler's product token; specificity = token length;
+    * the group(s) at the HIGHEST specificity win and merge (RFC:
+      multiple groups naming the same agent combine); '*' groups
+      (specificity 0) apply only when no named group matches.
+
+    Same '<body' fancy-404 gate as the other robots parsers.
+    """
+    if "<body" in body:
+        return [], None
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: float | None = None
+    in_header = False  # collecting consecutive User-agent lines
+
+    def flush():
+        nonlocal cur_uas, cur_rules, cur_delay
+        if cur_uas:
+            groups.append((cur_uas, cur_rules, cur_delay))
+        cur_uas, cur_rules, cur_delay = [], [], None
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_header:
+                flush()
+                in_header = True
+            cur_uas.append(value.lower())
+        else:
+            in_header = False
+            if field in ("allow", "disallow"):
+                cur_rules.append((field, value))
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+    flush()
+
+    def specificity(uas: list[str]) -> int:
+        best = -1
+        for ua in uas:
+            if ua == "*":
+                best = max(best, 0)
+            elif ua and agent_l.startswith(ua):
+                best = max(best, len(ua))
+        return best
+
+    scored = [(specificity(uas), rules, delay) for uas, rules, delay in groups]
+    named = [s for s in scored if s[0] > 0]
+    pick = named if named else [s for s in scored if s[0] == 0]
+    if not pick:
+        return [], None
+    top = max(s[0] for s in pick)
+    rules: list[tuple[str, str]] = []
+    delay: float | None = None
+    for s, r, d in pick:
+        if s == top:
+            rules.extend(r)
+            if d is not None and (delay is None or d < delay):
+                delay = d
+    return rules, delay
+
+
 def robots_sitemaps(body: str) -> list[str]:
     """Sitemap: URLs declared in robots.txt (sitemaps.org extension —
     beyond-reference; zap.py hardcodes root+'/sitemap.xml'). Same

@@ -1035,3 +1035,73 @@ def test_snapshot_diff_statuses(spark):
         "u3": ("changed", "h3", "h3x"),
         "u4": ("added", None, "h4"),
     }
+
+
+def test_crawl_robots_agent_group_selection(spark):
+    """robots_agent picks the crawler's own User-agent group for
+    gating: a /private Disallow living in a DIFFERENT bot's group does
+    not gate us, while our group's rule does. Mini-site with a grouped
+    robots.txt."""
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    host = "http://grp.test"
+    robots = (
+        "User-agent: otherbot\nDisallow: /mine\n\n"
+        "User-agent: photonbot\nDisallow: /private\n\n"
+        "User-agent: *\nDisallow: /both\n"
+    )
+    body = (
+        "<html>\n"
+        f"<a href={host}/mine.html>m</a>\n"
+        f"<a href={host}/private.html>p</a>\n"
+        f"<a href={host}/both.html>b</a>\n"
+        "</html>"
+    )
+    rows = [
+        (host, body),
+        (host + "/robots.txt", robots),
+        (host + "/mine.html", "<html>m</html>"),
+        (host + "/private.html", "<html>p</html>"),
+        (host + "/both.html", "<html>b</html>"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            (d, [{"kind": "text", "text": b, "media_ref": "", "offset": 0}])
+            for d, b in rows
+        ],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    # all-lines parse (reference shape): every Disallow gates
+    allres = run_crawl(
+        spark, pages, host, cfg=EngineConfig(respect_robots=True)
+    )
+    fetched_all = {r["url"] for r in allres.waves.collect()}
+    assert host + "/mine.html" not in fetched_all
+    assert host + "/private.html" not in fetched_all
+    assert host + "/both.html" not in fetched_all
+
+    # our group only: otherbot's /mine rule and the * group don't gate
+    ours = run_crawl(
+        spark,
+        pages,
+        host,
+        cfg=EngineConfig(respect_robots=True, robots_agent="photonbot"),
+    )
+    fetched = {r["url"] for r in ours.waves.collect()}
+    assert host + "/mine.html" in fetched
+    assert host + "/both.html" in fetched
+    assert host + "/private.html" not in fetched
+
+    # unknown agent: falls back to the * group
+    anon = run_crawl(
+        spark,
+        pages,
+        host,
+        cfg=EngineConfig(respect_robots=True, robots_agent="mysterybot"),
+    )
+    fetched_anon = {r["url"] for r in anon.waves.collect()}
+    assert fetched_anon and host + "/both.html" not in fetched_anon
+    assert host + "/mine.html" in fetched_anon
+    assert host + "/private.html" in fetched_anon

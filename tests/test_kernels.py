@@ -142,3 +142,48 @@ def test_robots_crawl_delay_parsing():
     # fancy-404 gate (same as robots_paths)
     assert K.robots_crawl_delay("<html><body>Crawl-delay: 10") is None
     assert K.robots_crawl_delay("User-agent: *\nDisallow: /\n") is None
+
+
+def test_robots_group_rules_rfc9309():
+    from photon_spark.kernels import robots_group_rules
+
+    body = (
+        "Disallow: /orphan\n"            # before any group: ignored
+        "User-agent: *\n"
+        "Disallow: /all\n"
+        "Crawl-delay: 5\n"
+        "\n"
+        "User-agent: photonbot\n"
+        "User-agent: otherbot\n"         # shared header run
+        "Disallow: /photon\n"
+        "Allow: /photon/public\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-Agent: photonbot\n"        # same agent again: merges
+        "Disallow: /extra\n"
+        "\n"
+        "User-agent: photon\n"           # shorter prefix: less specific
+        "Disallow: /short\n"
+    )
+    rules, delay = robots_group_rules(body, "PhotonBot/1.2")
+    assert ("disallow", "/photon") in rules
+    assert ("allow", "/photon/public") in rules
+    assert ("disallow", "/extra") in rules          # same-agent merge
+    assert ("disallow", "/short") not in rules      # outspecified
+    assert ("disallow", "/all") not in rules        # * loses to named
+    assert ("disallow", "/orphan") not in rules     # groupless line
+    assert delay == 2.0
+
+    # unknown agent falls back to the * group
+    rules, delay = robots_group_rules(body, "mystery/9")
+    assert rules == [("disallow", "/all")]
+    assert delay == 5.0
+
+    # no * group and no match -> nothing applies
+    rules, delay = robots_group_rules(
+        "User-agent: onlybot\nDisallow: /x\n", "mystery/9"
+    )
+    assert rules == [] and delay is None
+
+    # fancy-404 gate
+    assert robots_group_rules("<html><body>404", "photonbot") == ([], None)
