@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partitions", type=int, default=32, help="shuffle-partition ceiling")
     p.add_argument("--budget", type=int, default=None, help="per-host politeness budget/wave")
     p.add_argument("--salts", type=int, default=8, help="host-skew salting factor")
+    p.add_argument("--respect-robots", action="store_true",
+                   help="gate fetches on robots.txt Disallow rules")
+    p.add_argument("--robots-agent", default=None, metavar="NAME",
+                   help="RFC 9309 user-agent group selection for the "
+                        "robots gate (implies rules from NAME's group)")
+    p.add_argument("--sitemap-recursive", action="store_true",
+                   help="seed from <sitemapindex> trees + robots Sitemap: lines")
     p.add_argument("--store", default=None, help="snapshot dir (resumable state)")
     p.add_argument("--resume", action="store_true", help="resume from --store's latest wave")
     return p
@@ -140,6 +147,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         per_host_budget=args.budget,
         shuffle_partitions=args.partitions,
         host_salts=args.salts,
+        respect_robots=args.respect_robots or args.robots_agent is not None,
+        robots_agent=args.robots_agent,
+        sitemap_recursive=args.sitemap_recursive,
     )
     fetcher = None
     if not args.http and (args.header or args.cookie or args.user_agent):
