@@ -73,3 +73,45 @@ def test_bpe_encode_invariants(word, merge_pairs):
     cache = {}
     assert _encode_word(word, ranks, cache) == toks
     assert _encode_word(word, ranks, cache) == toks
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    body=st.text(alphabet="ab<>/= \n", max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=5),
+    media_positions=st.lists(
+        st.integers(min_value=0, max_value=6), max_size=3
+    ),
+    shuffle_seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_reassemble_any_chunking_any_order(
+    body, cuts, media_positions, shuffle_seed
+):
+    """The axis-B invariant (input_hint): ANY chunking of a body into
+    text spans, with media spans interleaved anywhere and the span
+    ARRAY in any order, reassembles to exactly the original body —
+    offsets, not array position, define the sequence."""
+    import random
+
+    from photon_spark.kernels import reassemble_text
+
+    bounds = sorted({0, len(body), *[min(c, len(body)) for c in cuts]})
+    chunks = [
+        body[a:b] for a, b in zip(bounds, bounds[1:])
+    ] or [""]
+    spans = [
+        {"kind": "text", "text": c, "media_ref": "", "offset": i * 2}
+        for i, c in enumerate(chunks)
+    ]
+    for j, pos in enumerate(media_positions):
+        spans.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"m{j}.png",
+                # odd offsets interleave between text spans
+                "offset": min(pos, len(chunks)) * 2 - 1,
+            }
+        )
+    random.Random(shuffle_seed).shuffle(spans)
+    assert reassemble_text(spans) == body
