@@ -1,0 +1,104 @@
+"""Measured per-batch cost of the streaming LSH ingest-dedup gate.
+
+Three 50k-doc micro-batches with ~2% cross-batch near-dups planted;
+each batch is hashed, matched against the growing corpus band state,
+and its clean survivors appended — the numbers show the per-batch
+cost stays flat as the corpus grows (the batch side, not the corpus,
+drives the work) and what compact() costs.
+
+Usage: python scripts/bench_ingest_dedup.py [docs_per_batch] [n_batches] [cores]
+Appends one JSON line to BENCH/ingest_dedup_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.session import get_spark
+    from photon_spark.streaming.ingest_dedup import StreamingIngestDedup
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name="ingest_dedup_scale")
+
+    words = ("the quick brown fox jumps over lazy dog spark join merge "
+             "vector scan hash row batch filter column order data").split()
+    warr = F.array(*[F.lit(w) for w in words])
+
+    def batch_df(b: int):
+        # ~2% of docs replicate a doc from the PREVIOUS batch verbatim
+        # (same text expression seeded by the prior batch's id)
+        base_id = F.col("id") + b * per_batch
+        dup = (F.col("id") % 50 == 0) & (F.lit(b) > F.lit(0))
+        seed = F.when(dup, base_id - per_batch).otherwise(base_id)
+        # fuse two word picks per token (vocab 18^2=324, shingle space
+        # ~3.4e7) so unrelated docs don't collide in the LSH bands
+        toks = [
+            F.concat(
+                warr[F.pmod(F.xxhash64(seed * 131 + j), F.lit(len(words))).cast("int")],
+                warr[F.pmod(F.xxhash64(seed * 977 + j), F.lit(len(words))).cast("int")],
+            )
+            for j in range(24)
+        ]
+        return spark.range(per_batch).select(
+            base_id.alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="ingest_bench_")
+    gate = StreamingIngestDedup(spark, state_dir)
+    batches = []
+    for b in range(n_batches):
+        df = batch_df(b).persist()
+        df.count()
+        t0 = time.monotonic()
+        gate.process_batch(df, b)
+        sec = time.monotonic() - t0
+        flags = gate.flags().count()
+        batches.append(
+            {
+                "batch": b,
+                "sec": round(sec, 3),
+                "docs_per_s": round(per_batch / sec),
+                "cum_flags": flags,
+            }
+        )
+        df.unpersist()
+    t0 = time.monotonic()
+    folded = gate.compact()
+    compact_sec = time.monotonic() - t0
+    corpus_rows = gate.corpus_bands().count()
+    shutil.rmtree(state_dir)
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "docs_per_batch": per_batch, "n_batches": n_batches,
+        "cores": cores, "batches": batches,
+        "compact": {"sec": round(compact_sec, 3), "dirs_folded": folded,
+                    "corpus_band_rows": corpus_rows},
+    }
+    out = os.path.join(REPO, "BENCH", "ingest_dedup_scale.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
