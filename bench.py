@@ -110,6 +110,7 @@ HEADLINE = [
     "q22_dormant_rich_customers",
     "q15_top_supplier",
     "q8_market_share",
+    "pipeline_retention_stats",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -3500,6 +3500,81 @@ def q8(spark, sf):
     )
 
 
+# The flagship training-data composition: quality gate → LSH near-dup
+# retention (candidates → connected components → keepers) → split
+# assignment → per-split corpus stats, every stage the SAME code the
+# individually-gated entries run, cross-verified end-to-end in one
+# driver row. The oracle recomputes all four stages in SQL (recursive
+# CTE for the components, the exact md5-prefix split thresholds).
+_QUALITY_EXPR_SQL = (
+    "floor((least(length(text) / 500.0, 1.0) * 0.4"
+    " + least(((length(text) - (len(string_split(text, ' ')) - 1))"
+    "   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3"
+    " + least((CAST(len(list_filter(string_split(text, ' '),"
+    "     t -> list_contains({stops}, t))) AS DOUBLE)"
+    "   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.3, 1.0) * 0.3)"
+    " * 1000000 + 0.5) / 1000000"
+)
+
+
+def _pipeline_sql() -> str:
+    from photon_spark.queries import _MINHASH_SQL, _STOP_SQL_LIST
+
+    qexpr = _QUALITY_EXPR_SQL.format(stops=_STOP_SQL_LIST)
+    minhash_gated = _MINHASH_SQL.replace("FROM documents", "FROM gated")
+    # split thresholds: md5 4-hex prefix < hex(rate * 65536)
+    val_t = format(int(0.1 * 65536), "04x")
+    test_t = format(int(0.2 * 65536), "04x")
+    return (
+        "WITH RECURSIVE gated AS (SELECT doc_id, text FROM documents"
+        f"  WHERE {qexpr} >= 0.5),"
+        f" pairs AS ({minhash_gated}),"
+        " edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach AS (SELECT a AS node, a AS label FROM edges"
+        "  UNION SELECT e.a AS node, r.label FROM edges e"
+        "   JOIN reach r ON e.b = r.node),"
+        " comp AS (SELECT node, min(label) AS keeper FROM reach"
+        "  GROUP BY node),"
+        " surv AS (SELECT doc_id, text FROM gated WHERE doc_id NOT IN"
+        "  (SELECT node FROM comp WHERE node <> keeper)),"
+        " sp AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,"
+        "  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+        f"    < '{val_t}' THEN 'val'"
+        "   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+        f"    < '{test_t}' THEN 'test'"
+        "   ELSE 'train' END AS split FROM surv)"
+        " SELECT split, COUNT(*) AS n_docs,"
+        "  SUM(n_tokens) AS sum_tokens FROM sp GROUP BY split"
+    )
+
+
+@q("pipeline_retention_stats", _pipeline_sql())
+def pipeline_stats_q(spark, sf):
+    """Quality gate (quality_score ≥ 0.5) → MinHash-LSH near-dup
+    retention over the gated corpus → deterministic split assignment →
+    per-split (n_docs, sum_tokens). Four pipeline stages, one
+    hash-compared row set."""
+    from photon_spark.operators import dedupe
+
+    docs = _t(spark, sf, "documents", spread=True)
+    gated = (
+        textstats.quality_score(docs)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "text")
+    )
+    comp = dedupe.dup_components(dedupe.minhash_lsh_pairs(gated))
+    losers = comp.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    surv = gated.join(losers, "doc_id", "left_anti")
+    sp = sampling.split_assign(surv, "doc_id", val_rate=0.1, test_rate=0.1)
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -197,6 +197,9 @@ EXPECT: dict[str, dict] = {
     "q15_top_supplier": {"max_exchanges": 0},
     # 7-join funnel, every dimension broadcast; ONE o_year agg
     "q8_market_share": {"pushed": True, "broadcast": True},
+    # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
+    # components' checkpoint truncates the iterative prefix
+    "pipeline_retention_stats": {"codegen": True},
 }
 
 
