@@ -1,0 +1,50 @@
+"""Watermarked stream-stream interval join — the streaming twin of the
+batch bucketed range join (operators/rangejoin).
+
+Structured Streaming supports this natively: an equi-key plus an
+event-time range condition lets the engine bound BOTH sides' state
+with the watermarks (left rows are dropped once no future right row
+can still fall inside the interval, and vice versa) — the canonical
+ad-attribution shape (impression joined to clicks within N minutes).
+
+This module only pins the composition (conditions + watermarks) so
+the crawl engine exposes one audited way to do it; the execution is
+entirely Spark's StreamingSymmetricHashJoin. State size is
+O(in-flight rows within watermark + interval), NOT O(stream length) —
+the property the e2e pytest asserts semantically (late rows beyond
+the watermark are dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_s: int,
+    watermark_s: int = 600,
+) -> DataFrame:
+    """Inner-join two watermarked streams on `key` where right's event
+    time falls in [left_ts, left_ts + max_delay_s]. Right columns keep
+    their names (callers pick disjoint names apart from `key`).
+
+    Both watermarks are required for Spark to evict join state; the
+    range condition must reference both event-time columns directly
+    (not derived columns) so the planner derives the state bounds.
+    """
+    l_ = left.withWatermark(left_ts, f"{int(watermark_s)} seconds")
+    r_ = right.withWatermark(right_ts, f"{int(watermark_s)} seconds")
+    cond = (
+        (l_[key] == r_[key])
+        & (r_[right_ts] >= l_[left_ts])
+        & (
+            r_[right_ts]
+            <= l_[left_ts] + F.expr(f"INTERVAL {int(max_delay_s)} SECONDS")
+        )
+    )
+    return l_.join(r_, cond, "inner").drop(r_[key])

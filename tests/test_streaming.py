@@ -910,3 +910,68 @@ def test_streaming_ingest_dedup_replay_after_compaction(spark, tmp_path):
     assert gate.flags().count() == 0        # no self-flag
     gate.compact()
     assert sorted(map(tuple, gate.corpus_bands().collect())) == before
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Native watermarked stream-stream interval join: fetch events
+    joined to extraction events on host within 30s after the fetch;
+    in-window pairs emitted, out-of-window and wrong-key pairs not.
+    Matches the batch twin (rangejoin points_in_intervals semantics)
+    on the same data."""
+    import pandas as pd
+
+    from photon_spark.streaming.interval_join import interval_join_stream
+
+    lsrc = tmp_path / "fetches"
+    rsrc = tmp_path / "extracts"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    t0 = "2024-01-01 00:00:"
+    pd.DataFrame(
+        {
+            "host": ["a", "a", "b"],
+            "fetch_id": [1, 2, 3],
+            "fts": pd.to_datetime(
+                [t0 + "00", t0 + "40", t0 + "10"]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(str(lsrc / "b0.parquet"))
+    pd.DataFrame(
+        {
+            "host": ["a", "a", "a", "b"],
+            "ext_id": [10, 11, 12, 13],
+            "ets": pd.to_datetime(
+                [t0 + "05", t0 + "50", t0 + "35", t0 + "55"]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(str(rsrc / "b0.parquet"))
+
+    lstream = spark.readStream.schema(
+        "host string, fetch_id long, fts timestamp"
+    ).parquet(str(lsrc))
+    rstream = spark.readStream.schema(
+        "host string, ext_id long, ets timestamp"
+    ).parquet(str(rsrc))
+    joined = interval_join_stream(
+        lstream, rstream, "host", "fts", "ets", max_delay_s=30
+    )
+    q = (
+        joined.select("fetch_id", "ext_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["fetch_id"], r["ext_id"])
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+    # fetch 1 (a@0s): ext 10 (5s in) yes, ext 12 (35s) no, ext 11 (50s) no
+    # fetch 2 (a@40s): ext 11 (50s) yes, ext 12 (35s) before -> no
+    # fetch 3 (b@10s): ext 13 (b@55s) 45s later -> no
+    assert got == {(1, 10), (2, 11)}
