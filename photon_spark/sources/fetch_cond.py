@@ -1,0 +1,233 @@
+"""Conditional-GET revalidation — the fetch-side half of the recrawl
+loop (`plans/schedule.recrawl_schedule` is the policy half).
+
+The reference crawls every URL exactly once and never revisits
+(photon.py:91-100 pops the frontier into `processed` permanently), so
+it has no freshness story at all. A production crawler re-fetching a
+10^10-URL corpus cannot afford to re-download unchanged bodies: HTTP
+validators (RFC 9110 §13) let the origin answer `304 Not Modified` to
+`If-None-Match: <etag>` / `If-Modified-Since: <date>`, turning an
+unchanged page into a ~200-byte exchange instead of a full transfer.
+At recrawl scale the bandwidth saved is the dominant cost term — web
+change-rate studies (Cho & Garcia-Molina 2003, the same policy model
+recrawl_schedule implements) put the unchanged fraction per revisit
+well above half.
+
+Composition (each stage individually tested; the loop is the user's):
+
+    validators = prior state (url, etag, last_modified)   # CrawlStore
+    wave   = recrawl_schedule(observations, pages, k)     # policy
+    wave   = wave.join(validators, "url", "left")         # attach
+    result = conditional_fetch_stage(wave, transport)     # this module
+    state, obs = apply_revalidation(prev, result, wave_id) # merge
+    observations = observations.unionByName(obs)          # feeds policy
+
+Scale notes: `conditional_fetch_stage` is the same host-partitioned
+`mapInPandas` shape as `fetch_stage` (run it AFTER schedule_wave so
+politeness locality and connection reuse hold); `apply_revalidation`
+is ONE url-keyed full-outer join — both sides are url-unique so the
+join is shuffle-bounded by the page count, and at store scale it is
+exactly the MERGE INTO shape CrawlStore documents (match → update,
+not-matched → insert).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator, Mapping, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.config import DUMMY
+from photon_spark.sources.fetch_http import DEFAULT_USER_AGENTS, build_headers
+
+# status/body semantics match fetch_stage (failures → status 0 + DUMMY,
+# non-text 2xx → DUMMY); 304 rows carry not_modified=True, an empty
+# body (the merge keeps the stored one), and the validators that were
+# SENT (they still identify the stored representation, RFC 9110
+# §13.1.2). etag/last_modified on 2xx rows are the RESPONSE validators
+# (null when the origin sent none — such URLs simply refetch in full
+# next time).
+COND_FETCH_SCHEMA = (
+    "url string, level int, status int, body string, "
+    "etag string, last_modified string, not_modified boolean"
+)
+
+# (url, headers, timeout) -> (status, content_type, text, response_headers)
+CondTransport = Callable[
+    [str, Mapping[str, str], float],
+    Tuple[int, str, str, Mapping[str, str]],
+]
+
+
+def requests_cond_transport() -> CondTransport:
+    """Production transport: like fetch_http.requests_transport but
+    surfaces response headers so ETag/Last-Modified can be stored.
+    Lazy import — the sandbox has no network; tests inject fakes."""
+    import requests  # deferred
+
+    session = requests.Session()
+    session.max_redirects = 3
+
+    def do(url: str, headers: Mapping[str, str], timeout: float):
+        resp = session.get(url, headers=dict(headers), timeout=timeout)
+        return (
+            resp.status_code,
+            resp.headers.get("Content-Type", ""),
+            resp.text,
+            dict(resp.headers),
+        )
+
+    return do
+
+
+def conditional_fetch_stage(
+    wave: DataFrame,
+    transport_factory: Callable[[], CondTransport] | None = None,
+    delay: float = 0.0,
+    timeout: float = 6.0,
+    user_agents: tuple[str, ...] = DEFAULT_USER_AGENTS,
+    headers: Mapping[str, str] | None = None,
+    cookie: str | None = None,
+) -> DataFrame:
+    """(url, level[, etag, last_modified]) revalidation wave →
+    COND_FETCH_SCHEMA rows.
+
+    Rows with a stored validator send `If-None-Match` and/or
+    `If-Modified-Since` on top of the regular header set (defaults or
+    the caller's verbatim dict — same replacement semantics as
+    fetch_stage, reference core/requester.py:37); rows without
+    validators are plain unconditional GETs, so a mixed wave (fresh
+    URLs + revisits) needs no split. Same per-request politeness
+    delay, content-type gate, and swallow-to-sentinel failure mapping
+    as fetch_stage."""
+    factory = transport_factory or requests_cond_transport
+    custom = dict(headers) if headers else None
+    cols = set(wave.columns)
+    for c in ("etag", "last_modified"):
+        if c not in cols:
+            wave = wave.withColumn(c, F.lit(None).cast("string"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory()  # one session per partition (task)
+        for pdf in batches:
+            out = {
+                "status": [],
+                "body": [],
+                "etag": [],
+                "last_modified": [],
+                "not_modified": [],
+            }
+            for url, req_etag, req_lm in zip(
+                pdf["url"], pdf["etag"], pdf["last_modified"]
+            ):
+                if delay:
+                    time.sleep(delay)
+                hdrs = build_headers(url, user_agents, custom, cookie)
+                if isinstance(req_etag, str) and req_etag:
+                    hdrs["If-None-Match"] = req_etag
+                if isinstance(req_lm, str) and req_lm:
+                    hdrs["If-Modified-Since"] = req_lm
+                try:
+                    status, ctype, text, resp = transport(url, hdrs, timeout)
+                except Exception:
+                    status, ctype, text, resp = 0, "", "", {}
+                resp = {k.lower(): v for k, v in resp.items()}
+                if status == 304:
+                    out["status"].append(304)
+                    out["body"].append("")
+                    out["etag"].append(req_etag if isinstance(req_etag, str) else None)
+                    out["last_modified"].append(
+                        req_lm if isinstance(req_lm, str) else None
+                    )
+                    out["not_modified"].append(True)
+                    continue
+                ok = "text/html" in (ctype or "").lower() or "text/plain" in (
+                    ctype or ""
+                ).lower()
+                out["status"].append(status)
+                out["body"].append(text if ok else DUMMY)
+                out["etag"].append(resp.get("etag"))
+                out["last_modified"].append(resp.get("last-modified"))
+                out["not_modified"].append(False)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "level": pdf["level"],
+                    **out,
+                }
+            )
+
+    return wave.select("url", "level", "etag", "last_modified").mapInPandas(
+        run, schema=COND_FETCH_SCHEMA
+    )
+
+
+def apply_revalidation(
+    prev: DataFrame, fetched: DataFrame, wave: int
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a conditional-fetch result into the stored page state and
+    emit the change observations that feed recrawl_schedule.
+
+    ``prev``: url-unique stored state (url, body, etag, last_modified,
+    fetched_wave). ``fetched``: url-unique COND_FETCH_SCHEMA rows.
+    Returns ``(state, observations)``:
+
+    * 304 row      → keep stored body + validators; checked, unchanged.
+    * 2xx row      → take the new body + response validators; changed.
+    * failure (0)  → keep EVERYTHING stored (stale beats lost); NO
+      observation row — a transport error says nothing about change
+      rate, and counting it as "unchanged" would bias the Cho &
+      Garcia-Molina estimator recrawl_schedule runs on these logs.
+    * url only in ``fetched`` → fresh insert (discovery during a
+      revalidation wave); observed as changed (first sighting).
+    * url only in ``prev``    → untouched carry-over.
+
+    ``state`` is (url, body, etag, last_modified, fetched_wave,
+    checked_wave); ``observations`` is (url, wave, changed int) —
+    unionByName it onto the log recrawl_schedule reads. Pure
+    expressions over one full-outer url join; at store scale this is
+    the documented CrawlStore MERGE INTO shape."""
+    p = prev.select(
+        F.col("url"),
+        F.col("body").alias("p_body"),
+        F.col("etag").alias("p_etag"),
+        F.col("last_modified").alias("p_lm"),
+        F.col("fetched_wave").alias("p_fw"),
+    )
+    f = fetched.select(
+        F.col("url"),
+        F.col("status").alias("f_status"),
+        F.col("body").alias("f_body"),
+        F.col("etag").alias("f_etag"),
+        F.col("last_modified").alias("f_lm"),
+        F.col("not_modified").alias("f_nm"),
+    )
+    j = p.join(f, "url", "full_outer")
+    fetched_row = F.col("f_status").isNotNull()
+    failed = fetched_row & (F.col("f_status") == 0)
+    unchanged = fetched_row & F.col("f_nm")
+    modified = fetched_row & ~F.col("f_nm") & (F.col("f_status") != 0)
+    state = j.select(
+        "url",
+        F.when(modified, F.col("f_body")).otherwise(F.col("p_body")).alias("body"),
+        F.when(modified, F.col("f_etag")).otherwise(F.col("p_etag")).alias("etag"),
+        F.when(modified, F.col("f_lm")).otherwise(F.col("p_lm")).alias(
+            "last_modified"
+        ),
+        F.when(modified, F.lit(wave)).otherwise(F.col("p_fw")).alias("fetched_wave"),
+        F.when(fetched_row & ~failed, F.lit(wave))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("checked_wave"),
+    )
+    observations = (
+        j.where(fetched_row & ~failed)
+        .select(
+            "url",
+            F.lit(wave).alias("wave"),
+            F.when(unchanged, F.lit(0)).otherwise(F.lit(1)).alias("changed"),
+        )
+    )
+    return state, observations

@@ -251,6 +251,88 @@ def build_warc(
     return out.getvalue()
 
 
+EXPORT_MANIFEST_SCHEMA = "warc_file string, n_records long, n_bytes long"
+
+
+def warc_export(
+    records: DataFrame,
+    out_dir: str,
+    gzip_per_record: bool = True,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    filename_prefix: str = "part",
+) -> DataFrame:
+    """Distributed WARC export sink — the executor-side production twin
+    of ``write_warc_files`` (which is driver-side for tiny fixtures).
+
+    ``records`` is the records-shaped frame ``(url, status,
+    content_type, body)``; each PARTITION becomes one
+    ``<prefix>-<pid:05d>.warc.gz`` shard under ``out_dir`` (the
+    Common-Crawl segment convention read_warc's parallelism is built
+    around — the caller sizes shards via ``repartition``, CC uses
+    ~1 GB). Returned is the lazy manifest frame
+    ``(warc_file, n_records, n_bytes)``; materializing it IS the write,
+    like every Spark sink stage.
+
+    Scale/fault design:
+    * Executors stream batch-by-batch — ``build_warc`` runs per Arrow
+      batch and appends, so a shard never materializes in memory.
+    * Writes are attempt-isolated: each task writes
+      ``.<name>.attempt-<n>`` and ``os.replace``s it into place on
+      success, so task retries and speculative duplicates are
+      idempotent (the FileOutputCommitter pattern, one file per task).
+    * Empty partitions emit no file and no manifest row.
+    * ``out_dir`` must be a filesystem all executors share (local[*]
+      here; NFS/object-store mount on a cluster — CC's own layout).
+    * One gzip member per record (default) keeps shards
+      record-seekable and is what ``read_warc``'s member-by-member
+      gunzip is optimized for.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if gzip_per_record else ".warc"
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"{filename_prefix}-{ctx.partitionId():05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f".{name}.attempt-{ctx.attemptNumber()}")
+        n_records = 0
+        n_bytes = 0
+        f = None
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                data = build_warc(
+                    pdf.to_dict("records"),
+                    warc_date=warc_date,
+                    gzip_per_record=gzip_per_record,
+                )
+                f.write(data)
+                n_records += len(pdf)
+                n_bytes += len(data)
+            if f is None:
+                return  # empty partition: no shard, no manifest row
+            f.close()
+            f = None
+            os.replace(tmp, final)
+        finally:
+            if f is not None:
+                f.close()
+        yield pd.DataFrame(
+            [{"warc_file": final, "n_records": n_records, "n_bytes": n_bytes}]
+        )
+
+    return records.select("url", "status", "content_type", "body").mapInPandas(
+        write, schema=EXPORT_MANIFEST_SCHEMA
+    )
+
+
 def write_warc_files(
     path_prefix: str,
     records: Sequence[Mapping],

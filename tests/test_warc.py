@@ -147,3 +147,91 @@ def test_crawl_over_warc_matches_pages_table(spark, fixture_pages, warc_dir):
         (r["url"], r["level"]) for r in b.waves.collect()
     }
     pages_warc.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# distributed export sink (warc_export)
+# ---------------------------------------------------------------------------
+
+
+def _records_df(spark, recs, parts=3):
+    return spark.createDataFrame(
+        [(r["url"], r["status"], r["content_type"], r["body"]) for r in recs],
+        "url string, status int, content_type string, body string",
+    ).repartition(parts, "url")  # hash-partitioned → deterministic shards
+
+
+def test_warc_export_roundtrip(spark, tmp_path):
+    from photon_spark.sources.warc import warc_export
+
+    recs = _fixture_records()
+    out = str(tmp_path / "seg")
+    manifest = warc_export(_records_df(spark, recs), out).collect()
+    assert sum(m["n_records"] for m in manifest) == len(recs)
+    assert all(m["n_bytes"] > 0 for m in manifest)
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files == sorted(os.path.basename(m["warc_file"]) for m in manifest)
+    assert all(f.startswith("part-") and f.endswith(".warc.gz") for f in files)
+    assert not [f for f in files if f.startswith(".")]  # no attempt leftovers
+    # read the shards back through the distributed source: lossless
+    back = read_warc(spark, out + "/*.warc.gz")
+    bodies = page_bodies()
+    rows = back.collect()
+    assert len(rows) == len(recs)
+    for r in rows:
+        assert r["body"].decode("utf-8") == bodies[r["url"]]
+
+
+def test_warc_export_empty_partitions_emit_nothing(spark, tmp_path):
+    from photon_spark.sources.warc import warc_export
+
+    recs = _fixture_records()[:2]
+    out = str(tmp_path / "seg")
+    # 8-way hash partitioning of 2 urls → ≥6 empty partitions
+    manifest = warc_export(_records_df(spark, recs, parts=8), out).collect()
+    import os
+
+    assert 1 <= len(manifest) <= 2
+    assert sorted(os.listdir(out)) == sorted(
+        os.path.basename(m["warc_file"]) for m in manifest
+    )
+    assert sum(m["n_records"] for m in manifest) == 2
+
+
+def test_warc_export_rerun_is_idempotent(spark, tmp_path):
+    """Attempt files are os.replace'd into place, so a re-run (the
+    task-retry / speculative-duplicate shape) leaves byte-identical
+    shards and no temp litter."""
+    import os
+
+    from photon_spark.sources.warc import warc_export
+
+    recs = _fixture_records()
+    out = str(tmp_path / "seg")
+    df = _records_df(spark, recs)
+    warc_export(df, out).collect()
+    first = {
+        f: open(os.path.join(out, f), "rb").read() for f in os.listdir(out)
+    }
+    warc_export(df, out).collect()
+    second = {
+        f: open(os.path.join(out, f), "rb").read() for f in os.listdir(out)
+    }
+    assert first == second
+    assert not [f for f in second if f.startswith(".")]
+
+
+def test_warc_export_plain_variant_parses(spark, tmp_path):
+    from photon_spark.sources.warc import warc_export
+
+    recs = _fixture_records()[:3]
+    out = str(tmp_path / "plain")
+    warc_export(_records_df(spark, recs, parts=1), out, gzip_per_record=False).collect()
+    import os
+
+    (f,) = os.listdir(out)
+    assert f.endswith(".warc")
+    parsed = list(parse_warc_bytes(open(os.path.join(out, f), "rb").read()))
+    assert {p["url"] for p in parsed} == {r["url"] for r in recs}
