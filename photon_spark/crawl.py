@@ -113,13 +113,17 @@ def assemble_intel(bad_intel: DataFrame, external: DataFrame) -> DataFrame:
         .select(F.concat_ws(":", F.col("name"), F.col("x")).alias("value"))
     )
     intel = scalar.unionByName(tuples)
-    if bad_intel.limit(1).count() > 0:  # Q9 gate
-        intel = intel.unionByName(
-            external.filter(etld1_udf(F.col("url")).isin(list(INTELS))).select(
-                F.col("url").alias("value")
-            )
-        )
-    return intel.distinct()
+    # Q9 gate, declaratively: the external-INTELS promotion joins a
+    # 1-row existence probe of bad_intel instead of a driver-side
+    # count() — empty bad_intel ⇒ empty gate ⇒ empty promotion, and
+    # `intel` stays a fully lazy plan (no job fires at assembly time).
+    gate = F.broadcast(bad_intel.limit(1).select(F.lit(1).alias("_g")))
+    promoted = (
+        external.filter(etld1_udf(F.col("url")).isin(list(INTELS)))
+        .crossJoin(gate)
+        .select(F.col("url").alias("value"))
+    )
+    return intel.unionByName(promoted).distinct()
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
@@ -316,6 +320,44 @@ def run_crawl(
     # Accumulators start from loaded state; per-wave pieces are unioned in.
     acc = {k: state[k] for k in STATE_SCHEMAS}
 
+    def gate_links(links: DataFrame) -> DataFrame:
+        """Post-dedup wave filters: exclusion regex (photon.py:317) +
+        robots disallow gate — pure expressions, shared by both the
+        wave-start path and the fused-checkpoint path."""
+        if cfg.exclude:
+            links = links.filter(~F.col("url").rlike(cfg.exclude))
+        if disallows is not None:
+            from photon_spark.plans.schedule import robots_gate
+
+            links = robots_gate(links, disallows)
+        return links
+
+    def trap_filtered(internal: DataFrame) -> DataFrame:
+        """Opt-in trap gate: shrink the candidate set BEFORE the
+        seen-set anti-join (the cheap scan-side heuristics run first,
+        the expensive dedup sees only survivors). The `internal`
+        DATASET keeps every discovered link — reference parity; traps
+        are merely never scheduled for fetch."""
+        if cfg.trap_gate is None:
+            return internal
+        from photon_spark.plans.schedule import trap_flags
+
+        md, mp, sr = cfg.trap_gate
+        return (
+            trap_flags(internal, max_depth=md, max_params=mp, seg_repeat_limit=sr)
+            .filter(~F.col("is_trap"))
+            .select(*internal.columns)
+        )
+
+    # In-memory crawl (no store): the per-wave internal delta skips its
+    # own distinct — the accumulator merge's dropDuplicates covers it,
+    # saving one shuffle per wave in the checkpoint job. (Two wider
+    # fusions were measured SLOWER and reverted: riding the lineage
+    # counts and/or the next wave's anti-join as extra checkpoint legs
+    # loses the eager ext materialization / exchange reuse — see
+    # BENCH/BASELINE.md session notes.)
+    fast_path = store is None
+
     for level in range(start_wave, cfg.crawl_level):
         t0 = time.time()
 
@@ -340,26 +382,7 @@ def run_crawl(
                 bloom = UrlBloom.build(
                     acc["processed"], "url", cfg.bloom_expected, cfg.bloom_fpp
                 )
-        # Opt-in trap gate: shrink the candidate set BEFORE the
-        # seen-set anti-join (the cheap scan-side heuristics run
-        # first, the expensive dedup sees only survivors). The
-        # `internal` DATASET keeps every discovered link — reference
-        # parity; traps are merely never scheduled for fetch.
-        candidates = acc["internal"]
-        if cfg.trap_gate is not None:
-            from photon_spark.plans.schedule import trap_flags
-
-            md, mp, sr = cfg.trap_gate
-            candidates = (
-                trap_flags(
-                    candidates,
-                    max_depth=md,
-                    max_params=mp,
-                    seg_repeat_limit=sr,
-                )
-                .filter(~F.col("is_trap"))
-                .select(*acc["internal"].columns)
-            )
+        candidates = trap_filtered(acc["internal"])
         seen_parts = (
             store.processed_parts(spark)
             if store is not None and store.bucket_seen > 0
@@ -377,13 +400,7 @@ def run_crawl(
             )
         else:
             links = dedup_candidates(candidates, acc["processed"], "url", bloom)
-        if cfg.exclude:
-            links = links.filter(~F.col("url").rlike(cfg.exclude))  # photon.py:317
-        if disallows is not None:
-            from photon_spark.plans.schedule import robots_gate
-
-            links = robots_gate(links, disallows)
-        links = links.persist()
+        links = gate_links(links).persist()
         # ONE driver action for both loop-control counts (|internal| for
         # the Q25 break, |links| for termination + partition sizing) — a
         # tagged union instead of two jobs per wave. links materializes
@@ -430,10 +447,15 @@ def run_crawl(
         # scheduled URL, so Σ part counts == |scheduled| — no separate
         # scheduled.count() job. Budget-capped URLs are deferred, not
         # dropped: they stay out of `processed`, remain in `internal`,
-        # and re-candidate next wave.
+        # and re-candidate next wave. (Fusing this collect into the
+        # checkpoint as an extra leg was measured SLOWER: without the
+        # eager materialization the checkpoint's concurrent stages
+        # duplicate the extract compute — see BENCH/BASELINE.md.)
         part_counts = [
             (r["pid"], r["count"])
-            for r in ext.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            for r in ext.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
         ]
         n_sched = sum(c for _, c in part_counts)
 
@@ -444,8 +466,14 @@ def run_crawl(
         # these — append-only snapshots, never a full-state rewrite).
         # files side-effect is gated on the processed check
         # (utils.py:40-46): anti-join against processed as of wave start.
+        # The internal delta skips its own distinct on the fast path —
+        # the accumulator merge dropDuplicates right below covers it;
+        # store commits keep it (append files should carry deduped rows).
+        internal_delta = exploded("internal_new", "url")
+        if not fast_path:
+            internal_delta = internal_delta.distinct()
         delta = {
-            "internal": exploded("internal_new", "url").distinct(),
+            "internal": internal_delta,
             "external": exploded("external_new", "url").distinct(),
             "files": exploded("file_links")
             .join(acc["processed"], F.col("value") == F.col("url"), "left_anti")
@@ -475,11 +503,11 @@ def run_crawl(
                 if k == "internal"
                 else acc[k].unionByName(delta[k])
             )
-        processed_count += n_sched
 
         # ---- snapshot: append-delta commit (resumable) or lineage
         # truncation.
         if store is not None:
+            processed_count += n_sched
             meta = {
                 "processed_count": processed_count,
                 "robots_urls": robots_urls,
@@ -493,6 +521,7 @@ def run_crawl(
                 store.expire()
             acc = store.load(spark, level)
         else:
+            processed_count += n_sched
             # Truncate the two per-wave-growing lineages in ONE job: a
             # tagged union checkpointed once, then split by narrow
             # filters over the cached partitions (two eager

@@ -1,0 +1,44 @@
+"""One-off profiler for the crawl wave loop: per-wave elapsed + Spark
+job count, on the big fanout site and the fixture site (bench twins)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from fixtures.gen import BIG_ROOT, ROOT, big_site_df, pages_df
+from photon_spark.config import EngineConfig
+from photon_spark.crawl import run_crawl
+from photon_spark.session import get_spark
+
+spark = get_spark(cores=32, shuffle_partitions=32, app_name="profile")
+sc = spark.sparkContext
+tracker = sc.statusTracker()
+
+# warmup
+spark.range(1000).selectExpr("sum(id)").collect()
+
+pages = big_site_df(spark, 11111).persist()
+pages.count()
+cfg = EngineConfig(crawl_level=6, only_urls=True, shuffle_partitions=32)
+run_crawl(spark, pages, BIG_ROOT, cfg=cfg).waves.count()  # warmup
+
+j0 = len(tracker.getJobIdsForGroup(None) or []) if hasattr(tracker, 'getJobIdsForGroup') else 0
+t0 = time.time()
+res = run_crawl(spark, pages, BIG_ROOT, cfg=cfg)
+n = res.waves.count()
+el = time.time() - t0
+print(f"BIG: {n} pages in {el:.2f}s = {n/el:.0f} pages/s, waves={len(res.metrics)}")
+for m in res.metrics:
+    print("  wave", m["wave"], "sched", m["urls_scheduled"], "elapsed", m["elapsed_s"])
+pages.unpersist()
+
+fp = pages_df(spark)
+run_crawl(spark, fp, ROOT).results.count()  # warm
+t0 = time.time()
+res = run_crawl(spark, fp, ROOT)
+n = res.results.count()
+el = time.time() - t0
+print(f"FIXTURE: {n} rows in {el:.2f}s")
+for m in res.metrics:
+    print("  wave", m["wave"], "sched", m["urls_scheduled"], "elapsed", m["elapsed_s"])
+spark.stop()
