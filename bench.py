@@ -111,6 +111,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q8_market_share",
     "pipeline_retention_stats",
+    "recrawl_revalidate_state",
+    "recrawl_revalidate_observations",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

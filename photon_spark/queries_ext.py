@@ -1474,6 +1474,126 @@ def recrawl_q(spark, sf):
     )
 
 
+# Conditional-GET revalidation merge (sources/fetch_cond.apply_revalidation)
+# — the MERGE INTO half of the recrawl loop: stored page state ⨝full
+# this wave's revalidation results → (new state, change observations).
+# Synthetic-but-total case coverage derived from documents: doc_id%3==0
+# rows are fresh inserts (in fetched only), the rest split by doc_id%4
+# into 304-unchanged / 200-modified / transport-failure / not-scheduled
+# carry-overs; etag/last-modified nullability varies by %5 and %2.
+_REVAL_URL_SQL = (
+    "'http://h' || CAST(doc_id % 13 AS VARCHAR) || '.test/p/'"
+    " || CAST(doc_id AS VARCHAR)"
+)
+_REVAL_PREV_SQL = (
+    "SELECT {url} AS url, 'old-' || CAST(doc_id AS VARCHAR) AS body,"
+    " '\"e' || CAST(doc_id AS VARCHAR) || '\"' AS etag,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'plm-' || CAST(doc_id AS VARCHAR) END"
+    "  AS last_modified,"
+    " CAST(doc_id % 5 AS INT) AS fetched_wave"
+    " FROM documents WHERE doc_id % 3 <> 0"
+).format(url=_REVAL_URL_SQL)
+_REVAL_FETCHED_SQL = (
+    "SELECT {url} AS url,"
+    " CAST(CASE WHEN doc_id % 3 = 0 THEN 200 WHEN doc_id % 4 = 0 THEN 304"
+    "  WHEN doc_id % 4 = 1 THEN 200 ELSE 0 END AS INT) AS status,"
+    " CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 1"
+    "  THEN 'new-' || CAST(doc_id AS VARCHAR) ELSE '' END AS body,"
+    " CASE WHEN (doc_id % 3 = 0 OR doc_id % 4 = 1) AND doc_id % 5 <> 0"
+    "  THEN '\"r' || CAST(doc_id AS VARCHAR) || '\"' END AS etag,"
+    " CASE WHEN (doc_id % 3 = 0 OR doc_id % 4 = 1) AND doc_id % 2 = 0"
+    "  THEN 'flm-' || CAST(doc_id AS VARCHAR) END AS last_modified,"
+    " (doc_id % 3 <> 0 AND doc_id % 4 = 0) AS not_modified"
+    " FROM documents WHERE doc_id % 3 = 0 OR doc_id % 4 <> 3"
+).format(url=_REVAL_URL_SQL)
+_REVAL_MERGE_SQL = (
+    "WITH prev AS ({prev}), f AS ({fetched}),"
+    " j AS (SELECT coalesce(prev.url, f.url) AS url, prev.body AS p_body,"
+    "  prev.etag AS p_etag, prev.last_modified AS p_lm,"
+    "  prev.fetched_wave AS p_fw, f.status AS f_status, f.body AS f_body,"
+    "  f.etag AS f_etag, f.last_modified AS f_lm, f.not_modified AS f_nm"
+    "  FROM prev FULL OUTER JOIN f ON prev.url = f.url)"
+).format(prev=_REVAL_PREV_SQL, fetched=_REVAL_FETCHED_SQL)
+
+
+def _reval_frames(spark, sf):
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".test/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = F.col("doc_id")
+    prev = docs.filter(d % 3 != 0).select(
+        url.alias("url"),
+        F.concat(F.lit("old-"), d.cast("string")).alias("body"),
+        F.concat(F.lit('"e'), d.cast("string"), F.lit('"')).alias("etag"),
+        F.when(
+            d % 2 == 0, F.concat(F.lit("plm-"), d.cast("string"))
+        ).alias("last_modified"),
+        (d % 5).cast("int").alias("fetched_wave"),
+    )
+    is200 = (d % 3 == 0) | (d % 4 == 1)
+    fetched = docs.filter((d % 3 == 0) | (d % 4 != 3)).select(
+        url.alias("url"),
+        F.when(d % 3 == 0, 200)
+        .when(d % 4 == 0, 304)
+        .when(d % 4 == 1, 200)
+        .otherwise(0)
+        .cast("int")
+        .alias("status"),
+        F.when(is200, F.concat(F.lit("new-"), d.cast("string")))
+        .otherwise(F.lit(""))
+        .alias("body"),
+        F.when(
+            is200 & (d % 5 != 0), F.concat(F.lit('"r'), d.cast("string"), F.lit('"'))
+        ).alias("etag"),
+        F.when(
+            is200 & (d % 2 == 0), F.concat(F.lit("flm-"), d.cast("string"))
+        ).alias("last_modified"),
+        ((d % 3 != 0) & (d % 4 == 0)).alias("not_modified"),
+    )
+    return prev, fetched
+
+
+@q(
+    "recrawl_revalidate_state",
+    _REVAL_MERGE_SQL + " SELECT url,"
+    " CASE WHEN f_status IS NOT NULL AND NOT f_nm AND f_status <> 0"
+    "  THEN f_body ELSE p_body END AS body,"
+    " CASE WHEN f_status IS NOT NULL AND NOT f_nm AND f_status <> 0"
+    "  THEN f_etag ELSE p_etag END AS etag,"
+    " CASE WHEN f_status IS NOT NULL AND NOT f_nm AND f_status <> 0"
+    "  THEN f_lm ELSE p_lm END AS last_modified,"
+    " CAST(CASE WHEN f_status IS NOT NULL AND NOT f_nm AND f_status <> 0"
+    "  THEN 7 ELSE p_fw END AS INT) AS fetched_wave,"
+    " CAST(CASE WHEN f_status IS NOT NULL AND f_status <> 0"
+    "  THEN 7 END AS INT) AS checked_wave"
+    " FROM j",
+)
+def reval_state_q(spark, sf):
+    from photon_spark.sources.fetch_cond import apply_revalidation
+
+    prev, fetched = _reval_frames(spark, sf)
+    state, _ = apply_revalidation(prev, fetched, wave=7)
+    return state
+
+
+@q(
+    "recrawl_revalidate_observations",
+    _REVAL_MERGE_SQL + " SELECT url, CAST(7 AS INT) AS wave,"
+    " CAST(CASE WHEN f_nm THEN 0 ELSE 1 END AS INT) AS changed"
+    " FROM j WHERE f_status IS NOT NULL AND f_status <> 0",
+)
+def reval_obs_q(spark, sf):
+    from photon_spark.sources.fetch_cond import apply_revalidation
+
+    prev, fetched = _reval_frames(spark, sf)
+    _, obs = apply_revalidation(prev, fetched, wave=7)
+    return obs
+
+
 # AIMD adaptive politeness (plans/schedule.adaptive_host_budgets) —
 # per-host wave budgets from observed fetch outcomes, the input to
 # schedule_wave(host_budgets=...). Mapped onto events: user_id ≅ host,
