@@ -79,7 +79,13 @@ STATE_SCHEMAS = {
 
 
 class CrawlStore:
-    def __init__(self, root: str, bucket_seen: int = 0):
+    def __init__(
+        self,
+        root: str,
+        bucket_seen: int = 0,
+        schemas: dict[str, str] | None = None,
+        upsert_keys: dict[str, list[str]] | None = None,
+    ):
         """``bucket_seen`` > 0 makes compact() write the `processed`
         base BUCKETED on url into that many buckets (registered in the
         session catalog as an external parquet table). The wave loop
@@ -90,9 +96,21 @@ class CrawlStore:
         10^10-|seen| rung of the dedup ladder: per-wave cost is
         O(|wave|), independent of re-shuffling |seen| (Iceberg
         equivalent: a table written with a bucket partition transform,
-        `bucket(N, url)`)."""
+        `bucket(N, url)`).
+
+        ``schemas`` overrides the table set (default: the crawl state
+        tables). ``upsert_keys`` maps table name → key columns for
+        UPSERT tables: commits stay O(|delta|) appends, and load()
+        resolves last-writer-wins per key across waves — merge-on-read,
+        the Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE` shape
+        (equality deletes resolved at read; compact() materializes the
+        resolution, i.e. the copy-on-write flush). Contract: one row
+        per key per wave delta — a same-wave key collision raises at
+        load rather than resolving arbitrarily."""
         self.root = root
         self.bucket_seen = bucket_seen
+        self.schemas = dict(schemas) if schemas is not None else dict(STATE_SCHEMAS)
+        self.upsert_keys = dict(upsert_keys) if upsert_keys else {}
         os.makedirs(root, exist_ok=True)
 
     def _bucket_table_name(self, gen: int) -> str:
@@ -174,16 +192,20 @@ class CrawlStore:
         except FileNotFoundError:
             return None
 
-    def _snapshot_paths(self, name: str, wave: int, meta: dict) -> list[str]:
-        """Parquet paths making up table `name`'s snapshot-as-of
-        `wave`: the consolidated base (if one covers ≤ wave) plus all
-        delta dirs in (base_wave, wave]."""
+    def _snapshot_parts(
+        self, name: str, wave: int, meta: dict
+    ) -> list[tuple[str, int]]:
+        """(path, wave-label) pairs making up table `name`'s
+        snapshot-as-of `wave`: the consolidated base (labelled with its
+        own wave, if one covers ≤ wave) plus all delta dirs in
+        (base_wave, wave]. The labels order versions for the upsert
+        tables' last-writer-wins resolution."""
         waves_index = meta.get("_waves_index", {})
         base = meta.get("_base")
         base_wave = base["wave"] if base and base["wave"] <= wave else None
-        paths = []
+        parts = []
         if base_wave is not None and name in base["tables"]:
-            paths.append(os.path.join(self.root, base["dir"], name))
+            parts.append((os.path.join(self.root, base["dir"], name), base_wave))
         floor = base_wave if base_wave is not None else -1
         for w_str, tables in waves_index.items():
             w = int(w_str)
@@ -198,8 +220,66 @@ class CrawlStore:
                     raise ValueError(
                         f"snapshot-as-of wave {wave} needs delta {p}, {why}"
                     )
-                paths.append(p)
-        return paths
+                parts.append((p, w))
+        return parts
+
+    def _snapshot_paths(self, name: str, wave: int, meta: dict) -> list[str]:
+        return [p for p, _ in self._snapshot_parts(name, wave, meta)]
+
+    def _read_snapshot(
+        self, spark: SparkSession, name: str, wave: int, meta: dict
+    ) -> DataFrame:
+        """Snapshot-as-of reader for one table. Append tables: one
+        multi-path scan + dropDuplicates. Upsert tables: per-part scans
+        labelled with their wave, resolved last-writer-wins per key
+        (row_number over wave desc — merge-on-read; the part count is
+        bounded by compact_every, so the union stays shallow). A
+        same-wave key collision raises (the error is embedded in the
+        key column's projection, so pruning can't skip the check);
+        byte-identical duplicate rows are collapsed first — an
+        idempotent retry of the same delta is not a collision."""
+        from photon_spark.session import jvm_empty
+
+        parts = self._snapshot_parts(name, wave, meta)
+        if not parts:
+            return jvm_empty(spark, self.schemas[name])
+        keys = self.upsert_keys.get(name)
+        if keys is None:
+            return spark.read.parquet(*[p for p, _ in parts]).dropDuplicates()
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        u = None
+        for p, wv in parts:
+            f = spark.read.parquet(p).withColumn("_w", F.lit(int(wv)))
+            u = f if u is None else u.unionByName(f)
+        u = u.dropDuplicates()
+        wk = Window.partitionBy(*keys).orderBy(F.col("_w").desc())
+        key0 = keys[0]
+        collision = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"upsert table {name!r}: multiple rows for one key "
+                    f"within wave "
+                ),
+                F.col("_w").cast("string"),
+                F.lit(f", {key0}="),
+                F.col(key0).cast("string"),
+            )
+        )
+        return (
+            u.withColumn("_rn", F.row_number().over(wk))
+            .withColumn(
+                "_cnt",
+                F.count(F.lit(1)).over(Window.partitionBy(*keys, F.col("_w"))),
+            )
+            .filter(F.col("_rn") == 1)
+            .withColumn(
+                key0,
+                F.when(F.col("_cnt") > 1, collision).otherwise(F.col(key0)),
+            )
+            .drop("_w", "_rn", "_cnt")
+        )
 
     def load_table(
         self, spark: SparkSession, wave: int, name: str
@@ -209,12 +289,7 @@ class CrawlStore:
         parquet listing/schema read per state table per micro-batch."""
         latest = self.latest()
         meta = latest[1] if latest else {}
-        paths = self._snapshot_paths(name, wave, meta)
-        if paths:
-            return spark.read.parquet(*paths).dropDuplicates()
-        from photon_spark.session import jvm_empty
-
-        return jvm_empty(spark, STATE_SCHEMAS[name])
+        return self._read_snapshot(spark, name, wave, meta)
 
     def load(self, spark: SparkSession, wave: int) -> dict[str, DataFrame]:
         """Snapshot-as-of `wave`: consolidated base (if one covers ≤
@@ -224,16 +299,10 @@ class CrawlStore:
         them (Iceberg expired-snapshot semantics)."""
         latest = self.latest()
         meta = latest[1] if latest else {}
-        out = {}
-        for name, schema in STATE_SCHEMAS.items():
-            paths = self._snapshot_paths(name, wave, meta)
-            if paths:
-                out[name] = spark.read.parquet(*paths).dropDuplicates()
-            else:
-                from photon_spark.session import jvm_empty
-
-                out[name] = jvm_empty(spark, schema)
-        return out
+        return {
+            name: self._read_snapshot(spark, name, wave, meta)
+            for name in self.schemas
+        }
 
     def compact(self, spark: SparkSession, upto: int | None = None) -> str:
         """Rewrite the snapshot-as-of `upto` (default: latest wave) into
