@@ -2,11 +2,12 @@
 
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
-photon_spark/queries.py + queries_ext.py hold the registry (94
-queries, 88 with colocated DuckDB oracle SQL; aliases matched on both
-sides; COVERAGE.md maps them to SURVEY.md §2 rows). Registry order is
-gate-aware: the first 50 entries are all oracled (queries_ext._TAIL
-parks rows-only + redundant-sibling entries last).
+photon_spark/queries.py + queries_ext.py hold the registry (148
+queries, 139 with colocated DuckDB oracle SQL — including the complete
+TPC-H 22; aliases matched on both sides; COVERAGE.md maps them to
+SURVEY.md §2 rows). Registry order is gate-aware: the first 50 entries
+are all oracled and rotate round-to-round (queries_ext._TAIL parks
+already-driver-verified + rows-only entries last).
 """
 
 from __future__ import annotations

@@ -110,6 +110,13 @@ HEADLINE = [
     "q22_dormant_rich_customers",
     "q15_top_supplier",
     "q8_market_share",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q16_supplier_cnt",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

@@ -3695,6 +3695,438 @@ def pipeline_stats_q(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion: the seven shapes the suite was still missing
+# (q2, q9, q11, q13, q16, q20, q21). The testdata has no partsupp table
+# and lineitem carries no commit/receipt dates, so — as with q8/q22 —
+# the shapes are preserved and the missing inputs derived: the supply
+# catalog (partkey, suppkey, cost/qty) comes from lineitem aggregates,
+# and "late" means shipped >60 days after the order date. Money is
+# quantized to integer 1e-4 units BEFORE aggregation on both engines.
+
+
+@q(
+    "q13_order_distribution",
+    "WITH c_orders AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count"
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    "   AND o_orderpriority <> '1-URGENT'"
+    "  GROUP BY c_custkey)"
+    " SELECT c_count, COUNT(*) AS custdist FROM c_orders GROUP BY c_count",
+)
+def q13_dist(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution — an OUTER
+    join with a join-side predicate (the filter must NOT become a WHERE,
+    or customers with only urgent orders would vanish instead of
+    counting as 0) followed by a second aggregation over the first's
+    result. Zero-order customers survive via COUNT(column)'s null
+    skipping. Both aggs are map-side combinable; the second one's input
+    is |customers| rows, so its shuffle is already tiny."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q9_product_profit",
+    "SELECT n_name AS nation,"
+    "  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,"
+    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "       AS BIGINT)"
+    "    - CAST(floor(p_retailprice * l_quantity * 10000 + 0.5)"
+    "       AS BIGINT)) AS profit_ti"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE p_name LIKE '%ring%'"
+    " GROUP BY n_name, o_year",
+)
+def q9_profit(spark, sf):
+    """TPC-H Q9 shape: per-(nation, year) profit over a 5-table join
+    funnel. ps_supplycost is gone with partsupp, so unit cost is the
+    part's retail price — the revenue-minus-cost expression and join
+    graph are unchanged. The part filter ('%ring%') prunes the probe
+    side BEFORE the broadcast; part/supplier/nation all broadcast, so
+    lineitem→orders is the only shuffle join, and the two money terms
+    are quantized separately so the subtraction is exact integer
+    arithmetic on both engines."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%ring%"))
+    sup = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf, "nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("bigint")
+    cost = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 10000 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).alias("profit_ti"))
+    )
+
+
+_Q2_PS = (
+    "SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,"
+    "  MIN(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))"
+    "   AS ps_cost_centi"
+    " FROM lineitem GROUP BY 1, 2"
+)
+
+
+@q(
+    "q2_min_cost_supplier",
+    f"WITH ps AS ({_Q2_PS}),"
+    " eps AS (SELECT ps_partkey, ps_cost_centi, s_name, s_acctbal, n_name"
+    "  FROM ps JOIN supplier ON ps_suppkey = s_suppkey"
+    "  JOIN nation ON s_nationkey = n_nationkey"
+    "  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+    " SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_centi,"
+    "  s_name, n_name, p_partkey, ps_cost_centi"
+    " FROM part JOIN eps ON p_partkey = ps_partkey"
+    " WHERE p_size <= 15 AND p_type = 'LARGE'"
+    "  AND ps_cost_centi = (SELECT MIN(e2.ps_cost_centi) FROM eps e2"
+    "    WHERE e2.ps_partkey = p_partkey)",
+)
+def q2_mincost(spark, sf):
+    """TPC-H Q2 shape: the minimum-cost supplier per part, i.e. a
+    correlated-MIN subquery decorrelated into aggregate-then-self-join
+    (per-part MIN over the region-filtered catalog, equi-joined back on
+    (part, cost) — ties keep every minimal supplier, as in the spec).
+    The supply catalog is lineitem's observed min unit price per
+    (part, supplier) in integer centi-units, so the 'equal to the min'
+    comparison is exact on both engines. The per-part MIN frame is tiny
+    (≤ |parts| rows) and broadcasts; supplier/nation/region fold into
+    one broadcast dimension."""
+    li = _t(spark, sf, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5
+            ).cast("bigint")
+        ).alias("ps_cost_centi")
+    )
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eps = ps.join(
+        F.broadcast(
+            sup.join(
+                F.broadcast(
+                    nation.join(
+                        F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    ).select("n_nationkey", "n_name")
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).select("ps_partkey", "ps_cost_centi", "s_name", "s_acctbal", "n_name")
+    min_cost = eps.groupBy("ps_partkey").agg(
+        F.min("ps_cost_centi").alias("_min_cost")
+    )
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eps.join(F.broadcast(min_cost), "ps_partkey")
+        .where(F.col("ps_cost_centi") == F.col("_min_cost"))
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select(
+            F.floor(F.col("s_acctbal") * 100 + 0.5)
+            .cast("bigint")
+            .alias("s_acctbal_centi"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "ps_cost_centi",
+        )
+    )
+
+
+_Q11_VAL = (
+    "SELECT l_partkey AS partkey,"
+    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "   AS BIGINT)) AS value_ti"
+    " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA' GROUP BY 1"
+)
+
+
+@q(
+    "q11_important_stock",
+    f"WITH val AS ({_Q11_VAL})"
+    " SELECT partkey, value_ti FROM val"
+    " WHERE value_ti > (SELECT CAST(floor(AVG(value_ti) * 2 + 0.5)"
+    "   AS BIGINT) FROM val)",
+)
+def q11_stock(spark, sf):
+    """TPC-H Q11 shape: per-part value HAVING-compared against a global
+    scalar aggregate of the SAME grouped frame (the aggregate view is
+    referenced twice, so it is persisted once and the 1-row threshold
+    rides a broadcast cross join — the q15 pattern). The spec's fixed
+    0.0001/SF fraction doesn't scale across the driver's three SFs
+    (0 rows at sf0.1), so the threshold is the scale-free 2× mean part
+    value; AVG of exact integer units converts to double identically on
+    both engines."""
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_sup = sup.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + 0.5
+                ).cast("bigint")
+            ).alias("value_ti")
+        )
+        .persist()
+    )
+    thresh = val.agg(
+        F.floor(F.avg("value_ti") * 2 + 0.5).cast("bigint").alias("_th")
+    )
+    out = (
+        val.crossJoin(F.broadcast(thresh))
+        .where(F.col("value_ti") > F.col("_th"))
+        .select("partkey", "value_ti")
+        .localCheckpoint(eager=True)
+    )
+    val.unpersist()
+    return out
+
+
+@q(
+    "q16_supplier_cnt",
+    "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+    " SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt"
+    " FROM ps JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'"
+    "  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)"
+    "  AND l_suppkey NOT IN"
+    "   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+    " GROUP BY p_brand, p_size",
+)
+def q16_suppcnt(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    group with a NOT-IN supplier exclusion (negative account balance
+    standing in for the spec's complaint-comment scan; the testdata has
+    6 such suppliers, so the anti-join is non-trivial). The NOT IN
+    becomes a broadcast left_anti join — safe here because s_suppkey is
+    never NULL, which is the one case where NOT IN and anti-join
+    diverge. COUNT(DISTINCT) rides Spark's two-phase distinct-aggregate
+    expansion; the (partkey, suppkey) dedup happens before the part
+    join so the join input is already minimal."""
+    ps = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_sup = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_promotion_suppliers",
+    "WITH avail AS (SELECT l_partkey AS pk, l_suppkey AS sk,"
+    "   SUM(CAST(l_quantity AS BIGINT)) AS availqty"
+    "  FROM lineitem GROUP BY 1, 2),"
+    " shipped AS (SELECT l_partkey AS pk, l_suppkey AS sk,"
+    "   SUM(CAST(l_quantity AS BIGINT)) AS shipqty"
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    "   AND l_shipdate < TIMESTAMP '1997-01-01'"
+    "  GROUP BY 1, 2)"
+    " SELECT s_suppkey, s_name FROM supplier"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'AMERICA' AND s_suppkey IN ("
+    "  SELECT avail.sk FROM avail"
+    "  JOIN shipped ON avail.pk = shipped.pk AND avail.sk = shipped.sk"
+    "  WHERE avail.pk IN"
+    "    (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')"
+    "   AND avail.availqty > 3 * shipped.shipqty)",
+)
+def q20_promo(spark, sf):
+    """TPC-H Q20 shape: nested IN-subqueries with a correlated aggregate
+    threshold — suppliers (in one region) whose all-time supply of a
+    'red%' part exceeds 3× what they shipped of it in 1996 (partsupp's
+    availqty is gone, so all-time shipped quantity stands in; the
+    spec's half-of-year-shipments comparison keeps its
+    per-(part,supplier) correlation). Both IN-subqueries become
+    semi-joins: parts broadcast into the catalog, the qualifying
+    supplier set deduped then semi-joined into the dimension-sized
+    supplier table. Quantities are integral doubles, cast to bigint
+    before SUM so both engines compare exact integers."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    avail = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(qty).alias("availqty"))
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(qty).alias("shipqty"))
+    )
+    red_parts = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    promo_sk = (
+        avail.join(F.broadcast(red_parts), "pk", "left_semi")
+        .join(shipped, ["pk", "sk"])
+        .where(F.col("availqty") > 3 * F.col("shipqty"))
+        .select("sk")
+        .dropDuplicates(["sk"])
+    )
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        sup.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(promo_sk, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    "SELECT s_name, COUNT(*) AS numwait"
+    " FROM supplier, lineitem l1, orders"
+    " WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey"
+    "  AND o_orderstatus = 'F'"
+    "  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY"
+    "  AND EXISTS (SELECT 1 FROM lineitem l2"
+    "   WHERE l2.l_orderkey = l1.l_orderkey"
+    "    AND l2.l_suppkey <> l1.l_suppkey)"
+    "  AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+    "   WHERE l3.l_orderkey = l1.l_orderkey"
+    "    AND l3.l_suppkey <> l1.l_suppkey"
+    "    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY s_name",
+)
+def q21_waiting(spark, sf):
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair over lineitem
+    self-correlations ("another supplier participated; no OTHER
+    supplier was also late"), decorrelated into one per-order aggregate:
+    n_supp = distinct suppliers, n_late_supp = distinct LATE suppliers
+    (late = shipped >60 days after the order date — the testdata has no
+    commit/receipt dates). A late line qualifies iff n_supp > 1 and
+    n_late_supp == 1 — exactly the subquery pair's truth table, since
+    the culprit itself is always one of the late suppliers. One extra
+    per-order agg + join replaces TWO correlated lineitem scans; the
+    oracle keeps the literal EXISTS form so the equivalence is what the
+    hash check proves."""
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    culprit = (
+        lines.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprit.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -197,6 +197,23 @@ EXPECT: dict[str, dict] = {
     "q15_top_supplier": {"max_exchanges": 0},
     # 7-join funnel, every dimension broadcast; ONE o_year agg
     "q8_market_share": {"pushed": True, "broadcast": True},
+    # outer join keeps the join-side predicate pushed into the scan;
+    # two map-side-combinable aggs
+    "q13_order_distribution": {"pushed": True, "codegen": True},
+    # part filter pruned pre-broadcast; lineitem->orders is the one
+    # shuffle join, part/supplier/nation broadcast
+    "q9_product_profit": {"pushed": True, "broadcast": True},
+    # decorrelated min: catalog agg + broadcast per-part-min join-back
+    "q2_min_cost_supplier": {"broadcast": True},
+    # returned frame reads the eager checkpoint (val persisted across
+    # its two references, q15 pattern)
+    "q11_important_stock": {"max_exchanges": 0},
+    # NOT IN -> broadcast anti; two-phase distinct aggregate
+    "q16_supplier_cnt": {"broadcast": True},
+    # two nested INs -> semi-joins; parts broadcast into the catalog
+    "q20_promotion_suppliers": {"broadcast": True},
+    # EXISTS/NOT-EXISTS pair -> ONE per-order agg + join-back
+    "q21_waiting_suppliers": {"broadcast": True},
     # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
     # components' checkpoint truncates the iterative prefix
     "pipeline_retention_stats": {"codegen": True},
