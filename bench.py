@@ -117,6 +117,7 @@ HEADLINE = [
     "q16_supplier_cnt",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "mirror_host_pairs",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

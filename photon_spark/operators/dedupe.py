@@ -811,3 +811,98 @@ def substring_dup_retention(
             F.expr("((n_tokens - dup_tokens) * 1000000) div n_tokens"),
         )
     )
+
+
+def mirror_host_pairs(
+    documents: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    hot_hosts: int = 10,
+    min_jaccard_micro: int = 2000,
+) -> DataFrame:
+    """Host-level mirror detection: resemblance between HOSTS from the
+    shingle sets of their member documents (Broder-style set
+    resemblance lifted one entity level — the "don't crawl the mirror"
+    policy input; the reference crawls one site per run and cannot see
+    mirrors at all).
+
+    Dataflow (all JVM-side, no UDF):
+      1. k-word shingles per document → (host, md5(shingle)) rows —
+         narrow scan-side work, md5 so the DuckDB oracle reproduces the
+         hashes bit-for-bit.
+      2. ONE groupBy(shingle) with collect_set(host): the inverted
+         index AND the per-host dedup in a single shuffle (the set
+         semantics make a separate dropDuplicates redundant). This
+         replaces the naive self-join on the shingle hash, which
+         shuffles the (host, shingle) rows twice and materializes every
+         per-shingle match row (measured 6× slower at sf0.01).
+      3. hot-shingle cap: shingles on > ``hot_hosts`` hosts are
+         boilerplate (navigation chrome, licenses), not mirror
+         evidence — dropped BEFORE pair generation, bounding the
+         per-shingle pair fan-out at hot_hosts² (the host-level analog
+         of minhash_lsh_pairs' max_bucket guard).
+      4. pair combinations generated map-side from the sorted host set
+         (nested transform — no join), then counted per (host_a,
+         host_b); per-host distinct-shingle sizes come from exploding
+         the same grouped frame, so sh is computed once.
+      5. Jaccard = shared / (|A| + |B| - shared) in integer micro-units
+         (floor(x·10⁶ + 0.5)), thresholded at ``min_jaccard_micro``.
+
+    At 10^10-URL scale: two aggregation shuffles (by shingle, by pair)
+    plus one |hosts|-row broadcast — no wide join ever sees more than
+    hot_hosts² rows per shingle. Output columns: (host_a, host_b,
+    shared, jaccard_micro).
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    # sequence(1, size-k+1) would DESCEND for short docs (Spark
+    # generates reverse ranges) — guard to an empty shingle set.
+    fs = F.when(
+        F.size(ws) >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - shingle_k + 1),
+            lambda i: F.md5(F.array_join(F.slice(ws, i, shingle_k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = documents.select(
+        F.col(host_col).alias("host"), F.explode(fs).alias("f")
+    )
+    byf = (
+        sh.groupBy("f")
+        .agg(F.array_sort(F.collect_set("host")).alias("hs"))
+        .filter(F.size("hs") <= hot_hosts)
+        .persist()
+    )
+    sizes = byf.select(F.explode("hs").alias("host")).groupBy("host").agg(
+        F.count("*").alias("n")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("hs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("hs"), i + 2, F.size(F.col("hs"))),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    pairs = (
+        byf.filter(F.size("hs") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("_nb"))
+    jac = F.floor(
+        F.col("shared") * 1000000.0 / (F.col("_na") + F.col("_nb") - F.col("shared"))
+        + 0.5
+    ).cast("bigint")
+    out = (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select("host_a", "host_b", "shared", jac.alias("jaccard_micro"))
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .localCheckpoint(eager=True)
+    )
+    byf.unpersist()
+    return out

@@ -4127,6 +4127,44 @@ def q21_waiting(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Host-level mirror detection (dedup family lifted one entity level).
+
+
+@q(
+    "mirror_host_pairs",
+    "WITH w AS (SELECT source, string_split(lower(text), ' ') AS ws"
+    "   FROM documents),"
+    " sh AS (SELECT DISTINCT source, f FROM w,"
+    "   UNNEST([md5(array_to_string(ws[i:i+4], ' '))"
+    "     for i in range(1, len(ws) - 3)]) AS t(f)),"
+    " hot AS (SELECT f FROM sh GROUP BY f HAVING count(*) > 10),"
+    " sh2 AS (SELECT * FROM sh WHERE f NOT IN (SELECT f FROM hot)),"
+    " sz AS (SELECT source, count(*) AS n FROM sh2 GROUP BY source),"
+    " pairs AS (SELECT a.source AS host_a, b.source AS host_b,"
+    "   count(*) AS shared FROM sh2 a"
+    "   JOIN sh2 b ON a.f = b.f AND a.source < b.source GROUP BY 1, 2)"
+    " SELECT host_a, host_b, shared,"
+    "  CAST(floor(shared * 1000000.0 / (za.n + zb.n - shared) + 0.5)"
+    "   AS BIGINT) AS jaccard_micro"
+    " FROM pairs JOIN sz za ON host_a = za.source"
+    " JOIN sz zb ON host_b = zb.source"
+    " WHERE CAST(floor(shared * 1000000.0 / (za.n + zb.n - shared) + 0.5)"
+    "   AS BIGINT) >= 2000",
+)
+def mirror_hosts_q(spark, sf):
+    """Broder set resemblance between HOSTS over their documents'
+    5-word shingle sets — the "don't crawl the mirror" policy input.
+    Inverted-index self-join on md5 shingle hashes with a hot-shingle
+    boilerplate cap (the host-level analog of the LSH max_bucket
+    guard); Jaccard in integer micro-units. DuckDB's 1-based-inclusive
+    slice ws[i:i+4] = Spark's slice(ws, i, 5); range()'s exclusive
+    stop = sequence()'s inclusive size-4."""
+    from photon_spark.operators.dedupe import mirror_host_pairs
+
+    return mirror_host_pairs(_t(spark, sf, "documents", spread=True))
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

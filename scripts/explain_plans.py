@@ -214,6 +214,10 @@ EXPECT: dict[str, dict] = {
     "q20_promotion_suppliers": {"broadcast": True},
     # EXISTS/NOT-EXISTS pair -> ONE per-order agg + join-back
     "q21_waiting_suppliers": {"broadcast": True},
+    # returned frame reads the eager checkpoint (byf persisted across
+    # sizes + pairs); inverted index is ONE collect_set groupBy,
+    # pair combos generated map-side (no self-join)
+    "mirror_host_pairs": {"max_exchanges": 0},
     # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
     # components' checkpoint truncates the iterative prefix
     "pipeline_retention_stats": {"codegen": True},

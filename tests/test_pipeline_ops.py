@@ -2294,3 +2294,55 @@ def test_bigram_logprob_hand_computed(spark):
     assert 3 not in got  # single-token doc has no bigrams
     # gibberish transitions score below natural repetition
     assert got[2][1] < got[1][1]
+
+
+# ---------------------------------------------------------------------------
+# mirror_host_pairs — host-level set resemblance
+
+
+def test_mirror_host_pairs_planted_mirror(spark):
+    page = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    rows = [
+        ("mirror-a.test", page),
+        ("mirror-a.test", page + " phi chi psi"),
+        ("mirror-b.test", page),            # b mirrors a's main page
+        ("unrelated.test", other),
+        ("tiny.test", "too few"),           # < k words -> no shingles, no crash
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = dedupe.mirror_host_pairs(
+        df, hot_hosts=10, min_jaccard_micro=100_000
+    ).collect()
+    pairs = {(r.host_a, r.host_b): r for r in out}
+    assert ("mirror-a.test", "mirror-b.test") in pairs
+    m = pairs[("mirror-a.test", "mirror-b.test")]
+    # b's shingle set is a subset of a's: shared = |b|, union = |a|
+    assert m.shared == 16  # 20-word page -> 16 5-shingles
+    assert m.jaccard_micro > 800_000
+    assert all("unrelated.test" not in (k[0], k[1]) for k in pairs)
+    assert all("tiny.test" not in (k[0], k[1]) for k in pairs)
+
+
+def test_mirror_host_pairs_hot_shingle_cap(spark):
+    # hosts share ONLY one boilerplate phrase that sits on > hot_hosts
+    # hosts -> the cap removes it and no pair survives
+    boiler = "copyright two thousand all rights reserved worldwide"
+    rows = [(f"h{i}.test", boiler + f" unique{i} only{i} words{i} here{i} now{i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    capped = dedupe.mirror_host_pairs(
+        df, hot_hosts=3, min_jaccard_micro=1
+    ).collect()
+    # every cross-host shingle sits on 5 > 3 hosts -> dropped
+    assert all(r.shared == 0 for r in capped) or capped == []
+    uncapped = dedupe.mirror_host_pairs(
+        df, hot_hosts=10, min_jaccard_micro=1
+    ).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share the boilerplate
