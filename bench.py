@@ -118,6 +118,7 @@ HEADLINE = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "mirror_host_pairs",
+    "url_param_significance",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

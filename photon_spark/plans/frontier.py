@@ -569,6 +569,102 @@ def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn(url_col, _canon(F.col(url_col)))
 
 
+def param_significance(
+    fetched: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    min_groups: int = 2,
+) -> DataFrame:
+    """LEARN which query params are content-irrelevant per host, from
+    observed (url, content-fingerprint) pairs — the evidence-driven
+    complement of :func:`canonicalize_urls_ext`'s static tracking-param
+    list. Real crawls meet site-specific session/sort/ref params no
+    public list names; the classic fix (search engines' "URL parameter
+    handling") is to mine them from fetch history.
+
+    Decision rule, per (host, param): consider every evidence group of
+    fetched URLs identical except for that param's VALUE (group key =
+    the URL with this param token removed and the rest sorted). The
+    param is ``irrelevant`` iff at least ``min_groups`` groups have ≥2
+    distinct values (enough evidence) and EVERY such group has exactly
+    one distinct content fingerprint (the value never changed the
+    content). Presence-vs-absence is deliberately not evidence: a URL
+    without the param would join every param's groups and a single
+    404-vs-200 difference would poison unrelated params.
+
+    Pure JVM expressions: explode each URL's param tokens, rebuild the
+    stripped group key with array ops, then TWO map-side-combinable
+    aggregations — (host, param, group) then (host, param). Evidence
+    volume is Σ params-per-URL rows; nothing wider ever materializes,
+    and the output is dimension-sized (hosts × param names). Feed rows
+    with ``irrelevant`` into the canonicalizer's strip list to fold the
+    frontier before dedup.
+
+    Output: (host, param, multi_groups, clean_groups, irrelevant).
+    URLs without a query string contribute nothing.
+    """
+    url = F.col(url_col)
+    pre = F.substring_index(url, "?", 1)
+    query = F.expr(f"substr(`{url_col}`, instr(`{url_col}`, '?') + 1)")
+    params = F.when(
+        F.instr(url, "?") > 0,
+        F.filter(F.split(query, "&"), lambda t: t != ""),
+    ).otherwise(F.array().cast("array<string>"))
+    host = F.lower(
+        F.substring_index(F.substring_index(pre, "://", -1), "/", 1)
+    )
+    rows = fetched.select(
+        host.alias("host"),
+        pre.alias("pre"),
+        F.col(fp_col).alias("fp"),
+        params.alias("params"),
+    )
+    tok = rows.select(
+        "host", "pre", "fp", "params", F.explode("params").alias("tok")
+    )
+    stripped = F.concat(
+        F.col("pre"),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(F.col("params"), lambda t: t != F.col("tok"))
+            ),
+            "&",
+        ),
+    )
+    ev = tok.select(
+        "host",
+        F.substring_index(F.col("tok"), "=", 1).alias("param"),
+        F.col("tok").alias("val"),
+        "fp",
+        stripped.alias("stripped"),
+    )
+    grp = ev.groupBy("host", "param", "stripped").agg(
+        F.countDistinct("val").alias("n_vals"),
+        F.countDistinct("fp").alias("n_fps"),
+    )
+    dec = grp.groupBy("host", "param").agg(
+        F.sum(F.when(F.col("n_vals") >= 2, 1).otherwise(0)).alias(
+            "multi_groups"
+        ),
+        F.sum(
+            F.when((F.col("n_vals") >= 2) & (F.col("n_fps") == 1), 1).otherwise(
+                0
+            )
+        ).alias("clean_groups"),
+    )
+    return dec.select(
+        "host",
+        "param",
+        "multi_groups",
+        "clean_groups",
+        (
+            (F.col("multi_groups") >= min_groups)
+            & (F.col("clean_groups") == F.col("multi_groups"))
+        ).alias("irrelevant"),
+    )
+
+
 def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,

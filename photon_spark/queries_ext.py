@@ -4165,6 +4165,94 @@ def mirror_hosts_q(spark, sf):
     return mirror_host_pairs(_t(spark, sf, "documents", spread=True))
 
 
+# ---------------------------------------------------------------------------
+# Learned URL-parameter significance (frontier canonicalization input).
+
+
+@q(
+    "url_param_significance",
+    "WITH ev AS (SELECT event_id, user_id,"
+    "   'http://h' || CAST(user_id % 5 AS VARCHAR) || '.test/a/'"
+    "    || CAST(event_id % 200 AS VARCHAR) AS base,"
+    "   'page=' || CAST(event_id % 3 AS VARCHAR) AS p_page,"
+    "   CASE WHEN event_id % 4 <> 0"
+    "    THEN 'sid=' || CAST(user_id % 7 AS VARCHAR) END AS p_sid,"
+    "   md5('c' || CAST(event_id % 200 AS VARCHAR) || ':'"
+    "    || CAST(event_id % 3 AS VARCHAR)) AS fp"
+    "  FROM events),"
+    " fetched AS (SELECT base || '?' ||"
+    "   CASE WHEN p_sid IS NULL THEN p_page"
+    "    WHEN event_id % 2 = 0 THEN p_page || '&' || p_sid"
+    "    ELSE p_sid || '&' || p_page END AS url, fp FROM ev),"
+    " parsed AS (SELECT fp, split_part(url, '?', 1) AS pre,"
+    "   list_filter(string_split(split_part(url, '?', 2), '&'),"
+    "    t -> t <> '') AS params FROM fetched),"
+    " tok AS (SELECT lower(split_part(split_part(pre, '://', 2), '/', 1))"
+    "    AS host, pre, fp, params, UNNEST(params) AS tok FROM parsed),"
+    # COALESCE: duckdb array_to_string([]) is NULL (Spark array_join
+    # gives '') — without it every single-param URL on a host collapses
+    # into ONE NULL-keyed group
+    " ev2 AS (SELECT host, split_part(tok, '=', 1) AS param, tok AS val,"
+    "   fp, pre || '?' || COALESCE(array_to_string(list_sort("
+    "    list_filter(params, t -> t <> tok)), '&'), '') AS stripped"
+    "   FROM tok),"
+    " grp AS (SELECT host, param, stripped,"
+    "   COUNT(DISTINCT val) AS n_vals, COUNT(DISTINCT fp) AS n_fps"
+    "  FROM ev2 GROUP BY 1, 2, 3)"
+    " SELECT host, param,"
+    "  SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS multi_groups,"
+    "  SUM(CASE WHEN n_vals >= 2 AND n_fps = 1 THEN 1 ELSE 0 END)"
+    "   AS clean_groups,"
+    "  (SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) >= 2"
+    "   AND SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END)"
+    "    = SUM(CASE WHEN n_vals >= 2 AND n_fps = 1 THEN 1 ELSE 0 END))"
+    "   AS irrelevant"
+    " FROM grp GROUP BY host, param",
+)
+def url_param_significance_q(spark, sf):
+    """Mine per-(host, param) content-irrelevance from (url,
+    fingerprint) fetch evidence — frontier.param_significance, the
+    learned complement of the static tracking-param strip list. The
+    synthetic fetch log plants one session-style param (sid — content
+    never depends on it) and one pagination param (page — content
+    follows it) with mixed ordering and occasional absence; the miner
+    must mark sid irrelevant and page relevant on every host."""
+    from photon_spark.plans.frontier import param_significance
+
+    ev = _t(spark, sf, "events", spread=True)
+    base = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".test/a/"),
+        (F.col("event_id") % 200).cast("string"),
+    )
+    p_page = F.concat(F.lit("page="), (F.col("event_id") % 3).cast("string"))
+    p_sid = F.when(
+        F.col("event_id") % 4 != 0,
+        F.concat(F.lit("sid="), (F.col("user_id") % 7).cast("string")),
+    )
+    fp = F.md5(
+        F.concat(
+            F.lit("c"),
+            (F.col("event_id") % 200).cast("string"),
+            F.lit(":"),
+            (F.col("event_id") % 3).cast("string"),
+        )
+    )
+    url = F.concat(
+        base,
+        F.lit("?"),
+        F.when(p_sid.isNull(), p_page)
+        .when(
+            F.col("event_id") % 2 == 0,
+            F.concat(p_page, F.lit("&"), p_sid),
+        )
+        .otherwise(F.concat(p_sid, F.lit("&"), p_page)),
+    )
+    fetched = ev.select(url.alias("url"), fp.alias("fp"))
+    return param_significance(fetched, min_groups=2)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -218,6 +218,10 @@ EXPECT: dict[str, dict] = {
     # sizes + pairs); inverted index is ONE collect_set groupBy,
     # pair combos generated map-side (no self-join)
     "mirror_host_pairs": {"max_exchanges": 0},
+    # synthetic evidence is scan-side expressions; the two-distinct agg
+    # plans as Expand + dedup shuffle + group shuffle, then the final
+    # (host,param) agg — plus _t's single-file spread = 4 exchanges
+    "url_param_significance": {"codegen": True, "max_exchanges": 4},
     # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
     # components' checkpoint truncates the iterative prefix
     "pipeline_retention_stats": {"codegen": True},

@@ -1105,3 +1105,41 @@ def test_crawl_robots_agent_group_selection(spark):
     assert fetched_anon and host + "/both.html" not in fetched_anon
     assert host + "/mine.html" in fetched_anon
     assert host + "/private.html" in fetched_anon
+
+
+# ---------------------------------------------------------------------------
+# param_significance — learned URL-parameter folding
+
+
+def test_param_significance_hand_built(spark):
+    from photon_spark.plans.frontier import param_significance
+
+    rows = [
+        # sid: two evidence groups, value varies, content never does
+        ("http://a.test/x?page=1&sid=7", "fpA1"),
+        ("http://a.test/x?page=1&sid=8", "fpA1"),
+        ("http://a.test/x?page=2&sid=7", "fpA2"),
+        ("http://a.test/x?sid=9&page=2", "fpA2"),  # order must not matter
+        # page: same groups read the other way -> content follows it
+        # ref: only ONE multi-value group -> insufficient evidence
+        ("http://a.test/y?ref=1", "fpY"),
+        ("http://a.test/y?ref=2", "fpY"),
+        # no query string -> contributes nothing
+        ("http://a.test/plain", "fpP"),
+        # other host: same param name, content DOES change -> per-host
+        ("http://b.test/x?page=1&sid=1", "fpB1"),
+        ("http://b.test/x?page=1&sid=2", "fpB2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    out = {(r.host, r.param): r for r in param_significance(df).collect()}
+
+    a_sid = out[("a.test", "sid")]
+    assert (a_sid.multi_groups, a_sid.clean_groups, a_sid.irrelevant) == (2, 2, True)
+    a_page = out[("a.test", "page")]
+    assert a_page.irrelevant is False and a_page.clean_groups == 0
+    a_ref = out[("a.test", "ref")]
+    # clean but below min_groups evidence
+    assert (a_ref.multi_groups, a_ref.irrelevant) == (1, False)
+    b_sid = out[("b.test", "sid")]
+    assert b_sid.irrelevant is False  # same name, different host verdict
+    assert ("a.test", "plain") not in out
