@@ -119,6 +119,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "mirror_host_pairs",
     "url_param_significance",
+    "host_trustrank",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

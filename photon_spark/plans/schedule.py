@@ -311,6 +311,93 @@ def host_rank(
     return out
 
 
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, public) over
+    the host link graph: PageRank with the teleport restricted to a
+    hand-vetted TRUSTED seed set, so trust flows outward from known-good
+    hosts and link-farm clusters that only cite each other starve — the
+    spam-demotion input to frontier prioritization that complements
+    host_rank's topic-blind authority (a farm can fake in-links, it
+    cannot fake a path from a trusted seed).
+
+    Same declarative power iteration as :func:`host_rank` (broadcast
+    rank vector, one host-keyed partial-agg shuffle per round); the two
+    differences are the personalized teleport — base mass
+    (1-damping)/|seeds| lands ONLY on seed hosts — and the seed-uniform
+    initial vector. Seeds are dimension-sized by construction (a vetted
+    list), so the membership flag rides a broadcast left join onto the
+    node set. Hosts unreachable from every seed end at exactly 0.
+
+    Returns (host, trust) floor-rounded at 1e-6 (the dialect-stable
+    rounding shared with host_rank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select(F.col(seed_col).alias("host")).distinct()
+                .withColumn("_s", F.lit(True))
+            ),
+            "host",
+            "left",
+        )
+        .select("host", F.coalesce(F.col("_s"), F.lit(False)).alias("is_seed"))
+        .persist()
+    )
+    n_seeds = nodes.filter(F.col("is_seed")).count()  # bounded scalar
+    if n_seeds == 0:
+        out = nodes.select("host", F.lit(0.0).alias("trust"))
+        out = out.localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(outdeg, "src").persist()
+    seed_mass = F.when(
+        F.col("is_seed"), F.lit((1.0 - damping) / float(n_seeds))
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "host",
+        F.when(F.col("is_seed"), F.lit(1.0 / float(n_seeds)))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(F.broadcast(ranks), ew["src"] == ranks["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(F.broadcast(contrib), "host", "left").select(
+            "host",
+            (
+                seed_mass + damping * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    out = ranks.select(
+        "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("trust")
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    ew.unpersist()
+    return out
+
+
 def hits_scores(
     edges: DataFrame,
     iters: int = 2,

@@ -4253,6 +4253,55 @@ def url_param_significance_q(spark, sf):
     return param_significance(fetched, min_groups=2)
 
 
+# ---------------------------------------------------------------------------
+# TrustRank — seed-personalized host authority (spam demotion).
+
+
+@q(
+    "host_trustrank",
+    f"WITH e AS ({_PR_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " sn AS (SELECT host, (host % 10 = 0) AS is_seed FROM nodes),"
+    " deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),"
+    " ns AS (SELECT COUNT(*) AS n FROM sn WHERE is_seed),"
+    " r0 AS (SELECT host, CASE WHEN is_seed THEN 1.0 / ns.n"
+    "   ELSE 0.0 END AS rank FROM sn, ns),"
+    " c1 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r0 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r1 AS (SELECT sn.host, CASE WHEN sn.is_seed THEN 0.15 / ns.n"
+    "   ELSE 0.0 END + 0.85 * COALESCE(c1.c, 0) AS rank"
+    "  FROM sn LEFT JOIN c1 ON sn.host = c1.host, ns),"
+    " c2 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r1 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r2 AS (SELECT sn.host, CASE WHEN sn.is_seed THEN 0.15 / ns.n"
+    "   ELSE 0.0 END + 0.85 * COALESCE(c2.c, 0) AS rank"
+    "  FROM sn LEFT JOIN c2 ON sn.host = c2.host, ns),"
+    " c3 AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+    "  JOIN r2 r ON e.src = r.host JOIN deg d ON d.src = e.src GROUP BY e.dst),"
+    " r3 AS (SELECT sn.host, CASE WHEN sn.is_seed THEN 0.15 / ns.n"
+    "   ELSE 0.0 END + 0.85 * COALESCE(c3.c, 0) AS rank"
+    "  FROM sn LEFT JOIN c3 ON sn.host = c3.host, ns)"
+    " SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS trust FROM r3",
+)
+def host_trustrank_q(spark, sf):
+    """TrustRank over the synthetic host graph host_pagerank uses,
+    seeded with every 10th host — schedule.trust_rank vs a 3-round
+    unrolled SQL twin (the same oracle pattern as host_pagerank:
+    iteration count and damping are literals, rounding only at the
+    end). Hosts unreachable from every seed must come out exactly 0."""
+    from photon_spark.plans.schedule import trust_rank
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 100).alias("src"),
+        F.expr("(o_orderkey div 7) % 100").alias("dst"),
+    )
+    nodes = e.select(F.col("src").alias("host")).unionByName(
+        e.select(F.col("dst").alias("host"))
+    )
+    seeds = nodes.filter(F.col("host") % 10 == 0).distinct()
+    return trust_rank(e, seeds, iters=3, damping=0.85)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -222,6 +222,9 @@ EXPECT: dict[str, dict] = {
     # plans as Expand + dedup shuffle + group shuffle, then the final
     # (host,param) agg — plus _t's single-file spread = 4 exchanges
     "url_param_significance": {"codegen": True, "max_exchanges": 4},
+    # returned frame reads the eager checkpoint (host_rank pattern:
+    # broadcast rank vector, one partial-agg shuffle per round)
+    "host_trustrank": {"max_exchanges": 0},
     # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
     # components' checkpoint truncates the iterative prefix
     "pipeline_retention_stats": {"codegen": True},

@@ -132,3 +132,57 @@ def test_edge_guards(spark):
     p = spark.createDataFrame([("a", "b")], "doc_id string, body string")
     with _pt.raises(ValueError):
         sitemap_tree_locs(p, ["a"], max_depth=0)
+
+
+# ---------------------------------------------------------------------------
+# trust_rank — seed-personalized authority
+
+
+def test_trustrank_demotes_unreachable_farm(spark):
+    from photon_spark.plans.schedule import trust_rank
+
+    # trusted component: seed -> good1 -> good2 -> seed
+    # link farm: farm1 <-> farm2 (only cite each other, no seed path)
+    # bridge: good2 -> farm1 lets SOME trust leak into farm1
+    edges = spark.createDataFrame(
+        [
+            ("seed", "good1"),
+            ("good1", "good2"),
+            ("good2", "seed"),
+            ("good2", "farm1"),
+            ("farm1", "farm2"),
+            ("farm2", "farm1"),
+            ("farm2", "farm3"),  # farm3: reachable only via the farm
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "host string")
+    t = {r.host: r.trust for r in trust_rank(edges, seeds, iters=8).collect()}
+    # the seed keeps the most trust; every host holds some (all are
+    # seed-reachable here), and trust decays with distance INTO the
+    # farm (farm3 sits behind two extra damped hops)
+    assert t["seed"] == max(t.values())
+    assert all(v > 0 for v in t.values())
+    assert t["farm3"] < t["farm1"]
+    # cut the bridge: the farm becomes seed-unreachable -> exactly 0
+    cut = edges.filter("NOT (src = 'good2' AND dst = 'farm1')")
+    t2 = {r.host: r.trust for r in trust_rank(cut, seeds, iters=8).collect()}
+    assert t2["farm1"] == 0.0 and t2["farm2"] == 0.0 and t2["farm3"] == 0.0
+    assert t2["good1"] > 0
+
+
+def test_trustrank_isolated_component_exactly_zero(spark):
+    from photon_spark.plans.schedule import trust_rank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "host string")
+    t = {r.host: r.trust for r in trust_rank(edges, seeds, iters=4).collect()}
+    assert t["x"] == 0.0 and t["y"] == 0.0  # no seed path -> exactly 0
+    assert t["a"] > 0
+
+    # empty seed set: defined, all-zero
+    none = spark.createDataFrame([], "host string")
+    t0 = {r.host: r.trust for r in trust_rank(edges, none).collect()}
+    assert set(t0.values()) == {0.0}
