@@ -120,6 +120,10 @@ HEADLINE = [
     "mirror_host_pairs",
     "url_param_significance",
     "host_trustrank",
+    "host_opic",
+    "shark_relevance_scores",
+    "host_spam_mass",
+    "dust_rules_mined",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

@@ -782,3 +782,102 @@ def snapshot_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def dust_rules(
+    fetched: DataFrame,
+    min_support: int = 2,
+    max_group: int = 32,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """DUST rule mining — "Do Not Crawl in the DUST: Different URLs
+    with Similar Text" (Bar-Yossef, Keidar & Schonfeld, WWW 2007,
+    public): learn per-host PATH-SEGMENT substitution rules from
+    duplicate-content fetch evidence, the path-level complement of
+    :func:`param_significance` (which learns QUERY-parameter
+    irrelevance from the same (url, fingerprint) evidence). A rule
+    (host, seg_a, seg_b, support) says "on this host, swapping path
+    segment seg_a for seg_b yields the same content" — mined when ≥
+    ``min_support`` same-content URL pairs differ in EXACTLY that one
+    '/'-segment. The canonicalizer then rewrites toward the
+    lexicographically smaller segment before the seen-filter, so
+    mirror paths (/a/… vs /b/…), print views (…/x vs …/print) and
+    path-embedded session ids (/s/sid7/… vs /s/canon/…) stop
+    multiplying the frontier. The reference canonicalizes nothing —
+    every alias is a fresh crawl (core/utils.py regex extraction
+    feeds raw URLs straight into the level sets).
+
+    Dataflow (all JVM-side, no UDF):
+      1. parse (host, fp, path), dedup — one narrow projection off the
+         fetch log plus one dropDuplicates keyed on the triple.
+      2. ONE groupBy((host, fp)) with a sorted collect_set of paths —
+         the duplicate-evidence groups; groups larger than
+         ``max_group`` paths are degenerate (calendars, infinite
+         listings) and are dropped BEFORE pair generation — the same
+         two-stage bound as minhash_lsh_pairs' max_bucket, so fan-out
+         is capped at max_group² per group, never materialized
+         unbounded.
+      3. pair combinations map-side from the sorted array (nested
+         transform, no self-join); per pair, zip the '/'-split
+         segment arrays and keep pairs with equal length and EXACTLY
+         one differing position.
+      4. normalize the differing segments (least/greatest) and count
+         support per (host, seg_a, seg_b) — one dimension-sized agg.
+
+    At 10^10 scale the fetch log is touched once; both shuffles key on
+    dimension-sized frames (evidence groups, then rules). Output:
+    (host, seg_a, seg_b, support) with support ≥ ``min_support``.
+    """
+    t = fetched.select(
+        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        F.col(fp_col).alias("fp"),
+        F.parse_url(F.col(url_col), F.lit("PATH")).alias("path"),
+    ).dropDuplicates(["host", "fp", "path"])
+    g = (
+        t.groupBy("host", "fp")
+        .agg(F.array_sort(F.collect_set("path")).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= int(max_group)))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = g.select("host", F.explode(combos).alias("p")).select(
+        "host",
+        F.split(F.col("p.pa"), "/").alias("sa"),
+        F.split(F.col("p.pb"), "/").alias("sb"),
+    )
+    diffs = F.filter(
+        F.zip_with(
+            F.col("sa"),
+            F.col("sb"),
+            lambda x, y: F.struct(x.alias("u"), y.alias("v")),
+        ),
+        lambda s: s["u"] != s["v"],
+    )
+    d = (
+        pairs.withColumn("diffs", diffs)
+        .filter(
+            (F.size("sa") == F.size("sb")) & (F.size("diffs") == 1)
+        )
+        .select(
+            "host",
+            F.least(F.col("diffs")[0]["u"], F.col("diffs")[0]["v"]).alias(
+                "seg_a"
+            ),
+            F.greatest(F.col("diffs")[0]["u"], F.col("diffs")[0]["v"]).alias(
+                "seg_b"
+            ),
+        )
+    )
+    return (
+        d.groupBy("host", "seg_a", "seg_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )

@@ -884,3 +884,193 @@ def cms_estimate(
     return j.groupBy("_k").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
     ).select(F.col("_k").alias(key_col), "est")
+
+
+def opic_scores(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003, public) over the host link graph: the
+    incremental complement of :func:`host_rank`. PageRank needs a
+    converged power iteration over the whole graph; OPIC maintains a
+    conserved "cash" vector the crawl updates AS IT GOES — each round a
+    node spends its cash (uniformly over its out-links; dangling nodes
+    spend uniformly over every node, the virtual-page trick from the
+    paper), the spend is banked into the node's history, and
+    importance is estimated at any time as (history + cash) / total
+    banked mass. The reference crawls once with no importance signal at
+    all (photon.py:91-100 walks levels and exits), so this is engine
+    surface, not parity.
+
+    Declarative: `rounds` unrolled cash-flow steps, each ONE host-keyed
+    partial-agg shuffle (contributions) plus a 1-row dangling-mass
+    aggregate that rides a crossJoin broadcast — NO driver action per
+    round (the dangling total stays a lazy 1-row frame; only the node
+    count is collected once, the same bounded scalar as host_rank).
+    Cash is conserved at exactly 1.0, so after R rounds the banked
+    mass is R and score = (history + cash) / (R + 1); scores sum to 1.
+
+    Returns (host, opic) floor-rounded at 1e-6 (the dialect-stable
+    rounding shared with host_rank/trust_rank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_hosts = nodes.count()  # bounded scalar; also materializes the cache
+    ew = e.join(outdeg, "src").persist()
+    # (host, deg-or-null): null deg marks a dangling host whose cash is
+    # redistributed uniformly — |hosts| rows, broadcast like the ranks
+    ndeg = nodes.join(
+        F.broadcast(outdeg.withColumnRenamed("src", "host")), "host", "left"
+    ).persist()
+    state = nodes.select(
+        "host",
+        (F.lit(1.0) / F.lit(float(n_hosts))).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    for _ in range(int(rounds)):
+        contrib = (
+            ew.join(F.broadcast(state), ew["src"] == state["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("cash") / F.col("deg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        dang = (
+            ndeg.join(F.broadcast(state), "host")
+            .filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
+        )
+        state = (
+            state.join(F.broadcast(contrib), "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("d") / F.lit(float(n_hosts))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+    total = float(rounds) + 1.0
+    out = state.select(
+        "host",
+        (
+            F.floor((F.col("hist") + F.col("cash")) / F.lit(total) * 1e6 + 0.5)
+            / 1e6
+        ).alias("opic"),
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    ew.unpersist()
+    ndeg.unpersist()
+    return out
+
+
+def shark_relevance(
+    frontier: DataFrame,
+    terms: tuple,
+    gamma: float = 0.5,
+    delta: float = 0.5,
+    url_col: str = "url",
+    anchor_col: str = "anchor",
+    parent_col: str = "parent_score",
+) -> DataFrame:
+    """Shark-search focused-crawl scoring (Hersovici et al., WWW 1998,
+    public) for frontier URLs: a candidate's priority blends the
+    relevance it INHERITS from the page that linked it with the
+    relevance of the ANCHOR TEXT it was linked under —
+
+        score = gamma * delta * parent_score + (1 - gamma) * anchor_sim
+
+    where anchor_sim is the fraction of the query's terms present in
+    the anchor's token set (the paper's neighborhood component,
+    restricted to the anchor signal the frontier actually carries; the
+    inherited component is the paper's delta-decayed parent score).
+    The reference crawls breadth-first with no topic signal
+    (photon.py:91-100); this is the focused-crawl policy a training-
+    data pipeline uses to steer toward on-topic hosts without fetching
+    off-topic subtrees.
+
+    Map-only JVM expressions (split + array_contains per term — term
+    lists are small by construction): ZERO shuffle, pipelines with the
+    frontier scan, and composes with schedule_wave exactly like
+    priority_score. Returns (url, anchor_sim, score) floor-rounded at
+    1e-6 (dialect-stable; with dyadic gamma/delta and a power-of-two
+    term count every intermediate is exactly representable anyway).
+    """
+    toks = F.split(F.lower(F.col(anchor_col)), "[^a-z0-9]+")
+    matched = None
+    for t in terms:
+        hit = F.array_contains(toks, t.lower()).cast("int")
+        matched = hit if matched is None else matched + hit
+    sim = matched.cast("double") / F.lit(float(len(terms)))
+    score = (
+        F.lit(float(gamma) * float(delta)) * F.col(parent_col)
+        + F.lit(1.0 - float(gamma)) * sim
+    )
+    return frontier.select(
+        F.col(url_col).alias("url"),
+        (F.floor(sim * 1e6 + 0.5) / 1e6).alias("anchor_sim"),
+        (F.floor(score * 1e6 + 0.5) / 1e6).alias("score"),
+    )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006, public):
+    the fraction of a host's PageRank that does NOT flow from the
+    trusted core —
+
+        spam_mass = (pr - trust) / pr
+
+    with pr = :func:`host_rank` and trust = :func:`trust_rank` run at
+    the SAME damping and iteration count. Hosts whose authority is
+    manufactured by link farms score near 1 (rank with no trusted
+    provenance); hosts inside the trusted neighborhood score near 0,
+    and seed hosts can go negative (trust concentrates on them) — the
+    paper's demotion signal for frontier scheduling, composing three
+    graph operators this module already ships.
+
+    pr is strictly positive (every host receives (1-damping)/n base
+    mass each round), so the division is total. Both inputs are the
+    1e-6 floor-rounded outputs of their operators — identical doubles
+    on any engine that matched them — so the quotient is bit-stable
+    before its own final 1e-6 rounding. Cost on top of the two rank
+    computations: ONE host-keyed join of two |hosts|-row frames.
+    Returns (host, pr, trust, spam_mass).
+    """
+    pr = host_rank(edges, iters=iters, damping=damping,
+                   src_col=src_col, dst_col=dst_col)
+    tr = trust_rank(edges, seeds, iters=iters, damping=damping,
+                    src_col=src_col, dst_col=dst_col, seed_col=seed_col)
+    j = pr.join(tr, "host")
+    return j.select(
+        "host",
+        F.col("rank").alias("pr"),
+        "trust",
+        (
+            F.floor((F.col("rank") - F.col("trust")) / F.col("rank") * 1e6 + 0.5)
+            / 1e6
+        ).alias("spam_mass"),
+    )

@@ -4302,6 +4302,276 @@ def host_trustrank_q(spark, sf):
     return trust_rank(e, seeds, iters=3, damping=0.85)
 
 
+# ---------------------------------------------------------------------------
+# OPIC — adaptive on-line page importance (the incremental PageRank
+# sibling the crawl can update wave by wave). Edges use src % 90 so
+# hosts 90-99 are dst-only (dangling) and the uniform redistribution
+# of dangling cash is actually exercised, not dead code.
+_OPIC_EDGES_SQL = (
+    "SELECT DISTINCT o_orderkey % 90 AS src, (o_orderkey // 7) % 100 AS dst"
+    " FROM orders"
+)
+
+
+def _opic_round(i: int) -> str:
+    p = i - 1
+    return (
+        f" d{i} AS (SELECT COALESCE(SUM(s.cash), 0) AS d FROM s{p} s"
+        f"  LEFT JOIN deg ON s.host = deg.src WHERE deg.src IS NULL),"
+        f" c{i} AS (SELECT e.dst AS host, SUM(s.cash / deg.deg) AS c FROM e"
+        f"  JOIN s{p} s ON e.src = s.host JOIN deg ON deg.src = e.src"
+        f"  GROUP BY e.dst),"
+        f" s{i} AS (SELECT n.host, COALESCE(c{i}.c, 0) + d{i}.d / nn.n AS cash,"
+        f"  s.hist + s.cash AS hist FROM nodes n JOIN s{p} s ON n.host = s.host"
+        f"  LEFT JOIN c{i} ON n.host = c{i}.host, d{i}, nn),"
+    )
+
+
+@q(
+    "host_opic",
+    f"WITH e AS ({_OPIC_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),"
+    " nn AS (SELECT COUNT(*) AS n FROM nodes),"
+    " s0 AS (SELECT host, 1.0 / nn.n AS cash, 0.0 AS hist FROM nodes, nn),"
+    + _opic_round(1)
+    + _opic_round(2)
+    + _opic_round(3).rstrip(",")
+    + " SELECT host, floor((hist + cash) / 4 * 1e6 + 0.5) / 1e6 AS opic"
+    " FROM s3",
+)
+def host_opic_q(spark, sf):
+    """OPIC (Abiteboul/Preda/Cobena 2003) cash-flow importance over a
+    synthetic host graph with genuinely dangling hosts (90-99 receive
+    cash but never spend it along edges, so the virtual-page uniform
+    redistribution carries it back) — schedule.opic_scores vs a 3-round
+    unrolled SQL twin. Cash conservation means the rounded scores sum
+    to ~1; the pytest checks that invariant independently."""
+    from photon_spark.plans.schedule import opic_scores
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 90).alias("src"),
+        F.expr("(o_orderkey div 7) % 100").alias("dst"),
+    )
+    return opic_scores(e, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Shark-search focused-crawl relevance: anchor-term overlap blended
+# with delta-decayed parent relevance. Query terms are four words from
+# the synthetic vocabulary so anchor_sim takes all five values
+# {0, .25, .5, .75, 1}; parent_score is dyadic (k/128) so every
+# intermediate double is exact on both engines.
+_SHARK_TERMS = ("spark", "join", "window", "stream")
+
+
+@q(
+    "shark_relevance_scores",
+    "WITH f AS (SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR)"
+    "  || '.test/p' || CAST(doc_id AS VARCHAR) AS url,"
+    "  array_to_string(string_split(text, ' ')[1:3], ' ') AS anchor,"
+    "  CAST(doc_id % 128 AS DOUBLE) / 128 AS parent_score"
+    "  FROM documents),"
+    " t AS (SELECT url, parent_score,"
+    "  string_split(regexp_replace(lower(anchor), '[^a-z0-9]+', ' ', 'g'),"
+    "   ' ') AS toks FROM f),"
+    " m AS (SELECT url, parent_score, ("
+    + " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+        for t in _SHARK_TERMS
+    )
+    + ") AS matched FROM t)"
+    " SELECT url,"
+    " floor(CAST(matched AS DOUBLE) / 4 * 1e6 + 0.5) / 1e6 AS anchor_sim,"
+    " floor((0.25 * parent_score + 0.5 * (CAST(matched AS DOUBLE) / 4))"
+    "  * 1e6 + 0.5) / 1e6 AS score FROM m",
+)
+def shark_relevance_q(spark, sf):
+    """Shark-search (Hersovici et al. 1998) frontier scoring —
+    schedule.shark_relevance vs a term-by-term SQL twin. Anchors are
+    each document's first three tokens; gamma = delta = 0.5."""
+    from photon_spark.plans.schedule import shark_relevance
+
+    docs = _t(spark, sf, "documents")
+    f = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".test/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "anchor"
+        ),
+        ((F.col("doc_id") % 128).cast("double") / 128).alias("parent_score"),
+    )
+    return shark_relevance(f, _SHARK_TERMS, gamma=0.5, delta=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Spam mass — (pr - trust) / pr over the same graph and seed set, pr
+# and trust at IDENTICAL damping/rounds (the paper's requirement). The
+# oracle unrolls BOTH power iterations side by side; because each is
+# floor-rounded at 1e-6 before the quotient, the division sees
+# identical doubles on both engines.
+
+
+def _sm_pr_round(i: int) -> str:
+    p = i - 1
+    return (
+        f" pc{i} AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+        f"  JOIN p{p} r ON e.src = r.host JOIN deg d ON d.src = e.src"
+        f"  GROUP BY e.dst),"
+        f" p{i} AS (SELECT nodes.host, 0.15 / nn.n"
+        f"  + 0.85 * COALESCE(pc{i}.c, 0) AS rank"
+        f"  FROM nodes LEFT JOIN pc{i} ON nodes.host = pc{i}.host, nn),"
+    )
+
+
+def _sm_tr_round(i: int) -> str:
+    p = i - 1
+    return (
+        f" tc{i} AS (SELECT e.dst AS host, SUM(r.rank / d.deg) AS c FROM e"
+        f"  JOIN t{p} r ON e.src = r.host JOIN deg d ON d.src = e.src"
+        f"  GROUP BY e.dst),"
+        f" t{i} AS (SELECT sn.host, CASE WHEN sn.is_seed THEN 0.15 / ns.n"
+        f"  ELSE 0.0 END + 0.85 * COALESCE(tc{i}.c, 0) AS rank"
+        f"  FROM sn LEFT JOIN tc{i} ON sn.host = tc{i}.host, ns),"
+    )
+
+
+@q(
+    "host_spam_mass",
+    f"WITH e AS ({_PR_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " sn AS (SELECT host, (host % 10 = 0) AS is_seed FROM nodes),"
+    " deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),"
+    " nn AS (SELECT COUNT(*) AS n FROM nodes),"
+    " ns AS (SELECT COUNT(*) AS n FROM sn WHERE is_seed),"
+    " p0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes, nn),"
+    + _sm_pr_round(1)
+    + _sm_pr_round(2)
+    + _sm_pr_round(3)
+    + " t0 AS (SELECT host, CASE WHEN is_seed THEN 1.0 / ns.n"
+    "  ELSE 0.0 END AS rank FROM sn, ns),"
+    + _sm_tr_round(1)
+    + _sm_tr_round(2)
+    + _sm_tr_round(3)
+    + " pf AS (SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS pr FROM p3),"
+    " tf AS (SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS trust FROM t3)"
+    " SELECT pf.host, pr, trust,"
+    " floor((pr - trust) / pr * 1e6 + 0.5) / 1e6 AS spam_mass"
+    " FROM pf JOIN tf ON pf.host = tf.host",
+)
+def host_spam_mass_q(spark, sf):
+    """Relative spam mass (Gyongyi et al. 2006) on the shared synthetic
+    host graph, seeds = every 10th host — schedule.spam_mass vs a twin
+    that unrolls BOTH the PageRank and TrustRank iterations. Link-farm
+    hosts (rank without trusted provenance) surface at spam_mass → 1."""
+    from photon_spark.plans.schedule import spam_mass
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 100).alias("src"),
+        F.expr("(o_orderkey div 7) % 100").alias("dst"),
+    )
+    nodes = e.select(F.col("src").alias("host")).unionByName(
+        e.select(F.col("dst").alias("host"))
+    )
+    seeds = nodes.filter(F.col("host") % 10 == 0).distinct()
+    return spam_mass(e, seeds, iters=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# DUST rules — per-host path-segment substitution rules mined from
+# duplicate-content (url, fingerprint) evidence. The synthetic fetch
+# log plants three alias classes per document (mirror prefix /a vs /b,
+# print view, path-embedded session id) plus decoys that must NOT
+# yield rules (≥2-segment diffs, unequal segment counts,
+# support-1 singletons).
+_DUST_D = "CAST(doc_id AS VARCHAR)"
+_DUST_FETCH_SQL = (
+    "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,"
+    f" md5('d' || {_DUST_D}) AS fp,"
+    " unnest("
+    f"  ['/a/p' || {_DUST_D} || '/x', '/b/p' || {_DUST_D} || '/x']"
+    f"  || CASE WHEN doc_id % 3 = 0 THEN ['/a/p' || {_DUST_D} || '/print']"
+    "   ELSE CAST([] AS VARCHAR[]) END"
+    "  || CASE WHEN doc_id % 2 = 0 THEN"
+    f"   ['/s/sid' || CAST(doc_id % 4 AS VARCHAR) || '/p' || {_DUST_D},"
+    f"    '/s/canon/p' || {_DUST_D}]"
+    "   ELSE CAST([] AS VARCHAR[]) END) AS path"
+    " FROM documents"
+)
+
+
+@q(
+    "dust_rules_mined",
+    f"WITH t AS (SELECT DISTINCT host, fp, path FROM ({_DUST_FETCH_SQL})),"
+    " gs AS (SELECT host, fp FROM t GROUP BY host, fp"
+    "  HAVING COUNT(*) >= 2 AND COUNT(*) <= 32),"
+    " tt AS (SELECT t.* FROM t JOIN gs USING (host, fp)),"
+    " pr AS (SELECT a.host, a.fp, a.path AS pa, b.path AS pb,"
+    "  string_split(a.path, '/') AS sa, string_split(b.path, '/') AS sb"
+    "  FROM tt a JOIN tt b ON a.host = b.host AND a.fp = b.fp"
+    "  AND a.path < b.path),"
+    " eq AS (SELECT * FROM pr WHERE len(sa) = len(sb)),"
+    " ex AS (SELECT host, fp, pa, pb, sa, sb,"
+    "  unnest(generate_series(1, len(sa))) AS i FROM eq),"
+    " d AS (SELECT host, fp, pa, pb, sa[i] AS u, sb[i] AS v FROM ex"
+    "  WHERE sa[i] <> sb[i]),"
+    " one AS (SELECT host, fp, pa, pb, MIN(u) AS u, MIN(v) AS v FROM d"
+    "  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) = 1)"
+    " SELECT host, least(u, v) AS seg_a, greatest(u, v) AS seg_b,"
+    " COUNT(*) AS support FROM one GROUP BY 1, 2, 3"
+    " HAVING COUNT(*) >= 2",
+)
+def dust_rules_q(spark, sf):
+    """DUST (Bar-Yossef et al. 2007) path-rewrite rule mining —
+    frontier.dust_rules vs a self-join + ordinality-explode SQL twin.
+    Expected rules per host: (a, b) from the mirror prefix, (print, x)
+    from the print view, (canon, sidK) from embedded session ids;
+    multi-segment and unequal-length decoy pairs must mine nothing."""
+    from photon_spark.plans.frontier import dust_rules
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".test")
+    )
+    empty = F.array().cast("array<string>")
+    paths = F.concat(
+        F.array(
+            F.concat(F.lit("/a/p"), d, F.lit("/x")),
+            F.concat(F.lit("/b/p"), d, F.lit("/x")),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(F.concat(F.lit("/a/p"), d, F.lit("/print"))),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.array(
+                F.concat(
+                    F.lit("/s/sid"),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit("/p"),
+                    d,
+                ),
+                F.concat(F.lit("/s/canon/p"), d),
+            ),
+        ).otherwise(empty),
+    )
+    fetched = docs.select(
+        host.alias("host"),
+        F.md5(F.concat(F.lit("d"), d)).alias("fp"),
+        F.explode(paths).alias("path"),
+    ).select(
+        F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url"),
+        "fp",
+    )
+    return dust_rules(fetched, min_support=2)
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

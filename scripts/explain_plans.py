@@ -228,6 +228,18 @@ EXPECT: dict[str, dict] = {
     # gate -> LSH -> components -> anti-join -> split -> ONE final agg;
     # components' checkpoint truncates the iterative prefix
     "pipeline_retention_stats": {"codegen": True},
+    # returned frame reads the eager checkpoint (host_rank pattern:
+    # broadcast cash vector + 1-row dangling frame per round)
+    "host_opic": {"max_exchanges": 0},
+    # map-only anchor-term scoring: only _t's single-file spread may
+    # exchange
+    "shark_relevance_scores": {"codegen": True, "max_exchanges": 1},
+    # joins two eagerly-checkpointed |hosts|-row rank frames; AQE
+    # broadcasts one side, plus the checkpoint-read scans
+    "host_spam_mass": {"broadcast": True},
+    # dedup shuffle + (host,fp) group + rule agg, pair combos map-side
+    # (no self-join); plus _t's spread = 4
+    "dust_rules_mined": {"codegen": True, "max_exchanges": 4},
 }
 
 

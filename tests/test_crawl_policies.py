@@ -1,0 +1,149 @@
+"""Units for the round-3 frontier-policy operators: opic_scores
+(vs a pure-Python cash-flow reference + conservation/dangling
+invariants), shark_relevance (exact blended scores on a tiny frame),
+spam_mass (planted link farm → mass 1; trusted core ≤ 0), and
+frontier.dust_rules (exact mined rules, decoy immunity, group cap)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from photon_spark.plans.frontier import dust_rules
+from photon_spark.plans.schedule import opic_scores, shark_relevance, spam_mass
+
+
+def _ref_opic(edges, rounds):
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    cash = {x: 1.0 / n for x in nodes}
+    hist = {x: 0.0 for x in nodes}
+    for _ in range(rounds):
+        nxt = {x: 0.0 for x in nodes}
+        dangling = 0.0
+        for x in nodes:
+            hist[x] += cash[x]
+            if x in out:
+                share = cash[x] / len(out[x])
+                for v in out[x]:
+                    nxt[v] += share
+            else:
+                dangling += cash[x]
+        for x in nodes:
+            nxt[x] += dangling / n
+        cash = nxt
+    return {x: (hist[x] + cash[x]) / (rounds + 1) for x in nodes}
+
+
+def test_opic_matches_python_reference(spark):
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 25), rng.randint(0, 40)) for _ in range(120)]
+    got = {
+        r["host"]: r["opic"]
+        for r in opic_scores(
+            spark.createDataFrame(edges, "src int, dst int"), rounds=3
+        ).collect()
+    }
+    want = _ref_opic(edges, 3)
+    assert set(got) == set(want)
+    for h, w in want.items():
+        assert abs(got[h] - w) < 2e-6, (h, got[h], w)
+    # cash conservation: rounded scores sum to 1 within rounding slack
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_opic_dangling_cash_recirculates(spark):
+    # 0 -> 1, 1 dangling: without the virtual-page redistribution the
+    # system bleeds cash into node 1 and node 0 starves at its seed
+    # value; with it, node 0 keeps receiving its uniform share.
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    got = {r["host"]: r["opic"] for r in opic_scores(df, rounds=4).collect()}
+    assert got[0] > 0.3  # uniform redistribution keeps feeding node 0
+    assert got[1] > got[0]  # the sink still accumulates more
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_shark_relevance_exact_blend(spark):
+    rows = [
+        ("u1", "Spark JOIN tuning", 0.5),   # 2/4 terms, case-folded
+        ("u2", "cats and dogs", 1.0),       # 0/4 terms, pure inheritance
+        ("u3", "spark join window stream", 0.0),  # all terms, no parent
+        ("u4", "spark spark spark", 0.25),  # repeats count once
+    ]
+    df = spark.createDataFrame(rows, "url string, anchor string, parent_score double")
+    got = {
+        r["url"]: (r["anchor_sim"], r["score"])
+        for r in shark_relevance(
+            df, ("spark", "join", "window", "stream"), gamma=0.5, delta=0.5
+        ).collect()
+    }
+    # score = 0.25 * parent + 0.5 * sim, every term dyadic => exact
+    assert got["u1"] == (0.5, 0.25 * 0.5 + 0.5 * 0.5)
+    assert got["u2"] == (0.0, 0.25)
+    assert got["u3"] == (1.0, 0.5)
+    assert got["u4"] == (0.25, 0.25 * 0.25 + 0.5 * 0.25)
+
+
+def test_spam_mass_flags_link_farm(spark):
+    # Trusted core 0..2 cites itself densely; farm 10..13 cites only
+    # itself (high in-link counts!) and is unreachable from any seed.
+    core = [(0, 1), (1, 2), (2, 0), (0, 2), (1, 0)]
+    farm = [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12), (11, 13)]
+    edges = spark.createDataFrame(core + farm, "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "host int")
+    got = {r["host"]: r for r in spam_mass(edges, seeds, iters=3).collect()}
+    for h in (10, 11, 12, 13):
+        assert got[h]["trust"] == 0.0
+        assert got[h]["spam_mass"] == 1.0  # all rank, zero provenance
+    for h in (0, 1, 2):
+        assert got[h]["spam_mass"] < 0.5  # trusted core keeps provenance
+    assert got[0]["spam_mass"] <= 0.0  # the seed concentrates trust
+
+
+def test_dust_rules_exact_and_decoy_immune(spark):
+    rows = []
+    # mirror prefix rule (/a <-> /b), support 3
+    for d in range(3):
+        rows += [
+            (f"http://h.test/a/p{d}/x", f"f{d}"),
+            (f"http://h.test/b/p{d}/x", f"f{d}"),
+        ]
+    # decoys: two-segment diff, unequal length, support-1 singleton —
+    # none may mine a rule
+    rows += [
+        ("http://h.test/c/q/y", "g0"),
+        ("http://h.test/d/q/z", "g0"),
+        ("http://h.test/e/r", "g1"),
+        ("http://h.test/e/r/s", "g1"),
+        ("http://h.test/only/one/u", "g2"),
+        ("http://h.test/only/two/u", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {
+        (r["host"], r["seg_a"], r["seg_b"]): r["support"]
+        for r in dust_rules(df, min_support=2).collect()
+    }
+    assert got == {("h.test", "a", "b"): 3}
+
+
+def test_dust_rules_group_cap_bounds_fanout(spark):
+    # one degenerate fp group with 40 aliases must be dropped whole by
+    # max_group, while a healthy group still mines its rule
+    rows = [(f"http://big.test/v{i}/p/x", "huge") for i in range(40)]
+    rows += [
+        ("http://big.test/a/p2/x", "ok"),
+        ("http://big.test/b/p2/x", "ok"),
+        ("http://big.test/a/p3/x", "ok2"),
+        ("http://big.test/b/p3/x", "ok2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {
+        (r["seg_a"], r["seg_b"]): r["support"]
+        for r in dust_rules(df, min_support=2, max_group=32).collect()
+    }
+    assert got == {("a", "b"): 2}
