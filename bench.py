@@ -124,6 +124,7 @@ HEADLINE = [
     "shark_relevance_scores",
     "host_spam_mass",
     "dust_rules_mined",
+    "url_dust_canonicalize",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

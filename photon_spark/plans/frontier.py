@@ -881,3 +881,69 @@ def dust_rules(
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+
+
+def apply_dust_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply mined :func:`dust_rules` to frontier URLs: rewrite every
+    path segment that matches a rule's seg_b to its seg_a, yielding a
+    canonical label under which DUST aliases collide in the seen
+    filter. Rules are normalized (seg_a < seg_b lexically), so the
+    rewrite direction is arbitrary-but-consistent — the point is a
+    stable canonical form for dedup, not a "preferred" URL; a
+    conflicting pair of rules for the same (host, seg_b) collapses to
+    the smallest seg_a (deterministic MIN), so application is
+    order-free.
+
+    Shape at scale: rules are dimension-sized by construction (mined
+    with a support floor over hosts × segment vocabulary), so they
+    compact to ONE map column per host (map_from_entries) and ride a
+    BROADCAST left join onto the frontier; the rewrite itself is a
+    map-only transform over the split path (element_at per segment —
+    JVM expressions, no UDF). The frontier scan stays the only big
+    input and is touched once, with zero added shuffles on it.
+
+    Returns (url, canonical_url); feed canonical_url to the seen
+    filter / dedup exactly like canonicalize_urls' output.
+    """
+    rm = (
+        rules.groupBy("host", "seg_b")
+        .agg(F.min("seg_a").alias("seg_a"))
+        .groupBy("host")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("seg_b"), F.col("seg_a")))
+            ).alias("rmap")
+        )
+    )
+    parsed = urls.select(
+        F.col(url_col).alias("url"),
+        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col(url_col), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col(url_col), F.lit("QUERY")).alias("query"),
+    )
+    j = parsed.join(F.broadcast(rm), "host", "left")
+    segs = F.split(F.col("path"), "/")
+    new_path = F.when(
+        F.col("rmap").isNull(), F.col("path")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                segs,
+                lambda s: F.coalesce(F.element_at(F.col("rmap"), s), s),
+            ),
+            "/",
+        )
+    )
+    canonical = F.concat(
+        F.lit("http://"),
+        F.col("host"),
+        new_path,
+        F.when(
+            F.col("query").isNotNull(), F.concat(F.lit("?"), F.col("query"))
+        ).otherwise(F.lit("")),
+    )
+    return j.select("url", canonical.alias("canonical_url"))

@@ -4504,8 +4504,7 @@ _DUST_FETCH_SQL = (
 )
 
 
-@q(
-    "dust_rules_mined",
+_DUST_RULES_SQL = (
     f"WITH t AS (SELECT DISTINCT host, fp, path FROM ({_DUST_FETCH_SQL})),"
     " gs AS (SELECT host, fp FROM t GROUP BY host, fp"
     "  HAVING COUNT(*) >= 2 AND COUNT(*) <= 32),"
@@ -4523,16 +4522,13 @@ _DUST_FETCH_SQL = (
     "  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) = 1)"
     " SELECT host, least(u, v) AS seg_a, greatest(u, v) AS seg_b,"
     " COUNT(*) AS support FROM one GROUP BY 1, 2, 3"
-    " HAVING COUNT(*) >= 2",
+    " HAVING COUNT(*) >= 2"
 )
-def dust_rules_q(spark, sf):
-    """DUST (Bar-Yossef et al. 2007) path-rewrite rule mining —
-    frontier.dust_rules vs a self-join + ordinality-explode SQL twin.
-    Expected rules per host: (a, b) from the mirror prefix, (print, x)
-    from the print view, (canon, sidK) from embedded session ids;
-    multi-segment and unequal-length decoy pairs must mine nothing."""
-    from photon_spark.plans.frontier import dust_rules
 
+
+def _dust_fetched(spark, sf):
+    """Spark twin of _DUST_FETCH_SQL: the synthetic (url, fp) fetch
+    evidence with three planted alias classes and three decoy classes."""
     docs = _t(spark, sf, "documents")
     d = F.col("doc_id").cast("string")
     host = F.concat(
@@ -4561,7 +4557,7 @@ def dust_rules_q(spark, sf):
             ),
         ).otherwise(empty),
     )
-    fetched = docs.select(
+    return docs.select(
         host.alias("host"),
         F.md5(F.concat(F.lit("d"), d)).alias("fp"),
         F.explode(paths).alias("path"),
@@ -4569,7 +4565,53 @@ def dust_rules_q(spark, sf):
         F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url"),
         "fp",
     )
-    return dust_rules(fetched, min_support=2)
+
+
+@q("dust_rules_mined", _DUST_RULES_SQL)
+def dust_rules_q(spark, sf):
+    """DUST (Bar-Yossef et al. 2007) path-rewrite rule mining —
+    frontier.dust_rules vs a self-join + ordinality-explode SQL twin.
+    Expected rules per host: (a, b) from the mirror prefix, (print, x)
+    from the print view, (canon, sidK) from embedded session ids;
+    multi-segment and unequal-length decoy pairs must mine nothing."""
+    from photon_spark.plans.frontier import dust_rules
+
+    return dust_rules(_dust_fetched(spark, sf), min_support=2)
+
+
+# Applying the mined rules back onto the frontier: every alias class
+# collapses to one canonical label (rewrites go toward the lexically
+# smaller segment — a stable canonical FORM for the seen filter, not a
+# "preferred" URL). The oracle nests the full rule-mining query as a
+# CTE and replays the rewrite with an ordinality explode + ordered
+# string_agg reassembly.
+@q(
+    "url_dust_canonicalize",
+    f"WITH f AS ({_DUST_FETCH_SQL}),"
+    f" r AS ({_DUST_RULES_SQL}),"
+    " rm AS (SELECT host, seg_b, MIN(seg_a) AS seg_a FROM r GROUP BY 1, 2),"
+    " u AS (SELECT DISTINCT host, path FROM f),"
+    " ex AS (SELECT host, path, string_split(path, '/') AS segs FROM u),"
+    " e2 AS (SELECT host, path, segs,"
+    "  unnest(generate_series(1, len(segs))) AS i FROM ex),"
+    " j AS (SELECT e2.host, e2.path, e2.i,"
+    "  COALESCE(rm.seg_a, e2.segs[e2.i]) AS s FROM e2"
+    "  LEFT JOIN rm ON e2.host = rm.host AND e2.segs[e2.i] = rm.seg_b),"
+    " np AS (SELECT host, path, string_agg(s, '/' ORDER BY i) AS newpath"
+    "  FROM j GROUP BY host, path)"
+    " SELECT 'http://' || host || path AS url,"
+    " 'http://' || host || newpath AS canonical_url FROM np",
+)
+def dust_apply_q(spark, sf):
+    """Mine-then-apply composition: frontier.dust_rules feeds
+    frontier.apply_dust_rules over the same fetch evidence; mirror,
+    print-view and session-id aliases all land on one canonical label
+    while rule-free URLs pass through unchanged."""
+    from photon_spark.plans.frontier import apply_dust_rules, dust_rules
+
+    fetched = _dust_fetched(spark, sf)
+    rules = dust_rules(fetched, min_support=2)
+    return apply_dust_rules(fetched.select("url").distinct(), rules)
 
 
 from photon_spark.queries import Q  # noqa: E402

@@ -240,6 +240,9 @@ EXPECT: dict[str, dict] = {
     # dedup shuffle + (host,fp) group + rule agg, pair combos map-side
     # (no self-join); plus _t's spread = 4
     "dust_rules_mined": {"codegen": True, "max_exchanges": 4},
+    # rule mining (4) + rule->map compaction (dimension-sized aggs) +
+    # url-side distinct; the rewrite itself is a broadcast map join
+    "url_dust_canonicalize": {"broadcast": True},
 }
 
 

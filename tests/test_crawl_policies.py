@@ -147,3 +147,46 @@ def test_dust_rules_group_cap_bounds_fanout(spark):
         for r in dust_rules(df, min_support=2, max_group=32).collect()
     }
     assert got == {("a", "b"): 2}
+
+
+def test_apply_dust_rules_collapses_aliases(spark):
+    from photon_spark.plans.frontier import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("h.test", "a", "b", 3), ("h.test", "canon", "sid2", 2)],
+        "host string, seg_a string, seg_b string, support long",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://h.test/b/p1/x",),       # rewrite b -> a
+            ("http://h.test/a/p1/x",),       # already canonical
+            ("http://h.test/s/sid2/p1?k=v",),  # rewrite + query kept
+            ("http://h.test/free/p9/x",),    # no rule touches it
+            ("http://other.test/b/p1/x",),   # rules are host-scoped
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in apply_dust_rules(urls, rules).collect()
+    }
+    assert got["http://h.test/b/p1/x"] == "http://h.test/a/p1/x"
+    assert got["http://h.test/a/p1/x"] == "http://h.test/a/p1/x"
+    assert got["http://h.test/s/sid2/p1?k=v"] == "http://h.test/s/canon/p1?k=v"
+    assert got["http://h.test/free/p9/x"] == "http://h.test/free/p9/x"
+    assert got["http://other.test/b/p1/x"] == "http://other.test/b/p1/x"
+
+
+def test_apply_dust_rules_conflicts_resolve_to_min(spark):
+    from photon_spark.plans.frontier import apply_dust_rules
+
+    # two rules map the same seg_b on one host: MIN(seg_a) wins,
+    # deterministically, instead of map_from_entries blowing up on a
+    # duplicate key
+    rules = spark.createDataFrame(
+        [("h.test", "aa", "z", 2), ("h.test", "ab", "z", 5)],
+        "host string, seg_a string, seg_b string, support long",
+    )
+    urls = spark.createDataFrame([("http://h.test/z/p",)], "url string")
+    got = apply_dust_rules(urls, rules).collect()[0]
+    assert got["canonical_url"] == "http://h.test/aa/p"
