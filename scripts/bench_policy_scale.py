@@ -1,0 +1,165 @@
+"""Measured throughput of the round-3 frontier-policy operators at
+scale: opic_scores on a 10^6-edge host graph (same synthesized graph
+shape as bench_graph_scale), and dust_rules + apply_dust_rules on a
+10^6-URL duplicate-evidence log (Zipf-ish host sizes, three planted
+alias classes per page like the oracle entry).
+
+opic claims the host_rank shape (broadcast cash vector + one
+host-keyed partial-agg shuffle per round, dangling mass as a 1-row
+broadcast); dust claims two dimension-keyed aggs with map-side pair
+combos bounded by max_group; apply claims one broadcast map join over
+the frontier. This puts wall-clock numbers behind those claims at
+sizes three orders of magnitude above the oracle entries.
+
+Usage: python scripts/bench_policy_scale.py [n_edges] [n_urls] [cores]
+Appends one JSON line to BENCH/policy_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.frontier import apply_dust_rules, dust_rules
+    from photon_spark.plans.schedule import opic_scores
+    from photon_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores, shuffle_partitions=cores, app_name="policy_scale"
+    )
+    n_hosts = 100_000
+
+    def best(fn, reps=3):
+        times, out = [], None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            times.append(time.monotonic() - t0)
+        return min(times), out
+
+    # --- OPIC on the bench_graph_scale graph shape (skewed dst) -----
+    e = spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_hosts)).alias("src"),
+        F.pmod(
+            F.pmod(F.xxhash64(F.col("id") + 3), F.lit(n_hosts))
+            * F.pmod(F.xxhash64(F.col("id") + 5), F.lit(1000)),
+            F.lit(n_hosts),
+        ).alias("dst"),
+    ).persist()
+    e.count()
+    opic_sec, n_opic = best(lambda: opic_scores(e, rounds=3).count())
+
+    # --- DUST mining on a 10^6-URL evidence log ----------------------
+    # each page yields a mirror alias pair plus (1 in 3) a print view
+    # and (1 in 2) a session-id/canon pair — same classes the oracle
+    # entry plants, at n_urls total rows. Hosts Zipf-ish via xxhash
+    # squaring so some (host, fp) groups are far hotter than others.
+    n_pages = n_urls // 3
+    pages = spark.range(n_pages).select(
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(5000)).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        F.col("id").cast("string").alias("d"),
+        F.md5(F.concat(F.lit("d"), F.col("id").cast("string"))).alias("fp"),
+    )
+    empty = F.array().cast("array<string>")
+    paths = F.concat(
+        F.array(
+            F.concat(F.lit("/a/p"), F.col("d"), F.lit("/x")),
+            F.concat(F.lit("/b/p"), F.col("d"), F.lit("/x")),
+        ),
+        F.when(
+            F.xxhash64(F.col("d")) % 3 == 0,
+            F.array(F.concat(F.lit("/a/p"), F.col("d"), F.lit("/print"))),
+        ).otherwise(empty),
+        F.when(
+            F.xxhash64(F.col("d")) % 2 == 0,
+            F.array(
+                F.concat(
+                    F.lit("/s/sid"),
+                    (F.xxhash64(F.col("d")) % 4).cast("string"),
+                    F.lit("/p"),
+                    F.col("d"),
+                ),
+                F.concat(F.lit("/s/canon/p"), F.col("d")),
+            ),
+        ).otherwise(empty),
+    )
+    fetched = (
+        pages.select("host", "fp", F.explode(paths).alias("path"))
+        .select(
+            F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias(
+                "url"
+            ),
+            "fp",
+        )
+        .persist()
+    )
+    n_fetched = fetched.count()
+
+    mine_sec, n_rules = best(
+        lambda: dust_rules(fetched, min_support=2).count()
+    )
+    rules = dust_rules(fetched, min_support=2).persist()
+    rules.count()
+    urls = fetched.select("url").distinct().persist()
+    n_distinct = urls.count()
+    apply_sec, _ = best(
+        lambda: apply_dust_rules(urls, rules)
+        .agg(F.countDistinct("canonical_url"))
+        .collect()[0][0]
+    )
+    canon_distinct = (
+        apply_dust_rules(urls, rules)
+        .agg(F.countDistinct("canonical_url"))
+        .collect()[0][0]
+    )
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "cores": cores,
+        "opic": {
+            "n_edges": n_edges,
+            "n_hosts_out": n_opic,
+            "sec": round(opic_sec, 3),
+            "edges_per_sec": int(n_edges / opic_sec),
+        },
+        "dust_mine": {
+            "n_evidence_urls": n_fetched,
+            "n_rules": n_rules,
+            "sec": round(mine_sec, 3),
+            "urls_per_sec": int(n_fetched / mine_sec),
+        },
+        "dust_apply": {
+            "n_urls": n_distinct,
+            "n_canonical": canon_distinct,
+            "collapse_ratio": round(1 - canon_distinct / n_distinct, 4),
+            "sec": round(apply_sec, 3),
+            "urls_per_sec": int(n_distinct / apply_sec),
+        },
+    }
+    out = os.path.join(REPO, "BENCH", "policy_scale.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
