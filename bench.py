@@ -125,6 +125,7 @@ HEADLINE = [
     "host_spam_mass",
     "dust_rules_mined",
     "url_dust_canonicalize",
+    "host_opic_incremental",
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",

@@ -1074,3 +1074,104 @@ def spam_mass(
             / 1e6
         ).alias("spam_mass"),
     )
+
+
+def opic_init(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Uniform OPIC state (host, cash, hist) over a host graph's node
+    set — the starting point for :func:`opic_update`. Cash sums to
+    exactly n * (1/n); hist starts at 0."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = nodes.count()  # bounded scalar
+    return nodes.select(
+        "host",
+        (F.lit(1.0) / F.lit(float(n))).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    ).localCheckpoint(eager=True)
+
+
+def opic_update(
+    state: DataFrame,
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """ONE on-line OPIC step — the wave-by-wave usage Abiteboul et
+    al.'s adaptive variant intends, where :func:`opic_scores` is the
+    batch convenience: the crawl holds (host, cash, hist) state in its
+    store, and after each wave feeds the CURRENT host graph (including
+    newly discovered hosts) through one cash-distribution round.
+    Hosts present in ``edges`` but not yet in ``state`` enter with
+    zero cash and zero history (they receive this round), so total
+    cash is conserved exactly across waves; after t updates the
+    importance estimate is (hist + cash) / (t + 1), and feeding the
+    same static graph t times reproduces opic_scores(rounds=t) —
+    pytest-pinned.
+
+    Same per-round shape as the batch loop: ONE host-keyed partial-agg
+    shuffle for contributions, the dangling total as a 1-row crossJoin
+    broadcast, the state vector broadcast into the edge join. The
+    returned frame is eagerly checkpointed so per-wave lineage stays
+    O(1) across an arbitrarily long crawl (the same contract as the
+    batch operator and dup_components).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    full = (
+        hosts.join(state, "host", "full")
+        .select(
+            "host",
+            F.coalesce(F.col("cash"), F.lit(0.0)).alias("cash"),
+            F.coalesce(F.col("hist"), F.lit(0.0)).alias("hist"),
+        )
+        .persist()
+    )
+    n = full.count()  # bounded scalar; materializes the cache
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ndeg = full.select("host").join(
+        F.broadcast(outdeg.withColumnRenamed("src", "host")), "host", "left"
+    )
+    contrib = (
+        e.join(outdeg, "src")
+        .join(F.broadcast(full), F.col("src") == full["host"])
+        .select(
+            F.col("dst").alias("host"),
+            (F.col("cash") / F.col("deg")).alias("c"),
+        )
+        .groupBy("host")
+        .agg(F.sum("c").alias("c"))
+    )
+    dang = (
+        ndeg.join(F.broadcast(full.select("host", "cash")), "host")
+        .filter(F.col("deg").isNull())
+        .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
+    )
+    out = (
+        full.join(F.broadcast(contrib), "host", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "host",
+            (
+                F.coalesce(F.col("c"), F.lit(0.0))
+                + F.col("d") / F.lit(float(n))
+            ).alias("cash"),
+            (F.col("hist") + F.col("cash")).alias("hist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    full.unpersist()
+    return out

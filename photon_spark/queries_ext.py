@@ -4614,6 +4614,44 @@ def dust_apply_q(spark, sf):
     return apply_dust_rules(fetched.select("url").distinct(), rules)
 
 
+# The incremental OPIC path (opic_init + per-wave opic_update) driven
+# through the SAME unrolled-SQL twin as the batch entry, at 2 rounds:
+# the oracle can't tell which code path produced the numbers — which
+# is the point (the driver gate then covers the wave-by-wave API, not
+# just the batch convenience).
+@q(
+    "host_opic_incremental",
+    f"WITH e AS ({_OPIC_EDGES_SQL}),"
+    " nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),"
+    " deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),"
+    " nn AS (SELECT COUNT(*) AS n FROM nodes),"
+    " s0 AS (SELECT host, 1.0 / nn.n AS cash, 0.0 AS hist FROM nodes, nn),"
+    + _opic_round(1)
+    + _opic_round(2).rstrip(",")
+    + " SELECT host, floor((hist + cash) / 3 * 1e6 + 0.5) / 1e6 AS opic"
+    " FROM s2",
+)
+def host_opic_incremental_q(spark, sf):
+    """Two opic_update waves from opic_init over the static dangling
+    graph — must land on the identical numbers as two unrolled batch
+    rounds (the incremental-equals-batch property, driver-gated)."""
+    from photon_spark.plans.schedule import opic_init, opic_update
+
+    e = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 90).alias("src"),
+        F.expr("(o_orderkey div 7) % 100").alias("dst"),
+    )
+    state = opic_init(e)
+    for _ in range(2):
+        state = opic_update(state, e)
+    return state.select(
+        "host",
+        (
+            F.floor((F.col("hist") + F.col("cash")) / 3.0 * 1e6 + 0.5) / 1e6
+        ).alias("opic"),
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

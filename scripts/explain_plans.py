@@ -243,6 +243,9 @@ EXPECT: dict[str, dict] = {
     # rule mining (4) + rule->map compaction (dimension-sized aggs) +
     # url-side distinct; the rewrite itself is a broadcast map join
     "url_dust_canonicalize": {"broadcast": True},
+    # projection over the per-wave eager checkpoint: the incremental
+    # state contract keeps lineage O(1) across waves
+    "host_opic_incremental": {"max_exchanges": 0},
 }
 
 

@@ -190,3 +190,40 @@ def test_apply_dust_rules_conflicts_resolve_to_min(spark):
     urls = spark.createDataFrame([("http://h.test/z/p",)], "url string")
     got = apply_dust_rules(urls, rules).collect()[0]
     assert got["canonical_url"] == "http://h.test/aa/p"
+
+
+def test_opic_update_incremental_equals_batch(spark):
+    from photon_spark.plans.schedule import opic_init, opic_scores, opic_update
+
+    rng = random.Random(23)
+    edges = [(rng.randint(0, 15), rng.randint(0, 20)) for _ in range(60)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    state = opic_init(e)
+    for _ in range(3):
+        state = opic_update(state, e)
+    inc = {
+        r["host"]: (r["hist"] + r["cash"]) / 4.0 for r in state.collect()
+    }
+    batch = {r["host"]: r["opic"] for r in opic_scores(e, rounds=3).collect()}
+    assert set(inc) == set(batch)
+    for h in batch:
+        assert abs(inc[h] - batch[h]) < 2e-6, (h, inc[h], batch[h])
+
+
+def test_opic_update_conserves_cash_across_discovery(spark):
+    from photon_spark.plans.schedule import opic_init, opic_update
+
+    w1 = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    state = opic_init(w1)
+    state = opic_update(state, w1)
+    # wave 2 discovers hosts 3 and 4; host 2 drops out of the wave
+    # graph entirely (it becomes dangling state — its cash must
+    # recirculate, not vanish)
+    w2 = spark.createDataFrame([(0, 3), (3, 4)], "src int, dst int")
+    state = opic_update(state, w2)
+    rows = state.collect()
+    hosts = {r["host"] for r in rows}
+    assert hosts == {0, 1, 2, 3, 4}
+    assert abs(sum(r["cash"] for r in rows) - 1.0) < 1e-12
+    new = {r["host"]: r for r in rows}
+    assert new[3]["cash"] > 0.0  # discovered host received this wave
