@@ -619,6 +619,63 @@ def recrawl_schedule(
     )
 
 
+def recrawl_schedule_cold(
+    hints: DataFrame,
+    as_of_epoch: int,
+    k: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Cold-start recrawl ranking from sitemap hints alone — the
+    bootstrap `recrawl_schedule` cannot provide: Cho & Garcia-Molina's
+    policy needs ≥2 observations per URL before a change rate exists,
+    but a sitemap's `<lastmod>`/`<changefreq>` (sitemaps.org) is the
+    site's own declaration of exactly those two quantities, available
+    BEFORE the first fetch.
+
+    Input is `sources.sitemap.sitemap_url_hints` output
+    (url, n_listings, lastmod_s, changefreq_s, priority_milli). Score =
+    intervals-overdue in integer micro-units:
+
+        score = max(0, (as_of − lastmod_s)) · 10^6 div changefreq_s
+
+    (0 when lastmod or changefreq is absent — no freshness evidence).
+    Per host, the top k by (score desc, priority_milli desc, url asc):
+    overdue URLs first, the spec's <priority> breaking ties among the
+    evidence-free rest. Integer arithmetic end to end, so the ranking
+    is bit-identical across engines. Once a URL has real fetch
+    history, `recrawl_schedule`'s observed change rate supersedes its
+    hint (declared changefreq is advisory; observations are ground
+    truth) — gate the union on n_obs ≥ 2.
+
+    Shape at scale: the hints frame is one row per sitemap-listed URL
+    (no observation log); one window over host partitions — same
+    two-stage salt escape hatch as `recrawl_schedule` if one host
+    lists 10^8 URLs.
+    """
+    h = with_host(hints, url_col) if "host" not in hints.columns else hints
+    score = (
+        F.when(
+            F.col("lastmod_s").isNotNull()
+            & F.col("changefreq_s").isNotNull(),
+            F.expr(
+                f"(greatest(0L, {int(as_of_epoch)} - lastmod_s) * 1000000)"
+                " div changefreq_s"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("priority_milli").desc(), F.col(url_col).asc()
+    )
+    return (
+        h.withColumn("score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("host", url_col, "score", "priority_milli")
+    )
+
+
 def adaptive_host_budgets(
     observations: DataFrame,
     base: int = 8,

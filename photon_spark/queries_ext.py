@@ -4652,6 +4652,158 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Sitemap recrawl hints (sources/sitemap.sitemap_url_hints) + the
+# cold-start scheduler they feed (plans/schedule.recrawl_schedule_cold).
+# Fixture: every document becomes a <url> block — lastmod present for
+# doc_id%4!=0 ('2024-01-01' + doc_id%90 days), changefreq cycles
+# through all 6 names + 'never' + absent (doc_id%8), priority
+# '0.{doc_id%10}' when doc_id%5!=0 — grouped into per-(host, doc_id%3)
+# <urlset> files; docs with doc_id%6==0 are listed AGAIN in a second
+# sitemap (fresher lastmod +3d, hourly, no priority), exercising the
+# per-axis conflict resolution (max lastmod, min interval, max
+# priority). Spark round-trips REAL XML (build → regexp parse); the
+# oracle computes the closed form directly — a hash match proves the
+# parser inverts the construction.
+_SM_HINT_PRIM_SQL = (
+    "SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'"
+    "  || CAST(doc_id AS VARCHAR) AS url,"
+    " CASE WHEN doc_id % 4 <> 0 THEN"
+    "  CAST(datediff('day', DATE '1970-01-01',"
+    "   DATE '2024-01-01' + CAST(doc_id % 90 AS INTEGER)) AS BIGINT)"
+    "   * 86400 END AS lastmod_s,"
+    " CAST(CASE doc_id % 8 WHEN 0 THEN 1 WHEN 1 THEN 3600"
+    "  WHEN 2 THEN 86400 WHEN 3 THEN 604800 WHEN 4 THEN 2592000"
+    "  WHEN 5 THEN 31536000 END AS BIGINT) AS changefreq_s,"
+    " CAST(CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 10) * 100"
+    "  ELSE 500 END AS BIGINT) AS priority_milli FROM documents"
+)
+_SM_HINT_DUP_SQL = (
+    "SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'"
+    "  || CAST(doc_id AS VARCHAR) AS url,"
+    " CAST(datediff('day', DATE '1970-01-01',"
+    "  DATE '2024-01-01' + CAST(doc_id % 90 + 3 AS INTEGER)) AS BIGINT)"
+    "  * 86400 AS lastmod_s,"
+    " CAST(3600 AS BIGINT) AS changefreq_s,"
+    " CAST(500 AS BIGINT) AS priority_milli"
+    " FROM documents WHERE doc_id % 6 = 0"
+)
+_SM_HINTS_SQL = (
+    f"WITH l AS ({_SM_HINT_PRIM_SQL} UNION ALL {_SM_HINT_DUP_SQL})"
+    " SELECT url, COUNT(*) AS n_listings, MAX(lastmod_s) AS lastmod_s,"
+    " MIN(changefreq_s) AS changefreq_s,"
+    " MAX(priority_milli) AS priority_milli FROM l GROUP BY url"
+)
+
+
+def _sitemap_hint_pages(spark, sf):
+    d = F.col("doc_id")
+    host = F.concat(F.lit("http://h"), (d % 7).cast("string"), F.lit(".test"))
+    loc = F.concat(host, F.lit("/p/"), d.cast("string"))
+    lm_date = F.date_add(F.to_date(F.lit("2024-01-01")), (d % 90).cast("int"))
+    cf_name = F.element_at(
+        F.array(
+            *[
+                F.lit(x)
+                for x in (
+                    "always", "hourly", "daily", "weekly",
+                    "monthly", "yearly", "never", "",
+                )
+            ]
+        ),
+        ((d % 8) + 1).cast("int"),
+    )
+    block = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"),
+        F.when(
+            d % 4 != 0,
+            F.concat(
+                F.lit("<lastmod>"), lm_date.cast("string"), F.lit("</lastmod>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            cf_name != "",
+            F.concat(
+                F.lit("<changefreq>"), cf_name, F.lit("</changefreq>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (d % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    docs = _t(spark, sf, "documents")
+    prim = docs.select(
+        F.concat(host, F.lit("/sm/"), (d % 3).cast("string"), F.lit(".xml")).alias(
+            "sm_url"
+        ),
+        block.alias("block"),
+    )
+    dup_block = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><lastmod>"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), ((d % 90) + 3).cast("int"))
+        .cast("string"),
+        F.lit("</lastmod><changefreq>hourly</changefreq></url>"),
+    )
+    dup = docs.filter(d % 6 == 0).select(
+        F.concat(host, F.lit("/sm/dup.xml")).alias("sm_url"),
+        dup_block.alias("block"),
+    )
+    return (
+        prim.unionByName(dup)
+        .groupBy("sm_url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.collect_list("block")),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .withColumnRenamed("sm_url", "doc_id")
+    )
+
+
+@q("sitemap_url_hints", _SM_HINTS_SQL)
+def sitemap_hints_q(spark, sf):
+    from photon_spark.sources.sitemap import sitemap_url_hints
+
+    return sitemap_url_hints(_sitemap_hint_pages(spark, sf))
+
+
+@q(
+    "recrawl_cold_schedule",
+    f"WITH l AS ({_SM_HINT_PRIM_SQL} UNION ALL {_SM_HINT_DUP_SQL}),"
+    " h AS (SELECT url, MAX(lastmod_s) AS lastmod_s,"
+    "  MIN(changefreq_s) AS changefreq_s,"
+    "  MAX(priority_milli) AS priority_milli FROM l GROUP BY url),"
+    " s AS (SELECT regexp_extract(url, '://([^/]+)', 1) AS host, url,"
+    "  CAST(CASE WHEN lastmod_s IS NOT NULL AND changefreq_s IS NOT NULL"
+    "   THEN (greatest(0, 1717200000 - lastmod_s) * 1000000)"
+    "    // changefreq_s ELSE 0 END AS BIGINT) AS score,"
+    "  priority_milli FROM h)"
+    " SELECT host, url, score, priority_milli FROM"
+    " (SELECT *, row_number() OVER (PARTITION BY host"
+    "  ORDER BY score DESC, priority_milli DESC, url ASC) AS rn FROM s)"
+    " WHERE rn <= 25",
+)
+def recrawl_cold_q(spark, sf):
+    """Cold-start recrawl: sitemap-declared freshness ranks URLs the
+    observation-driven recrawl_schedule cannot score yet (as-of pinned
+    2024-06-01T00:00:00Z, after every planted lastmod)."""
+    from photon_spark.plans.schedule import recrawl_schedule_cold
+    from photon_spark.sources.sitemap import sitemap_url_hints
+
+    return recrawl_schedule_cold(
+        sitemap_url_hints(_sitemap_hint_pages(spark, sf)),
+        as_of_epoch=1_717_200_000,
+        k=25,
+    )
+
+
 from photon_spark.queries import Q  # noqa: E402
 
 # Round-to-round rotation of the driver's 50-entry correctness window

@@ -24,10 +24,24 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 LOC_RE = "<loc>(.*?)</loc>"
 SITEMAP_LINE_RE = "(?i)Sitemap:\\s*(\\S+)"
+URL_BLOCK_RE = "(?s)<url>(.*?)</url>"
+
+# sitemaps.org <changefreq> → recrawl interval in seconds. 'always'
+# (changes on every access) maps to 1s — maximal urgency without a
+# zero divisor; 'never' and a missing tag map to NULL (no
+# frequency evidence — such URLs rank on <priority> alone).
+CHANGEFREQ_SECONDS = {
+    "always": 1,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,  # sitemaps.org month = 30 days
+    "yearly": 31_536_000,  # 365 days
+}
 
 
 def discover_sitemap_roots(
@@ -127,3 +141,81 @@ def sitemap_tree_locs(
     for w in leaf_waves[1:]:
         out = out.unionByName(w)
     return out
+
+
+def _changefreq_seconds(cf: Column) -> Column:
+    expr = F.lit(None).cast("long")
+    for name, secs in CHANGEFREQ_SECONDS.items():
+        expr = F.when(cf == name, F.lit(secs).cast("long")).otherwise(expr)
+    return expr
+
+
+def sitemap_url_hints(
+    pages: DataFrame,
+    doc_col: str = "doc_id",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-URL recrawl hints from `<urlset>` sitemap files: the
+    `<lastmod>`, `<changefreq>` and `<priority>` elements the
+    sitemaps.org protocol attaches to each `<loc>` (the reference
+    reads `<loc>` only — core/zap.py:56 — and discards the freshness
+    metadata sites publish precisely so crawlers can schedule).
+
+    Returns one row per distinct URL:
+
+      url, n_listings,
+      lastmod_s      — max over listings; day-granular (the DATE part
+                       of the W3C datetime) × 86400, NULL if never given
+      changefreq_s   — min over listings of CHANGEFREQ_SECONDS
+                       ('never'/missing → NULL: rank on priority alone)
+      priority_milli — max over listings of floor(priority·1000 + .5);
+                       missing → the spec's 0.5 default (500)
+
+    A URL listed by several sitemaps resolves to its most urgent
+    claim on each axis (freshest lastmod, shortest interval, highest
+    priority). `<sitemapindex>` files contain no `<url>` blocks and
+    fall out naturally; '<body' marks the usual fancy-404 page
+    (kernels.sitemap_locs' gate, zap.py:48).
+
+    Shape at scale: map-only JVM regexp work (block explode + three
+    field extracts — zero Python) followed by ONE map-side-combinable
+    url-keyed aggregate; sitemap files are ≤50k URLs each, so the
+    explode fan-out per row is bounded by protocol.
+    """
+    blocks = (
+        pages.filter(~F.col(body_col).contains("<body"))
+        .filter(F.col(body_col).contains("<urlset"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(body_col), F.lit(URL_BLOCK_RE), 1
+                )
+            ).alias("b")
+        )
+    )
+    lm = F.regexp_extract(F.col("b"), "<lastmod>(.*?)</lastmod>", 1)
+    cf = F.regexp_extract(F.col("b"), "<changefreq>(.*?)</changefreq>", 1)
+    pr = F.regexp_extract(F.col("b"), "<priority>(.*?)</priority>", 1)
+    fields = blocks.select(
+        F.regexp_extract(F.col("b"), LOC_RE, 1).alias("url"),
+        F.when(
+            lm != "",
+            F.datediff(
+                F.to_date(F.substring(lm, 1, 10)), F.lit("1970-01-01")
+            ).cast("long")
+            * 86_400,
+        ).alias("lastmod_s"),
+        _changefreq_seconds(cf).alias("changefreq_s"),
+        F.when(
+            pr != "",
+            F.floor(pr.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(500).cast("long"))
+        .alias("priority_milli"),
+    ).filter(F.col("url") != "")
+    return fields.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_listings"),
+        F.max("lastmod_s").alias("lastmod_s"),
+        F.min("changefreq_s").alias("changefreq_s"),
+        F.max("priority_milli").alias("priority_milli"),
+    )

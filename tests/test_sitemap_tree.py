@@ -205,3 +205,112 @@ def test_crawl_sitemap_recursive_flat_noop(spark):
     da = sorted(map(tuple, a.results.collect()))
     db = sorted(map(tuple, b.results.collect()))
     assert da == db
+
+
+# ---------------------------------------------------------------------------
+# sitemap_url_hints + recrawl_schedule_cold
+
+
+def _url_block(loc, lastmod=None, changefreq=None, priority=None):
+    b = f"<url><loc>{loc}</loc>"
+    if lastmod is not None:
+        b += f"<lastmod>{lastmod}</lastmod>"
+    if changefreq is not None:
+        b += f"<changefreq>{changefreq}</changefreq>"
+    if priority is not None:
+        b += f"<priority>{priority}</priority>"
+    return b + "</url>"
+
+
+def test_url_hints_fields_defaults_and_conflicts(spark):
+    from photon_spark.sources.sitemap import sitemap_url_hints
+
+    day = 86_400
+    pages = _pages(
+        spark,
+        [
+            (
+                "sm1.xml",
+                "<urlset>"
+                # full datetime lastmod: only the DATE part counts
+                + _url_block(
+                    "http://h.test/a",
+                    lastmod="2024-01-11T08:30:00+00:00",
+                    changefreq="daily",
+                    priority="0.8",
+                )
+                # no lastmod, 'never' changefreq, no priority
+                + _url_block("http://h.test/b", changefreq="never")
+                # 'always' maps to 1s
+                + _url_block(
+                    "http://h.test/c", lastmod="2024-01-01", changefreq="always"
+                )
+                + "</urlset>",
+            ),
+            (
+                "sm2.xml",  # re-lists /a with fresher lastmod, hourly, lower pri
+                "<urlset>"
+                + _url_block(
+                    "http://h.test/a",
+                    lastmod="2024-02-01",
+                    changefreq="hourly",
+                    priority="0.2",
+                )
+                + "</urlset>",
+            ),
+            ("index.xml", "<sitemapindex><loc>sm1.xml</loc></sitemapindex>"),
+            ("404.xml", "<body>not found</body>"),
+        ],
+    )
+    got = {
+        r["url"]: r
+        for r in sitemap_url_hints(pages).collect()
+    }
+    assert set(got) == {"http://h.test/a", "http://h.test/b", "http://h.test/c"}
+    a = got["http://h.test/a"]
+    # 2024-02-01 = 19754 days since epoch; max of the two listings
+    assert a["n_listings"] == 2
+    assert a["lastmod_s"] == 19754 * day
+    assert a["changefreq_s"] == 3_600  # min(daily, hourly)
+    assert a["priority_milli"] == 800  # max(0.8, 0.2)
+    b = got["http://h.test/b"]
+    assert b["lastmod_s"] is None
+    assert b["changefreq_s"] is None  # 'never'
+    assert b["priority_milli"] == 500  # spec default
+    c = got["http://h.test/c"]
+    assert c["lastmod_s"] == 19723 * day  # 2024-01-01
+    assert c["changefreq_s"] == 1  # 'always'
+
+
+def test_recrawl_cold_scores_and_topk(spark):
+    from photon_spark.plans.schedule import recrawl_schedule_cold
+
+    day = 86_400
+    as_of = 19754 * day  # 2024-02-01T00:00:00Z
+    hints = spark.createDataFrame(
+        [
+            # 10 days overdue at daily → 10.0 intervals = 10_000_000
+            ("http://h.test/a", 1, 19744 * day, day, 500),
+            # 1 day overdue at hourly → 24 intervals
+            ("http://h.test/b", 1, 19753 * day, 3_600, 500),
+            # no changefreq → score 0, ranks by priority
+            ("http://h.test/c", 1, 19700 * day, None, 900),
+            ("http://h.test/d", 1, None, day, 950),  # no lastmod → 0
+            # future lastmod clamps to 0, not negative
+            ("http://h.test/e", 1, 19800 * day, day, 100),
+            ("http://x.test/z", 1, 19744 * day, day, 500),
+        ],
+        "url string, n_listings long, lastmod_s long,"
+        " changefreq_s long, priority_milli long",
+    )
+    rows = recrawl_schedule_cold(hints, as_of_epoch=as_of, k=3).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    h = sorted(by_host["h.test"], key=lambda r: (-r["score"], -r["priority_milli"]))
+    assert [r["url"][-1] for r in h] == ["b", "a", "d"]
+    assert h[0]["score"] == 24 * 1_000_000
+    assert h[1]["score"] == 10 * 1_000_000
+    assert h[2]["score"] == 0 and h[2]["priority_milli"] == 950
+    assert len(by_host["h.test"]) == 3  # k cap: c and e dropped
+    assert by_host["x.test"][0]["score"] == 10 * 1_000_000
