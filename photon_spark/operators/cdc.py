@@ -1,0 +1,213 @@
+"""Content-defined chunking (Gear/FastCDC family, public: Xia et al.,
+"FastCDC: a Fast and Efficient Content-Defined Chunking Approach for
+Data Deduplication", USENIX ATC 2016) for byte-payload dedup across
+media blobs.
+
+Fixed-size chunking breaks on INSERTION: one inserted byte shifts
+every later boundary, so two blobs that differ by a short prefix share
+zero chunks. A content-defined boundary depends only on a small
+sliding window of local bytes, so an edit perturbs at most the chunk
+containing it (and possibly its successor) — every later chunk
+re-aligns and dedups. The reference stores no payloads at all
+(core/utils.py:78-86 writes URL text files); this operator is the
+media-payload half of the 100-TB dedup story: interleaved documents
+carry image/audio/video bytes that repeat (the same logo on every
+page, re-encoded thumbnails, mirrored hosts), and chunk-level dedup
+catches SHARED SEGMENTS that whole-blob dedup (media_ref_dedup,
+binary_stats md5) cannot.
+
+Chunker definition (pinned; deliberately phase-free):
+
+  gear table   256 deterministic 64-bit constants, gear[b] = the first
+               8 bytes of md5(bytes([b])) big-endian — no RNG, so the
+               chunking is reproducible across machines and sessions.
+  hash         h(i) = sum_{k=0..63} gear[data[i-k]] * 2^k  (mod 2^64)
+               — the gear recurrence h <- (h<<1) + gear[b] evaluated
+               over a 64-byte SLIDING window, never reset at chunk
+               starts (FastCDC resets per chunk; phase-free hashing
+               makes the boundary predicate a pure function of the
+               preceding 64 bytes, which is exactly the property that
+               makes later chunks re-align after an edit — and lets
+               the predicate be computed vectorized in one pass).
+  boundary     normalized two-mask rule: position i cuts a chunk
+               ending at i+1 iff
+                 len < avg_size:  h(i) & MASK_HARD == 0   (bits+2 ones)
+                 len >= avg_size: h(i) & MASK_EASY == 0   (bits-2 ones)
+               with bits = round(log2(avg_size)); masks occupy the TOP
+               bits of h (the low bits carry only the newest bytes).
+               min_size is skipped outright; max_size force-cuts.
+
+Scale shape: chunking is a map-only Arrow stage (one numpy pass per
+payload, 64 shifted vector adds + two sparse candidate walks); the
+only shuffle in the dedup statistics is ONE chunk-hash-keyed aggregate
+with map-side combine. Payload rows stream through mapInPandas in
+Arrow batches, so executor memory is bounded by batch bytes, not
+corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_WINDOW = 64  # bytes of history in the phase-free gear hash
+
+
+def gear_table() -> np.ndarray:
+    """256 deterministic 64-bit gear constants: first 8 bytes of
+    md5(byte) big-endian. No RNG — same table everywhere, forever."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+            for b in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+_GEAR = gear_table()
+
+
+def _masks(avg_size: int) -> tuple[np.uint64, np.uint64]:
+    bits = int(round(np.log2(avg_size)))
+    hard = ((1 << (bits + 2)) - 1) << (64 - (bits + 2))
+    easy = ((1 << (bits - 2)) - 1) << (64 - (bits - 2))
+    return np.uint64(hard), np.uint64(easy)
+
+
+def _gear_hashes(data: bytes) -> np.ndarray:
+    """h(i) for every position i — the 64-byte sliding gear hash,
+    vectorized: 64 shifted adds, uint64 wrap-around IS mod 2^64."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[arr]
+    h = np.zeros(len(arr), dtype=np.uint64)
+    for k in range(min(_WINDOW, len(arr))):
+        if k == 0:
+            h += g
+        else:
+            h[k:] += g[:-k] << np.uint64(k)
+    return h
+
+
+def cdc_boundaries(
+    data: bytes, min_size: int, avg_size: int, max_size: int
+) -> list[int]:
+    """Chunk END offsets (exclusive) for one payload. Invariants:
+    offsets strictly increase, last == len(data), every chunk length
+    is in [min_size, max_size] except the final chunk (>= 1)."""
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    n = len(data)
+    if n == 0:
+        return []
+    hard_mask, easy_mask = _masks(avg_size)
+    h = _gear_hashes(data)
+    # sparse sorted candidate positions for each mask
+    hard = np.flatnonzero((h & hard_mask) == 0)
+    easy = np.flatnonzero((h & easy_mask) == 0)
+    cuts: list[int] = []
+    cur = 0
+    while n - cur > max_size:
+        # hard (stricter) mask inside [cur+min, cur+avg) …
+        lo, hi = cur + min_size - 1, cur + avg_size - 1
+        i = np.searchsorted(hard, lo)
+        nxt = None
+        if i < hard.size and hard[i] < hi:
+            nxt = int(hard[i]) + 1
+        else:
+            # … easy mask inside [cur+avg, cur+max)
+            j = np.searchsorted(easy, hi)
+            if j < easy.size and easy[j] < cur + max_size - 1:
+                nxt = int(easy[j]) + 1
+            else:
+                nxt = cur + max_size  # force cut
+        cuts.append(nxt)
+        cur = nxt
+    # tail: if it still exceeds max_size the loop would have continued,
+    # so whatever remains (1..max_size bytes) is the final chunk
+    cuts.append(n)
+    return cuts
+
+
+def cdc_chunks(
+    media: DataFrame,
+    id_col: str = "media_ref",
+    payload_col: str = "payload",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Chunk every payload: (id, chunk_idx, offset, length, chunk_md5).
+    Map-only Arrow stage — no shuffle; the chunk table is the input to
+    `cdc_dedup_stats` / any chunk-store join."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                prev = 0
+                for ci, end in enumerate(
+                    cdc_boundaries(b, min_size, avg_size, max_size)
+                ):
+                    ids.append(rid)
+                    idxs.append(ci)
+                    offs.append(prev)
+                    lens.append(end - prev)
+                    md5s.append(hashlib.md5(b[prev:end]).hexdigest())
+                    prev = end
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    id_type = dict(media.dtypes)[id_col]
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, chunk_idx long, offset long,"
+            " length long, chunk_md5 string"
+        ),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus-level chunk-dedup statistics — ONE row:
+
+      n_chunks, n_distinct_chunks, total_bytes, distinct_bytes,
+      dedup_ratio_micro = floor(distinct_bytes · 10^6 / total_bytes)
+
+    (the fraction of stored bytes a chunk store would actually keep;
+    1_000_000 = nothing shared). Identical chunk_md5 implies identical
+    length, so distinct bytes = sum over groups of first(length).
+    Two map-side-combinable aggregates, no other shuffle."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n"), F.first("length").alias("length")
+    )
+    return per.agg(
+        F.sum("n").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("n") * F.col("length")).alias("total_bytes"),
+        F.sum("length").alias("distinct_bytes"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_bytes",
+        "distinct_bytes",
+        F.expr("distinct_bytes * 1000000 div total_bytes").alias(
+            "dedup_ratio_micro"
+        ),
+    )

@@ -4652,6 +4652,40 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Content-defined chunk dedup (operators/cdc) — rows-only: the gear
+# rolling hash over BINARY payloads has no DuckDB twin; the chunker
+# contract (reassembly, size bounds, shift resistance, Spark≡kernel
+# md5 streams) is pinned in tests/test_cdc.py. Fixture plants real
+# shared segments: each doc's payload embeds its group-of-4 template
+# doc's text (broadcast-joinable dimension lookup), so chunk-level
+# dedup must find cross-blob sharing whole-blob md5 cannot.
+@q("cdc_chunk_dedup", None)
+def cdc_chunk_dedup_q(spark, sf):
+    from photon_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    tmpl = docs.select(
+        F.col("doc_id").alias("t_id"), F.col("text").alias("t_text")
+    )
+    base = docs.withColumn(
+        "t_id", F.col("doc_id") - F.col("doc_id") % 4
+    ).join(F.broadcast(tmpl), "t_id")
+    media = base.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.encode(
+            F.concat(
+                F.repeat(F.col("text"), 4),
+                F.lit("|"),
+                F.repeat(F.col("t_text"), 4),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return cdc_dedup_stats(
+        cdc_chunks(media, min_size=32, avg_size=128, max_size=512)
+    )
+
+
 # Sitemap recrawl hints (sources/sitemap.sitemap_url_hints) + the
 # cold-start scheduler they feed (plans/schedule.recrawl_schedule_cold).
 # Fixture: every document becomes a <url> block — lastmod present for

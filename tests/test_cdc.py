@@ -1,0 +1,138 @@
+"""Content-defined chunking: boundary invariants, the shift-resistance
+property fixed-size chunking lacks, and the Spark chunk/dedup stages."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from photon_spark.operators.cdc import cdc_boundaries, gear_table
+
+MIN, AVG, MAX = 64, 256, 1024
+
+
+def _bytes(seed: str, n: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def _chunks(data: bytes) -> list[bytes]:
+    prev, out = 0, []
+    for end in cdc_boundaries(data, MIN, AVG, MAX):
+        out.append(data[prev:end])
+        prev = end
+    return out
+
+
+def test_gear_table_is_pinned():
+    g = gear_table()
+    assert len(g) == 256
+    # first 8 bytes of md5(b"\x00") big-endian — reproducible anywhere
+    assert int(g[0]) == int.from_bytes(
+        hashlib.md5(b"\x00").digest()[:8], "big"
+    )
+    assert len(set(int(x) for x in g)) == 256  # no collisions
+
+
+def test_reassembly_and_size_bounds():
+    data = _bytes("payload", 50_000)
+    cs = _chunks(data)
+    assert b"".join(cs) == data
+    for c in cs[:-1]:
+        assert MIN <= len(c) <= MAX
+    assert 1 <= len(cs[-1]) <= MAX
+    # content-defined: plenty of non-forced cuts on pseudo-random data
+    assert len(cs) >= 50_000 // MAX
+
+
+def test_shift_resistance_shared_suffix():
+    """The CDC selling point: blobs with different prefixes but a long
+    common suffix share almost all suffix chunks — a fixed-size
+    chunker would share none (the prefix lengths differ by 1)."""
+    suffix = _bytes("shared", 16 * MAX)
+    a = _bytes("prefix-a", 700) + suffix
+    b = _bytes("prefix-b", 701) + suffix
+    ha = [hashlib.md5(c).hexdigest() for c in _chunks(a)]
+    hb = [hashlib.md5(c).hexdigest() for c in _chunks(b)]
+    # boundaries re-align within one window+max_size of the suffix
+    # start: all but the first ~2 suffix chunks are common
+    n_common_tail = 0
+    for x, y in zip(reversed(ha), reversed(hb)):
+        if x != y:
+            break
+        n_common_tail += 1
+    assert n_common_tail >= len(suffix) // MAX - 2
+
+
+def test_identical_blobs_dedup_exactly():
+    data = _bytes("dup", 20_000)
+    assert _chunks(data) == _chunks(data)
+
+
+def test_empty_and_tiny_payloads():
+    assert cdc_boundaries(b"", MIN, AVG, MAX) == []
+    assert cdc_boundaries(b"x", MIN, AVG, MAX) == [1]
+    small = _bytes("small", MIN - 1)
+    assert cdc_boundaries(small, MIN, AVG, MAX) == [len(small)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=8000))
+def test_property_reassembly_bounds(data):
+    ends = cdc_boundaries(data, MIN, AVG, MAX)
+    if not data:
+        assert ends == []
+        return
+    assert ends[-1] == len(data)
+    assert all(b < a for b, a in zip(ends, ends[1:])) or len(ends) == 1
+    prev = 0
+    for i, e in enumerate(ends):
+        ln = e - prev
+        if i < len(ends) - 1:
+            assert MIN <= ln <= MAX
+        else:
+            assert 1 <= ln <= MAX
+        prev = e
+
+
+def test_spark_cdc_chunks_and_stats(spark):
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    shared = _bytes("logo", 6 * MAX)
+    rows = [
+        ("a", _bytes("a", 500) + shared),
+        ("b", _bytes("b", 333) + shared),
+        ("c", _bytes("c", 4_000)),  # nothing shared
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    chunks = cdc_chunks(media, min_size=MIN, avg_size=AVG, max_size=MAX)
+    got = chunks.collect()
+    # chunk streams reassemble each payload
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, payload in rows:
+        rs = sorted(by_ref[ref], key=lambda r: r["chunk_idx"])
+        assert rs[0]["offset"] == 0
+        assert sum(r["length"] for r in rs) == len(payload)
+        for p, n in zip(rs, rs[1:]):
+            assert p["offset"] + p["length"] == n["offset"]
+        # Spark-side md5 matches the kernel run locally
+        local = [hashlib.md5(c).hexdigest() for c in _chunks(payload)]
+        assert [r["chunk_md5"] for r in rs] == local
+    stats = cdc_dedup_stats(chunks).collect()[0]
+    assert stats["n_chunks"] == len(got)
+    assert stats["total_bytes"] == sum(len(p) for _, p in rows)
+    # the shared suffix dedups: distinct bytes well below total
+    assert stats["distinct_bytes"] < stats["total_bytes"] - 4 * MAX
+    assert (
+        stats["dedup_ratio_micro"]
+        == stats["distinct_bytes"] * 1_000_000 // stats["total_bytes"]
+    )
