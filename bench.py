@@ -129,6 +129,9 @@ HEADLINE = [
     "pipeline_retention_stats",
     "recrawl_revalidate_state",
     "recrawl_revalidate_observations",
+    "sitemap_url_hints",
+    "recrawl_cold_schedule",
+    "cdc_chunk_dedup",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -211,3 +211,50 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
             "dedup_ratio_micro"
         ),
     )
+
+
+def cdc_incremental_new_bytes(
+    chunks: DataFrame, store: DataFrame
+) -> DataFrame:
+    """Ingest cost of a NEW batch against an EXISTING chunk store —
+    the per-wave question a deduplicating media store actually asks
+    (the batch twin of the crawl loop's seen-set anti-join, applied to
+    payload bytes): which of this wave's chunks are unseen, and how
+    many bytes must be written?
+
+    `store`: the stored chunk set, any frame with a `chunk_md5` column
+    (e.g. previous waves' `cdc_chunks` output, or the store's chunk
+    catalog). Returns ONE row:
+
+      n_batch_chunks / batch_bytes        — the wave, pre-dedup
+      n_new_chunks  / new_bytes           — what the store must ingest
+      novelty_ratio_micro                 — floor(new·10^6/batch)
+
+    Within-batch duplicates collapse first (groupBy chunk_md5), then
+    one LEFT ANTI join against the store. At 10^10-chunk store scale,
+    keep the store chunk catalog bucketed by chunk_md5 (the same
+    `bucket(N, key)` layout CrawlStore.compact uses for the URL seen
+    set) so the anti-join shuffles only the wave side."""
+    batch = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n"), F.first("length").alias("length")
+    )
+    new = batch.join(
+        store.select("chunk_md5").distinct(), "chunk_md5", "left_anti"
+    )
+    totals = batch.agg(
+        F.sum("n").alias("n_batch_chunks"),
+        F.sum(F.col("n") * F.col("length")).alias("batch_bytes"),
+    )
+    news = new.agg(
+        F.count(F.lit(1)).alias("n_new_chunks"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("new_bytes"),
+    )
+    return totals.crossJoin(news).select(
+        "n_batch_chunks",
+        "batch_bytes",
+        "n_new_chunks",
+        "new_bytes",
+        F.expr("new_bytes * 1000000 div batch_bytes").alias(
+            "novelty_ratio_micro"
+        ),
+    )

@@ -136,3 +136,46 @@ def test_spark_cdc_chunks_and_stats(spark):
         stats["dedup_ratio_micro"]
         == stats["distinct_bytes"] * 1_000_000 // stats["total_bytes"]
     )
+
+
+def test_incremental_new_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_dedup_stats,
+        cdc_incremental_new_bytes,
+    )
+
+    shared = _bytes("corpus-logo", 8 * MAX)
+    wave1 = spark.createDataFrame(
+        [("w1a", _bytes("w1", 900) + shared)],
+        "media_ref string, payload binary",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            ("w2a", _bytes("w2", 777) + shared),  # suffix already stored
+            ("w2b", _bytes("w2-novel", 3_000)),  # all new
+        ],
+        "media_ref string, payload binary",
+    )
+    store = cdc_chunks(wave1, min_size=MIN, avg_size=AVG, max_size=MAX)
+    batch = cdc_chunks(wave2, min_size=MIN, avg_size=AVG, max_size=MAX)
+    r = cdc_incremental_new_bytes(batch, store).collect()[0]
+    assert r["batch_bytes"] == 777 + 8 * MAX + 3_000
+    # the shared suffix chunks were stored by wave1: new bytes are
+    # roughly the two prefixes + alignment slop
+    assert r["new_bytes"] < 777 + 3_000 + 3 * MAX
+    assert r["n_new_chunks"] < r["n_batch_chunks"]
+    assert (
+        r["novelty_ratio_micro"]
+        == r["new_bytes"] * 1_000_000 // r["batch_bytes"]
+    )
+    # empty store: every DISTINCT batch chunk is new — novelty equals
+    # the batch's own within-batch dedup (cdc_dedup_stats agrees)
+    empty = store.filter(F.lit(False))
+    r2 = cdc_incremental_new_bytes(batch, empty).collect()[0]
+    s2 = cdc_dedup_stats(batch).collect()[0]
+    assert r2["n_new_chunks"] == s2["n_distinct_chunks"]
+    assert r2["new_bytes"] == s2["distinct_bytes"]
+    assert r2["batch_bytes"] == s2["total_bytes"]
