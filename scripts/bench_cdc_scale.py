@@ -1,0 +1,112 @@
+"""Measured content-defined-chunking throughput at two parallelism
+levels (the two-cluster-size scaling shape of BENCH/BASELINE.md).
+
+Synthesizes a deterministic binary corpus (no files): n_blobs payloads
+of ~blob_kb KiB, every blob embedding one of 64 shared "asset"
+segments (the planted cross-blob dedup), built JVM-side via
+repeat/md5/encode expressions so generation does not dominate the
+measurement. Runs cdc_chunks → cdc_dedup_stats end to end and reports
+MB/s chunked plus the dedup ratio found; run it at two core counts on
+the SAME input for scaling efficiency.
+
+Usage: python scripts/bench_cdc_scale.py [n_blobs] [blob_kb] [cores] [reps]
+Appends one JSON line to BENCH/cdc_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_blobs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    blob_kb = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+    from photon_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores, shuffle_partitions=cores, app_name="cdc_scale"
+    )
+
+    # ~1 KiB of blob-unique pseudo-bytes per (id, j): md5 hex repeated;
+    # the shared asset segment (one of 64, ~16 KiB) sits mid-blob.
+    uniq_kb = max(1, blob_kb - 16)
+
+    # One-time Arrow generation stage (numpy PCG64 keyed on blob id —
+    # aperiodic bytes, so gear windows are non-degenerate), persisted
+    # and materialized BEFORE timing: the measurement is chunk+agg
+    # only. The shared 16 KiB asset (one of 64, keyed id%64) plants
+    # the cross-blob dedup the ratio must find.
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        assets = {
+            a: np.random.default_rng(10_000 + a).bytes(16 * 1024)
+            for a in range(64)
+        }
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            payloads = [
+                np.random.default_rng(i).bytes(uniq_kb * 1024)
+                + assets[i % 64]
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": [str(i) for i in ids],
+                    "payload": payloads,
+                }
+            )
+
+    media = (
+        spark.range(n_blobs)
+        .repartition(cores)
+        .mapInPandas(gen, schema="media_ref string, payload binary")
+        .persist()
+    )
+    media.count()  # materialize: generation excluded from the timing
+    total_mb = n_blobs * (uniq_kb + 16) / 1024
+
+    best = None
+    stats_row = None
+    for _ in range(reps):
+        t0 = time.time()
+        stats_row = cdc_dedup_stats(
+            cdc_chunks(media, min_size=1024, avg_size=4096, max_size=16384)
+        ).collect()[0]
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n_blobs": n_blobs,
+        "blob_kb": blob_kb,
+        "cores": cores,
+        "reps": reps,
+        "total_mb": round(total_mb, 1),
+        "sec": round(best, 2),
+        "mb_per_s": round(total_mb / best, 1),
+        "dedup_ratio_micro": int(stats_row["dedup_ratio_micro"]),
+        "n_chunks": int(stats_row["n_chunks"]),
+    }
+    print(json.dumps(rec))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "cdc_scale.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
