@@ -132,6 +132,7 @@ HEADLINE = [
     "sitemap_url_hints",
     "recrawl_cold_schedule",
     "cdc_chunk_dedup",
+    "surt_cdx_index",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -543,6 +543,41 @@ def canonicalize_urls_ext(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def surt_key(url: "F.Column | str") -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform — the public
+    convention of webarchive-commons/pywb/OpenWayback) key expression:
+
+        http://WWW.Example.COM:80/Path?b=2&a=1
+          →  com,example)/path?a=1&b=2
+
+    Pinned definition (ours; SURT has dialects): scheme dropped, host
+    lowercased with ONE leading 'www.' stripped and its dot-labels
+    reversed comma-joined, path lowercased, fragment dropped, query
+    params lexicographically sorted (kept, not stripped — tracking-param
+    removal is `canonicalize_urls_ext`'s job, a different contract).
+
+    Why reversed-host keys matter at archive scale: every capture of a
+    registrable domain (and all its subdomains) becomes one
+    CONTIGUOUS key range, so a range-partitioned/range-sorted CDX
+    index answers both exact-URL and whole-domain lookups with a
+    bounded scan instead of a full-index filter. Pure JVM
+    split/reverse/sort HOFs — codegen, zero Python."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit(""))
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    qs = F.array_join(
+        F.array_sort(F.filter(F.split(q, "&"), lambda x: x != "")), "&"
+    )
+    return F.when(
+        qs == "", F.concat(rev, F.lit(")"), path)
+    ).otherwise(F.concat(rev, F.lit(")"), path, F.lit("?"), qs))
+
+
 def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Arrow-batched pandas twin of `canonicalize_urls` — identical
     output (pytest-pinned parity); the template for canonicalization

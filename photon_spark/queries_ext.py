@@ -4652,6 +4652,66 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# SURT keys + CDX capture index (plans/frontier.surt_key,
+# sources/warc.cdx_index — the pywb/OpenWayback lookup convention).
+# Fixture: events become captures of mixed-case, port-bearing,
+# unsorted-query URLs (query absent when event_id%4==0) with digests
+# keyed event_id%3 so same-surt consecutive captures genuinely repeat
+# — is_revisit exercises both branches; the oracle rebuilds the SURT
+# transform with DuckDB list HOFs and the same lag() window.
+@q(
+    "surt_cdx_index",
+    "WITH caps AS (SELECT"
+    "  'http://WWW.H' || CAST(user_id % 20 AS VARCHAR) || '.Test:80/P/'"
+    "   || CAST(event_id % 50 AS VARCHAR)"
+    "   || CASE WHEN event_id % 4 <> 0 THEN"
+    "    '?b=' || CAST(user_id % 3 AS VARCHAR)"
+    "     || '&a=' || CAST(event_id % 7 AS VARCHAR) ELSE '' END AS url,"
+    "  CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s, event_id,"
+    "  md5(CAST(event_id % 3 AS VARCHAR)) AS digest FROM events),"
+    " s AS (SELECT"
+    "  array_to_string(list_reverse(string_split(regexp_replace("
+    "   regexp_replace(lower(regexp_extract(url,"
+    "    '^[a-z]+://([^/?#]+)', 1)), ':[0-9]+$', ''),"
+    "   '^www\\.', ''), '.')), ',')"
+    "  || ')' || lower(regexp_extract(url,"
+    "   '^[a-z]+://[^/?#]+(/[^?#]*)', 1))"
+    "  || CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''"
+    "   ELSE '?' || array_to_string(list_sort(list_filter(string_split("
+    "    regexp_extract(url, '\\?([^#]*)', 1), '&'), x -> x <> '')), '&')"
+    "   END AS surt_key,"
+    "  ts_s, event_id, url, digest FROM caps)"
+    " SELECT surt_key, ts_s, event_id, url, digest,"
+    " COALESCE(digest = lag(digest) OVER (PARTITION BY surt_key"
+    "  ORDER BY ts_s ASC, event_id ASC), FALSE) AS is_revisit FROM s",
+)
+def surt_cdx_q(spark, sf):
+    from photon_spark.sources.warc import cdx_index
+
+    ev = _t(spark, sf, "events")
+    caps = ev.select(
+        F.concat(
+            F.lit("http://WWW.H"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".Test:80/P/"),
+            (F.col("event_id") % 50).cast("string"),
+            F.when(
+                F.col("event_id") % 4 != 0,
+                F.concat(
+                    F.lit("?b="),
+                    (F.col("user_id") % 3).cast("string"),
+                    F.lit("&a="),
+                    (F.col("event_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+        "ts",
+        "event_id",
+        F.md5((F.col("event_id") % 3).cast("string")).alias("digest"),
+    )
+    return cdx_index(caps)
+
+
 # Content-defined chunk dedup (operators/cdc) — rows-only: the gear
 # rolling hash over BINARY payloads has no DuckDB twin; the chunker
 # contract (reassembly, size bounds, shift resistance, Spark≡kernel

@@ -352,3 +352,51 @@ def write_warc_files(
             f.write(build_warc(shard, gzip_per_record=gzip_per_record))
         paths.append(p)
     return paths
+
+
+def cdx_index(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX capture index over a fetch log — the lookup structure web
+    archives pair with WARC shards (the public CDX(J) convention of
+    pywb/OpenWayback; CC publishes one per crawl). One row per capture:
+
+      surt_key, ts_s, <seq>, url, digest,
+      is_revisit — true when the capture's payload digest equals the
+                   SAME surt_key's previous capture (WARC `revisit`
+                   records: archives store the pointer, not the bytes
+                   again — the storage-dedup twin of cdc's chunk store)
+
+    Revisit detection is one lag() window over (surt_key ORDER BY
+    ts, seq) — seq (any unique id) makes the order total, so the flag
+    is deterministic under equal timestamps. At archive scale the
+    index is written repartitionByRange(surt_key, ts) + sorted within
+    partitions: the reversed-host key makes every domain one
+    contiguous range, so exact-URL and whole-domain queries are
+    bounded range scans over the sorted shards (and the range
+    partitioner is exactly Spark's writer-side sort story — no extra
+    machinery).
+    """
+    from pyspark.sql import Window
+
+    from photon_spark.plans.frontier import surt_key
+
+    w = Window.partitionBy("surt_key").orderBy(
+        F.col("ts_s").asc(), F.col(seq_col).asc()
+    )
+    base = captures.select(
+        surt_key(F.col(url_col)).alias("surt_key"),
+        F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
+        F.col(seq_col),
+        F.col(url_col).alias("url"),
+        F.col(digest_col).alias("digest"),
+    )
+    prev = F.lag("digest").over(w)
+    return base.withColumn(
+        "is_revisit",
+        F.coalesce(F.col("digest") == prev, F.lit(False)),
+    )

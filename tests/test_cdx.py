@@ -1,0 +1,68 @@
+"""SURT keys + CDX capture index: transform edges and revisit flags."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.plans.frontier import surt_key
+from photon_spark.sources.warc import cdx_index
+
+
+def test_surt_key_edges(spark):
+    rows = [
+        ("http://WWW.Example.COM:80/Path?b=2&a=1",),
+        ("http://h3.test/p/5",),
+        ("http://sub.www.x.org/A/B?z=1&y=&x=2#frag",),
+        ("https://www.only.io/",),
+    ]
+    got = [
+        r["surt"]
+        for r in spark.createDataFrame(rows, "url string")
+        .select(surt_key("url").alias("surt"))
+        .collect()
+    ]
+    assert got == [
+        "com,example)/path?a=1&b=2",  # case, port, param sort
+        "test,h3)/p/5",
+        "org,x,www,sub)/a/b?x=2&y=&z=1",  # inner www kept, frag dropped
+        "io,only)/",  # scheme-independent
+    ]
+    # same resource, different spellings → SAME key (the lookup point)
+    a, b = [
+        r["surt"]
+        for r in spark.createDataFrame(
+            [
+                ("http://www.Site.net/Doc?x=1&k=2",),
+                ("https://site.NET:443/doc?k=2&x=1",),
+            ],
+            "url string",
+        )
+        .select(surt_key("url").alias("surt"))
+        .collect()
+    ]
+    assert a == b == "net,site)/doc?k=2&x=1"
+
+
+def test_cdx_index_revisits(spark):
+    caps = spark.createDataFrame(
+        [
+            # same URL captured 4x: digests d1, d1 (revisit), d2, d2
+            ("http://a.test/x", "2024-01-01 00:00:00", 1, "d1"),
+            ("http://a.test/x", "2024-01-02 00:00:00", 2, "d1"),
+            ("http://a.test/x", "2024-01-03 00:00:00", 3, "d2"),
+            ("http://a.test/x", "2024-01-04 00:00:00", 4, "d2"),
+            # different spelling of the same resource joins the chain
+            ("http://WWW.A.test/x", "2024-01-05 00:00:00", 5, "d2"),
+            # other URL never revisits
+            ("http://b.test/y", "2024-01-01 00:00:00", 6, "d1"),
+        ],
+        "url string, ts string, event_id long, digest string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r for r in cdx_index(caps).collect()
+    }
+    assert [got[i]["is_revisit"] for i in range(1, 7)] == [
+        False, True, False, True, True, False,
+    ]
+    assert got[5]["surt_key"] == got[1]["surt_key"] == "test,a)/x"
+    assert got[1]["ts_s"] == 1704067200  # 2024-01-01 UTC
