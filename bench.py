@@ -133,6 +133,9 @@ HEADLINE = [
     "recrawl_cold_schedule",
     "cdc_chunk_dedup",
     "surt_cdx_index",
+    "canonical_rewrite",
+    "http_freshness_lifetime",
+    "soft404_flags",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -578,6 +578,75 @@ def surt_key(url: "F.Column | str") -> "F.Column":
     ).otherwise(F.concat(rev, F.lit(")"), path, F.lit("?"), qs))
 
 
+# <link rel=canonical> — both attribute orders (rel first / href
+# first); value ends at quote, '>' or whitespace
+_CANON_REL_HREF = (
+    "(?i)<link[^>]*rel=[\"']?canonical[\"']?[^>]*href=[\"']?([^\"' >]+)"
+)
+_CANON_HREF_REL = (
+    "(?i)<link[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*rel=[\"']?canonical"
+)
+
+
+def canonical_targets(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(url, canonical_url) for pages that declare
+    ``<link rel="canonical">`` — the dedup signal the web itself
+    publishes (the public rel=canonical convention, RFC 6596; every
+    production crawler honors it, the reference extracts links only).
+
+    Both attribute orders are matched; root-relative hrefs resolve
+    against the page's scheme+host; CROSS-HOST canonicals are dropped
+    (the conservative hijack guard: a page can claim any URL as its
+    canonical, and honoring a foreign host's claim lets one compromised
+    page alias-out a competitor — same-host claims can only merge that
+    host's own URLs). Self-canonicals are dropped (no-op rewrites).
+    Map-only JVM regexp work, dimension-sized output (one row per
+    declaring page)."""
+    u = F.col(url_col)
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(body_col), _CANON_REL_HREF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col(body_col), _CANON_HREF_REL, 1), F.lit("")),
+    )
+    origin = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)", 1)),
+        F.lit("://"),
+        F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit(""))),
+    )
+    resolved = F.when(href.startswith("/"), F.concat(origin, href)).otherwise(
+        href
+    )
+    same_host = F.lower(
+        F.coalesce(F.parse_url(resolved, F.lit("HOST")), F.lit(""))
+    ) == F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit("")))
+    return (
+        pages.select(u.alias("url"), resolved.alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .filter(same_host)
+        .filter(F.col("canonical_url") != F.col("url"))
+    )
+
+
+def apply_canonical(
+    df: DataFrame, targets: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Rewrite URLs to their declared canonical — ONE broadcast map
+    join (the apply_dust_rules shape): the targets frame is
+    dimension-sized next to a frontier, so the fact side never
+    shuffles. One hop only (a canonical chain a→b→c rewrites a→b;
+    run twice to close chains — real crawlers cap chain-following at
+    one hop too, and loops make the fixpoint undefined)."""
+    t = targets.select(
+        F.col("url").alias("_c_url"),
+        F.col("canonical_url").alias("_c_to"),
+    )
+    out = df.join(
+        F.broadcast(t), df[url_col] == F.col("_c_url"), "left"
+    ).withColumn(url_col, F.coalesce(F.col("_c_to"), F.col(url_col)))
+    return out.drop("_c_url", "_c_to")
+
+
 def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Arrow-batched pandas twin of `canonicalize_urls` — identical
     output (pytest-pinned parity); the template for canonicalization

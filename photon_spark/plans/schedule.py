@@ -751,6 +751,42 @@ def adaptive_host_budgets(
     )
 
 
+def soft404_flags(
+    pages: DataFrame,
+    probes: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Soft-404 detection by error-template probing (the public method
+    of Bar-Yossef et al., "Sic Transit Gloria Telae", WWW 2004): fetch
+    one deliberately non-existent URL per host, fingerprint the body —
+    that is the host's error TEMPLATE — then flag every 200-status
+    page on the host whose content fingerprint equals it. Soft 404s
+    (error pages served with status 200) otherwise pollute the corpus
+    AND the recrawl log: they look like real pages that "changed" every
+    time the template's timestamp rotates. The reference trusts status
+    codes alone (core/requester — non-2xx lands in `failed`).
+
+    ``pages``: (url, fp[, …]) — fp is any stable content fingerprint
+    (textstats.fingerprint md5, or winnowing for near-template drift).
+    ``probes``: (host, probe_fp) — one probe row per host,
+    dimension-sized by construction, so the join BROADCASTS and the
+    page corpus never shuffles. Hosts without a probe are never
+    flagged. Returns ``pages`` + host + is_soft404."""
+    p = with_host(pages, url_col) if "host" not in pages.columns else pages
+    pr = probes.select(
+        F.col("host").alias("_p_host"), F.col("probe_fp").alias("_p_fp")
+    )
+    return (
+        p.join(F.broadcast(pr), p["host"] == F.col("_p_host"), "left")
+        .withColumn(
+            "is_soft404",
+            F.coalesce(F.col(fp_col) == F.col("_p_fp"), F.lit(False)),
+        )
+        .drop("_p_host", "_p_fp")
+    )
+
+
 def trap_flags(
     urls: DataFrame,
     max_depth: int = 12,

@@ -4652,6 +4652,152 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Soft-404 detection (plans/schedule.soft404_flags): per-host error
+# templates planted on event_id%7==0 (fp = md5 of the HOST-keyed
+# template, matching the host's probe fingerprint); genuine pages get
+# per-event fps. The oracle computes the flag closed-form — equality
+# only holds when the broadcast probe join matched the right host.
+@q(
+    "soft404_flags",
+    "SELECT 'http://h' || CAST(user_id % 10 AS VARCHAR) || '.test/p/'"
+    "  || CAST(event_id AS VARCHAR) AS url,"
+    " md5(CASE WHEN event_id % 7 = 0 THEN"
+    "  'err-h' || CAST(user_id % 10 AS VARCHAR)"
+    "  ELSE 'ok-' || CAST(event_id AS VARCHAR) END) AS fp,"
+    " event_id % 7 = 0 AS is_soft404 FROM events",
+)
+def soft404_q(spark, sf):
+    from photon_spark.plans.schedule import soft404_flags
+
+    e = F.col("event_id")
+    hid = (F.col("user_id") % 10).cast("string")
+    pages = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("http://h"), hid, F.lit(".test/p/"), e.cast("string")
+        ).alias("url"),
+        F.md5(
+            F.when(e % 7 == 0, F.concat(F.lit("err-h"), hid)).otherwise(
+                F.concat(F.lit("ok-"), e.cast("string"))
+            )
+        ).alias("fp"),
+    )
+    probes = (
+        _t(spark, sf, "events")
+        .select(F.concat(F.lit("h"), hid, F.lit(".test")).alias("host"))
+        .distinct()
+        .withColumn(
+            "probe_fp",
+            F.md5(F.concat(F.lit("err-"), F.col("host").substr(F.lit(1), F.length("host") - F.lit(5)))),
+        )
+    )
+    return soft404_flags(pages, probes).select("url", "fp", "is_soft404")
+
+
+# RFC 9111 freshness lifetime (sources/fetch_cond.http_freshness).
+# Fixture cycles the six precedence cases: max-age, s-maxage beating
+# max-age, no-cache forcing 0 despite max-age, Expires−Date (with a
+# −500s shift so the ≥0 clamp fires), the §4.2.2 Last-Modified/10
+# heuristic, and no-evidence → 0. Oracle computes the CASE closed-form.
+@q(
+    "http_freshness_lifetime",
+    "WITH r AS (SELECT event_id AS e,"
+    "  CAST(floor(date_part('epoch', ts)) AS BIGINT) AS date_s"
+    "  FROM events)"
+    " SELECT e AS event_id,"
+    " CAST(CASE e % 6 WHEN 0 THEN 300 WHEN 1 THEN 600 WHEN 2 THEN 0"
+    "  WHEN 3 THEN greatest(0, e % 1000 - 500)"
+    "  WHEN 4 THEN (e % 5000 + 10) // 10 ELSE 0 END AS BIGINT)"
+    "  AS freshness_s,"
+    " date_s + CAST(CASE e % 6 WHEN 0 THEN 300 WHEN 1 THEN 600"
+    "  WHEN 2 THEN 0 WHEN 3 THEN greatest(0, e % 1000 - 500)"
+    "  WHEN 4 THEN (e % 5000 + 10) // 10 ELSE 0 END AS BIGINT)"
+    "  AS stale_at_s FROM r",
+)
+def http_freshness_q(spark, sf):
+    from photon_spark.sources.fetch_cond import http_freshness
+
+    e = F.col("event_id")
+    date_s = F.unix_timestamp("ts")
+    resp = _t(spark, sf, "events").select(
+        "event_id",
+        date_s.alias("date_s"),
+        F.when(e % 6 == 0, F.lit("max-age=300"))
+        .when(e % 6 == 1, F.lit("public, s-maxage=600, max-age=60"))
+        .when(e % 6 == 2, F.lit("no-cache, max-age=900"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("cache_control"),
+        F.when(e % 6 == 3, date_s + (e % 1000) - 500)
+        .cast("long")
+        .alias("expires_s"),
+        F.when(e % 6 == 4, date_s - ((e % 5000) + 10))
+        .cast("long")
+        .alias("last_modified_s"),
+    )
+    return http_freshness(resp).select(
+        "event_id", "freshness_s", "stale_at_s"
+    )
+
+
+# rel=canonical honoring (plans/frontier.canonical_targets +
+# apply_canonical). Fixture pages declare canonicals in BOTH attribute
+# orders, with a root-relative href, a cross-host hijack decoy (must
+# drop), and a self-canonical edge (event_id 0); Spark round-trips
+# real <link> markup, the oracle computes the rewrite closed-form.
+@q(
+    "canonical_rewrite",
+    "WITH p AS (SELECT user_id % 10 AS h, event_id AS e FROM events),"
+    " u AS (SELECT 'http://h' || CAST(h AS VARCHAR) || '.test/p/'"
+    "  || CAST(e AS VARCHAR)"
+    "  || CASE WHEN e % 3 = 0 THEN '?ref=' || CAST(e % 5 AS VARCHAR)"
+    "   ELSE '' END AS orig, h, e FROM p)"
+    " SELECT orig, CASE"
+    "  WHEN e % 3 = 0 THEN 'http://h' || CAST(h AS VARCHAR)"
+    "   || '.test/p/' || CAST(e AS VARCHAR)"
+    "  WHEN e % 3 = 1 AND e // 7 <> e THEN 'http://h'"
+    "   || CAST(h AS VARCHAR) || '.test/p/' || CAST(e // 7 AS VARCHAR)"
+    "  ELSE orig END AS url FROM u",
+)
+def canonical_rewrite_q(spark, sf):
+    from photon_spark.plans.frontier import apply_canonical, canonical_targets
+
+    e = F.col("event_id")
+    host = F.concat(
+        F.lit("http://h"), (F.col("user_id") % 10).cast("string"), F.lit(".test")
+    )
+    base = F.concat(host, F.lit("/p/"), e.cast("string"))
+    url = F.concat(
+        base,
+        F.when(
+            e % 3 == 0, F.concat(F.lit("?ref="), (e % 5).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    body = (
+        F.when(
+            e % 3 == 0,
+            F.concat(
+                F.lit('<html><link rel="canonical" href="'), base, F.lit('">')
+            ),
+        )
+        .when(
+            e % 3 == 1,
+            F.concat(
+                F.lit('<html><link href="/p/'),
+                F.expr("event_id div 7").cast("string"),
+                F.lit('" rel=canonical>'),
+            ),
+        )
+        .when(
+            (e % 3 == 2) & (e % 5 == 0),
+            F.lit('<html><link rel="canonical" href="http://evil.test/p/1">'),
+        )
+        .otherwise(F.lit("<p>no link</p>"))
+    )
+    pages = _t(spark, sf, "events").select(url.alias("url"), body.alias("body"))
+    targets = canonical_targets(pages)
+    frontier = pages.select(F.col("url").alias("orig"), F.col("url"))
+    return apply_canonical(frontier, targets)
+
+
 # SURT keys + CDX capture index (plans/frontier.surt_key,
 # sources/warc.cdx_index — the pywb/OpenWayback lookup convention).
 # Fixture: events become captures of mixed-case, port-bearing,

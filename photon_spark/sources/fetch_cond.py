@@ -231,3 +231,65 @@ def apply_revalidation(
         )
     )
     return state, observations
+
+
+def http_freshness(
+    responses: DataFrame,
+    cc_col: str = "cache_control",
+    date_col: str = "date_s",
+    expires_col: str = "expires_s",
+    lm_col: str = "last_modified_s",
+) -> DataFrame:
+    """RFC 9111 §4.2 freshness lifetime per response — the
+    server-declared recrawl interval, the HTTP-header sibling of the
+    sitemap's <changefreq> (`recrawl_schedule_cold`) and the third
+    freshness source next to observed change rate (`recrawl_schedule`):
+
+      freshness_s = s-maxage               (shared-cache directive —
+                                            a crawler is a shared cache)
+                  | max-age
+                  | max(0, Expires − Date)
+                  | max(0, (Date − Last-Modified) div 10)   (§4.2.2
+                                            heuristic, the 10% rule)
+                  | 0
+      with no-store / no-cache forcing 0 (always revalidate; the
+      conditional-GET stage above makes that cheap), and
+      stale_at_s = Date + freshness_s — feed it straight into the
+      recrawl wave filter (stale_at_s <= now).
+
+    Integer seconds end to end; pure scan-side CASE/regexp expressions
+    (zero joins, zero Python) over whatever header columns the fetch
+    stage recorded."""
+    cc = F.lower(F.coalesce(F.col(cc_col), F.lit("")))
+    smax = F.nullif(
+        F.regexp_extract(cc, r"s-maxage=([0-9]+)", 1), F.lit("")
+    ).cast("long")
+    mmax = F.nullif(
+        F.regexp_extract(cc, r"max-age=([0-9]+)", 1), F.lit("")
+    ).cast("long")
+    date_s = F.col(date_col)
+    life = (
+        F.when(
+            cc.contains("no-store") | cc.contains("no-cache"),
+            F.lit(0).cast("long"),
+        )
+        .when(smax.isNotNull(), smax)
+        .when(mmax.isNotNull(), mmax)
+        .when(
+            F.col(expires_col).isNotNull() & date_s.isNotNull(),
+            F.greatest(
+                F.lit(0).cast("long"), F.col(expires_col) - date_s
+            ),
+        )
+        .when(
+            F.col(lm_col).isNotNull() & date_s.isNotNull(),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr(f"({date_col} - {lm_col}) div 10"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return responses.withColumn("freshness_s", life).withColumn(
+        "stale_at_s", date_s + F.col("freshness_s")
+    )

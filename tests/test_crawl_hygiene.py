@@ -1,0 +1,99 @@
+"""rel=canonical honoring, RFC 9111 freshness, soft-404 probing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.plans.frontier import apply_canonical, canonical_targets
+from photon_spark.plans.schedule import soft404_flags
+from photon_spark.sources.fetch_cond import http_freshness
+
+
+def test_canonical_targets_orders_and_guards(spark):
+    pages = spark.createDataFrame(
+        [
+            # rel-first
+            ("http://a.test/p?x=1",
+             '<link rel="canonical" href="http://a.test/p">'),
+            # href-first, unquoted rel
+            ("http://a.test/q?y=2",
+             "<link href='http://a.test/q' rel=canonical>"),
+            # root-relative resolves against the page's origin
+            ("http://a.test/r/deep/page", '<link rel="canonical" href="/r">'),
+            # cross-host hijack: dropped
+            ("http://a.test/s", '<link rel="canonical" href="http://evil.test/s">'),
+            # self-canonical: dropped (no-op)
+            ("http://a.test/t", '<link rel="canonical" href="http://a.test/t">'),
+            # no declaration
+            ("http://a.test/u", "<p>plain</p>"),
+        ],
+        "url string, body string",
+    )
+    got = {
+        r["url"]: r["canonical_url"] for r in canonical_targets(pages).collect()
+    }
+    assert got == {
+        "http://a.test/p?x=1": "http://a.test/p",
+        "http://a.test/q?y=2": "http://a.test/q",
+        "http://a.test/r/deep/page": "http://a.test/r",
+    }
+    frontier = spark.createDataFrame(
+        [("http://a.test/p?x=1",), ("http://a.test/s",), ("http://new.test/z",)],
+        "url string",
+    )
+    out = sorted(
+        r["url"]
+        for r in apply_canonical(frontier, canonical_targets(pages)).collect()
+    )
+    assert out == [
+        "http://a.test/p",  # rewritten
+        "http://a.test/s",  # hijack target dropped -> unchanged
+        "http://new.test/z",  # no mapping -> unchanged
+    ]
+
+
+def test_http_freshness_precedence(spark):
+    rows = [
+        # (cc, date, expires, lastmod, want_freshness)
+        ("max-age=300", 1000, None, None, 300),
+        ("public, s-maxage=600, max-age=60", 1000, None, None, 600),
+        ("no-cache, max-age=900", 1000, None, None, 0),
+        ("no-store", 1000, None, None, 0),
+        (None, 1000, 1400, None, 400),       # Expires - Date
+        (None, 1000, 700, None, 0),          # stale Expires clamps
+        (None, 1000, None, 800, 20),         # (1000-800)/10 heuristic
+        (None, 1000, None, None, 0),         # no evidence
+        ("max-age=50", 1000, 9999, 0, 50),   # cc beats Expires/LM
+    ]
+    df = spark.createDataFrame(
+        [(i, cc, d, e, lm) for i, (cc, d, e, lm, _) in enumerate(rows)],
+        "i long, cache_control string, date_s long,"
+        " expires_s long, last_modified_s long",
+    )
+    got = {r["i"]: r for r in http_freshness(df).collect()}
+    for i, (_, d, _, _, want) in enumerate(rows):
+        assert got[i]["freshness_s"] == want, i
+        assert got[i]["stale_at_s"] == d + want, i
+
+
+def test_soft404_flags(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/real", "fp-real"),
+            ("http://a.test/gone", "fp-err-a"),   # matches a's template
+            ("http://b.test/gone", "fp-err-a"),   # b's template differs
+            ("http://c.test/x", "fp-err-c"),      # no probe for c
+        ],
+        "url string, fp string",
+    )
+    probes = spark.createDataFrame(
+        [("a.test", "fp-err-a"), ("b.test", "fp-err-b")],
+        "host string, probe_fp string",
+    )
+    got = {r["url"]: r["is_soft404"] for r in soft404_flags(pages, probes).collect()}
+    assert got == {
+        "http://a.test/real": False,
+        "http://a.test/gone": True,
+        "http://b.test/gone": False,
+        "http://c.test/x": False,
+    }
