@@ -136,6 +136,7 @@ HEADLINE = [
     "canonical_rewrite",
     "http_freshness_lifetime",
     "soft404_flags",
+    "redirect_resolution",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

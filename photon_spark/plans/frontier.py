@@ -647,6 +647,80 @@ def apply_canonical(
     return out.drop("_c_url", "_c_to")
 
 
+def resolve_redirects(
+    edges: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Resolve every redirect chain to its final target by POINTER
+    DOUBLING — ceil(log2(max_hops)) self-join rounds instead of
+    max_hops sequential ones (the same shortcut dup_components uses
+    for label chains). The crawl records (src, dst) per 3xx hop; the
+    frontier must enqueue FINAL targets or every hop of a chain is
+    fetched, deduped and stored as if it were a page (the reference
+    lets `requests` chase up to 3 hops invisibly, core/requester.py:8-9
+    — the chain itself is never data there).
+
+    Each src keeps ONE outgoing edge (HTTP Location is single-valued;
+    duplicate observations resolve to min(dst) for determinism).
+    Returns one row per redirect SOURCE:
+
+      src, final_url, hops, resolved —
+      resolved=false marks chains that did not terminate within
+      max_hops: redirect LOOPS (a→b→a) and deeper-than-cap chains,
+      both of which a crawler drops (browsers cap around 20; the
+      reference at 3). Unresolved rows carry NULL final_url/hops —
+      there is no fetch target, and NULL is engine-independent where
+      the doubling walk's intermediate position would not be.
+
+    Per round: one left self-join on the pointer table + localCheckpoint
+    (O(1) lineage); the pointer table is one row per redirect source —
+    dimension-scale next to the page corpus even at 10^10 URLs (redirect
+    sources are a small fraction of fetches)."""
+    ptr = (
+        edges.groupBy(F.col("src"))
+        .agg(F.min("dst").alias("nxt"))
+        .withColumn("hops", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))))
+    for _ in range(rounds):
+        lut = ptr.select(
+            F.col("src").alias("_l_src"),
+            F.col("nxt").alias("_l_nxt"),
+            F.col("hops").alias("_l_hops"),
+        )
+        ptr = (
+            ptr.join(lut, ptr["nxt"] == F.col("_l_src"), "left")
+            .select(
+                "src",
+                F.coalesce(F.col("_l_nxt"), F.col("nxt")).alias("nxt"),
+                # a terminal nxt (no outgoing edge) stops accumulating
+                (
+                    F.col("hops")
+                    + F.coalesce(F.col("_l_hops"), F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # terminal = the final pointer has no outgoing edge of its own;
+    # rows whose nxt still has one are mid-cycle or deeper than
+    # 2^rounds >= max_hops (every terminal chain of length <= max_hops
+    # has reached its terminal by now, with hops = exact length)
+    term = ptr.select(F.col("src").alias("_t_src"))
+    out = ptr.join(
+        term, ptr["nxt"] == F.col("_t_src"), "left_anti"
+    ).withColumn("resolved", F.col("hops") <= max_hops)
+    cyc = ptr.join(term, ptr["nxt"] == F.col("_t_src"), "left_semi").withColumn(
+        "resolved", F.lit(False)
+    )
+    ok = F.col("resolved")
+    return out.unionByName(cyc).select(
+        "src",
+        F.when(ok, F.col("nxt")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        "resolved",
+    )
+
+
 def canonicalize_urls_pandas(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Arrow-batched pandas twin of `canonicalize_urls` — identical
     output (pytest-pinned parity); the template for canonicalization

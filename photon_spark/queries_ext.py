@@ -4652,6 +4652,52 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Redirect-chain resolution (plans/frontier.resolve_redirects —
+# pointer doubling, log2(max_hops) self-join rounds). Fixture: every
+# event is one redirect n{e} → n{e div 3} (chains of depth ~log3(e)
+# toward the terminal n0, so deep ids exceed the 8-hop cap at the
+# larger SFs), with every 97th node a self-loop — its whole upstream
+# tree must come out unresolved. Oracle walks the same edges with a
+# recursive CTE capped at max_hops; the hash match proves the doubling
+# shortcut equals the sequential walk including cycle/cap handling.
+_REDIR_EDGES_SQL = (
+    "SELECT 'n' || CAST(event_id AS VARCHAR) AS src,"
+    " CASE WHEN event_id % 97 = 0 THEN 'n' || CAST(event_id AS VARCHAR)"
+    "  ELSE 'n' || CAST(event_id // 3 AS VARCHAR) END AS dst"
+    " FROM events WHERE event_id > 0"
+)
+
+
+@q(
+    "redirect_resolution",
+    f"WITH RECURSIVE e0 AS ({_REDIR_EDGES_SQL}),"
+    " e AS (SELECT src, MIN(dst) AS dst FROM e0 GROUP BY src),"
+    " w AS (SELECT src, dst AS cur, 1 AS hops FROM e"
+    "  UNION ALL SELECT w.src, e.dst, w.hops + 1 FROM w"
+    "   JOIN e ON w.cur = e.src WHERE w.hops < 8),"
+    " t AS (SELECT w.src, w.cur, w.hops FROM w"
+    "  LEFT JOIN e ON w.cur = e.src WHERE e.src IS NULL)"
+    " SELECT e.src, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,"
+    " t.src IS NOT NULL AS resolved FROM e LEFT JOIN t ON e.src = t.src",
+)
+def redirect_resolution_q(spark, sf):
+    from photon_spark.plans.frontier import resolve_redirects
+
+    e = F.col("event_id")
+    n = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    edges = (
+        _t(spark, sf, "events")
+        .filter(e > 0)
+        .select(
+            n(e).alias("src"),
+            F.when(e % 97 == 0, n(e))
+            .otherwise(n(F.expr("event_id div 3")))
+            .alias("dst"),
+        )
+    )
+    return resolve_redirects(edges, max_hops=8)
+
+
 # Soft-404 detection (plans/schedule.soft404_flags): per-host error
 # templates planted on event_id%7==0 (fp = md5 of the HOST-keyed
 # template, matching the host's probe fingerprint); genuine pages get

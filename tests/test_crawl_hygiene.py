@@ -97,3 +97,35 @@ def test_soft404_flags(spark):
         "http://b.test/gone": False,
         "http://c.test/x": False,
     }
+
+
+def test_resolve_redirects_chains_cycles_caps(spark):
+    from photon_spark.plans.frontier import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            # plain chain a1->a2->a3 (a3 terminal)
+            ("a1", "a2"), ("a2", "a3"),
+            # exactly-max chain (4 hops at max_hops=4)
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b4"), ("b4", "b5"),
+            # 5-hop chain: head unresolved at cap 4, second resolves
+            ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"),
+            ("c5", "c6"),
+            # self-loop, 2-cycle, and a chain feeding the cycle
+            ("s", "s"), ("x", "y"), ("y", "x"), ("f", "x"),
+            # duplicate observations: min(dst) wins deterministically
+            ("d", "z"), ("d", "m"),
+        ],
+        "src string, dst string",
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=4).collect()}
+    assert len(got) == 16  # one row per redirect source
+    assert (got["a1"]["final_url"], got["a1"]["hops"], got["a1"]["resolved"]) == ("a3", 2, True)
+    assert (got["a2"]["final_url"], got["a2"]["hops"]) == ("a3", 1)
+    assert (got["b1"]["final_url"], got["b1"]["hops"], got["b1"]["resolved"]) == ("b5", 4, True)
+    assert got["c1"]["resolved"] is False and got["c1"]["final_url"] is None
+    assert got["c1"]["hops"] is None
+    assert (got["c2"]["final_url"], got["c2"]["hops"]) == ("c6", 4)
+    for n in ("s", "x", "y", "f"):
+        assert got[n]["resolved"] is False and got[n]["final_url"] is None
+    assert (got["d"]["final_url"], got["d"]["hops"]) == ("m", 1)
