@@ -137,6 +137,7 @@ HEADLINE = [
     "http_freshness_lifetime",
     "soft404_flags",
     "redirect_resolution",
+    "html_directive_flags",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -239,3 +239,96 @@ def etld1_udf(col: Column) -> Column:
         return s.map(lambda v: K.etld1(v) if v is not None else None)
 
     return _etld1(col)
+
+
+# --- HTML robots directives (beyond-reference: the Robots Exclusion
+# Protocol's HTML half — Google's public meta-robots/rel conventions;
+# the reference reads robots.txt lines only, core/zap.py:24-42, and
+# treats every page's links identically) -------------------------------
+
+# four variants: (name-first | content-first) × (quoted | unquoted
+# single-token) — quoted captures may contain commas/spaces; an
+# unquoted content value is one token by HTML rules
+_META_ROBOTS = (
+    "(?i)<meta[^>]*name=[\"']?robots[\"']?[^>]*content=[\"']([^\"']*)[\"']",
+    "(?i)<meta[^>]*name=[\"']?robots[\"']?[^>]*content=([^\"'> ]+)",
+    "(?i)<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*name=[\"']?robots",
+    "(?i)<meta[^>]*content=([^\"'> ]+)[^>]*name=[\"']?robots",
+)
+
+
+def _rel_link(rel: str) -> tuple[str, str]:
+    return (
+        f"(?i)<link[^>]*rel=[\"']?{rel}[\"']?[^>]*href=[\"']?([^\"' >]+)",
+        f"(?i)<link[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*rel=[\"']?{rel}[\"']?[ />]",
+    )
+
+
+def _resolve_href(url_col: Column, href: Column) -> Column:
+    """Root-relative hrefs resolve against the page's scheme+host;
+    absolute hrefs pass through; anything else (protocol-relative,
+    path-relative) is left NULL — conservative, like canonical_targets."""
+    origin = F.concat(
+        F.lower(F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)", 1)),
+        F.lit("://"),
+        F.lower(F.coalesce(F.parse_url(url_col, F.lit("HOST")), F.lit(""))),
+    )
+    return (
+        F.when(href.isNull() | (href == ""), F.lit(None).cast("string"))
+        .when(href.startswith("//"), F.lit(None).cast("string"))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*://"), href)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def html_directives(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Per-page HTML crawl directives:
+
+      noindex / nofollow — from ``<meta name="robots" content=…>``
+        (both attribute orders; a comma-separated directive list with
+        arbitrary spacing/case; ``none`` ≡ ``noindex, nofollow`` per
+        the public convention). noindex pages stay CRAWLABLE but must
+        be excluded from emitted datasets; nofollow pages contribute
+        no outlinks to the frontier.
+      next_url / prev_url — ``<link rel="next"/"prev">`` pagination
+        hints (root-relative resolved against the page origin): the
+        sequence signal a crawler can follow depth-first through a
+        paginated listing instead of rediscovering each page from
+        scratch — and the legitimate counterpart the trap detector's
+        query-param heuristics must not eat.
+
+    Map-only JVM regexp expressions — zero Python, zero shuffle; gate
+    helpers downstream: ``links.join(directives.filter(nofollow),
+    on=source, how=left_anti)`` for the frontier and
+    ``results.join(…noindex…, left_anti)`` for the sinks."""
+    u = F.col(url_col)
+    b = F.col(body_col)
+    meta = F.lower(
+        F.coalesce(
+            *[
+                F.nullif(F.regexp_extract(b, pat, 1), F.lit(""))
+                for pat in _META_ROBOTS
+            ],
+            F.lit(""),
+        )
+    )
+    toks = F.transform(F.split(meta, ","), lambda x: F.trim(x))
+    has = lambda d: F.array_contains(toks, d) | F.array_contains(  # noqa: E731
+        toks, "none"
+    )
+    nxt_a, nxt_b = _rel_link("next")
+    prv_a, prv_b = _rel_link("prev")
+    pick = lambda pa, pb: F.coalesce(  # noqa: E731
+        F.nullif(F.regexp_extract(b, pa, 1), F.lit("")),
+        F.nullif(F.regexp_extract(b, pb, 1), F.lit("")),
+    )
+    return pages.select(
+        u.alias("url"),
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+        _resolve_href(u, pick(nxt_a, nxt_b)).alias("next_url"),
+        _resolve_href(u, pick(prv_a, prv_b)).alias("prev_url"),
+    )

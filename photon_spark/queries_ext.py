@@ -4652,6 +4652,55 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# HTML crawl directives (operators/extract.html_directives): meta
+# robots noindex/nofollow (both attribute orders, quoted + unquoted,
+# 'none' expansion) and rel=next/prev pagination hints with
+# root-relative resolution. Spark parses REAL markup permutations;
+# the oracle computes the closed form.
+@q(
+    "html_directive_flags",
+    "WITH p AS (SELECT 'http://h' || CAST(user_id % 10 AS VARCHAR)"
+    "  || '.test/p/' || CAST(event_id AS VARCHAR) AS url,"
+    "  event_id % 5 AS v, event_id AS e,"
+    "  'http://h' || CAST(user_id % 10 AS VARCHAR) || '.test' AS origin"
+    "  FROM events)"
+    " SELECT url, v = 0 OR v = 2 AS noindex, v = 0 OR v = 1 AS nofollow,"
+    " CASE WHEN v = 3 THEN origin || '/p/' || CAST(e AS VARCHAR)"
+    "  || '?page=2' END AS next_url,"
+    " CASE WHEN v = 3 THEN origin || '/p/' || CAST(e AS VARCHAR)"
+    "  || '?page=0' END AS prev_url FROM p",
+)
+def html_directives_q(spark, sf):
+    from photon_spark.operators.extract import html_directives
+
+    e = F.col("event_id")
+    v = e % 5
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(".test/p/"),
+        e.cast("string"),
+    )
+    body = (
+        F.when(v == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(v == 1, F.lit('<meta content="nofollow" name=robots>'))
+        .when(v == 2, F.lit("<meta name=robots content=NOINDEX>"))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit('<link rel="next" href="/p/'),
+                e.cast("string"),
+                F.lit('?page=2"><link href="/p/'),
+                e.cast("string"),
+                F.lit('?page=0" rel=prev>'),
+            ),
+        )
+        .otherwise(F.lit("<p>plain</p>"))
+    )
+    pages = _t(spark, sf, "events").select(url.alias("url"), body.alias("body"))
+    return html_directives(pages)
+
+
 # Redirect-chain resolution (plans/frontier.resolve_redirects —
 # pointer doubling, log2(max_hops) self-join rounds). Fixture: every
 # event is one redirect n{e} → n{e div 3} (chains of depth ~log3(e)

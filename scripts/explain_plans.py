@@ -243,6 +243,26 @@ EXPECT: dict[str, dict] = {
     # rule mining (4) + rule->map compaction (dimension-sized aggs) +
     # url-side distinct; the rewrite itself is a broadcast map join
     "url_dust_canonicalize": {"broadcast": True},
+    # session additions (r3 continuation):
+    # XML build (sm_url agg) + parse + url-keyed hint agg; scan-side
+    # regexp field extracts stay codegen
+    "sitemap_url_hints": {"codegen": True, "max_exchanges": 2},
+    # hints pipeline + the per-host top-k window
+    "recrawl_cold_schedule": {"codegen": True, "max_exchanges": 3},
+    # group-of-4 template lookup broadcasts; chunking is map-only
+    # Arrow; ONE chunk_md5-keyed agg collapses to the stats row
+    "cdc_chunk_dedup": {"broadcast": True},
+    # scan-side SURT expressions + ONE surt-keyed lag window
+    "surt_cdx_index": {"codegen": True, "max_exchanges": 1},
+    # declarations are dimension-sized -> the rewrite join broadcasts
+    "canonical_rewrite": {"codegen": True, "broadcast": True},
+    # pure scan-side CASE/regexp: no agg, no join
+    "http_freshness_lifetime": {"codegen": True, "max_exchanges": 1},
+    # one probe row per host -> broadcast, corpus never shuffles
+    "soft404_flags": {"codegen": True, "broadcast": True},
+    # returned frame reads the final doubling round's localCheckpoint;
+    # terminal-split joins on top (AQE may broadcast either side)
+    "redirect_resolution": {},
     # projection over the per-wave eager checkpoint: the incremental
     # state contract keeps lineage O(1) across waves
     "host_opic_incremental": {"max_exchanges": 0},

@@ -129,3 +129,37 @@ def test_resolve_redirects_chains_cycles_caps(spark):
     for n in ("s", "x", "y", "f"):
         assert got[n]["resolved"] is False and got[n]["final_url"] is None
     assert (got["d"]["final_url"], got["d"]["hops"]) == ("m", 1)
+
+
+def test_html_directives(spark):
+    from photon_spark.operators.extract import html_directives
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/1",
+             '<meta name="robots" content="noindex, nofollow">'),
+            ("http://a.test/2", "<meta name=robots content=NOINDEX>"),
+            ("http://a.test/3",
+             '<meta content="nofollow" name="robots">'),  # content first
+            ("http://a.test/4", '<meta name="robots" content="none">'),
+            ("http://a.test/5",
+             '<meta name="description" content="noindex">'),  # other meta
+            ("http://a.test/6",
+             '<link rel="next" href="/6?page=2">'
+             "<link href='http://a.test/6?page=0' rel=prev>"),
+            ("http://a.test/7",
+             '<link rel="next" href="relative/page2">'),  # unresolvable
+            ("http://a.test/8", "<p>nothing</p>"),
+        ],
+        "url string, body string",
+    )
+    got = {r["url"][-1]: r for r in html_directives(pages).collect()}
+    assert (got["1"]["noindex"], got["1"]["nofollow"]) == (True, True)
+    assert (got["2"]["noindex"], got["2"]["nofollow"]) == (True, False)
+    assert (got["3"]["noindex"], got["3"]["nofollow"]) == (False, True)
+    assert (got["4"]["noindex"], got["4"]["nofollow"]) == (True, True)
+    assert (got["5"]["noindex"], got["5"]["nofollow"]) == (False, False)
+    assert got["6"]["next_url"] == "http://a.test/6?page=2"
+    assert got["6"]["prev_url"] == "http://a.test/6?page=0"
+    assert got["7"]["next_url"] is None  # path-relative: conservative
+    assert got["8"]["next_url"] is None and got["8"]["noindex"] is False
