@@ -138,6 +138,7 @@ HEADLINE = [
     "soft404_flags",
     "redirect_resolution",
     "html_directive_flags",
+    "recrawl_unified",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -676,6 +676,121 @@ def recrawl_schedule_cold(
     )
 
 
+def recrawl_schedule_unified(
+    observations: DataFrame,
+    freshness: DataFrame | None,
+    hints: DataFrame | None,
+    as_of_epoch: int,
+    k: int,
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One recrawl ranking over ALL THREE freshness sources, in one
+    comparable unit — intervals-overdue in integer micro-units
+    (overdue_seconds · 10^6 div declared_or_observed_interval):
+
+      observed  (n_obs ≥ 2)   — Cho & Garcia-Molina change rate:
+                  (as_of − last) · (n_obs−1) · 10^6 div (last − first)
+                  ≡ overdue · 10^6 div mean-observed-change-interval
+      header    (freshness_s > 0) — RFC 9111 lifetime
+                  (`sources.fetch_cond.http_freshness`):
+                  max(0, as_of − stale_at) · 10^6 div freshness_s
+      sitemap   — `<lastmod>/<changefreq>` (`sitemap_url_hints`):
+                  max(0, as_of − lastmod) · 10^6 div changefreq
+      none      — 0 (surfaces only when nothing else is due)
+
+    Precedence observed > header > sitemap: measurements beat the
+    origin's declarations beat the site map's advisory defaults; a
+    header freshness_s of 0 (no-cache / no evidence) falls through
+    rather than claiming infinite urgency. `src` records which source
+    priced each URL. Per host, top k by (due desc, url asc).
+
+    Shapes: the observation log is touched ONCE (map-side-combinable
+    url agg); freshness/hints are one-row-per-URL frames; two left
+    joins on the url-unique spine + the per-host top-k window — same
+    salt escape hatch as `recrawl_schedule` under host skew.
+    ``freshness``: (url, stale_at_s, freshness_s); ``hints``:
+    `sitemap_url_hints` output. Either may be None."""
+    spark = observations.sparkSession
+    as_of = int(as_of_epoch)
+    g = (
+        observations.groupBy(url_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("last_s"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("first_s"),
+        )
+    )
+    if freshness is None:
+        freshness = spark.createDataFrame(
+            [], f"{url_col} string, stale_at_s long, freshness_s long"
+        )
+    if hints is None:
+        hints = spark.createDataFrame(
+            [],
+            f"{url_col} string, n_listings long, lastmod_s long,"
+            " changefreq_s long, priority_milli long",
+        )
+    fr = freshness.select(
+        F.col(url_col).alias("_f_url"),
+        F.col("stale_at_s").alias("_f_stale"),
+        F.col("freshness_s").alias("_f_life"),
+    )
+    hi = hints.select(
+        F.col(url_col).alias("_h_url"),
+        F.col("lastmod_s").alias("_h_lm"),
+        F.col("changefreq_s").alias("_h_cf"),
+    )
+    spine = (
+        g.join(fr, g[url_col] == F.col("_f_url"), "full")
+        .withColumn(url_col, F.coalesce(F.col(url_col), F.col("_f_url")))
+        .drop("_f_url")
+    )
+    spine = (
+        spine.join(hi, spine[url_col] == F.col("_h_url"), "full")
+        .withColumn(url_col, F.coalesce(F.col(url_col), F.col("_h_url")))
+        .drop("_h_url")
+    )
+    obs_ok = (F.col("n_obs") >= 2) & (F.col("last_s") > F.col("first_s"))
+    hdr_ok = F.col("_f_life").isNotNull() & (F.col("_f_life") > 0)
+    map_ok = F.col("_h_lm").isNotNull() & F.col("_h_cf").isNotNull()
+    due_obs = F.expr(
+        f"(greatest(0L, {as_of} - last_s) * (n_obs - 1) * 1000000)"
+        " div (last_s - first_s)"
+    )
+    due_hdr = F.expr(
+        f"(greatest(0L, {as_of} - _f_stale) * 1000000) div _f_life"
+    )
+    due_map = F.expr(
+        f"(greatest(0L, {as_of} - _h_lm) * 1000000) div _h_cf"
+    )
+    src = (
+        F.when(obs_ok, F.lit("observed"))
+        .when(hdr_ok, F.lit("header"))
+        .when(map_ok, F.lit("sitemap"))
+        .otherwise(F.lit("none"))
+    )
+    due = (
+        F.when(obs_ok, due_obs)
+        .when(hdr_ok, due_hdr)
+        .when(map_ok, due_map)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("due_micro").desc(), F.col(url_col).asc()
+    )
+    return (
+        with_host(
+            spine.withColumn("src", src).withColumn("due_micro", due),
+            url_col,
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("host", url_col, "src", "due_micro")
+    )
+
+
 def adaptive_host_budgets(
     observations: DataFrame,
     base: int = 8,

@@ -4652,6 +4652,89 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Unified recrawl scheduling (plans/schedule.recrawl_schedule_unified)
+# — the session's freshness sources composed under one precedence
+# (observed > header > sitemap) in one comparable unit
+# (intervals-overdue micro-units). URL universe k = event_id%200;
+# observations exist for k<80 (and must win over the header rows
+# planted at 40≤k<140), header lifetime is 0 for k%5==0 (must fall
+# through to sitemap where k≥100, else to 'none'), sitemap hints
+# cover k≥100. The oracle rebuilds the whole precedence lattice.
+_URS_AS_OF = 1_717_200_000
+
+
+@q(
+    "recrawl_unified",
+    "WITH ev AS (SELECT event_id % 200 AS k, ts FROM events),"
+    " urls AS (SELECT DISTINCT k FROM ev),"
+    " o AS (SELECT k, COUNT(*) AS n_obs,"
+    "  CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS last_s,"
+    "  CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS first_s"
+    "  FROM ev WHERE k < 80 GROUP BY k),"
+    f" f AS (SELECT k, {_URS_AS_OF} - (k + 1) * 60 AS stale,"
+    "  CASE WHEN k % 5 <> 0 THEN 60 ELSE 0 END AS life FROM urls"
+    "  WHERE k >= 40 AND k < 140),"
+    f" h AS (SELECT k, {_URS_AS_OF} - (k + 1) * 86400 AS lm,"
+    "  86400 AS cf FROM urls WHERE k >= 100),"
+    " s AS (SELECT u.k, o.n_obs, o.last_s, o.first_s, f.stale, f.life,"
+    "  h.lm, h.cf FROM urls u LEFT JOIN o USING (k)"
+    "  LEFT JOIN f USING (k) LEFT JOIN h USING (k)),"
+    " sc AS (SELECT 'h' || CAST(k % 10 AS VARCHAR) || '.test' AS host,"
+    "  'http://h' || CAST(k % 10 AS VARCHAR) || '.test/p/'"
+    "   || CAST(k AS VARCHAR) AS url,"
+    "  CASE WHEN n_obs >= 2 AND last_s > first_s THEN 'observed'"
+    "   WHEN life IS NOT NULL AND life > 0 THEN 'header'"
+    "   WHEN lm IS NOT NULL AND cf IS NOT NULL THEN 'sitemap'"
+    "   ELSE 'none' END AS src,"
+    "  CAST(CASE WHEN n_obs >= 2 AND last_s > first_s THEN"
+    f"   (greatest(0, {_URS_AS_OF} - last_s) * (n_obs - 1) * 1000000)"
+    "    // (last_s - first_s)"
+    "   WHEN life IS NOT NULL AND life > 0 THEN"
+    f"   (greatest(0, {_URS_AS_OF} - stale) * 1000000) // life"
+    "   WHEN lm IS NOT NULL AND cf IS NOT NULL THEN"
+    f"   (greatest(0, {_URS_AS_OF} - lm) * 1000000) // cf"
+    "   ELSE 0 END AS BIGINT) AS due_micro FROM s)"
+    " SELECT host, url, src, due_micro FROM"
+    " (SELECT *, row_number() OVER (PARTITION BY host"
+    "  ORDER BY due_micro DESC, url ASC) AS rn FROM sc) WHERE rn <= 10",
+)
+def recrawl_unified_q(spark, sf):
+    from photon_spark.plans.schedule import recrawl_schedule_unified
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("event_id") % 200).alias("k"), "ts"
+    )
+    k = F.col("k")
+    url = F.concat(
+        F.lit("http://h"),
+        (k % 10).cast("string"),
+        F.lit(".test/p/"),
+        k.cast("string"),
+    )
+    obs = ev.filter(k < 80).select(url.alias("url"), "ts")
+    urls = ev.select("k").distinct()
+    fresh = urls.filter((k >= 40) & (k < 140)).select(
+        url.alias("url"),
+        (F.lit(_URS_AS_OF) - (k + 1) * 60).cast("long").alias("stale_at_s"),
+        F.when(k % 5 != 0, F.lit(60))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("freshness_s"),
+    )
+    hints = urls.filter(k >= 100).select(
+        url.alias("url"),
+        F.lit(1).cast("long").alias("n_listings"),
+        (F.lit(_URS_AS_OF) - (k + 1) * 86400)
+        .cast("long")
+        .alias("lastmod_s"),
+        F.lit(86400).cast("long").alias("changefreq_s"),
+        F.lit(500).cast("long").alias("priority_milli"),
+    )
+    return recrawl_schedule_unified(
+        obs, fresh, hints, as_of_epoch=_URS_AS_OF, k=10
+    )
+
+
 # HTML crawl directives (operators/extract.html_directives): meta
 # robots noindex/nofollow (both attribute orders, quoted + unquoted,
 # 'none' expansion) and rel=next/prev pagination hints with

@@ -163,3 +163,67 @@ def test_html_directives(spark):
     assert got["6"]["prev_url"] == "http://a.test/6?page=0"
     assert got["7"]["next_url"] is None  # path-relative: conservative
     assert got["8"]["next_url"] is None and got["8"]["noindex"] is False
+
+
+def test_recrawl_schedule_unified_precedence(spark):
+    from photon_spark.plans.schedule import recrawl_schedule_unified
+
+    day = 86_400
+    as_of = 20_000 * day
+    obs = spark.createDataFrame(
+        [
+            # observed: 2 obs, span 10d, last 100d ago -> due 10 intervals
+            ("http://h.test/obs", (19_890) * day),
+            ("http://h.test/obs", (19_900) * day),
+            # single observation: NOT observed-eligible, falls through
+            ("http://h.test/single", (19_990) * day),
+        ],
+        "url string, es long",
+    ).select("url", F.timestamp_seconds("es").alias("ts"))
+    freshness = spark.createDataFrame(
+        [
+            # header: stale 2h ago at 1h lifetime -> due 2 intervals
+            ("http://h.test/hdr", as_of - 7200, 3600),
+            # observed URL ALSO has header data: observed must win
+            ("http://h.test/obs", as_of - 7200, 3600),
+            # no-cache (0 lifetime): falls through to sitemap
+            ("http://h.test/both", as_of - 99, 0),
+            # single-obs URL gains header pricing
+            ("http://h.test/single", as_of - 3600, 3600),
+        ],
+        "url string, stale_at_s long, freshness_s long",
+    )
+    hints = spark.createDataFrame(
+        [
+            # sitemap: 5 days stale at daily -> due 5 intervals
+            ("http://h.test/map", 1, (20_000 - 5) * day, day, 500),
+            ("http://h.test/both", 1, (20_000 - 3) * day, day, 500),
+            # hint for the header URL too: header must win
+            ("http://h.test/hdr", 1, (20_000 - 50) * day, day, 500),
+        ],
+        "url string, n_listings long, lastmod_s long,"
+        " changefreq_s long, priority_milli long",
+    )
+    got = {
+        r["url"].rsplit("/", 1)[1]: r
+        for r in recrawl_schedule_unified(
+            obs, freshness, hints, as_of_epoch=as_of, k=10
+        ).collect()
+    }
+    assert (got["obs"]["src"], got["obs"]["due_micro"]) == (
+        "observed", 10 * 1_000_000)
+    assert (got["hdr"]["src"], got["hdr"]["due_micro"]) == (
+        "header", 2 * 1_000_000)
+    assert (got["map"]["src"], got["map"]["due_micro"]) == (
+        "sitemap", 5 * 1_000_000)
+    assert (got["both"]["src"], got["both"]["due_micro"]) == (
+        "sitemap", 3 * 1_000_000)  # 0-lifetime header fell through
+    assert (got["single"]["src"], got["single"]["due_micro"]) == (
+        "header", 1_000_000)  # 1 obs is not evidence; header priced it
+    assert all(r["host"] == "h.test" for r in got.values())
+    # k cap + ordering
+    top = recrawl_schedule_unified(
+        obs, freshness, hints, as_of_epoch=as_of, k=2
+    ).collect()
+    assert [r["url"].rsplit("/", 1)[1] for r in
+            sorted(top, key=lambda r: -r["due_micro"])] == ["obs", "map"]
