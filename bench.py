@@ -139,6 +139,7 @@ HEADLINE = [
     "redirect_resolution",
     "html_directive_flags",
     "recrawl_unified",
+    "hreflang_confirmed_pairs",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

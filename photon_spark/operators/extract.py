@@ -332,3 +332,64 @@ def html_directives(
         _resolve_href(u, pick(nxt_a, nxt_b)).alias("next_url"),
         _resolve_href(u, pick(prv_a, prv_b)).alias("prev_url"),
     )
+
+
+_HREFLANG_TAG = "(?i)<link[^>]*hreflang[^>]*>"
+
+
+def hreflang_edges(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """``<link rel="alternate" hreflang=…>`` declarations — the
+    public multilingual-variant convention (one page per language,
+    cross-linked): (url, lang, alt_url) per declaration. A page may
+    declare MANY alternates, so tags are exploded first
+    (regexp_extract_all over whole tags, then per-tag field extracts —
+    still all JVM, zero Python). Root-relative hrefs resolve against
+    the page origin; unresolvable and self-edges drop. For the crawl
+    these edges are (a) dedup families — variants are near-identical
+    boilerplate-wise and must not LSH-collapse across languages — and
+    (b) frontier expansion for language-targeted crawls."""
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(_HREFLANG_TAG), 0)
+        ).alias("tag"),
+    )
+    t = F.col("tag")
+    is_alt = t.rlike("(?i)rel=[\"']?alternate")
+    lang = F.lower(
+        F.regexp_extract(t, "(?i)hreflang=[\"']?([a-zA-Z-]+)", 1)
+    )
+    href = F.nullif(
+        F.regexp_extract(t, "(?i)href=[\"']?([^\"' >]+)", 1), F.lit("")
+    )
+    out = tags.filter(is_alt).select(
+        "url",
+        lang.alias("lang"),
+        _resolve_href(F.col("url"), href).alias("alt_url"),
+    )
+    return out.filter(
+        F.col("alt_url").isNotNull()
+        & (F.col("lang") != "")
+        & (F.col("alt_url") != F.col("url"))
+    )
+
+
+def hreflang_confirmed(edges: DataFrame) -> DataFrame:
+    """Mutually-confirmed hreflang pairs: the declaration a→b counts
+    only if b declares a back (any language) — the return-link rule
+    production search engines apply, because one-way declarations are
+    free to fake (the same reasoning as canonical_targets' cross-host
+    guard, applied bidirectionally). One self-semi-join on the
+    (dimension-sized) edge set."""
+    declared = edges.select(
+        F.col("url").alias("_b_src"), F.col("alt_url").alias("_b_dst")
+    ).distinct()
+    # a→b survives iff the declaration b→a exists
+    return edges.join(
+        declared,
+        (edges["alt_url"] == F.col("_b_src"))
+        & (edges["url"] == F.col("_b_dst")),
+        "left_semi",
+    )

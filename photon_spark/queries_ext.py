@@ -4652,6 +4652,57 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# hreflang alternates with mutual confirmation (operators/extract.
+# hreflang_edges + hreflang_confirmed). Fixture: one 'en' page per
+# distinct k declaring de + fr alternates (root-relative de, absolute
+# back-link, mixed quoting/order); the 'de' page exists and links back
+# only for even k — so exactly the even-k en↔de pairs survive and
+# every en→fr declaration dies one-way.
+@q(
+    "hreflang_confirmed_pairs",
+    "WITH ks AS (SELECT DISTINCT event_id % 100 AS k FROM events"
+    "  WHERE event_id % 2 = 0)"
+    " SELECT 'http://m.test/en/' || CAST(k AS VARCHAR) AS url,"
+    "  'de' AS lang, 'http://m.test/de/' || CAST(k AS VARCHAR) AS alt_url"
+    "  FROM ks WHERE k % 2 = 0"
+    " UNION ALL"
+    " SELECT 'http://m.test/de/' || CAST(k AS VARCHAR), 'en',"
+    "  'http://m.test/en/' || CAST(k AS VARCHAR) FROM ks WHERE k % 2 = 0",
+)
+def hreflang_q(spark, sf):
+    from photon_spark.operators.extract import (
+        hreflang_confirmed,
+        hreflang_edges,
+    )
+
+    k = F.col("k")
+    ks = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select((F.col("event_id") % 100).alias("k"))
+        .distinct()
+    )
+    en = ks.select(
+        F.concat(F.lit("http://m.test/en/"), k.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="/de/'),
+            k.cast("string"),
+            F.lit('"><link rel="alternate" hreflang="fr" href="/fr/'),
+            k.cast("string"),
+            F.lit('">'),
+        ).alias("body"),
+    )
+    de = ks.filter(k % 2 == 0).select(
+        F.concat(F.lit("http://m.test/de/"), k.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<link hreflang='en' href='http://m.test/en/"),
+            k.cast("string"),
+            F.lit("' rel=alternate>"),
+        ).alias("body"),
+    )
+    return hreflang_confirmed(hreflang_edges(en.unionByName(de)))
+
+
 # Unified recrawl scheduling (plans/schedule.recrawl_schedule_unified)
 # — the session's freshness sources composed under one precedence
 # (observed > header > sitemap) in one comparable unit

@@ -263,6 +263,13 @@ EXPECT: dict[str, dict] = {
     # returned frame reads the final doubling round's localCheckpoint;
     # terminal-split joins on top (AQE may broadcast either side)
     "redirect_resolution": {},
+    # scan-side markup regexps: only _t's spread may exchange
+    "html_directive_flags": {"codegen": True, "max_exchanges": 1},
+    # obs agg + two url-keyed full joins + per-host top-k window
+    "recrawl_unified": {"codegen": True},
+    # whole-tag explode + field extracts; the confirmation semi-join
+    # runs on the dimension-sized edge set (AQE may broadcast)
+    "hreflang_confirmed_pairs": {"codegen": True},
     # projection over the per-wave eager checkpoint: the incremental
     # state contract keeps lineage O(1) across waves
     "host_opic_incremental": {"max_exchanges": 0},

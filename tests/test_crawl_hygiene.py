@@ -227,3 +227,47 @@ def test_recrawl_schedule_unified_precedence(spark):
     ).collect()
     assert [r["url"].rsplit("/", 1)[1] for r in
             sorted(top, key=lambda r: -r["due_micro"])] == ["obs", "map"]
+
+
+def test_hreflang_edges_and_confirmation(spark):
+    from photon_spark.operators.extract import (
+        hreflang_confirmed,
+        hreflang_edges,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # a declares en->b and de->c (two tags, one root-relative)
+            ("http://s.test/a",
+             '<link rel="alternate" hreflang="en" href="http://s.test/b">'
+             "<link rel='alternate' hreflang='de' href='/c'>"),
+            # b declares back to a (confirms a->b); c does not
+            ("http://s.test/b",
+             '<link hreflang="fr" href="http://s.test/a" rel="alternate">'),
+            ("http://s.test/c", "<p>no links back</p>"),
+            # hreflang without rel=alternate: ignored
+            ("http://s.test/d",
+             '<link rel="stylesheet" hreflang="en" href="/x">'),
+            # self-alternate: dropped
+            ("http://s.test/e",
+             '<link rel="alternate" hreflang="en" href="http://s.test/e">'),
+        ],
+        "url string, body string",
+    )
+    edges = hreflang_edges(pages)
+    got = sorted(
+        (r["url"], r["lang"], r["alt_url"]) for r in edges.collect()
+    )
+    assert got == [
+        ("http://s.test/a", "de", "http://s.test/c"),
+        ("http://s.test/a", "en", "http://s.test/b"),
+        ("http://s.test/b", "fr", "http://s.test/a"),
+    ]
+    conf = sorted(
+        (r["url"], r["alt_url"]) for r in hreflang_confirmed(edges).collect()
+    )
+    # a<->b mutually confirmed (langs may differ); a->c one-way dropped
+    assert conf == [
+        ("http://s.test/a", "http://s.test/b"),
+        ("http://s.test/b", "http://s.test/a"),
+    ]
