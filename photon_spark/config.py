@@ -92,6 +92,14 @@ class EngineConfig:
     # cap. Default off — the reference has no ordering, and goldens pin
     # budget-selection to the unscored (url asc) tie-break.
     use_priority: bool = False
+    # Opt-in meta-robots nofollow gate (operators/extract.
+    # html_directives): links extracted from a page whose markup
+    # declares nofollow (or 'none') never enter the internal/external/
+    # files deltas — the REP's HTML half. Default off: the reference
+    # follows every page's links unconditionally, and the goldens pin
+    # that link universe. noindex is surfaced by the same operator but
+    # applied sink-side by callers (it gates OUTPUT, not the frontier).
+    nofollow_gate: bool = False
     # Spark-side knobs (scale levers, not semantics):
     shuffle_partitions: int = 32   # ceiling; waves scale down to size
     urls_per_partition: int = 500  # target wave-partition granularity

@@ -439,7 +439,25 @@ def run_crawl(
             salts=cfg.host_salts if wave_parts > 1 else 1,
             host_budgets=host_budgets,
         ).select("url", "level").persist()
-        ext = extract_wave(fetch(scheduled), cfg, main_url).persist()
+        fetched = fetch(scheduled)
+        if cfg.nofollow_gate:
+            # the wave's bodies feed two consumers (extract + the
+            # directive parse) — persist once, same lifecycle as ext
+            fetched = fetched.persist()
+        ext = extract_wave(fetched, cfg, main_url)
+        if cfg.nofollow_gate:
+            from photon_spark.operators.extract import html_directives
+
+            nf = html_directives(fetched).select("url", "nofollow")
+            blank = F.array().cast("array<string>")
+            gated = F.coalesce(F.col("nofollow"), F.lit(False))
+            ext = ext.join(nf, "url", "left")
+            for c in ("internal_new", "external_new", "file_links"):
+                ext = ext.withColumn(
+                    c, F.when(gated, blank).otherwise(F.col(c))
+                )
+            ext = ext.drop("nofollow")
+        ext = ext.persist()
 
         # The per-partition lineage collect doubles as (a) ext's cache
         # materialization (7 delta branches read it next) and (b) the

@@ -706,9 +706,12 @@ def recrawl_schedule_unified(
     priced each URL. Per host, top k by (due desc, url asc).
 
     Shapes: the observation log is touched ONCE (map-side-combinable
-    url agg); freshness/hints are one-row-per-URL frames; two left
-    joins on the url-unique spine + the per-host top-k window — same
-    salt escape hatch as `recrawl_schedule` under host skew.
+    url agg); freshness/hints are one-row-per-URL frames, so the three
+    sources consolidate by UNION + one url-keyed max-aggregate (join-
+    free: each source fills its own columns and NULLs the others —
+    cheaper than two full-outer joins and still exact because every
+    source is url-unique by contract), then the per-host top-k window
+    — same salt escape hatch as `recrawl_schedule` under host skew.
     ``freshness``: (url, stale_at_s, freshness_s); ``hints``:
     `sitemap_url_hints` output. Either may be None."""
     spark = observations.sparkSession
@@ -731,25 +734,42 @@ def recrawl_schedule_unified(
             f"{url_col} string, n_listings long, lastmod_s long,"
             " changefreq_s long, priority_milli long",
         )
-    fr = freshness.select(
-        F.col(url_col).alias("_f_url"),
-        F.col("stale_at_s").alias("_f_stale"),
-        F.col("freshness_s").alias("_f_life"),
+    _n = lambda: F.lit(None).cast("long")  # noqa: E731
+    tagged = (
+        g.select(
+            url_col, "n_obs", "last_s", "first_s",
+            _n().alias("_f_stale"), _n().alias("_f_life"),
+            _n().alias("_h_lm"), _n().alias("_h_cf"),
+        )
+        .unionByName(
+            freshness.select(
+                url_col,
+                _n().alias("n_obs"), _n().alias("last_s"),
+                _n().alias("first_s"),
+                F.col("stale_at_s").alias("_f_stale"),
+                F.col("freshness_s").alias("_f_life"),
+                _n().alias("_h_lm"), _n().alias("_h_cf"),
+            )
+        )
+        .unionByName(
+            hints.select(
+                url_col,
+                _n().alias("n_obs"), _n().alias("last_s"),
+                _n().alias("first_s"),
+                _n().alias("_f_stale"), _n().alias("_f_life"),
+                F.col("lastmod_s").alias("_h_lm"),
+                F.col("changefreq_s").alias("_h_cf"),
+            )
+        )
     )
-    hi = hints.select(
-        F.col(url_col).alias("_h_url"),
-        F.col("lastmod_s").alias("_h_lm"),
-        F.col("changefreq_s").alias("_h_cf"),
-    )
-    spine = (
-        g.join(fr, g[url_col] == F.col("_f_url"), "full")
-        .withColumn(url_col, F.coalesce(F.col(url_col), F.col("_f_url")))
-        .drop("_f_url")
-    )
-    spine = (
-        spine.join(hi, spine[url_col] == F.col("_h_url"), "full")
-        .withColumn(url_col, F.coalesce(F.col(url_col), F.col("_h_url")))
-        .drop("_h_url")
+    spine = tagged.groupBy(url_col).agg(
+        *[
+            F.max(c).alias(c)
+            for c in (
+                "n_obs", "last_s", "first_s",
+                "_f_stale", "_f_life", "_h_lm", "_h_cf",
+            )
+        ]
     )
     obs_ok = (F.col("n_obs") >= 2) & (F.col("last_s") > F.col("first_s"))
     hdr_ok = F.col("_f_life").isNotNull() & (F.col("_f_life") > 0)

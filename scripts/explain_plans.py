@@ -265,8 +265,9 @@ EXPECT: dict[str, dict] = {
     "redirect_resolution": {},
     # scan-side markup regexps: only _t's spread may exchange
     "html_directive_flags": {"codegen": True, "max_exchanges": 1},
-    # obs agg + two url-keyed full joins + per-host top-k window
-    "recrawl_unified": {"codegen": True},
+    # obs agg + ONE union-consolidation agg (join-free source merge)
+    # + per-host top-k window + the fixture's distinct/spread
+    "recrawl_unified": {"codegen": True, "max_exchanges": 5},
     # whole-tag explode + field extracts; the confirmation semi-join
     # runs on the dimension-sized edge set (AQE may broadcast)
     "hreflang_confirmed_pairs": {"codegen": True},
