@@ -271,3 +271,50 @@ def test_hreflang_edges_and_confirmation(spark):
         ("http://s.test/a", "http://s.test/b"),
         ("http://s.test/b", "http://s.test/a"),
     ]
+
+
+def test_nofollow_gate_in_crawl(spark):
+    from fixtures.gen import PAGES_SCHEMA
+    from photon_spark.config import EngineConfig
+    from photon_spark.crawl import run_crawl
+
+    # one href per line: the reference extracts at most one (the last)
+    # href per physical line (kernels.find_links, quirk Q2)
+    bodies = {
+        "http://nf.test": '<a href="/a.html">a</a>\n<a href="/b.html">b</a>',
+        "http://nf.test/a.html":
+            '<meta name="robots" content="nofollow">\n'
+            '<a href="/secret.html">s</a>',
+        "http://nf.test/b.html": '<a href="/open.html">o</a>',
+        "http://nf.test/secret.html": "<p>hidden</p>",
+        "http://nf.test/open.html": "<p>open</p>",
+    }
+    pages = spark.createDataFrame(
+        [
+            {
+                "doc_id": u,
+                "spans": [
+                    {"kind": "text", "text": b, "media_ref": "", "offset": 0}
+                ],
+            }
+            for u, b in bodies.items()
+        ],
+        PAGES_SCHEMA,
+    )
+
+    def internal(cfg):
+        res = run_crawl(spark, pages, "http://nf.test", cfg)
+        return {
+            r["value"]
+            for r in res.results.filter(F.col("dataset") == "internal")
+            .select("value")
+            .collect()
+        }
+
+    base = internal(EngineConfig(crawl_level=3))
+    gated = internal(EngineConfig(crawl_level=3, nofollow_gate=True))
+    assert "http://nf.test/secret.html" in base
+    assert "http://nf.test/secret.html" not in gated
+    # everything else is unaffected by the gate
+    assert base - {"http://nf.test/secret.html"} == gated
+    assert "http://nf.test/open.html" in gated
