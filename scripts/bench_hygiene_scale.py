@@ -1,0 +1,147 @@
+"""Measured throughput of the crawl-hygiene operators at 10^6 scale.
+
+SCALE.md claims scan-side / broadcast-map / pointer-doubling shapes
+for the r3-continuation operators; this measures them on synthesized
+10^6-row inputs (deterministic expressions, no files) so the claims
+carry wall-clock evidence. Per-op timing is an isolated count() over a
+fresh lazy plan; min of reps is the steady state.
+
+Usage: python scripts/bench_hygiene_scale.py [n] [cores] [reps]
+Appends one JSON line to BENCH/hygiene_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.frontier import (
+        apply_canonical,
+        resolve_redirects,
+        surt_key,
+    )
+    from photon_spark.session import get_spark
+    from photon_spark.sources.warc import cdx_index
+
+    spark = get_spark(
+        cores=cores, shuffle_partitions=cores, app_name="hygiene_scale"
+    )
+
+    ids = spark.range(n).repartition(cores).persist()
+    ids.count()
+    e = F.col("id")
+    url = F.concat(
+        F.lit("http://WWW.H"),
+        (e % 10_000).cast("string"),
+        F.lit(".Test:80/P/"),
+        e.cast("string"),
+        F.lit("?b="),
+        (e % 3).cast("string"),
+        F.lit("&a="),
+        (e % 7).cast("string"),
+    )
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # 1. SURT keys + CDX revisit window over 10^6 captures
+    caps = ids.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + e % 86_400).alias("ts"),
+        e.alias("event_id"),
+        F.md5((e % 3).cast("string")).alias("digest"),
+    )
+    t_cdx = timed(lambda: cdx_index(caps).count())
+
+    # 2. surt_key alone (pure scan side)
+    t_surt = timed(
+        lambda: ids.select(surt_key(url).alias("s"))
+        .agg(F.count("s"))
+        .collect()
+    )
+
+    # 3. canonical rewrite: 10^6-URL frontier, 50k-declaration map
+    targets = (
+        spark.range(50_000)
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("id") % 10_000).cast("string"),
+                F.lit(".test/p/"),
+                F.col("id").cast("string"),
+                F.lit("?ref=1"),
+            ).alias("url"),
+            F.concat(
+                F.lit("http://h"),
+                (F.col("id") % 10_000).cast("string"),
+                F.lit(".test/p/"),
+                F.col("id").cast("string"),
+            ).alias("canonical_url"),
+        )
+        .persist()
+    )
+    targets.count()
+    frontier = ids.select(
+        F.concat(
+            F.lit("http://h"),
+            (e % 10_000).cast("string"),
+            F.lit(".test/p/"),
+            (e % 100_000).cast("string"),
+            F.when(e % 100_000 < 50_000, F.lit("?ref=1")).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    t_canon = timed(lambda: apply_canonical(frontier, targets).count())
+
+    # 4. redirect resolution: 10^6-source graph, chains toward n0,
+    #    every 97th node a self-loop (unresolvable upstream trees)
+    edges = ids.filter(e > 0).select(
+        F.concat(F.lit("n"), e.cast("string")).alias("src"),
+        F.when(
+            e % 97 == 0, F.concat(F.lit("n"), e.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("n"), F.expr("id div 3").cast("string")))
+        .alias("dst"),
+    )
+    t_redir = timed(lambda: resolve_redirects(edges, max_hops=16).count())
+
+    rec = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n": n,
+        "cores": cores,
+        "reps": reps,
+        "cdx_index_sec": round(t_cdx, 2),
+        "cdx_caps_per_s": round(n / t_cdx, 1),
+        "surt_key_sec": round(t_surt, 2),
+        "surt_urls_per_s": round(n / t_surt, 1),
+        "canonical_apply_sec": round(t_canon, 2),
+        "canonical_urls_per_s": round(n / t_canon, 1),
+        "redirect_resolve_sec": round(t_redir, 2),
+        "redirect_srcs_per_s": round((n - 1) / t_redir, 1),
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(REPO, "BENCH", "hygiene_scale.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
