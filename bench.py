@@ -140,6 +140,7 @@ HEADLINE = [
     "html_directive_flags",
     "recrawl_unified",
     "hreflang_confirmed_pairs",
+    "discovery_saturation",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

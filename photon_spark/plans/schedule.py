@@ -886,6 +886,64 @@ def adaptive_host_budgets(
     )
 
 
+def discovery_saturation(
+    discoveries: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl-coverage estimate from the link-discovery log —
+    the "is this host exhausted?" planning signal a budget allocator
+    needs (the reference crawls to a fixed level and stops,
+    photon.py:91-100; it cannot say how much it left behind).
+
+    Input: one row per DISCOVERY OBSERVATION (every time any page's
+    extraction emits a URL — duplicates included, they are the
+    evidence). Species-richness estimators from the public
+    capture-recapture literature, on frequency-of-frequencies:
+
+      n_obs, n_distinct, n_singletons (f1), n_doubletons (f2)
+      gt_unseen_micro — Good-Turing unseen probability mass f1/N in
+        micro-units: the chance the NEXT discovered link is a URL we
+        have never seen. ≈0 → the host's link graph is saturated and
+        further fetch budget is wasted there.
+      chao1_milli — Chao1 lower-bound richness estimate in milli-URLs:
+        D + f1²/(2·f2), bias-corrected f1(f1−1)/2 when f2 = 0; minus D
+        it is the estimated count of URLs that EXIST but were never
+        discovered.
+
+    Integer micro/milli arithmetic end to end (cross-engine exact).
+    Shape: two map-side-combinable aggregates — (host, url) counts,
+    then per-host frequency rollup; the discovery log is touched once.
+    """
+    per_url = discoveries.groupBy(host_col, url_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_url.groupBy(host_col)
+        .agg(
+            F.sum("c").alias("n_obs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        )
+        .select(
+            host_col,
+            "n_obs",
+            "n_distinct",
+            F.col("f1").alias("n_singletons"),
+            F.col("f2").alias("n_doubletons"),
+            F.expr("(f1 * 1000000) div n_obs").alias("gt_unseen_micro"),
+            (
+                F.col("n_distinct") * 1000
+                + F.when(
+                    F.col("f2") > 0,
+                    F.expr("(f1 * f1 * 1000) div (2 * f2)"),
+                ).otherwise(F.expr("(f1 * (f1 - 1) * 1000) div 2"))
+            ).alias("chao1_milli"),
+        )
+    )
+
+
 def soft404_flags(
     pages: DataFrame,
     probes: DataFrame,

@@ -4652,6 +4652,44 @@ def host_opic_incremental_q(spark, sf):
     )
 
 
+# Crawl-coverage saturation (plans/schedule.discovery_saturation):
+# Good-Turing unseen mass + Chao1 richness per host over the link-
+# discovery log — natural frequency spread from (user_id, event_id)
+# pairing covers both the f2>0 and the bias-corrected f2=0 branch
+# across the three SFs (sf0.001 is singleton-heavy, sf0.1 saturated).
+@q(
+    "discovery_saturation",
+    "WITH d AS (SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,"
+    "  'u' || CAST(event_id % 300 AS VARCHAR) AS url FROM events),"
+    " pu AS (SELECT host, url, COUNT(*) AS c FROM d GROUP BY host, url),"
+    " r AS (SELECT host, SUM(c) AS n_obs, COUNT(*) AS n_distinct,"
+    "  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,"
+    "  SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2"
+    "  FROM pu GROUP BY host)"
+    " SELECT host, CAST(n_obs AS BIGINT) AS n_obs,"
+    " CAST(n_distinct AS BIGINT) AS n_distinct,"
+    " CAST(f1 AS BIGINT) AS n_singletons, CAST(f2 AS BIGINT)"
+    "  AS n_doubletons,"
+    " CAST((f1 * 1000000) // n_obs AS BIGINT) AS gt_unseen_micro,"
+    " CAST(n_distinct * 1000 + CASE WHEN f2 > 0"
+    "  THEN (f1 * f1 * 1000) // (2 * f2)"
+    "  ELSE (f1 * (f1 - 1) * 1000) // 2 END AS BIGINT) AS chao1_milli"
+    " FROM r",
+)
+def discovery_saturation_q(spark, sf):
+    from photon_spark.plans.schedule import discovery_saturation
+
+    d = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("u"), (F.col("event_id") % 300).cast("string")).alias(
+            "url"
+        ),
+    )
+    return discovery_saturation(d)
+
+
 # hreflang alternates with mutual confirmation (operators/extract.
 # hreflang_edges + hreflang_confirmed). Fixture: one 'en' page per
 # distinct k declaring de + fr alternates (root-relative de, absolute

@@ -271,6 +271,8 @@ EXPECT: dict[str, dict] = {
     # whole-tag explode + field extracts; the confirmation semi-join
     # runs on the dimension-sized edge set (AQE may broadcast)
     "hreflang_confirmed_pairs": {"codegen": True},
+    # (host,url) count agg + per-host frequency rollup (+ _t spread)
+    "discovery_saturation": {"codegen": True, "max_exchanges": 3},
     # projection over the per-wave eager checkpoint: the incremental
     # state contract keeps lineage O(1) across waves
     "host_opic_incremental": {"max_exchanges": 0},

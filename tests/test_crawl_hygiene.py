@@ -318,3 +318,27 @@ def test_nofollow_gate_in_crawl(spark):
     # everything else is unaffected by the gate
     assert base - {"http://nf.test/secret.html"} == gated
     assert "http://nf.test/open.html" in gated
+
+
+def test_discovery_saturation_estimators(spark):
+    from photon_spark.plans.schedule import discovery_saturation
+
+    rows = (
+        # host A: urls u1 x3, u2 x1, u3 x1, u4 x2  -> N=7 D=4 f1=2 f2=1
+        [("a", "u1")] * 3 + [("a", "u2"), ("a", "u3")] + [("a", "u4")] * 2
+        # host B: all singletons (f2=0 branch): 3 urls once each
+        + [("b", "v1"), ("b", "v2"), ("b", "v3")]
+        # host C: saturated - one url seen 5 times, f1=0
+        + [("c", "w")] * 5
+    )
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r for r in discovery_saturation(df).collect()}
+    a = got["a"]
+    assert (a["n_obs"], a["n_distinct"], a["n_singletons"], a["n_doubletons"]) == (7, 4, 2, 1)
+    assert a["gt_unseen_micro"] == 2 * 1_000_000 // 7
+    assert a["chao1_milli"] == 4000 + (2 * 2 * 1000) // (2 * 1)  # D + f1^2/2f2
+    b = got["b"]
+    assert b["gt_unseen_micro"] == 1_000_000  # every obs was new
+    assert b["chao1_milli"] == 3000 + (3 * 2 * 1000) // 2  # bias-corrected
+    c = got["c"]
+    assert c["gt_unseen_micro"] == 0 and c["chao1_milli"] == 1000  # saturated
