@@ -267,11 +267,21 @@ def _rel_link(rel: str) -> tuple[str, str]:
 def _resolve_href(url_col: Column, href: Column) -> Column:
     """Root-relative hrefs resolve against the page's scheme+host;
     absolute hrefs pass through; anything else (protocol-relative,
-    path-relative) is left NULL — conservative, like canonical_targets."""
+    path-relative) is left NULL — conservative, like canonical_targets.
+    Host via regexp, not parse_url (ParseUrl is CodegenFallback — see
+    canonical_targets)."""
     origin = F.concat(
         F.lower(F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)", 1)),
         F.lit("://"),
-        F.lower(F.coalesce(F.parse_url(url_col, F.lit("HOST")), F.lit(""))),
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract(
+                    url_col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+                ),
+                ":[0-9]+$",
+                "",
+            )
+        ),
     )
     return (
         F.when(href.isNull() | (href == ""), F.lit(None).cast("string"))

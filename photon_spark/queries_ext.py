@@ -5059,7 +5059,14 @@ def canonical_rewrite_q(spark, sf):
         )
         .otherwise(F.lit("<p>no link</p>"))
     )
-    pages = _t(spark, sf, "events").select(url.alias("url"), body.alias("body"))
+    # spread=True (regexp work is compute-heavy per row) + persist:
+    # the synthesized pages feed BOTH the declaration extraction and
+    # the frontier side of the rewrite join
+    pages = (
+        _t(spark, sf, "events", spread=True)
+        .select(url.alias("url"), body.alias("body"))
+        .persist()
+    )
     targets = canonical_targets(pages)
     frontier = pages.select(F.col("url").alias("orig"), F.col("url"))
     return apply_canonical(frontier, targets)
