@@ -243,6 +243,7 @@ def host_rank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """PageRank-style host authority over the crawl's host link graph
     (fixed iteration count, no dangling-mass redistribution) — feeds
@@ -263,7 +264,17 @@ def host_rank(
     dialect-stable rounding used across the oracled queries (sums of
     doubles are order-dependent at the last ulp; rounding far above it
     makes Spark and the SQL twin byte-equal).
+
+    `broadcast_state=True` (default) force-broadcasts the |hosts|-row
+    rank vector each round — right whenever hosts fit in executor
+    memory (10^7 hosts ≈ 100s of MB). For a host dimension too big to
+    broadcast (10^8+ hosts), pass False: the joins carry no hint and
+    AQE picks the strategy from runtime sizes — small graphs still
+    auto-broadcast, huge ones degrade to shuffle joins on host instead
+    of OOMing the executors. Results are identical either way
+    (test_graph_sampling::test_broadcast_state_off_parity).
     """
+    _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -288,13 +299,13 @@ def host_rank(
     # the hints: the plan degrades to sort-merge joins on host.)
     for _ in range(iters):
         contrib = (
-            ew.join(F.broadcast(ranks), ew["src"] == ranks["host"])
+            ew.join(_b(ranks), ew["src"] == ranks["host"])
             .select(F.col("dst").alias("host"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
         base = (1.0 - damping) / float(n_hosts)  # one IEEE div, = SQL twin
-        ranks = nodes.join(F.broadcast(contrib), "host", "left").select(
+        ranks = nodes.join(_b(contrib), "host", "left").select(
             "host",
             (
                 F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))
@@ -319,6 +330,7 @@ def trust_rank(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "host",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, public) over
     the host link graph: PageRank with the teleport restricted to a
@@ -337,8 +349,12 @@ def trust_rank(
     node set. Hosts unreachable from every seed end at exactly 0.
 
     Returns (host, trust) floor-rounded at 1e-6 (the dialect-stable
-    rounding shared with host_rank).
+    rounding shared with host_rank). `broadcast_state` gates the
+    rank-vector broadcast hints exactly as in :func:`host_rank` (pass
+    False past ~10^8 hosts; the SEED join stays broadcast either way —
+    a vetted seed list is dimension-sized by construction).
     """
+    _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -376,7 +392,7 @@ def trust_rank(
     )
     for _ in range(iters):
         contrib = (
-            ew.join(F.broadcast(ranks), ew["src"] == ranks["host"])
+            ew.join(_b(ranks), ew["src"] == ranks["host"])
             .select(
                 F.col("dst").alias("host"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -384,7 +400,7 @@ def trust_rank(
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "host", "left").select(
+        ranks = nodes.join(_b(contrib), "host", "left").select(
             "host",
             (
                 seed_mass + damping * F.coalesce(F.col("c"), F.lit(0.0))
@@ -403,6 +419,7 @@ def hits_scores(
     iters: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """HITS hub/authority scores (Kleinberg 1999, public) over the
     host link graph — the complementary signal to host_rank's
@@ -421,9 +438,12 @@ def hits_scores(
     Same plan economics as host_rank: the score vector is |hosts|
     rows, broadcast each half-round; each half-round is one map-side
     join + one host-keyed partial-agg shuffle over the edge set.
+    `broadcast_state=False` drops the hints for host dimensions past
+    broadcast size and lets AQE choose (see :func:`host_rank`).
     """
     if int(iters) < 1:
         raise ValueError("iters must be >= 1")
+    _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -438,19 +458,19 @@ def hits_scores(
     auth = None
     for _ in range(iters):
         a_agg = (
-            e.join(F.broadcast(hub), e["src"] == hub["host"])
+            e.join(_b(hub), e["src"] == hub["host"])
             .groupBy(F.col("dst").alias("host"))
             .agg(F.sum("h").alias("a"))
         )
-        auth = nodes.join(F.broadcast(a_agg), "host", "left").select(
+        auth = nodes.join(_b(a_agg), "host", "left").select(
             "host", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
         )
         h_agg = (
-            e.join(F.broadcast(auth), e["dst"] == auth["host"])
+            e.join(_b(auth), e["dst"] == auth["host"])
             .groupBy(F.col("src").alias("host"))
             .agg(F.sum("a").alias("h"))
         )
-        hub = nodes.join(F.broadcast(h_agg), "host", "left").select(
+        hub = nodes.join(_b(h_agg), "host", "left").select(
             "host", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
         )
     out = (
@@ -1177,6 +1197,7 @@ def opic_scores(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
     Preda & Cobena, WWW 2003, public) over the host link graph: the
@@ -1200,8 +1221,12 @@ def opic_scores(
     mass is R and score = (history + cash) / (R + 1); scores sum to 1.
 
     Returns (host, opic) floor-rounded at 1e-6 (the dialect-stable
-    rounding shared with host_rank/trust_rank).
+    rounding shared with host_rank/trust_rank). `broadcast_state`
+    gates the |hosts|-row cash/contribution broadcast hints as in
+    :func:`host_rank` (pass False past ~10^8 hosts); the 1-row
+    dangling-mass frame stays broadcast either way.
     """
+    _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -1217,7 +1242,7 @@ def opic_scores(
     # (host, deg-or-null): null deg marks a dangling host whose cash is
     # redistributed uniformly — |hosts| rows, broadcast like the ranks
     ndeg = nodes.join(
-        F.broadcast(outdeg.withColumnRenamed("src", "host")), "host", "left"
+        _b(outdeg.withColumnRenamed("src", "host")), "host", "left"
     ).persist()
     state = nodes.select(
         "host",
@@ -1226,7 +1251,7 @@ def opic_scores(
     )
     for _ in range(int(rounds)):
         contrib = (
-            ew.join(F.broadcast(state), ew["src"] == state["host"])
+            ew.join(_b(state), ew["src"] == state["host"])
             .select(
                 F.col("dst").alias("host"),
                 (F.col("cash") / F.col("deg")).alias("c"),
@@ -1235,12 +1260,12 @@ def opic_scores(
             .agg(F.sum("c").alias("c"))
         )
         dang = (
-            ndeg.join(F.broadcast(state), "host")
+            ndeg.join(_b(state), "host")
             .filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
         )
         state = (
-            state.join(F.broadcast(contrib), "host", "left")
+            state.join(_b(contrib), "host", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "host",
@@ -1389,6 +1414,7 @@ def opic_update(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """ONE on-line OPIC step — the wave-by-wave usage Abiteboul et
     al.'s adaptive variant intends, where :func:`opic_scores` is the
@@ -1407,8 +1433,11 @@ def opic_update(
     broadcast, the state vector broadcast into the edge join. The
     returned frame is eagerly checkpointed so per-wave lineage stays
     O(1) across an arbitrarily long crawl (the same contract as the
-    batch operator and dup_components).
+    batch operator and dup_components). `broadcast_state` gates the
+    |hosts|-row state/contribution broadcast hints as in
+    :func:`host_rank`; the 1-row dangling total stays broadcast.
     """
+    _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -1429,11 +1458,11 @@ def opic_update(
     n = full.count()  # bounded scalar; materializes the cache
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ndeg = full.select("host").join(
-        F.broadcast(outdeg.withColumnRenamed("src", "host")), "host", "left"
+        _b(outdeg.withColumnRenamed("src", "host")), "host", "left"
     )
     contrib = (
         e.join(outdeg, "src")
-        .join(F.broadcast(full), F.col("src") == full["host"])
+        .join(_b(full), F.col("src") == full["host"])
         .select(
             F.col("dst").alias("host"),
             (F.col("cash") / F.col("deg")).alias("c"),
@@ -1442,12 +1471,12 @@ def opic_update(
         .agg(F.sum("c").alias("c"))
     )
     dang = (
-        ndeg.join(F.broadcast(full.select("host", "cash")), "host")
+        ndeg.join(_b(full.select("host", "cash")), "host")
         .filter(F.col("deg").isNull())
         .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
     )
     out = (
-        full.join(F.broadcast(contrib), "host", "left")
+        full.join(_b(contrib), "host", "left")
         .crossJoin(F.broadcast(dang))
         .select(
             "host",

@@ -186,3 +186,53 @@ def test_trustrank_isolated_component_exactly_zero(spark):
     none = spark.createDataFrame([], "host string")
     t0 = {r.host: r.trust for r in trust_rank(edges, none).collect()}
     assert set(t0.values()) == {0.0}
+
+
+# ---------------------------------------------------------------------------
+# broadcast_state=False — the >10^8-host escape hatch
+
+
+def test_broadcast_state_off_parity(spark):
+    """The five iterative graph operators must return IDENTICAL rows
+    with broadcast_state=False (no hints; AQE picks the join strategy
+    from runtime sizes — the mode for host dimensions too big to
+    broadcast). Hints only change the physical plan, never the result;
+    this pins that contract so the flag stays safe to flip at scale.
+
+    hits is integer-exact so dict equality is exact; the float-scored
+    operators are floor-rounded at 1e-6 inside the operator, far above
+    join-order ulp wobble, so exact equality holds there too.
+    """
+    from photon_spark.plans.schedule import (
+        host_rank,
+        hits_scores,
+        opic_init,
+        opic_scores,
+        opic_update,
+        trust_rank,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 40), rng.randint(0, 50)) for _ in range(300)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(3,), (7,)], "host int")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(host_rank(e, iters=3, broadcast_state=False)) == rows(
+        host_rank(e, iters=3)
+    )
+    assert rows(trust_rank(e, seeds, iters=3, broadcast_state=False)) == rows(
+        trust_rank(e, seeds, iters=3)
+    )
+    assert rows(hits_scores(e, iters=2, broadcast_state=False)) == rows(
+        hits_scores(e, iters=2)
+    )
+    assert rows(opic_scores(e, rounds=2, broadcast_state=False)) == rows(
+        opic_scores(e, rounds=2)
+    )
+    st = opic_init(e)
+    assert rows(opic_update(st, e, broadcast_state=False)) == rows(
+        opic_update(st, e)
+    )
