@@ -1347,6 +1347,7 @@ def spam_mass(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "host",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
     "Link Spam Detection Based on Mass Estimation", VLDB 2006, public):
@@ -1369,12 +1370,16 @@ def spam_mass(
     on any engine that matched them — so the quotient is bit-stable
     before its own final 1e-6 rounding. Cost on top of the two rank
     computations: ONE host-keyed join of two |hosts|-row frames.
-    Returns (host, pr, trust, spam_mass).
+    Returns (host, pr, trust, spam_mass). `broadcast_state` is passed
+    through to both underlying rank computations (see
+    :func:`host_rank`).
     """
     pr = host_rank(edges, iters=iters, damping=damping,
-                   src_col=src_col, dst_col=dst_col)
+                   src_col=src_col, dst_col=dst_col,
+                   broadcast_state=broadcast_state)
     tr = trust_rank(edges, seeds, iters=iters, damping=damping,
-                    src_col=src_col, dst_col=dst_col, seed_col=seed_col)
+                    src_col=src_col, dst_col=dst_col, seed_col=seed_col,
+                    broadcast_state=broadcast_state)
     j = pr.join(tr, "host")
     return j.select(
         "host",
