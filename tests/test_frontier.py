@@ -1143,3 +1143,50 @@ def test_param_significance_hand_built(spark):
     b_sid = out[("b.test", "sid")]
     assert b_sid.irrelevant is False  # same name, different host verdict
     assert ("a.test", "plain") not in out
+
+
+def test_canonicalize_idempotent_random_corpus(spark):
+    """Canonicalization must be IDEMPOTENT: canon(canon(u)) == canon(u)
+    for both the reference-contract canonicalizer and the extended
+    (tracking-strip + param-sort) one. This is a seen-set safety
+    invariant — a URL re-queued after canonicalization (resume,
+    recrawl, cross-wave union) must map to the SAME dedup key, or the
+    frontier re-crawls what it already fetched. Same seeded
+    adversarial corpus style as the JVM≡pandas parity test, plus
+    query-string shapes the parity corpus doesn't stress."""
+    import random
+    import string
+
+    from photon_spark.plans.frontier import (
+        canonicalize_urls,
+        canonicalize_urls_ext,
+    )
+
+    rng = random.Random(4242)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "a+b-c.x", "x9"]
+    hosts = ["Example.COM", "h0.test", "ümlaut.test", "127.0.0.1", "[::1]",
+             "host:80", "Host:443", "host:8080", ""]
+    paths = ["", "/", "/A/B", "/p#frag", "/#", "/%20 space", "/日本語"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=x&q=1", "?fbclid=abc",
+               "?a=1&a=1&", "?&&", "?q=%26&p=a%3Db", "?utm_=&gclid"]
+    urls = []
+    for _ in range(400):
+        kind = rng.random()
+        if kind < 0.7:
+            urls.append(
+                rng.choice(schemes) + "://" + rng.choice(hosts)
+                + rng.choice(paths) + rng.choice(queries)
+            )
+        elif kind < 0.85:  # no scheme at all
+            urls.append(
+                "".join(rng.choice(string.printable[:94]) for _ in range(rng.randint(0, 30)))
+                .replace("\n", "").replace("\r", "")
+            )
+        else:  # fragment/query-heavy garbage
+            urls.append("x#y?" + rng.choice(hosts) + "#" + rng.choice(queries))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    for fn in (canonicalize_urls, canonicalize_urls_ext):
+        once = [r["url"] for r in fn(df).collect()]
+        twice = [r["url"] for r in fn(fn(df)).collect()]
+        bad = [(u, a, b) for u, a, b in zip(urls, once, twice) if a != b]
+        assert not bad, (fn.__name__, bad[:5])
