@@ -17,8 +17,29 @@ The engine's contract (SURVEY.md §2.3 F3/F4):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _final_ckpt(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
+    """Truncate lineage on a returned dimension frame (so the loop
+    caches can be unpersisted without later recompute). Default is
+    localCheckpoint — fast, in-memory+local-disk, but lost with its
+    executor, so a rank frame reused across many crawl waves would
+    fail mid-session on a real cluster after node loss. Pass
+    `checkpoint_dir` (HDFS/object-store path in production) to park
+    the frame in reliable storage instead — the same convention as
+    dedupe.dup_components. Each operator writes its own `tag`
+    subdirectory; a repeat call with the same dir+tag overwrites it,
+    so rotate tags (e.g. a wave index) when older frames must stay
+    live."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(checkpoint_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -244,6 +265,7 @@ def host_rank(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank-style host authority over the crawl's host link graph
     (fixed iteration count, no dangling-mass redistribution) — feeds
@@ -311,9 +333,13 @@ def host_rank(
                 F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
-    out = ranks.select(
-        "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank")
-    ).localCheckpoint(eager=True)
+    out = _final_ckpt(
+        ranks.select(
+            "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank")
+        ),
+        checkpoint_dir,
+        "host_rank",
+    )
     # the checkpoint truncates lineage, so the loop caches can be
     # released here instead of leaking into the shared session (the
     # same leak class ivf_topk and dup_components were fixed for)
@@ -331,6 +357,7 @@ def trust_rank(
     dst_col: str = "dst",
     seed_col: str = "host",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, public) over
     the host link graph: PageRank with the teleport restricted to a
@@ -375,8 +402,11 @@ def trust_rank(
     )
     n_seeds = nodes.filter(F.col("is_seed")).count()  # bounded scalar
     if n_seeds == 0:
-        out = nodes.select("host", F.lit(0.0).alias("trust"))
-        out = out.localCheckpoint(eager=True)
+        out = _final_ckpt(
+            nodes.select("host", F.lit(0.0).alias("trust")),
+            checkpoint_dir,
+            "trust_rank",
+        )
         nodes.unpersist()
         return out
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -406,9 +436,13 @@ def trust_rank(
                 seed_mass + damping * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
-    out = ranks.select(
-        "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("trust")
-    ).localCheckpoint(eager=True)
+    out = _final_ckpt(
+        ranks.select(
+            "host", (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("trust")
+        ),
+        checkpoint_dir,
+        "trust_rank",
+    )
     nodes.unpersist()
     ew.unpersist()
     return out
@@ -420,6 +454,7 @@ def hits_scores(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hub/authority scores (Kleinberg 1999, public) over the
     host link graph — the complementary signal to host_rank's
@@ -473,14 +508,14 @@ def hits_scores(
         hub = nodes.join(_b(h_agg), "host", "left").select(
             "host", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
         )
-    out = (
-        auth.join(hub, "host")
-        .select(
+    out = _final_ckpt(
+        auth.join(hub, "host").select(
             "host",
             F.col("a").alias("auth_score"),
             F.col("h").alias("hub_score"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_dir,
+        "hits_scores",
     )
     e.unpersist()
     nodes.unpersist()
@@ -1198,6 +1233,7 @@ def opic_scores(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
     Preda & Cobena, WWW 2003, public) over the host link graph: the
@@ -1277,13 +1313,19 @@ def opic_scores(
             )
         )
     total = float(rounds) + 1.0
-    out = state.select(
-        "host",
-        (
-            F.floor((F.col("hist") + F.col("cash")) / F.lit(total) * 1e6 + 0.5)
-            / 1e6
-        ).alias("opic"),
-    ).localCheckpoint(eager=True)
+    out = _final_ckpt(
+        state.select(
+            "host",
+            (
+                F.floor(
+                    (F.col("hist") + F.col("cash")) / F.lit(total) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("opic"),
+        ),
+        checkpoint_dir,
+        "opic_scores",
+    )
     nodes.unpersist()
     ew.unpersist()
     ndeg.unpersist()
@@ -1348,6 +1390,7 @@ def spam_mass(
     dst_col: str = "dst",
     seed_col: str = "host",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
     "Link Spam Detection Based on Mass Estimation", VLDB 2006, public):
@@ -1376,10 +1419,12 @@ def spam_mass(
     """
     pr = host_rank(edges, iters=iters, damping=damping,
                    src_col=src_col, dst_col=dst_col,
-                   broadcast_state=broadcast_state)
+                   broadcast_state=broadcast_state,
+                   checkpoint_dir=checkpoint_dir)
     tr = trust_rank(edges, seeds, iters=iters, damping=damping,
                     src_col=src_col, dst_col=dst_col, seed_col=seed_col,
-                    broadcast_state=broadcast_state)
+                    broadcast_state=broadcast_state,
+                    checkpoint_dir=checkpoint_dir)
     j = pr.join(tr, "host")
     return j.select(
         "host",
@@ -1393,11 +1438,17 @@ def spam_mass(
 
 
 def opic_init(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_tag: str = "opic_state_init",
 ) -> DataFrame:
     """Uniform OPIC state (host, cash, hist) over a host graph's node
     set — the starting point for :func:`opic_update`. Cash sums to
-    exactly n * (1/n); hist starts at 0."""
+    exactly n * (1/n); hist starts at 0. `checkpoint_dir` /
+    `checkpoint_tag` park the state in reliable storage (see
+    :func:`_final_ckpt`) — tag it like the updates (e.g. wave 0)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -1407,11 +1458,15 @@ def opic_init(
         .distinct()
     )
     n = nodes.count()  # bounded scalar
-    return nodes.select(
-        "host",
-        (F.lit(1.0) / F.lit(float(n))).alias("cash"),
-        F.lit(0.0).alias("hist"),
-    ).localCheckpoint(eager=True)
+    return _final_ckpt(
+        nodes.select(
+            "host",
+            (F.lit(1.0) / F.lit(float(n))).alias("cash"),
+            F.lit(0.0).alias("hist"),
+        ),
+        checkpoint_dir,
+        checkpoint_tag,
+    )
 
 
 def opic_update(
@@ -1420,6 +1475,8 @@ def opic_update(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_state: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_tag: str = "opic_state",
 ) -> DataFrame:
     """ONE on-line OPIC step — the wave-by-wave usage Abiteboul et
     al.'s adaptive variant intends, where :func:`opic_scores` is the
@@ -1441,6 +1498,13 @@ def opic_update(
     batch operator and dup_components). `broadcast_state` gates the
     |hosts|-row state/contribution broadcast hints as in
     :func:`host_rank`; the 1-row dangling total stays broadcast.
+
+    `checkpoint_dir` parks the new state in reliable storage instead
+    of localCheckpoint (see :func:`_final_ckpt`) — REQUIRED caveat:
+    rotate `checkpoint_tag` per wave (e.g. ``f"opic_w{wave}"``). The
+    returned frame is READ from ``dir/tag``, so writing the next
+    update into the same tag would overwrite the parquet the input
+    state is still being scanned from mid-job.
     """
     _b = F.broadcast if broadcast_state else (lambda df: df)
     e = edges.select(
@@ -1491,7 +1555,7 @@ def opic_update(
             ).alias("cash"),
             (F.col("hist") + F.col("cash")).alias("hist"),
         )
-        .localCheckpoint(eager=True)
     )
+    out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
     full.unpersist()
     return out

@@ -236,3 +236,57 @@ def test_broadcast_state_off_parity(spark):
     assert rows(opic_update(st, e, broadcast_state=False)) == rows(
         opic_update(st, e)
     )
+
+
+def test_reliable_checkpoint_dir_parity(spark, tmp_path):
+    """checkpoint_dir swaps the final localCheckpoint for a reliable
+    parquet round-trip (the dup_components convention): identical rows,
+    and the frame survives lineage recompute because it READS from the
+    written path. opic_update rotates tags so wave N+1 never overwrites
+    the parquet wave N is scanned from."""
+    from photon_spark.plans.schedule import (
+        hits_scores,
+        host_rank,
+        opic_init,
+        opic_update,
+        spam_mass,
+        trust_rank,
+    )
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 25), rng.randint(0, 30)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(2,), (5,)], "host int")
+    d = str(tmp_path / "ckpt")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(host_rank(e, iters=2, checkpoint_dir=d)) == rows(
+        host_rank(e, iters=2)
+    )
+    assert rows(trust_rank(e, seeds, iters=2, checkpoint_dir=d)) == rows(
+        trust_rank(e, seeds, iters=2)
+    )
+    assert rows(hits_scores(e, iters=2, checkpoint_dir=d)) == rows(
+        hits_scores(e, iters=2)
+    )
+    assert rows(
+        spam_mass(e, seeds, iters=2, checkpoint_dir=d)
+    ) == rows(spam_mass(e, seeds, iters=2))
+
+    # incremental chain with rotated tags: two reliable waves must
+    # reproduce the localCheckpoint chain exactly
+    st_l = opic_update(opic_init(e), e)
+    st_r = opic_init(e, checkpoint_dir=d, checkpoint_tag="opic_w0")
+    st_r = opic_update(st_r, e, checkpoint_dir=d, checkpoint_tag="opic_w1")
+    assert rows(st_r) == rows(st_l)
+    st_l2 = opic_update(st_l, e)
+    st_r2 = opic_update(st_r, e, checkpoint_dir=d, checkpoint_tag="opic_w2")
+    assert rows(st_r2) == rows(st_l2)
+
+    import os
+
+    names = set(os.listdir(d))
+    assert {"host_rank", "trust_rank", "hits_scores",
+            "opic_w0", "opic_w1", "opic_w2"} <= names
