@@ -1253,8 +1253,14 @@ def opic_scores(
     aggregate that rides a crossJoin broadcast — NO driver action per
     round (the dangling total stays a lazy 1-row frame; only the node
     count is collected once, the same bounded scalar as host_rank).
-    Cash is conserved at exactly 1.0, so after R rounds the banked
-    mass is R and score = (history + cash) / (R + 1); scores sum to 1.
+    The state vector CARRIES the static out-degree (null = dangling),
+    so the per-round dangling mass is a scan-filter aggregate over
+    state — no join — and the contribution join needs no separate
+    edges-with-degrees frame (measured: the old per-round ndeg join
+    made opic ~3× host_rank's latency on the same graph; folding deg
+    into state closes most of that gap). Cash is conserved at exactly
+    1.0, so after R rounds the banked mass is R and
+    score = (history + cash) / (R + 1); scores sum to 1.
 
     Returns (host, opic) floor-rounded at 1e-6 (the dialect-stable
     rounding shared with host_rank/trust_rank). `broadcast_state`
@@ -1274,20 +1280,26 @@ def opic_scores(
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     n_hosts = nodes.count()  # bounded scalar; also materializes the cache
-    ew = e.join(outdeg, "src").persist()
-    # (host, deg-or-null): null deg marks a dangling host whose cash is
-    # redistributed uniformly — |hosts| rows, broadcast like the ranks
-    ndeg = nodes.join(
+    e = e.persist()
+    # state carries (host, deg-or-null, cash, hist): null deg marks a
+    # dangling host whose cash is redistributed uniformly
+    state = nodes.join(
         _b(outdeg.withColumnRenamed("src", "host")), "host", "left"
-    ).persist()
-    state = nodes.select(
+    ).select(
         "host",
+        "deg",
         (F.lit(1.0) / F.lit(float(n_hosts))).alias("cash"),
         F.lit(0.0).alias("hist"),
     )
+    # each round's state is consumed by THREE subtrees (contribution
+    # join, dangling aggregate, next-state join); persist the
+    # |hosts|-row frame so the final action materializes it once per
+    # round instead of re-deriving the whole unrolled lineage per
+    # consumer — all released after the eager checkpoint below
+    rounds_cached = [state.persist()]
     for _ in range(int(rounds)):
         contrib = (
-            ew.join(_b(state), ew["src"] == state["host"])
+            e.join(_b(state), e["src"] == state["host"])
             .select(
                 F.col("dst").alias("host"),
                 (F.col("cash") / F.col("deg")).alias("c"),
@@ -1295,16 +1307,15 @@ def opic_scores(
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
-        dang = (
-            ndeg.join(_b(state), "host")
-            .filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
+        dang = state.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d")
         )
         state = (
             state.join(_b(contrib), "host", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "host",
+                "deg",
                 (
                     F.coalesce(F.col("c"), F.lit(0.0))
                     + F.col("d") / F.lit(float(n_hosts))
@@ -1312,6 +1323,7 @@ def opic_scores(
                 (F.col("hist") + F.col("cash")).alias("hist"),
             )
         )
+        rounds_cached.append(state.persist())
     total = float(rounds) + 1.0
     out = _final_ckpt(
         state.select(
@@ -1327,8 +1339,9 @@ def opic_scores(
         "opic_scores",
     )
     nodes.unpersist()
-    ew.unpersist()
-    ndeg.unpersist()
+    e.unpersist()
+    for s in rounds_cached:
+        s.unpersist()
     return out
 
 
@@ -1515,23 +1528,24 @@ def opic_update(
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # (host, deg-or-null, cash, hist) — deg folded into the state row
+    # exactly as in the batch loop, so the dangling mass is a
+    # scan-filter aggregate, not a join
     full = (
         hosts.join(state, "host", "full")
+        .join(_b(outdeg.withColumnRenamed("src", "host")), "host", "left")
         .select(
             "host",
+            "deg",
             F.coalesce(F.col("cash"), F.lit(0.0)).alias("cash"),
             F.coalesce(F.col("hist"), F.lit(0.0)).alias("hist"),
         )
         .persist()
     )
     n = full.count()  # bounded scalar; materializes the cache
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ndeg = full.select("host").join(
-        _b(outdeg.withColumnRenamed("src", "host")), "host", "left"
-    )
     contrib = (
-        e.join(outdeg, "src")
-        .join(_b(full), F.col("src") == full["host"])
+        e.join(_b(full), F.col("src") == full["host"])
         .select(
             F.col("dst").alias("host"),
             (F.col("cash") / F.col("deg")).alias("c"),
@@ -1539,10 +1553,8 @@ def opic_update(
         .groupBy("host")
         .agg(F.sum("c").alias("c"))
     )
-    dang = (
-        ndeg.join(_b(full.select("host", "cash")), "host")
-        .filter(F.col("deg").isNull())
-        .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d"))
+    dang = full.filter(F.col("deg").isNull()).agg(
+        F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d")
     )
     out = (
         full.join(_b(contrib), "host", "left")
