@@ -491,6 +491,13 @@ def hits_scores(
     nodes.count()  # materialize both caches before the loop reuses them
     hub = nodes.select("host", F.lit(1).cast("bigint").alias("h"))
     auth = None
+    # each score vector is consumed twice (the next half-round's edge
+    # join AND either the following half-round or the final auth⋈hub
+    # assembly, whose two sides share subtrees the optimizer cannot
+    # reuse across exchange types): persist the |hosts|-row frames so
+    # the final action materializes each once — released after the
+    # eager checkpoint (the same fix measured on opic_scores)
+    cached = []
     for _ in range(iters):
         a_agg = (
             e.join(_b(hub), e["src"] == hub["host"])
@@ -500,6 +507,7 @@ def hits_scores(
         auth = nodes.join(_b(a_agg), "host", "left").select(
             "host", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
         )
+        cached.append(auth.persist())
         h_agg = (
             e.join(_b(auth), e["dst"] == auth["host"])
             .groupBy(F.col("src").alias("host"))
@@ -508,6 +516,7 @@ def hits_scores(
         hub = nodes.join(_b(h_agg), "host", "left").select(
             "host", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
         )
+        cached.append(hub.persist())
     out = _final_ckpt(
         auth.join(hub, "host").select(
             "host",
@@ -519,6 +528,8 @@ def hits_scores(
     )
     e.unpersist()
     nodes.unpersist()
+    for s in cached:
+        s.unpersist()
     return out
 
 
