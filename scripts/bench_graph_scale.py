@@ -29,7 +29,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from photon_spark.plans.schedule import hits_scores, host_rank
+    from photon_spark.plans.schedule import hits_scores, host_rank, opic_scores
     from photon_spark.session import get_spark
 
     spark = get_spark(cores=cores, shuffle_partitions=cores,
@@ -67,6 +67,12 @@ def main() -> None:
         "sec": round(sec, 3),
         "edges_per_s": round(n_edges / sec),
         "hosts": n_h,
+    }
+    sec, n_o = best(lambda: opic_scores(e, rounds=3).count())
+    results["opic_3_rounds"] = {
+        "sec": round(sec, 3),
+        "edges_per_s": round(n_edges / sec),
+        "hosts": n_o,
     }
     e.unpersist()
 
