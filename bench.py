@@ -141,6 +141,7 @@ HEADLINE = [
     "recrawl_unified",
     "hreflang_confirmed_pairs",
     "discovery_saturation",
+    "link_diversity_signals",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1582,3 +1582,94 @@ def opic_update(
     out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
     full.unpersist()
     return out
+
+
+def link_signals(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Per-target-host link-provenance signals: referring-domain
+    diversity, nepotism, and reciprocity.
+
+    The classic spam-demotion inputs (Davison 2000 "Recognizing
+    nepotistic links"; the "count distinct referring domains, not raw
+    in-links" rule every public ranking writeup states): a host whose
+    in-links come from ONE registrable domain, or mostly from its own
+    domain, or mostly from hosts it links straight back to, earned its
+    degree cheaply. These complement the rank family (host_rank /
+    trust_rank / spam_mass) with degree-provenance evidence that needs
+    no iteration. The reference crawls one site per run and never sees
+    cross-host links at all (photon.py:313-325 partitions into
+    internal/external and only follows internal).
+
+    Output (one row per target host with ≥1 external in-link):
+      host, n_inlinks, n_ref_hosts, n_ref_domains,
+      nepotism_ppm   — same-registrable-domain in-link fraction,
+      reciprocity_ppm — fraction of distinct referring hosts this host
+                        links back to (host-level mutual edge).
+
+    Registrable domain is the last-two-labels approximation the whole
+    engine uses (kernels.etld1 rationale; production swaps in a
+    broadcast public-suffix table, same plan shape).
+
+    Scale shape: the ONE corpus-scale stage is a map-side-combinable
+    groupBy that collapses the edge log to distinct (src_host,
+    dst_host) pairs — everything downstream (reciprocity self-join,
+    per-host rollup) runs at host-pair dimension scale. Self-host
+    edges (navigation) are excluded before the collapse. Integer ppm
+    via floor ⇒ cross-engine exact.
+    """
+    dom = lambda c: F.array_join(  # noqa: E731
+        F.slice(F.split(c, "\\."), -2, 2), "."
+    )
+    host = lambda c: F.coalesce(  # noqa: E731
+        F.parse_url(c, F.lit("HOST")), c
+    )
+    pairs = (
+        edges.select(
+            host(F.col(src_col)).alias("src_host"),
+            host(F.col(dst_col)).alias("dst_host"),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+        .withColumn("src_dom", dom(F.col("src_host")))
+        .withColumn("dst_dom", dom(F.col("dst_host")))
+    )
+    back = pairs.select(
+        F.col("src_host").alias("dst_host"), F.col("dst_host").alias("src_host")
+    )
+    recip = (
+        pairs.select("src_host", "dst_host")
+        .join(back, ["src_host", "dst_host"], "left_semi")
+        .groupBy("dst_host")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    per_host = pairs.groupBy("dst_host").agg(
+        F.sum("n_links").alias("n_inlinks"),
+        F.count("*").alias("n_ref_hosts"),
+        F.countDistinct("src_dom").alias("n_ref_domains"),
+        F.sum(
+            F.when(F.col("src_dom") == F.col("dst_dom"), F.col("n_links")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_nep"),
+    )
+    return (
+        per_host.join(recip, "dst_host", "left")
+        .select(
+            F.col("dst_host").alias("host"),
+            "n_inlinks",
+            "n_ref_hosts",
+            "n_ref_domains",
+            F.floor(
+                F.col("n_nep") * 1000000 / F.col("n_inlinks")
+            ).cast("bigint").alias("nepotism_ppm"),
+            F.floor(
+                F.coalesce(F.col("n_recip"), F.lit(0))
+                * 1000000
+                / F.col("n_ref_hosts")
+            ).cast("bigint").alias("reciprocity_ppm"),
+        )
+    )

@@ -5457,5 +5457,11 @@ _TAIL = (
     "a3_approx_cardinality",
     "ann_ivf_topk",
 )
+
+# Part 3 of the registry (registers into the same Q on import) —
+# imported BEFORE the _TAIL reorder so parked entries stay last and
+# the new oracled entries sit with the other past-window oracled ones.
+from photon_spark import queries_ext2  # noqa: E402,F401
+
 for _name in _TAIL:
     Q[_name] = Q.pop(_name)

@@ -1,0 +1,66 @@
+"""Driver-contract registry, part 3 — round-3 continuation additions.
+
+Same contract as photon_spark/queries.py (registers into the same Q
+dict via the shared @q decorator): Spark callable + colocated DuckDB
+oracle SQL, aliases matched on both sides, inputs synthesized
+deterministically from the driver's parquet tables with IDENTICAL
+expressions — or, where the Spark side parses REAL constructed
+artifacts (URLs, markup, archive bytes), the oracle computes the
+closed form so a hash match proves the parser inverts the
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_spark.queries import _t, q
+
+# ---------------------------------------------------------------------------
+# Link-provenance signals (plans/schedule.link_signals): referring-domain
+# diversity + nepotism + reciprocity per target host. The Spark side
+# parses hosts/domains out of REAL URL strings (parse_url + label
+# slicing); the oracle computes the same quantities from the key
+# arithmetic the URLs were built from — the hash match proves URL
+# parsing inverts URL construction. Hosts h<k>.d<k%13>.test give 100
+# hosts over 13 registrable domains; dst=(k//7)%100 yields organic
+# same-domain (nepotistic) and mutual (reciprocal) pairs.
+
+
+@q(
+    "link_diversity_signals",
+    "WITH e AS (SELECT o_orderkey % 100 AS s, (o_orderkey // 7) % 100 AS d"
+    "  FROM orders WHERE o_orderkey % 100 <> (o_orderkey // 7) % 100),"
+    " hp AS (SELECT s, d, COUNT(*) AS n_links FROM e GROUP BY s, d),"
+    " rec AS (SELECT a.d, COUNT(*) AS n_recip FROM hp a"
+    "   WHERE EXISTS (SELECT 1 FROM hp b WHERE b.s = a.d AND b.d = a.s)"
+    "   GROUP BY a.d),"
+    " agg AS (SELECT d, SUM(n_links) AS n_inlinks, COUNT(*) AS n_ref_hosts,"
+    "   COUNT(DISTINCT s % 13) AS n_ref_domains,"
+    "   SUM(CASE WHEN s % 13 = d % 13 THEN n_links ELSE 0 END) AS n_nep"
+    "  FROM hp GROUP BY d)"
+    " SELECT 'h' || CAST(agg.d AS VARCHAR) || '.d' || CAST(agg.d % 13 AS VARCHAR)"
+    "   || '.test' AS host,"
+    "  n_inlinks, n_ref_hosts, n_ref_domains,"
+    "  CAST(floor(n_nep * 1000000 / n_inlinks) AS BIGINT) AS nepotism_ppm,"
+    "  CAST(floor(COALESCE(rec.n_recip, 0) * 1000000 / n_ref_hosts) AS BIGINT)"
+    "   AS reciprocity_ppm"
+    " FROM agg LEFT JOIN rec ON agg.d = rec.d",
+)
+def link_signals_q(spark, sf):
+    from photon_spark.plans.schedule import link_signals
+
+    o = _t(spark, sf, "orders")
+    mk = lambda k: F.concat(  # noqa: E731
+        F.lit("http://h"),
+        k.cast("string"),
+        F.lit(".d"),
+        (k % 13).cast("string"),
+        F.lit(".test/p/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    edges = o.select(
+        mk(F.col("o_orderkey") % 100).alias("src_url"),
+        mk(F.expr("(o_orderkey div 7) % 100")).alias("dst_url"),
+    )
+    return link_signals(edges)

@@ -227,3 +227,38 @@ def test_opic_update_conserves_cash_across_discovery(spark):
     assert abs(sum(r["cash"] for r in rows) - 1.0) < 1e-12
     new = {r["host"]: r for r in rows}
     assert new[3]["cash"] > 0.0  # discovered host received this wave
+
+
+def test_link_signals_hand_graph(spark):
+    """Hand-built 4-host graph: nepotism and reciprocity exact, self-host
+    edges excluded, multi-edges counted in n_inlinks but not n_ref_hosts."""
+    from photon_spark.plans.schedule import link_signals
+
+    E = [
+        # a.x.test <-> b.x.test mutual, same domain x.test (nepotistic both ways)
+        ("http://a.x.test/1", "http://b.x.test/"),
+        ("http://a.x.test/2", "http://b.x.test/"),  # multi-edge
+        ("http://b.x.test/1", "http://a.x.test/"),
+        # c.y.test -> b.x.test (diverse domain, not reciprocated)
+        ("http://c.y.test/1", "http://b.x.test/"),
+        # self-host edge: must be ignored entirely
+        ("http://b.x.test/nav", "http://b.x.test/other"),
+        # d.z.test -> c.y.test one-way
+        ("http://d.z.test/1", "http://c.y.test/"),
+    ]
+    edges = spark.createDataFrame(E, ["src_url", "dst_url"])
+    rows = {r["host"]: r.asDict() for r in link_signals(edges).collect()}
+
+    b = rows["b.x.test"]
+    assert b["n_inlinks"] == 3  # two from a + one from c; self-edge dropped
+    assert b["n_ref_hosts"] == 2 and b["n_ref_domains"] == 2
+    assert b["nepotism_ppm"] == 666666  # 2 of 3 in-links same-domain
+    assert b["reciprocity_ppm"] == 500000  # links back to a, not to c
+
+    a = rows["a.x.test"]
+    assert a["n_inlinks"] == 1 and a["nepotism_ppm"] == 1000000
+    assert a["reciprocity_ppm"] == 1000000  # a links back to b
+
+    c = rows["c.y.test"]
+    assert c["reciprocity_ppm"] == 0 and c["nepotism_ppm"] == 0
+    assert "d.z.test" not in rows  # no in-links => no row
