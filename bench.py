@@ -142,6 +142,7 @@ HEADLINE = [
     "hreflang_confirmed_pairs",
     "discovery_saturation",
     "link_diversity_signals",
+    "main_content_extract",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

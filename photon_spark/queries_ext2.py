@@ -64,3 +64,66 @@ def link_signals_q(spark, sf):
         mk(F.expr("(o_orderkey div 7) % 100")).alias("dst_url"),
     )
     return link_signals(edges)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (operators/textstats.main_content): jusText /
+# Arc90-class line classification. Bodies are synthesized with a nav
+# bar (link-only, short), the real paragraph, a mixed line whose link
+# density straddles the 30% threshold by doc_id (%3==0 gains enough
+# prose to pass; the rest fail on density while PASSING min_words), and
+# a short footer — so every branch of the keep rule fires on real rows.
+
+_MC_BODY_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit(
+        '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a>'
+        ' <a href="/contact">Contact</a></div>\n'
+    ),
+    F.col("text"),
+    F.lit('\nRead <a href="/p'),
+    F.col("doc_id").cast("string"),
+    F.lit('">more about '),
+    F.col("source"),
+    F.lit("</a>"),
+    F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(" plus plenty of ordinary prose words following the single link here"),
+    ).otherwise(F.lit(" now")),
+    F.lit("\nCopyright 2026 example"),
+)
+_MC_BODY_SQL = (
+    "'<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About us</a>"
+    " <a href=\"/contact\">Contact</a></div>' || chr(10) || text"
+    " || chr(10) || 'Read <a href=\"/p' || CAST(doc_id AS VARCHAR)"
+    " || '\">more about ' || source || '</a>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' plus plenty of ordinary prose words following the single link here'"
+    " ELSE ' now' END || chr(10) || 'Copyright 2026 example'"
+)
+
+
+@q(
+    "main_content_extract",
+    f"WITH base AS (SELECT doc_id, {_MC_BODY_SQL} AS body FROM documents),"
+    " per AS (SELECT doc_id, list_transform(string_split(body, chr(10)),"
+    "   x -> struct_pack("
+    "    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),"
+    "      '\\s+', ' ', 'g')),"
+    "    link_chars := coalesce(list_sum(list_transform("
+    "      regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1),"
+    "      y -> length(y))), 0))) AS per FROM base),"
+    " k AS (SELECT doc_id, per, list_filter(per, p -> p.txt <> ''"
+    "   AND len(string_split(p.txt, ' ')) >= 5"
+    "   AND p.link_chars * 1000000 <= 300000 * length(p.txt)) AS kept FROM per)"
+    " SELECT doc_id, len(per) AS n_lines, len(kept) AS n_kept,"
+    "  CAST(floor(len(kept) * 1000000 / len(per)) AS BIGINT) AS kept_ppm,"
+    "  md5(array_to_string(list_transform(kept, p -> p.txt), chr(10)))"
+    "   AS content_md5 FROM k",
+)
+def main_content_q(spark, sf):
+    from photon_spark.operators.textstats import main_content
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _MC_BODY_SPARK().alias("body")
+    )
+    return main_content(docs, min_words=5, max_link_ppm=300_000)

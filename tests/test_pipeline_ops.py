@@ -2346,3 +2346,46 @@ def test_mirror_host_pairs_hot_shingle_cap(spark):
         df, hot_hosts=10, min_jaccard_micro=1
     ).collect()
     assert len(uncapped) == 10  # all C(5,2) pairs share the boilerplate
+
+
+def test_main_content_line_classification(spark):
+    """Each keep-rule branch pinned: nav dropped (short + link-dense),
+    prose kept, density-fail-with-enough-words dropped, diluted-link
+    line kept, blank/footer dropped; all-dropped doc hashes md5('')."""
+    import hashlib
+
+    from photon_spark.operators.textstats import main_content
+
+    prose = "the quick brown fox jumps over the lazy dog today"
+    dense = 'See <a href="/x">this important long anchor text</a> ok'
+    diluted = (
+        'One <a href="/y">tiny</a> link inside a genuinely long line of '
+        "plain prose that easily clears the density threshold"
+    )
+    body1 = "\n".join(
+        ['<a href="/">Home</a> <a href="/b">B</a>', prose, dense, "", diluted, "tiny footer"]
+    )
+    docs = spark.createDataFrame(
+        [(1, body1), (2, '<a href="/">Home</a>\n\nshort one')], ["doc_id", "body"]
+    )
+    rows = {r["doc_id"]: r.asDict() for r in main_content(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 6 and r1["n_kept"] == 2
+    # kept content = stripped prose + diluted line, in order
+    stripped_diluted = (
+        "One tiny link inside a genuinely long line of plain prose that "
+        "easily clears the density threshold"
+    )
+    want = hashlib.md5(f"{prose}\n{stripped_diluted}".encode()).hexdigest()
+    assert r1["content_md5"] == want
+    assert r1["kept_ppm"] == 333333
+
+    # the dense line has >= 5 words after stripping but 34 link chars of
+    # 48 text chars (70%) — it must fail on DENSITY, not word count
+    stripped_dense = "See this important long anchor text ok"
+    assert len(stripped_dense.split(" ")) >= 5
+
+    r2 = rows[2]
+    assert r2["n_kept"] == 0
+    assert r2["content_md5"] == hashlib.md5(b"").hexdigest()
