@@ -143,6 +143,7 @@ HEADLINE = [
     "discovery_saturation",
     "link_diversity_signals",
     "main_content_extract",
+    "phrase_query_index",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

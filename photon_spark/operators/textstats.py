@@ -1284,3 +1284,60 @@ def main_content(
             ).alias("content_md5"),
         )
     )
+
+
+def build_postings(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted index: one row per (term, doc_id) with the
+    sorted in-document position list and term frequency.
+
+    The build-once query-many artifact under bm25_topk / phrase_query:
+    ONE tokenization pass, one explode to O(tokens) rows, ONE
+    (term, doc_id)-keyed aggregation (map-side combinable — each
+    partition collapses its repeats before the exchange). At corpus
+    scale the output is written bucketed by ``term``
+    (plans/bucketing.write_bucketed), so every term-keyed query reads
+    only its buckets and term-term joins plan with zero exchange.
+    """
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").alias("tf"),
+    )
+
+
+def phrase_query(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact phrase search executed THROUGH the positional index:
+    intersect position lists term by term instead of rescanning text.
+
+    Keeps the set of validated phrase-START positions: after joining
+    term i's postings (an equi-join on doc_id between term-filtered —
+    hence tiny — slices of the index), a start s survives iff s+i is in
+    term i's position list. All position work is in-row array HOFs; the
+    per-term slices prune to single buckets on a term-bucketed index.
+    Returns (doc_id, n_occurrences) for docs containing the phrase —
+    overlapping occurrences counted, same contract as keyword_scan.
+    """
+    if not terms:
+        raise ValueError("phrase_query needs at least one term")
+    base = postings.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    def _survivors(i: int):
+        # closure (not a default-arg lambda: pyspark reads lambda arity
+        # from the Python signature, so an extra bound arg would be
+        # taken as a second higher-order-function variable)
+        plist = F.col(f"p{i}")
+        return F.filter(
+            "starts", lambda s: F.array_contains(plist, s + F.lit(i))
+        ).alias("starts")
+
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        base = base.join(nxt, "doc_id").select("doc_id", _survivors(i))
+    return base.select(
+        "doc_id", F.size("starts").cast("bigint").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)

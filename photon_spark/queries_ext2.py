@@ -127,3 +127,41 @@ def main_content_q(spark, sf):
         "doc_id", _MC_BODY_SPARK().alias("body")
     )
     return main_content(docs, min_words=5, max_link_ppm=300_000)
+
+
+# ---------------------------------------------------------------------------
+# Positional inverted index + phrase search THROUGH it
+# (textstats.build_postings / phrase_query). The Spark side answers via
+# the index route (posting-list intersection); the oracle rescans the
+# token arrays directly — the hash match proves index-and-intersect is
+# exactly the direct scan, at both loop depths (2- and 3-term phrase).
+
+_PHRASE_N_SQL = lambda k, terms: (  # noqa: E731
+    f"len(list_filter(generate_series(1, len(t) - {k - 1}), i -> "
+    + " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(terms))
+    + "))"
+)
+
+
+@q(
+    "phrase_query_index",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+    f" p2 AS (SELECT doc_id, {_PHRASE_N_SQL(2, ['table', 'value'])} AS n FROM toks),"
+    f" p3 AS (SELECT doc_id, {_PHRASE_N_SQL(3, ['fast', 'table', 'value'])} AS n"
+    "   FROM toks)"
+    " SELECT 'table value' AS phrase, doc_id, n AS n_occurrences FROM p2 WHERE n > 0"
+    " UNION ALL"
+    " SELECT 'fast table value' AS phrase, doc_id, n AS n_occurrences FROM p3"
+    "  WHERE n > 0",
+)
+def phrase_q(spark, sf):
+    from photon_spark.operators.textstats import build_postings, phrase_query
+
+    postings = build_postings(_t(spark, sf, "documents", spread=True))
+    two = phrase_query(postings, ["table", "value"]).select(
+        F.lit("table value").alias("phrase"), "doc_id", "n_occurrences"
+    )
+    three = phrase_query(postings, ["fast", "table", "value"]).select(
+        F.lit("fast table value").alias("phrase"), "doc_id", "n_occurrences"
+    )
+    return two.unionByName(three)

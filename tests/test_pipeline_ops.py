@@ -2389,3 +2389,42 @@ def test_main_content_line_classification(spark):
     r2 = rows[2]
     assert r2["n_kept"] == 0
     assert r2["content_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_postings_and_phrase_query(spark):
+    """Index positions pinned by hand; phrase search via the index:
+    overlapping matches counted, repeated-term phrase, single-term
+    degenerate path, absent phrase, ValueError on empty."""
+    import pytest as _pytest
+
+    from photon_spark.operators.textstats import build_postings, phrase_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # 'a b a' occurs at 0 and 2 (overlapping)
+            (2, "b b b"),
+            (3, "a a a a"),  # 'a a' occurs 3 times
+        ],
+        ["doc_id", "text"],
+    )
+    postings = build_postings(docs).persist()
+    rows = {
+        (r["term"], r["doc_id"]): r.asDict() for r in postings.collect()
+    }
+    assert rows[("a", 1)]["positions"] == [0, 2, 4]
+    assert rows[("a", 1)]["tf"] == 3
+    assert rows[("b", 2)]["positions"] == [0, 1, 2]
+
+    aba = {r["doc_id"]: r["n_occurrences"] for r in phrase_query(postings, ["a", "b", "a"]).collect()}
+    assert aba == {1: 2}  # overlapping starts 0 and 2 both count
+
+    aa = {r["doc_id"]: r["n_occurrences"] for r in phrase_query(postings, ["a", "a"]).collect()}
+    assert aa == {3: 3}
+
+    single = {r["doc_id"]: r["n_occurrences"] for r in phrase_query(postings, ["b"]).collect()}
+    assert single == {1: 2, 2: 3}
+
+    assert phrase_query(postings, ["b", "a", "b", "a", "b"]).count() == 0
+    with _pytest.raises(ValueError):
+        phrase_query(postings, [])
+    postings.unpersist()
