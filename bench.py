@@ -144,6 +144,7 @@ HEADLINE = [
     "link_diversity_signals",
     "main_content_extract",
     "phrase_query_index",
+    "bitext_sentence_pairs",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1341,3 +1341,62 @@ def phrase_query(postings: DataFrame, terms: list[str]) -> DataFrame:
     return base.select(
         "doc_id", F.size("starts").cast("bigint").alias("n_occurrences")
     ).filter(F.col("n_occurrences") > 0)
+
+
+def bitext_mine(
+    pairs: DataFrame,
+    body_a: str = "body_a",
+    body_b: str = "body_b",
+    min_chars: int = 8,
+    max_ratio_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Parallel-corpus mining from language-alternate page pairs
+    (the training-data consumer of hreflang_confirmed edges).
+
+    Position-aligned sentence pairing with the Gale-Church length
+    filter (Gale & Church 1993): split both bodies into sentences,
+    align by index, keep a pair iff both sides clear ``min_chars`` and
+    the length ratio stays within ``max_ratio_ppm`` (integer
+    cross-multiply, no float division). Position alignment is the
+    right model for hreflang alternates — they are the SAME template
+    rendered per language — and is what public bitext pipelines
+    (ParaCrawl/CCMatrix harvesting) run before the heavier DP or
+    embedding aligners; those slot in as a rescoring stage over these
+    candidates. Sentences only one side has (zip null-padding) drop.
+
+    Whole pass is per-row JVM work plus the output-sized posexplode —
+    zero shuffle beyond whatever join built ``pairs``. Output keeps
+    the evidence lengths and an md5 of the pair for narrow compares.
+    """
+    sent_split = lambda c: F.split(  # noqa: E731
+        F.regexp_replace(F.col(c), "([.!?])\\s+", "$1\x01"), "\x01"
+    )
+    z = F.arrays_zip(
+        sent_split(body_a).alias("a"), sent_split(body_b).alias("b")
+    )
+    out = pairs.select(
+        "doc_id", F.posexplode(z).alias("sent_idx", "p")
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+    )
+    la, lb = F.length("a"), F.length("b")
+    return (
+        out.filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (la >= min_chars)
+            & (lb >= min_chars)
+            & (la * F.lit(1_000_000) <= F.lit(max_ratio_ppm) * lb)
+            & (lb * F.lit(1_000_000) <= F.lit(max_ratio_ppm) * la)
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            la.cast("bigint").alias("len_a"),
+            lb.cast("bigint").alias("len_b"),
+            F.md5(F.concat("a", F.lit("\x02"), "b")).alias("pair_md5"),
+        )
+    )

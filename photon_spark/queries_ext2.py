@@ -165,3 +165,74 @@ def phrase_q(spark, sf):
         F.lit("fast table value").alias("phrase"), "doc_id", "n_occurrences"
     )
     return two.unionByName(three)
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining (textstats.bitext_mine): position-aligned sentence
+# pairs from language-alternate bodies with the Gale-Church length
+# gate. Side A = 8-word sentences of the doc text (+ an A-only
+# epilogue sentence on doc_id%3==0 — exercises zip null-padding);
+# side B = the "translation" (chunk + ' zz'), with planted failures:
+# (doc_id+j)%5==0 doubles the sentence (ratio > 2 → dropped),
+# (doc_id+j)%7==0 replaces it with 'ok.' (min_chars → dropped).
+
+_BX_A_SPARK = lambda toks, idxs, chunk: F.concat(  # noqa: E731
+    F.array_join(
+        F.transform(idxs, lambda j: F.concat(chunk(j), F.lit("."))), " "
+    ),
+    F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(" side a epilogue sentence present only here."),
+    ).otherwise(F.lit("")),
+)
+
+
+@q(
+    "bitext_sentence_pairs",
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " c AS (SELECT doc_id, list_transform(generate_series(0, (len(w)-1)//8),"
+    "   j -> array_to_string(w[j*8+1:j*8+8], ' ')) AS ch FROM base),"
+    " ab AS (SELECT doc_id,"
+    "  array_to_string(list_transform(ch, x -> x || '.'), ' ')"
+    "   || CASE WHEN doc_id % 3 = 0 THEN"
+    "    ' side a epilogue sentence present only here.' ELSE '' END AS a_body,"
+    "  array_to_string(list_transform(generate_series(1, len(ch)), i ->"
+    "   CASE WHEN (doc_id + i - 1) % 5 = 0 THEN ch[i] || ' ' || ch[i] || ' xx'"
+    "        WHEN (doc_id + i - 1) % 7 = 0 THEN 'ok'"
+    "        ELSE ch[i] || ' zz' END || '.'), ' ') AS b_body FROM c),"
+    " s AS (SELECT doc_id,"
+    "  string_split(regexp_replace(a_body, '([.!?])\\s+', '\\1' || chr(1), 'g'),"
+    "   chr(1)) AS sa,"
+    "  string_split(regexp_replace(b_body, '([.!?])\\s+', '\\1' || chr(1), 'g'),"
+    "   chr(1)) AS sb FROM ab),"
+    " e AS (SELECT doc_id, unnest(generate_series(1, greatest(len(sa), len(sb))))"
+    "   AS i, sa, sb FROM s)"
+    " SELECT doc_id, i - 1 AS sent_idx, length(sa[i]) AS len_a,"
+    "  length(sb[i]) AS len_b, md5(sa[i] || chr(2) || sb[i]) AS pair_md5"
+    " FROM e WHERE sa[i] IS NOT NULL AND sb[i] IS NOT NULL"
+    "  AND length(sa[i]) >= 8 AND length(sb[i]) >= 8"
+    "  AND length(sa[i]) * 1000000 <= 2000000 * length(sb[i])"
+    "  AND length(sb[i]) * 1000000 <= 2000000 * length(sa[i])",
+)
+def bitext_q(spark, sf):
+    from photon_spark.operators.textstats import bitext_mine
+
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(toks) - 1) / F.lit(8)).cast("int")
+    idxs = F.sequence(F.lit(0), n_chunks)
+    chunk = lambda j: F.concat_ws(" ", F.slice(toks, j * 8 + 1, 8))  # noqa: E731
+    b_sent = lambda j: F.concat(  # noqa: E731
+        F.when(
+            (F.col("doc_id") + j) % 5 == 0,
+            F.concat(chunk(j), F.lit(" "), chunk(j), F.lit(" xx")),
+        )
+        .when((F.col("doc_id") + j) % 7 == 0, F.lit("ok"))
+        .otherwise(F.concat(chunk(j), F.lit(" zz"))),
+        F.lit("."),
+    )
+    pairs = _t(spark, sf, "documents").select(
+        "doc_id",
+        _BX_A_SPARK(toks, idxs, chunk).alias("body_a"),
+        F.array_join(F.transform(idxs, b_sent), " ").alias("body_b"),
+    )
+    return bitext_mine(pairs)

@@ -2428,3 +2428,34 @@ def test_postings_and_phrase_query(spark):
     with _pytest.raises(ValueError):
         phrase_query(postings, [])
     postings.unpersist()
+
+
+def test_bitext_mine_gates(spark):
+    """Length-ratio boundary inclusive at exactly 2.0, strict drop just
+    over, min_chars gate, and zip null-padding for unpaired sentences."""
+    a = "alpha beta gamma delta. twelve chars. short one x. only on side a."
+    #       sent0 (23 chars)      sent1 (13)    sent2 (12)   sent3 unpaired drop
+    b = (
+        "alpha beta gamma delta epsilon zeta eta theta iota k."  # 53 <= 2*23? no -> 53 > 46 drop
+        " twelve chars twelve charsx."  # 27 vs 13: 27 > 26 drop (just over 2x)
+        " short one xy 23456789."  # 22 <= 24 = 2*12 keep (within ratio)
+    )
+    docs = spark.createDataFrame([(1, a, b)], ["doc_id", "body_a", "body_b"])
+    from photon_spark.operators.textstats import bitext_mine
+
+    rows = {r["sent_idx"]: r.asDict() for r in bitext_mine(docs).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["len_a"] == 12 and rows[2]["len_b"] == 22
+
+    # exact 2.0 ratio is INCLUSIVE: 8 vs 16 chars survives
+    docs2 = spark.createDataFrame(
+        [(2, "abcdefg.", "abcdefg abcdefg.")], ["doc_id", "body_a", "body_b"]
+    )
+    kept = bitext_mine(docs2).collect()
+    assert len(kept) == 1 and kept[0]["len_a"] == 8 and kept[0]["len_b"] == 16
+
+    # min_chars: a 7-char sentence drops even when perfectly matched
+    docs3 = spark.createDataFrame(
+        [(3, "abcdef.", "abcdef.")], ["doc_id", "body_a", "body_b"]
+    )
+    assert bitext_mine(docs3).count() == 0
