@@ -145,6 +145,7 @@ HEADLINE = [
     "main_content_extract",
     "phrase_query_index",
     "bitext_sentence_pairs",
+    "mg_host_heavy_hitters",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1673,3 +1673,62 @@ def link_signals(
             ).cast("bigint").alias("reciprocity_ppm"),
         )
     )
+
+
+def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy hitters — the DETERMINISTIC-bound mergeable
+    counterpart to cms_sketch (Misra & Gries 1982; mergeability per
+    Agarwal et al. 2013 "Mergeable Summaries").
+
+    Each partition folds its stream into ≤ k counters (add, then when
+    the table exceeds k subtract the (k+1)-th largest count from all
+    and drop non-positives — the array form of MG's decrement). The
+    per-partition summaries (≤ P·k rows total, independent of input
+    size — the same shuffle-collapse property as cms_sketch) are then
+    merged with ONE more MG reduction: sum by key, subtract the
+    (k+1)-th largest merged count, keep positives.
+
+    Guarantees (vs CMS's probabilistic ones): estimates NEVER exceed
+    the true count, undercount by at most N/(k+1) total, and every key
+    with true frequency > N/(k+1) survives. Use MG when a hard
+    deterministic bound is wanted; CMS when point estimates for ALL
+    keys (not just survivors) are.
+
+    The final reduction's rank window runs on the merged summary frame
+    — bounded at P·k rows by construction, so the single-partition
+    window is dimension-scale, not a corpus hazard.
+    """
+    import pandas as pd  # noqa: F401
+
+    def summarize(batches):
+        summary: dict = {}
+        for pdf in batches:
+            for key, c in pdf[col].value_counts().items():
+                summary[key] = summary.get(key, 0) + int(c)
+            if len(summary) > k:
+                vals = sorted(summary.values(), reverse=True)
+                dec = vals[k]
+                summary = {kk: v - dec for kk, v in summary.items() if v > dec}
+        if summary:
+            yield pd.DataFrame(
+                {col: list(summary), "c": list(summary.values())}
+            )
+
+    part = df.select(col).mapInPandas(summarize, schema=f"{col} string, c long")
+    merged = part.groupBy(col).agg(F.sum("c").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col(col).asc())
+    ranked = merged.select(col, "c", F.row_number().over(w).alias("rk"))
+    # always exactly one row (NULL dec when the merged summary already
+    # fits in k counters) — a filter-then-cross would yield an EMPTY
+    # frame in that case and wipe the result
+    thresh = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("c"))), F.lit(0)
+        ).alias("dec")
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(thresh))
+        .select(col, (F.col("c") - F.col("dec")).alias("est_count"))
+        .filter(F.col("est_count") > 0)
+    )

@@ -236,3 +236,18 @@ def bitext_q(spark, sf):
         F.array_join(F.transform(idxs, b_sent), " ").alias("body_b"),
     )
     return bitext_mine(pairs)
+
+
+@q("mg_host_heavy_hitters", None)  # rows-only: partition-order-dependent summary
+def mg_heavy_q(spark, sf):
+    """Misra-Gries heavy hitters over the same events-derived host
+    stream as cms_host_heavy_hitters — the deterministic-bound sibling
+    (never overcounts, undercount ≤ N/(k+1), all keys above that
+    threshold survive; bounds pytest-pinned in test_pipeline_ops.py).
+    k=16 < 41 distinct hosts so the decrement path genuinely engages."""
+    from photon_spark.plans.schedule import misra_gries
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 41).cast("string")).alias("host")
+    )
+    return misra_gries(ev, "host", k=16)

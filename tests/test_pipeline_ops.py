@@ -2459,3 +2459,39 @@ def test_bitext_mine_gates(spark):
         [(3, "abcdef.", "abcdef.")], ["doc_id", "body_a", "body_b"]
     )
     assert bitext_mine(docs3).count() == 0
+
+
+def test_misra_gries_deterministic_bounds(spark):
+    """MG guarantees on a Zipf-skewed plant: never overcounts,
+    undercount <= N/(k+1), every key with true freq > N/(k+1)
+    survives, and <= k counters come back."""
+    from photon_spark.plans.schedule import misra_gries
+
+    # Zipf-ish: key j appears floor(3000/j) times, j = 1..60
+    rows = [(f"k{j}",) for j in range(1, 61) for _ in range(3000 // j)]
+    true = {f"k{j}": 3000 // j for j in range(1, 61)}
+    n = sum(true.values())
+    k = 12
+    df = spark.createDataFrame(rows, ["host"]).repartition(8)
+    est = {r["host"]: r["est_count"] for r in misra_gries(df, "host", k=k).collect()}
+
+    assert len(est) <= k
+    bound = n / (k + 1)
+    for key, e in est.items():
+        assert e <= true[key], (key, e, true[key])
+        assert true[key] - e <= bound, (key, e, true[key], bound)
+    for key, t in true.items():
+        if t > bound:
+            assert key in est, (key, t, bound)
+
+
+def test_misra_gries_exact_when_fits(spark):
+    """With k >= distinct keys no decrement ever fires: MG returns the
+    EXACT counts (both the per-partition fold and the merge must take
+    their no-reduction paths, incl. the empty-threshold row)."""
+    from photon_spark.plans.schedule import misra_gries
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, ["host"]).repartition(4)
+    est = {r["host"]: r["est_count"] for r in misra_gries(df, "host", k=8).collect()}
+    assert est == {"a": 5, "b": 3, "c": 2}
