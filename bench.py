@@ -146,6 +146,7 @@ HEADLINE = [
     "phrase_query_index",
     "bitext_sentence_pairs",
     "mg_host_heavy_hitters",
+    "ucb_host_budget",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1732,3 +1732,76 @@ def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .select(col, (F.col("c") - F.col("dec")).alias("est_count"))
         .filter(F.col("est_count") > 0)
     )
+
+
+def ucb_host_allocation(
+    log: DataFrame,
+    host_col: str = "host",
+    yield_col: str = "n_new",
+    budget_hosts: int = 10,
+    hosts: DataFrame | None = None,
+) -> DataFrame:
+    """UCB1 bandit allocation of the next wave's fetch budget across
+    hosts (Auer et al. 2002): score = mean yield + sqrt(2·ln N / n).
+
+    The explore/exploit complement to adaptive_host_budgets (AIMD
+    reacts to errors; UCB1 seeks the hosts whose pages YIELD the most
+    new links/intel per fetch while still sampling under-observed
+    ones). ``log`` is the per-fetch outcome log (one row per pull with
+    its integer yield); ``hosts`` optionally supplies the full host
+    universe — never-pulled hosts get classic UCB1 first-pull priority
+    (selected before any scored host, ordered by host for
+    determinism).
+
+    Exactness: the exploitation term is exact integer micro-units
+    (total·10⁶ div n — integer division, no float sum); only the
+    exploration bonus touches floats (ln/sqrt), quantized with the
+    1e-6 floor-trick that absorbs cross-engine ulps (tfidf_topk
+    precedent). Plan: ONE map-side-combinable host agg over the log +
+    a 1-row total broadcast; the rank window runs on the per-host
+    frame — dimension-scale by construction (same class as host_rank's
+    output), not a corpus-width window.
+    """
+    per_host = log.groupBy(host_col).agg(
+        F.count("*").alias("n_pulls"),
+        F.sum(F.col(yield_col)).alias("total_yield"),
+    )
+    total = per_host.agg(F.sum("n_pulls").alias("n_total"))
+    scored = per_host.crossJoin(F.broadcast(total)).select(
+        host_col,
+        "n_pulls",
+        F.expr("total_yield * 1000000 div n_pulls").alias("mean_micro"),
+        (
+            F.expr("total_yield * 1000000 div n_pulls")
+            + F.floor(
+                F.sqrt(
+                    F.lit(2.0)
+                    * F.log(F.col("n_total").cast("double"))
+                    / F.col("n_pulls").cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("ucb_micro"),
+    )
+    if hosts is not None:
+        universe = hosts.select(host_col).distinct()
+        unpulled = universe.join(scored, host_col, "left_anti").select(
+            F.col(host_col),
+            F.lit(0).cast("bigint").alias("n_pulls"),
+            F.lit(None).cast("bigint").alias("mean_micro"),
+            F.lit(None).cast("bigint").alias("ucb_micro"),
+        )
+        scored = scored.unionByName(unpulled)
+    w = Window.orderBy(
+        (F.col("n_pulls") > 0).cast("int").asc(),
+        F.coalesce(F.col("ucb_micro"), F.lit(0)).desc(),
+        F.col(host_col).asc(),
+    )
+    return scored.select(
+        host_col,
+        "n_pulls",
+        "mean_micro",
+        "ucb_micro",
+        (F.row_number().over(w) <= budget_hosts).alias("selected"),
+    )

@@ -251,3 +251,46 @@ def mg_heavy_q(spark, sf):
         F.concat(F.lit("h"), (F.col("user_id") % 41).cast("string")).alias("host")
     )
     return misra_gries(ev, "host", k=16)
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit fetch-budget allocation (plans/schedule.ucb_host_allocation).
+# Log: one pull per event on hosts h(user_id%23) with integer yield
+# event_id%17; universe h0..h24 (nation) leaves h23/h24 never-pulled so
+# the first-pull-priority path is driver-gated too. Exploitation term is
+# exact integer division; the ln/sqrt exploration bonus uses the 1e-6
+# floor-trick (tfidf precedent).
+
+
+@q(
+    "ucb_host_budget",
+    "WITH log AS (SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,"
+    "   CAST(event_id % 17 AS BIGINT) AS n_new FROM events),"
+    " per AS (SELECT host, COUNT(*) AS n_pulls, SUM(n_new) AS ty"
+    "   FROM log GROUP BY host),"
+    " tot AS (SELECT SUM(n_pulls) AS n_total FROM per),"
+    " sc AS (SELECT host, n_pulls, ty * 1000000 // n_pulls AS mean_micro,"
+    "   ty * 1000000 // n_pulls + CAST(floor(sqrt(2.0 * ln(CAST(n_total AS"
+    "   DOUBLE)) / CAST(n_pulls AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    "   AS ucb_micro FROM per, tot),"
+    " uni AS (SELECT DISTINCT 'h' || CAST(n_nationkey % 25 AS VARCHAR)"
+    "   AS host FROM nation),"
+    " allh AS (SELECT * FROM sc UNION ALL"
+    "  SELECT u.host, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),"
+    "   CAST(NULL AS BIGINT) FROM uni u"
+    "   WHERE NOT EXISTS (SELECT 1 FROM sc WHERE sc.host = u.host))"
+    " SELECT host, n_pulls, mean_micro, ucb_micro,"
+    "  (ROW_NUMBER() OVER (ORDER BY CASE WHEN n_pulls > 0 THEN 1 ELSE 0 END,"
+    "   COALESCE(ucb_micro, 0) DESC, host)) <= 10 AS selected FROM allh",
+)
+def ucb_q(spark, sf):
+    from photon_spark.plans.schedule import ucb_host_allocation
+
+    log = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"),
+        (F.col("event_id") % 17).cast("bigint").alias("n_new"),
+    )
+    hosts = _t(spark, sf, "nation").select(
+        F.concat(F.lit("h"), (F.col("n_nationkey") % 25).cast("string")).alias("host")
+    )
+    return ucb_host_allocation(log, budget_hosts=10, hosts=hosts)

@@ -262,3 +262,43 @@ def test_link_signals_hand_graph(spark):
     c = rows["c.y.test"]
     assert c["reciprocity_ppm"] == 0 and c["nepotism_ppm"] == 0
     assert "d.z.test" not in rows  # no in-links => no row
+
+
+def test_ucb_host_allocation_semantics(spark):
+    """Pure-Python UCB1 reference on a hand log: scores match exactly
+    (integer mean + floor-quantized bonus), never-pulled hosts selected
+    FIRST in host order, budget bound respected."""
+    import math
+
+    from photon_spark.plans.schedule import ucb_host_allocation
+
+    log_rows = (
+        [("a", 10)] * 4  # strong exploit arm: mean 10
+        + [("b", 2)] * 16  # weak but heavily pulled: small bonus
+        + [("c", 6)] * 1  # one pull: big exploration bonus
+    )
+    log = spark.createDataFrame(log_rows, ["host", "n_new"])
+    hosts = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",)], ["host"])
+    out = {
+        r["host"]: r.asDict()
+        for r in ucb_host_allocation(
+            log, budget_hosts=3, hosts=hosts
+        ).collect()
+    }
+
+    n_total = len(log_rows)
+    for h, pulls, mean in [("a", 4, 10), ("b", 16, 2), ("c", 1, 6)]:
+        want_mean = mean * 1_000_000
+        bonus = math.floor(
+            math.sqrt(2.0 * math.log(n_total) / pulls) * 1_000_000.0 + 0.5
+        )
+        assert out[h]["mean_micro"] == want_mean
+        assert out[h]["ucb_micro"] == want_mean + bonus, h
+
+    # never-pulled x, y take the first two budget slots; third goes to
+    # the highest UCB among scored arms (a)
+    assert out["x"]["selected"] and out["y"]["selected"]
+    assert out["x"]["n_pulls"] == 0 and out["x"]["ucb_micro"] is None
+    assert out["a"]["selected"]
+    assert not out["b"]["selected"] and not out["c"]["selected"]
+    assert sum(1 for r in out.values() if r["selected"]) == 3
