@@ -147,6 +147,7 @@ HEADLINE = [
     "bitext_sentence_pairs",
     "mg_host_heavy_hitters",
     "ucb_host_budget",
+    "decontam_fuzzy_hits",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

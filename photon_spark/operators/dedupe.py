@@ -906,3 +906,81 @@ def mirror_host_pairs(
     )
     byf.unpersist()
     return out
+
+
+def fuzzy_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_jaccard_ppm: int = 300_000,
+    k: int = SHINGLE_WORDS,
+    bands: int = BANDS,
+    n_hashes: int = MINHASHES,
+    max_bucket: int = 50,
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy sibling of
+    ``ngram_decontaminate`` (which needs a verbatim k-gram hit and so
+    misses lightly-edited eval leakage: reworded prompts, shuffled
+    answer options, whitespace-mangled copies).
+
+    Composition of two audited pieces: the benchmark plays the "new
+    ingest batch" of ``minhash_lsh_pairs_incremental`` (the corpus is
+    never self-joined — only the tiny eval set hashes fresh against
+    the stored corpus band table), then candidates are rescored with
+    EXACT shingle Jaccard in integer ppm (10⁶·|∩| div |∪| — integer
+    division, cross-engine exact) and thresholded.
+
+    Returns (doc_id, bench_id, jaccard_ppm) contamination hits;
+    ``fuzzy_decontaminated`` anti-joins the flagged docs out.
+    """
+    bench_docs = benchmark.select(
+        F.col(bench_id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    cand = minhash_lsh_pairs_incremental(
+        bench_docs,
+        documents,
+        bands=bands,
+        n_hashes=n_hashes,
+        max_bucket=max_bucket,
+    )
+    sh_c = documents.select(
+        "doc_id", shingles_col(F.col("text"), k).alias("sh_c")
+    )
+    sh_b = bench_docs.select(
+        F.col("doc_id").alias(bench_id_col),
+        shingles_col(F.col("text"), k).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_c", "sh_b"))
+    return (
+        cand.select(
+            F.col("corpus_doc").alias("doc_id"),
+            F.col("new_doc").alias(bench_id_col),
+        )
+        .join(sh_c, "doc_id")
+        .join(sh_b, bench_id_col)
+        .select(
+            "doc_id",
+            bench_id_col,
+            inter.cast("bigint").alias("n_inter"),
+            (F.size("sh_c") + F.size("sh_b") - inter).cast("bigint").alias("n_union"),
+        )
+        .select(
+            "doc_id",
+            bench_id_col,
+            F.expr("n_inter * 1000000 div n_union").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+
+
+def fuzzy_decontaminated(
+    documents: DataFrame, benchmark: DataFrame, **kwargs
+) -> DataFrame:
+    """Corpus with fuzzy-contaminated documents removed (LEFT ANTI on
+    the fuzzy_decontaminate hit set) — same removal contract as
+    ``decontaminated``."""
+    hits = fuzzy_decontaminate(documents, benchmark, **kwargs)
+    return documents.join(
+        hits.select("doc_id").distinct(), "doc_id", "left_anti"
+    )

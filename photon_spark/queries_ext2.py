@@ -294,3 +294,70 @@ def ucb_q(spark, sf):
         F.concat(F.lit("h"), (F.col("n_nationkey") % 25).cast("string")).alias("host")
     )
     return ucb_host_allocation(log, budget_hosts=10, hosts=hosts)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy benchmark decontamination (dedupe.fuzzy_decontaminate): every
+# 20th document, with its FIRST WORD DROPPED (a near- but not exact
+# duplicate — exactly the leakage ngram_decontaminate's verbatim-8-gram
+# rule can miss at small k... here it makes the Jaccard < 1 so the
+# threshold genuinely bites), plays the eval set. The oracle replays
+# the whole composition: the proven minhash family SQL with the new
+# side = benchmark, then exact integer-ppm Jaccard rescoring.
+
+_FUZZY_DECON_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bt AS (
+  SELECT doc_id AS bench_id, w[2:len(w)] AS w FROM toks WHERE doc_id % 20 = 0
+), csh AS (
+  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM toks
+), bsh AS (
+  SELECT bench_id, list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM bt
+), csig AS (
+  SELECT doc_id, list_transform(range(0, 8),
+      h -> list_min(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM csh
+), bsig AS (
+  SELECT bench_id, list_transform(range(0, 8),
+      h -> list_min(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM bsh
+), cband AS (
+  SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+  FROM csig, unnest(range(0, 4)) AS t(b)
+), bband AS (
+  SELECT bench_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+  FROM bsig, unnest(range(0, 4)) AS t(b)
+), okc AS (
+  SELECT b, key FROM cband GROUP BY b, key HAVING count(*) <= 50
+), cand AS (
+  SELECT DISTINCT bb.bench_id, cb.doc_id
+  FROM bband bb JOIN cband cb ON bb.b = cb.b AND bb.key = cb.key
+  JOIN okc ON okc.b = bb.b AND okc.key = bb.key
+)
+SELECT cand.doc_id, cand.bench_id,
+  len(list_intersect(c.sh, b.sh)) * 1000000
+    // (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))) AS jaccard_ppm
+FROM cand
+JOIN csh c ON c.doc_id = cand.doc_id
+JOIN bsh b ON b.bench_id = cand.bench_id
+WHERE len(list_intersect(c.sh, b.sh)) * 1000000
+    // (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))) >= 300000
+"""
+
+
+@q("decontam_fuzzy_hits", _FUZZY_DECON_SQL)
+def fuzzy_decon_q(spark, sf):
+    from photon_spark.operators import dedupe
+
+    docs = _t(spark, sf, "documents", spread=True)
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+    )
+    return dedupe.fuzzy_decontaminate(docs, bench)

