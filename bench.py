@@ -148,6 +148,8 @@ HEADLINE = [
     "mg_host_heavy_hitters",
     "ucb_host_budget",
     "decontam_fuzzy_hits",
+    "kwic_snippets_term",
+    "host_triangle_cc",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1400,3 +1400,50 @@ def bitext_mine(
             F.md5(F.concat("a", F.lit("\x02"), "b")).alias("pair_md5"),
         )
     )
+
+
+def kwic_snippets(
+    documents: DataFrame,
+    term: str,
+    window: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippet extraction: for every
+    occurrence of ``term`` as a whitespace token, the surrounding
+    ±``window`` tokens — the search-result snippet / concordance
+    operator that pairs with bm25_topk and phrase_query (they find the
+    docs; this shows WHY each doc matched).
+
+    One in-row pass: match positions via a filtered index sequence,
+    then the output-sized posexplode; snippets are clamped slices of
+    the one tokenization (no re-scan, no shuffle). Overlapping
+    occurrences each get their own snippet, same contract as
+    keyword_scan.
+    """
+    toks = tokens_col(F.col(text_col))
+    hits = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.element_at(toks, i + 1) == F.lit(term),
+    )
+    lo = lambda p: F.greatest(p - F.lit(window), F.lit(0))  # noqa: E731
+    return (
+        documents.select("doc_id", toks.alias("toks"), hits.alias("hits"))
+        .select(
+            "doc_id", "toks", F.posexplode("hits").alias("hit_idx", "pos")
+        )
+        .select(
+            "doc_id",
+            F.col("hit_idx").cast("bigint").alias("hit_idx"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    lo(F.col("pos")) + 1,
+                    F.least(F.col("pos") + F.lit(window), F.size("toks") - 1)
+                    - lo(F.col("pos"))
+                    + 1,
+                ),
+            ).alias("snippet"),
+        )
+    )

@@ -1805,3 +1805,89 @@ def ucb_host_allocation(
         "ucb_micro",
         (F.row_number().over(w) <= budget_hosts).alias("selected"),
     )
+
+
+def host_triangles(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_tag: str = "host_triangles",
+) -> DataFrame:
+    """Per-host triangle counts + local clustering coefficient over the
+    undirected host link graph — the density signal behind link-farm /
+    tightly-knit-community detection (a farm's hosts close triangles
+    with each other far above organic rates; pairs with link_signals'
+    degree-provenance and trust_rank's path evidence).
+
+    Algorithm: degree-ordered edge orientation (Schank & Wagner 2005 —
+    the standard distributed formulation): every undirected edge points
+    from its lower-(degree, host) endpoint, so each triangle is counted
+    exactly once at its minimum node and per-source out-degrees are
+    O(√m), bounding the wedge self-join. Three dimension-scale steps:
+    rank window over the node frame, wedge self-join on source rank,
+    wedge-vs-edge equi-join. Per-host coefficient is exact integer ppm:
+    2T·10⁶ div deg(deg−1).
+
+    Output: one row per host — (host, degree, n_triangles, cc_ppm);
+    degree-0/1 hosts report cc_ppm 0.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionAll(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("degree"))
+    )
+    w = Window.orderBy(F.col("degree").asc(), F.col("host").asc())
+    nodes = deg.select(
+        "host", "degree", F.row_number().over(w).alias("rk")
+    ).persist()
+    ru = nodes.select(F.col("host").alias("u"), F.col("rk").alias("rk_u"))
+    rv = nodes.select(F.col("host").alias("v"), F.col("rk").alias("rk_v"))
+    o = (
+        und.join(ru, "u")
+        .join(rv, "v")
+        .select(
+            F.least("rk_u", "rk_v").alias("a"),
+            F.greatest("rk_u", "rk_v").alias("b"),
+        )
+    )
+    w1 = o.select(F.col("a"), F.col("b").alias("b1"))
+    w2 = o.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = w1.join(w2, "a").filter(F.col("b1") < F.col("b2"))
+    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    counts = (
+        tri.select(F.explode(F.array("a", "b1", "b2")).alias("rk"))
+        .groupBy("rk")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = (
+        nodes.join(counts, "rk", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(F.col("degree") < 2, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "coalesce(n_triangles, 0) * 2000000"
+                    " div (degree * (degree - 1))"
+                )
+            )
+            .cast("bigint")
+            .alias("cc_ppm"),
+        )
+    )
+    # materialize (localCheckpoint by default, reliable store via
+    # checkpoint_dir) so the node cache can be released immediately —
+    # the host_rank convention (r2 ADVICE leak class)
+    out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
+    nodes.unpersist()
+    return out

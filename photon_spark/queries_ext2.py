@@ -361,3 +361,66 @@ def fuzzy_decon_q(spark, sf):
         ).alias("text"),
     )
     return dedupe.fuzzy_decontaminate(docs, bench)
+
+
+@q(
+    "kwic_snippets_term",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+    " h AS (SELECT doc_id, t, list_filter(generate_series(1, len(t)),"
+    "   i -> t[i] = 'spark') AS hits FROM t),"
+    " e AS (SELECT doc_id, t, hits,"
+    "   unnest(generate_series(1, len(hits))) AS j FROM h WHERE len(hits) > 0)"
+    " SELECT doc_id, j - 1 AS hit_idx, hits[j] - 1 AS pos,"
+    "  array_to_string(t[greatest(hits[j] - 3, 1):least(hits[j] + 3, len(t))],"
+    "   ' ') AS snippet FROM e",
+)
+def kwic_q(spark, sf):
+    """KWIC concordance for 'spark' over documents — each occurrence
+    gets its clamped ±3-token context (textstats.kwic_snippets)."""
+    from photon_spark.operators.textstats import kwic_snippets
+
+    return kwic_snippets(_t(spark, sf, "documents"), "spark", window=3)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient
+# (plans/schedule.host_triangles). Spark runs the degree-ordered
+# orientation (each triangle found once, at its minimum-(degree, host)
+# node); the oracle counts triangles the naive way (u < v < w host
+# ordering, two self-joins). The hash match proves the orientation
+# trick finds exactly the same triangle set.
+
+
+@q(
+    "host_triangle_cc",
+    "WITH e AS (SELECT 'h' || CAST(o_orderkey % 60 AS VARCHAR) AS s,"
+    "   'h' || CAST((o_orderkey // 7) % 60 AS VARCHAR) AS d FROM orders"
+    "   WHERE o_orderkey % 60 <> (o_orderkey // 7) % 60),"
+    " und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e),"
+    " deg AS (SELECT host, COUNT(*) AS degree FROM ("
+    "   SELECT u AS host FROM und UNION ALL SELECT v FROM und) t GROUP BY host),"
+    " tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1"
+    "   JOIN und e2 ON e2.u = e1.v"
+    "   JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),"
+    " cnt AS (SELECT host, COUNT(*) AS n_triangles FROM ("
+    "   SELECT a AS host FROM tri UNION ALL SELECT b FROM tri"
+    "   UNION ALL SELECT c FROM tri) t GROUP BY host)"
+    " SELECT deg.host, degree, COALESCE(n_triangles, 0) AS n_triangles,"
+    "  CASE WHEN degree < 2 THEN 0 ELSE"
+    "   COALESCE(n_triangles, 0) * 2000000 // (degree * (degree - 1)) END"
+    "   AS cc_ppm"
+    " FROM deg LEFT JOIN cnt ON deg.host = cnt.host",
+)
+def triangles_q(spark, sf):
+    from photon_spark.plans.schedule import host_triangles
+
+    o = _t(spark, sf, "orders")
+    edges = o.filter(
+        F.col("o_orderkey") % 60 != F.expr("(o_orderkey div 7) % 60")
+    ).select(
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 60).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), F.expr("(o_orderkey div 7) % 60").cast("string")
+        ).alias("dst"),
+    )
+    return host_triangles(edges)

@@ -302,3 +302,28 @@ def test_ucb_host_allocation_semantics(spark):
     assert out["a"]["selected"]
     assert not out["b"]["selected"] and not out["c"]["selected"]
     assert sum(1 for r in out.values() if r["selected"]) == 3
+
+
+def test_host_triangles_hand_graph(spark):
+    """K4 minus an edge + a pendant: counts and coefficients by hand;
+    direction/duplicate edges collapse; degree-1 host reports cc 0."""
+    from photon_spark.plans.schedule import host_triangles
+
+    E = [
+        ("a", "b"), ("b", "a"),  # duplicate + reversed: one edge
+        ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"),
+        # c-d missing -> K4 minus one edge: triangles abc, abd
+        ("e", "a"),  # pendant
+        ("c", "c"),  # self-loop: dropped
+    ]
+    df = spark.createDataFrame(E, ["src", "dst"])
+    rows = {r["host"]: r.asDict() for r in host_triangles(df).collect()}
+    assert {h: r["n_triangles"] for h, r in rows.items()} == {
+        "a": 2, "b": 2, "c": 1, "d": 1, "e": 0,
+    }
+    assert rows["a"]["degree"] == 4 and rows["e"]["degree"] == 1
+    # cc(a) = 2*2/(4*3) = 1/3; cc(c) = 2*1/(2*1) = 1; cc(e) = 0
+    assert rows["a"]["cc_ppm"] == 333333
+    assert rows["c"]["cc_ppm"] == 1000000
+    assert rows["e"]["cc_ppm"] == 0

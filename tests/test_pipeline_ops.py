@@ -2522,3 +2522,28 @@ def test_fuzzy_decontaminate_catches_edited_leak(spark):
 
     kept = dedupe.fuzzy_decontaminated(docs, bench, min_jaccard_ppm=300_000)
     assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
+def test_kwic_snippets_clamping_and_overlap(spark):
+    """Edge clamps at both document ends, adjacent occurrences each get
+    their own snippet, and hit ordinals are in position order."""
+    from photon_spark.operators.textstats import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c x d e"),  # hits at 0 (left-clamped) and 4
+            (2, "a x x b"),  # adjacent hits 1, 2
+            (3, "no match here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["hit_idx"], r["pos"], r["snippet"])
+        for r in kwic_snippets(docs, "x", window=2).collect()
+    )
+    assert rows == [
+        (1, 0, 0, "x a b"),
+        (1, 1, 4, "b c x d e"),
+        (2, 0, 1, "a x x b"),
+        (2, 1, 2, "a x x b"),
+    ]
