@@ -150,6 +150,7 @@ HEADLINE = [
     "decontam_fuzzy_hits",
     "kwic_snippets_term",
     "host_triangle_cc",
+    "sorted_neighborhood_pairs",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

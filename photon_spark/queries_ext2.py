@@ -424,3 +424,37 @@ def triangles_q(spark, sf):
         ).alias("dst"),
     )
     return host_triangles(edges)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (dedupe.sorted_neighborhood_pairs): the
+# third blocking family beside MinHash-LSH and Hamming bands. Blocking
+# key = lang | zero-padded n_chars (similar-length same-language docs
+# sort adjacent). The oracle computes the same pairs with a plain
+# ROW_NUMBER window; the Spark side uses the two-phase rank (range
+# partition -> offsets -> Arrow arange, no global window task) — the
+# hash match proves the two-phase rank IS row_number.
+
+
+@q(
+    "sorted_neighborhood_pairs",
+    "WITH k AS (SELECT doc_id, lang || '|' || lpad(CAST(n_chars AS VARCHAR),"
+    "   6, '0') AS key FROM documents),"
+    " r AS (SELECT doc_id, key,"
+    "   ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS rank FROM k)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a,"
+    "  b.key AS key_b, b.rank - a.rank AS rank_dist"
+    " FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2",
+)
+def snm_q(spark, sf):
+    from photon_spark.operators.dedupe import sorted_neighborhood_pairs
+
+    recs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+        ).alias("key"),
+    )
+    return sorted_neighborhood_pairs(recs, key_col="key", window=3)

@@ -1,0 +1,229 @@
+"""Throughput of the r3-continuation operators at 10^6-10^7 scale.
+
+COVERAGE.md claims plan shapes (map-side-combinable collapses,
+dimension-scale windows, in-row HOFs) for the session's additions —
+link signals, triangles, postings/phrase, main-content, bitext, MG,
+UCB, KWIC, fuzzy decontamination; this measures them on synthesized
+inputs (deterministic expressions, no files) so the claims carry
+wall-clock evidence. Per-op timing is an isolated count() over a fresh
+lazy plan; min of reps is the steady state.
+
+Usage: python scripts/bench_session_ops.py [cores] [reps]
+Appends one JSON line to BENCH/session_ops_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators import dedupe
+    from photon_spark.operators.textstats import (
+        bitext_mine,
+        build_postings,
+        kwic_snippets,
+        main_content,
+        phrase_query,
+    )
+    from photon_spark.plans.schedule import (
+        host_triangles,
+        link_signals,
+        misra_gries,
+        ucb_host_allocation,
+    )
+    from photon_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores, shuffle_partitions=cores, app_name="session_ops_scale"
+    )
+    e = F.col("id")
+
+    def ids(n):
+        df = spark.range(n).repartition(cores).persist()
+        df.count()
+        return df
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    results: dict = {}
+
+    # 1. link signals over 10^7 edges, 10^4 hosts / 397 domains
+    n_edges = 10_000_000
+    edges = ids(n_edges)
+    mk = lambda k: F.concat(  # noqa: E731
+        F.lit("http://h"), k.cast("string"),
+        F.lit(".d"), (k % 397).cast("string"),
+        F.lit(".test/p/"), e.cast("string"),
+    )
+    eframe = edges.select(
+        mk(e % 10_000).alias("src_url"),
+        mk((e * 7 + 13) % 10_000).alias("dst_url"),
+    )
+    t = timed(lambda: link_signals(eframe).count())
+    results["link_signals"] = {
+        "n_edges": n_edges, "sec": round(t, 2),
+        "edges_per_s": round(n_edges / t),
+    }
+    edges.unpersist()
+
+    # 2. triangles over 10^6 edges, 10^5 hosts (avg degree ~20)
+    n_tri_edges = 1_000_000
+    te = ids(n_tri_edges)
+    tframe = te.select(
+        F.concat(F.lit("h"), (e % 100_000).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((e * 31 + 7) % 100_000).cast("string")).alias("dst"),
+    )
+    t = timed(lambda: host_triangles(tframe).count())
+    results["host_triangles"] = {
+        "n_edges": n_tri_edges, "sec": round(t, 2),
+        "edges_per_s": round(n_tri_edges / t),
+    }
+    te.unpersist()
+
+    # 3/4. postings build over 10^6 docs (40 tokens each), then a
+    # 2-term phrase query THROUGH the persisted index
+    n_docs = 1_000_000
+    docs = ids(n_docs)
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), ((e + F.lit(j) * (F.lit(j) + 3)) % 500).cast("string")
+    )
+    text = F.concat_ws(" ", *[word(j) for j in range(40)])
+    dframe = docs.select(e.alias("doc_id"), text.alias("text")).persist()
+    dframe.count()
+    t = timed(lambda: build_postings(dframe).count())
+    results["build_postings"] = {
+        "n_docs": n_docs, "n_tokens": n_docs * 40, "sec": round(t, 2),
+        "tokens_per_s": round(n_docs * 40 / t),
+    }
+    postings = build_postings(dframe).persist()
+    postings.count()
+    t = timed(lambda: phrase_query(postings, ["w3", "w7"]).count())
+    results["phrase_query"] = {"n_docs": n_docs, "sec": round(t, 2)}
+    postings.unpersist()
+
+    # 5. KWIC over the same 10^6 docs — aggregate over the snippet
+    # column so column pruning cannot drop the snippet construction
+    # (a bare count() only pays for the position explode)
+    t = timed(
+        lambda: kwic_snippets(dframe, "w3", window=3)
+        .agg(F.sum(F.length("snippet")))
+        .collect()
+    )
+    results["kwic_snippets"] = {
+        "n_docs": n_docs, "sec": round(t, 2),
+        "docs_per_s": round(n_docs / t),
+    }
+
+    # 6. main-content over 10^6 six-line bodies
+    body = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/a">About</a></div>\n'),
+        text, F.lit("\n"),
+        F.lit('Read <a href="/p">more on this topic</a> now\n'),
+        text, F.lit("\nCopyright 2026"),
+    )
+    bframe = docs.select(e.alias("doc_id"), body.alias("body"))
+    # same pruning guard: count() alone would skip the line HOFs + md5
+    t = timed(
+        lambda: main_content(bframe)
+        .agg(F.sum(F.length("content_md5")), F.sum("n_kept"))
+        .collect()
+    )
+    results["main_content"] = {
+        "n_docs": n_docs, "sec": round(t, 2),
+        "docs_per_s": round(n_docs / t),
+    }
+
+    # 7. bitext over 10^6 pairs (the doc text as both sides + drift)
+    pairs = docs.select(
+        e.alias("doc_id"),
+        F.regexp_replace(text, " w", ". w").alias("body_a"),
+        F.regexp_replace(
+            F.concat(text, F.lit(" tail")), " w", ". w"
+        ).alias("body_b"),
+    )
+    t = timed(lambda: bitext_mine(pairs).count())
+    results["bitext_mine"] = {
+        "n_pairs": n_docs, "sec": round(t, 2),
+        "pairs_per_s": round(n_docs / t),
+    }
+
+    # 8. Misra-Gries over a 10^7-row Zipf-ish host stream, k=64
+    n_mg = 10_000_000
+    mg_ids = ids(n_mg)
+    stream = mg_ids.select(
+        F.concat(
+            F.lit("h"), (F.floor(F.sqrt(e % 1_000_000)) % 1000).cast("string")
+        ).alias("host")
+    )
+    t = timed(lambda: misra_gries(stream, "host", k=64).count())
+    results["misra_gries"] = {
+        "n_rows": n_mg, "sec": round(t, 2),
+        "rows_per_s": round(n_mg / t),
+    }
+    mg_ids.unpersist()
+
+    # 9. UCB over a 10^7-pull log, 10^5-host universe
+    log = spark.range(10_000_000).select(
+        F.concat(F.lit("h"), (F.col("id") % 100_000).cast("string")).alias("host"),
+        (F.col("id") % 17).cast("bigint").alias("n_new"),
+    )
+    uni = spark.range(110_000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    t = timed(lambda: ucb_host_allocation(log, hosts=uni, budget_hosts=1000).count())
+    results["ucb_allocation"] = {
+        "n_pulls": 10_000_000, "sec": round(t, 2),
+        "pulls_per_s": round(10_000_000 / t),
+    }
+
+    # 10. fuzzy decontamination: 200k-doc corpus vs 2k-item benchmark
+    corpus = dframe.limit(200_000).persist()
+    corpus.count()
+    bench = corpus.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    t = timed(lambda: dedupe.fuzzy_decontaminate(corpus, bench).count())
+    results["fuzzy_decontaminate"] = {
+        "n_docs": 200_000, "n_bench": 2_000, "sec": round(t, 2),
+        "docs_per_s": round(200_000 / t),
+    }
+    corpus.unpersist()
+    dframe.unpersist()
+    docs.unpersist()
+
+    line = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "cores": cores,
+        "reps": reps,
+        "results": results,
+    }
+    out = os.path.join(REPO, "BENCH", "session_ops_scale.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2547,3 +2547,40 @@ def test_kwic_snippets_clamping_and_overlap(spark):
         (2, 0, 1, "a x x b"),
         (2, 1, 2, "a x x b"),
     ]
+
+
+def test_sorted_neighborhood_pairs_exact(spark):
+    """Hand corpus: pairs = exactly the rank-adjacent ones under the
+    (key, id) total order, across partition boundaries; window=2 gives
+    only immediate neighbors; typo-adjacent keys pair while hash-exact
+    blocking would miss them; window<2 raises."""
+    import pytest as _pytest
+
+    from photon_spark.operators.dedupe import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "smith#john"),
+        (2, "smith#jon"),   # typo neighbor of 1 in sort order
+        (3, "smith#john"),  # exact dup of 1 (tie broken by id)
+        (4, "zeta#zed"),
+        (5, "adams#amy"),
+    ]
+    # sort order: adams#amy(5) < smith#john(1) < smith#john(3) <
+    #             smith#jon(2) < zeta#zed(4)
+    df = spark.createDataFrame(rows, ["doc_id", "key"]).repartition(4)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "key", window=2).collect()
+    )
+    assert got == [(1, 3, 1), (2, 4, 1), (3, 2, 1), (5, 1, 1)]
+
+    got3 = sorted(
+        (r["id_a"], r["id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "key", window=3).collect()
+    )
+    assert got3 == [
+        (1, 2, 2), (1, 3, 1), (2, 4, 1), (3, 2, 1), (3, 4, 2),
+        (5, 1, 1), (5, 3, 2),
+    ]
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", window=1)
