@@ -1891,3 +1891,67 @@ def host_triangles(
     out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
     nodes.unpersist()
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_tag: str = "kcore",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core peeling over the undirected host graph: repeatedly drop
+    hosts with degree < k; what survives is the k-core — the dense
+    nucleus where every member keeps ≥ k in-core neighbors (the
+    link-farm/community-density signal next to host_triangles: farms
+    sit in deep cores because their whole value proposition is mutual
+    linking; organic periphery peels away).
+
+    ``rounds`` fixed → exactly that many peel steps (deterministic,
+    SQL-unrollable — the host_rank oracle convention). ``rounds=None``
+    → run to fixpoint (per-round edge-count scalar, the dup_components
+    loop shape) with per-round lineage truncation via the
+    checkpoint_dir convention.
+
+    Per round: one map-side-combinable degree agg + two semi-joins.
+    Output: (host, degree) of the surviving subgraph.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    cur = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("host"))
+            .unionAll(e.select(F.col("v").alias("host")))
+            .groupBy("host")
+            .agg(F.count("*").alias("degree"))
+        )
+
+    def peel(e: DataFrame) -> DataFrame:
+        keep = degrees(e).filter(F.col("degree") >= k).select("host")
+        return e.join(
+            keep.withColumnRenamed("host", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("host", "v"), "v", "left_semi")
+
+    if rounds is not None:
+        for _ in range(rounds):
+            cur = peel(cur)
+        return degrees(cur)
+
+    cur = _final_ckpt(cur, checkpoint_dir, f"{checkpoint_tag}-0")
+    n_prev = cur.count()
+    for i in range(1, max_rounds + 1):
+        nxt = _final_ckpt(peel(cur), checkpoint_dir, f"{checkpoint_tag}-{i % 2}")
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_prev:
+            break
+        n_prev = n_next
+    return degrees(cur)

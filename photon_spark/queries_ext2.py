@@ -458,3 +458,68 @@ def snm_q(spark, sf):
         ).alias("key"),
     )
     return sorted_neighborhood_pairs(recs, key_col="key", window=3)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (plans/schedule.kcore_peel, fixed 3 rounds, k=3).
+# Planted graph at every SF: a dense 50-host core (orders-derived
+# edges) plus, on every 4th order, a 2-deep periphery chain
+# a1/a2 -> b -> core: round 1 peels the a's (degree 1), which drops b
+# from degree 3 to 1 so round 2 peels b — a genuine multi-round
+# cascade, not a single sweep. Oracle unrolls the three rounds as CTEs.
+
+_KC_E_SQL = (
+    "SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ("
+    " SELECT 'c' || CAST(o_orderkey % 50 AS VARCHAR) AS u,"
+    "  'c' || CAST((o_orderkey // 7) % 50 AS VARCHAR) AS v FROM orders"
+    "  WHERE o_orderkey % 50 <> (o_orderkey // 7) % 50"
+    " UNION ALL SELECT 'a' || CAST(o_orderkey AS VARCHAR) || 'x',"
+    "  'b' || CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey % 4 = 0"
+    " UNION ALL SELECT 'a' || CAST(o_orderkey AS VARCHAR) || 'y',"
+    "  'b' || CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey % 4 = 0"
+    " UNION ALL SELECT 'b' || CAST(o_orderkey AS VARCHAR),"
+    "  'c' || CAST(o_orderkey % 50 AS VARCHAR) FROM orders"
+    "  WHERE o_orderkey % 4 = 0) t"
+)
+_KC_ROUND = (
+    " d{i} AS (SELECT host, COUNT(*) AS deg FROM ("
+    "  SELECT u AS host FROM e{p} UNION ALL SELECT v FROM e{p}) t GROUP BY host),"
+    " k{i} AS (SELECT host FROM d{i} WHERE deg >= 3),"
+    " e{i} AS (SELECT u, v FROM e{p} WHERE u IN (SELECT host FROM k{i})"
+    "  AND v IN (SELECT host FROM k{i}))"
+)
+
+
+@q(
+    "kcore_peel_3rounds",
+    f"WITH e0 AS ({_KC_E_SQL}),"
+    + _KC_ROUND.format(i=1, p=0)
+    + ","
+    + _KC_ROUND.format(i=2, p=1)
+    + ","
+    + _KC_ROUND.format(i=3, p=2)
+    + " SELECT host, COUNT(*) AS degree FROM (SELECT u AS host FROM e3"
+    "  UNION ALL SELECT v FROM e3) t GROUP BY host",
+)
+def kcore_q(spark, sf):
+    from photon_spark.plans.schedule import kcore_peel
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    core = o.filter(ok % 50 != F.expr("(o_orderkey div 7) % 50")).select(
+        F.concat(F.lit("c"), (ok % 50).cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.expr("(o_orderkey div 7) % 50").cast("string")).alias("dst"),
+    )
+    per = o.filter(ok % 4 == 0)
+    b = F.concat(F.lit("b"), ok.cast("string"))
+    a1 = per.select(
+        F.concat(F.lit("a"), ok.cast("string"), F.lit("x")).alias("src"), b.alias("dst")
+    )
+    a2 = per.select(
+        F.concat(F.lit("a"), ok.cast("string"), F.lit("y")).alias("src"), b.alias("dst")
+    )
+    bc = per.select(
+        b.alias("src"), F.concat(F.lit("c"), (ok % 50).cast("string")).alias("dst")
+    )
+    edges = core.unionByName(a1).unionByName(a2).unionByName(bc)
+    return kcore_peel(edges, k=3, rounds=3)
