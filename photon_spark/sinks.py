@@ -65,3 +65,91 @@ def export(result: CrawlResult, output_dir: str, method: str) -> str:
 
 def to_stdout(result: CrawlResult, dataset: str) -> str:
     return "".join(v + "\n" for v in sorted(result.to_sets()[dataset]))
+
+
+def write_corpus_shards(
+    documents,
+    out_dir: str,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    twophase: bool = False,
+):
+    """Training-corpus shard export with an integrity manifest — the
+    sink end of the packing family (pack_shards assigns, this
+    persists): documents land under ``data/<group>/<shard>/`` via a
+    partitioned parquet write (one directory per bounded training
+    shard, the layout a loader streams sequentially), and a manifest
+    table ``(group, shard, n_docs, n_tokens, docs_md5)`` is written
+    beside it, where docs_md5 fingerprints the comma-joined SORTED key
+    list — so shard completeness is verifiable without trusting file
+    counts.
+
+    Shard assignment is the deterministic prefix-sum rule of
+    pack_shards (``twophase=True`` switches to the dominant-group-safe
+    two-phase cumsum — bit-identical output). The manifest's
+    collect_list is bounded per shard by the token budget, never
+    corpus-wide. Executors write the data; only manifest metadata
+    (dimension-scale) flows through the driver-side parquet commit.
+
+    Returns the manifest DataFrame (read back from storage, so what
+    you get is what was durably written). ``verify_corpus_shards``
+    recomputes it from the data and diffs.
+    """
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.sampling import pack_shards, pack_shards_twophase
+
+    assign_fn = pack_shards_twophase if twophase else pack_shards
+    assign = assign_fn(documents, budget_tokens, group_col, key_col).select(
+        key_col, "n_tokens", "shard"
+    )
+    full = documents.join(assign, key_col)
+    data_path = os.path.join(out_dir, "data")
+    full.write.partitionBy(group_col, "shard").mode("overwrite").parquet(data_path)
+    manifest = _shard_manifest(full, group_col, key_col)
+    man_path = os.path.join(out_dir, "manifest")
+    manifest.write.mode("overwrite").parquet(man_path)
+    return documents.sparkSession.read.parquet(man_path)
+
+
+def _shard_manifest(full, group_col: str, key_col: str):
+    from pyspark.sql import functions as F
+
+    return full.groupBy(group_col, "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col(key_col).cast("string")))
+            )
+        ).alias("docs_md5"),
+    )
+
+
+def verify_corpus_shards(
+    spark, out_dir: str, group_col: str = "source", key_col: str = "doc_id"
+):
+    """Recompute the shard manifest from the written data and diff it
+    against the stored one. Returns a DataFrame of mismatches — empty
+    means every shard is complete and untampered (missing shards,
+    extra shards, and doc-set drift all surface; a full-outer join on
+    (group, shard) with null-safe comparison)."""
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    stored = spark.read.parquet(os.path.join(out_dir, "manifest")).select(
+        group_col,
+        "shard",
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col("docs_md5").alias("m_md5"),
+    )
+    actual = _shard_manifest(data, group_col, key_col)
+    joined = actual.join(stored, [group_col, "shard"], "full_outer")
+    bad = (
+        ~F.col("n_docs").eqNullSafe(F.col("m_docs"))
+        | ~F.col("n_tokens").eqNullSafe(F.col("m_tokens"))
+        | ~F.col("docs_md5").eqNullSafe(F.col("m_md5"))
+    )
+    return joined.filter(bad)
