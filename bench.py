@@ -151,6 +151,7 @@ HEADLINE = [
     "kwic_snippets_term",
     "host_triangle_cc",
     "sorted_neighborhood_pairs",
+    "kcore_peel_3rounds",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1941,8 +1941,13 @@ def kcore_peel(
         ).join(keep.withColumnRenamed("host", "v"), "v", "left_semi")
 
     if rounds is not None:
-        for _ in range(rounds):
-            cur = peel(cur)
+        # each round references its input ~4× (degree union twice + two
+        # semi-joins); left lazy the plan tree grows ~4^rounds, so
+        # materialize per round exactly like the convergence loop
+        for i in range(rounds):
+            cur = _final_ckpt(
+                peel(cur), checkpoint_dir, f"{checkpoint_tag}-{i % 2}"
+            )
         return degrees(cur)
 
     cur = _final_ckpt(cur, checkpoint_dir, f"{checkpoint_tag}-0")

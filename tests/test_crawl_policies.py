@@ -327,3 +327,47 @@ def test_host_triangles_hand_graph(spark):
     assert rows["a"]["cc_ppm"] == 333333
     assert rows["c"]["cc_ppm"] == 1000000
     assert rows["e"]["cc_ppm"] == 0
+
+
+def test_kcore_peel_convergence_matches_python(spark):
+    """Fixpoint mode vs a pure-Python peeler on a planted graph with a
+    K5 core + a 3-deep cascade chain; fixed-rounds mode pins the
+    intermediate state (chain only partially peeled after 1 round)."""
+    from photon_spark.plans.schedule import kcore_peel
+
+    E = []
+    core = ["c0", "c1", "c2", "c3", "c4"]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            E.append((core[i], core[j]))  # K5: degree 4 each
+    # cascade chain: x1-x2, x2-x3, x3-c0 (k=2 peels x1, then x2, then x3)
+    E += [("x1", "x2"), ("x2", "x3"), ("x3", "c0")]
+
+    def py_kcore(edges, k):
+        adj = {}
+        es = {tuple(sorted(e)) for e in edges}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items() if nb}
+
+    df = spark.createDataFrame(E, ["src", "dst"])
+    got = {
+        r["host"]: r["degree"]
+        for r in kcore_peel(df, k=2, rounds=None).collect()
+    }
+    assert got == py_kcore(E, 2) == {c: 4 for c in core}
+
+    # one round only: x1 (deg 1) gone, x2 and x3 still present
+    one = {r["host"]: r["degree"] for r in kcore_peel(df, k=2, rounds=1).collect()}
+    assert "x1" not in one and one["x2"] == 1 and one["x3"] == 2
+
+    # k above the max core degree empties the graph
+    assert kcore_peel(df, k=5, rounds=None).count() == 0
