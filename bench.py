@@ -152,6 +152,7 @@ HEADLINE = [
     "host_triangle_cc",
     "sorted_neighborhood_pairs",
     "kcore_peel_3rounds",
+    "cocitation_host_pairs",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1960,3 +1960,80 @@ def kcore_peel(
             break
         n_prev = n_next
     return degrees(cur)
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    hot_linkers: int = 200,
+    min_common: int = 2,
+    checkpoint_dir: str | None = None,
+    checkpoint_tag: str = "cocitation",
+) -> DataFrame:
+    """Co-citation similarity between hosts: pairs of TARGET hosts
+    frequently linked by the SAME source hosts (Small 1973's co-citation
+    measure on the web graph) — the in-link-overlap companion to
+    mirror_host_pairs' content overlap: mirrors, sibling spam domains,
+    and round-robin CDN hosts share in-linkers long before anyone
+    compares their bodies.
+
+    Same scale recipe as mirror_host_pairs (its join formulation
+    measured 6× slower): ONE (src → sorted distinct-target set) agg
+    collapses the corpus-scale edge log; source hosts linking more
+    than ``hot_linkers`` targets are dropped BEFORE pair generation
+    (directory/catalog pages co-cite everyone — pure noise, and the
+    cap bounds fan-out at hot_linkers² per source); pairs are
+    generated map-side by nested transform and counted; normalization
+    is integer ppm over the capped graph's in-degrees.
+
+    Output: (host_a, host_b, n_common, cocite_ppm) for pairs with
+    ``min_common`` + shared linkers, host_a < host_b.
+    """
+    host = lambda c: F.coalesce(  # noqa: E731
+        F.parse_url(F.col(c), F.lit("HOST")), F.col(c)
+    )
+    hp = (
+        edges.select(host(src_col).alias("s"), host(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_set("d")).alias("ds"))
+        .filter(F.size("ds") <= hot_linkers)
+        .persist()
+    )
+    indeg = hp.select(F.explode("ds").alias("host")).groupBy("host").agg(
+        F.count("*").alias("n")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    pairs = (
+        hp.filter(F.size("ds") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    na = indeg.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    nb = indeg.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000 div (n_a + n_b - n_common)"
+            ).alias("cocite_ppm"),
+        )
+    )
+    out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
+    hp.unpersist()
+    return out

@@ -523,3 +523,54 @@ def kcore_q(spark, sf):
     )
     edges = core.unionByName(a1).unionByName(a2).unionByName(bc)
     return kcore_peel(edges, k=3, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Co-citation pairs (plans/schedule.cocitation_pairs): target hosts
+# sharing in-linkers. Each source links an 8-host shifted window (so
+# windows overlap -> organic co-citation), plus a planted 'hub'
+# catalog source linking up to 40 hosts — over the hot_linkers=25 cap,
+# so the cap genuinely drops it. The oracle computes pairs the
+# relational way (self-join on source); the Spark side generates them
+# map-side from sorted target sets — the hash match proves the
+# nested-transform combination generation ≡ the self-join.
+
+
+@q(
+    "cocitation_host_pairs",
+    "WITH e AS (SELECT 'h' || CAST(o_orderkey % 40 AS VARCHAR) || '.test' AS s,"
+    "   'h' || CAST(((o_orderkey // 7) % 8 + o_orderkey % 40) % 40 AS VARCHAR)"
+    "    || '.test' AS d FROM orders"
+    "  UNION ALL SELECT 'hub', 'h' || CAST(o_orderkey % 40 AS VARCHAR) || '.test'"
+    "   FROM orders WHERE o_orderkey % 11 = 0),"
+    " p AS (SELECT DISTINCT s, d FROM e WHERE s <> d),"
+    " ok AS (SELECT s FROM p GROUP BY s HAVING COUNT(*) <= 25),"
+    " pk AS (SELECT p.s, p.d FROM p JOIN ok USING (s)),"
+    " indeg AS (SELECT d AS host, COUNT(*) AS n FROM pk GROUP BY d),"
+    " pairs AS (SELECT a.d AS host_a, b.d AS host_b, COUNT(*) AS n_common"
+    "   FROM pk a JOIN pk b ON a.s = b.s AND a.d < b.d"
+    "   GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
+    " SELECT host_a, host_b, n_common,"
+    "  n_common * 1000000 // (na.n + nb.n - n_common) AS cocite_ppm"
+    " FROM pairs JOIN indeg na ON na.host = host_a"
+    " JOIN indeg nb ON nb.host = host_b",
+)
+def cocite_q(spark, sf):
+    from photon_spark.plans.schedule import cocitation_pairs
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    mk = lambda k: F.concat(  # noqa: E731
+        F.lit("http://h"), k.cast("string"), F.lit(".test/p/"), ok.cast("string")
+    )
+    organic = o.select(
+        mk(ok % 40).alias("src_url"),
+        mk(F.expr("((o_orderkey div 7) % 8 + o_orderkey % 40) % 40")).alias("dst_url"),
+    )
+    hub = o.filter(ok % 11 == 0).select(
+        F.concat(F.lit("http://hub/p/"), ok.cast("string")).alias("src_url"),
+        mk(ok % 40).alias("dst_url"),
+    )
+    return cocitation_pairs(
+        organic.unionByName(hub), hot_linkers=25, min_common=2
+    )

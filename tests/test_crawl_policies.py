@@ -371,3 +371,35 @@ def test_kcore_peel_convergence_matches_python(spark):
 
     # k above the max core degree empties the graph
     assert kcore_peel(df, k=5, rounds=None).count() == 0
+
+
+def test_cocitation_pairs_hand_graph(spark):
+    """Hand graph: shared-linker counts and ppm exact; hot catalog
+    source excluded by the cap; min_common filters singletons;
+    duplicate edges from one source count once."""
+    from photon_spark.plans.schedule import cocitation_pairs
+
+    E = [
+        # s1 and s2 both link a and b -> (a, b) co-cited twice
+        ("http://s1.test/1", "http://a.test/"),
+        ("http://s1.test/2", "http://a.test/x"),  # dup target for s1: once
+        ("http://s1.test/3", "http://b.test/"),
+        ("http://s2.test/1", "http://a.test/"),
+        ("http://s2.test/2", "http://b.test/"),
+        # s3 links a and c only once together -> (a, c) below min_common
+        ("http://s3.test/1", "http://a.test/"),
+        ("http://s3.test/2", "http://c.test/"),
+        # hot hub links everything: must not contribute pairs
+        ("http://hub.test/1", "http://a.test/"),
+        ("http://hub.test/2", "http://b.test/"),
+        ("http://hub.test/3", "http://c.test/"),
+        ("http://hub.test/4", "http://d.test/"),
+    ]
+    df = spark.createDataFrame(E, ["src_url", "dst_url"])
+    rows = [
+        (r["host_a"], r["host_b"], r["n_common"], r["cocite_ppm"])
+        for r in cocitation_pairs(df, hot_linkers=3, min_common=2).collect()
+    ]
+    # capped graph in-degrees: a=3 (s1,s2,s3), b=2 (s1,s2)
+    # -> ppm = 2e6 // (3+2-2) = 666666
+    assert rows == [("a.test", "b.test", 2, 666666)]
