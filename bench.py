@@ -153,6 +153,7 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "kcore_peel_3rounds",
     "cocitation_host_pairs",
+    "latency_aware_delay",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -2037,3 +2037,48 @@ def cocitation_pairs(
     out = _final_ckpt(out, checkpoint_dir, checkpoint_tag)
     hp.unpersist()
     return out
+
+
+def latency_aware_delay(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    multiplier: int = 3,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 10_000,
+) -> DataFrame:
+    """Adaptive politeness from OBSERVED server latency: per-host crawl
+    delay = clamp(p95 latency × multiplier) — the "leave the server
+    (multiplier−1)/multiplier idle" rule public crawler etiquette
+    writeups state (and IRLbot-class adaptive politeness implements);
+    robots Crawl-delay (kernels.robots_crawl_delay) is the site's own
+    declaration, AIMD (adaptive_host_budgets) reacts to ERRORS — this
+    fills the third case: a slow-but-healthy server that declares
+    nothing. Output feeds schedule_wave(host_budgets=⌊window/delay⌋)
+    exactly like the Crawl-delay path.
+
+    One map-side-partial percentile aggregation per host (Spark's
+    percentile agg — no global sort); exact-integer latencies under the
+    same (n−1)·p interpolation as DuckDB's quantile_cont, 1e-6
+    floor-rounded (length_percentile_gate precedent), then an integer
+    floor×clamp — cross-engine exact end to end.
+    """
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    per = fetch_log.groupBy(host_col).agg(
+        F.count("*").alias("n_obs"),
+        r6(F.percentile(latency_col, F.lit(0.50))).alias("p50_ms"),
+        r6(F.percentile(latency_col, F.lit(0.95))).alias("p95_ms"),
+    )
+    return per.select(
+        host_col,
+        "n_obs",
+        "p50_ms",
+        "p95_ms",
+        F.least(
+            F.greatest(
+                F.floor(F.col("p95_ms") * multiplier).cast("bigint"),
+                F.lit(min_delay_ms).cast("bigint"),
+            ),
+            F.lit(max_delay_ms).cast("bigint"),
+        ).alias("delay_ms"),
+    )

@@ -574,3 +574,29 @@ def cocite_q(spark, sf):
     return cocitation_pairs(
         organic.unionByName(hub), hot_linkers=25, min_common=2
     )
+
+
+@q(
+    "latency_aware_delay",
+    "WITH log AS (SELECT 'h' || CAST(user_id % 19 AS VARCHAR) AS host,"
+    "   CAST(event_id % 900 + 50 AS BIGINT) AS latency_ms FROM events)"
+    " SELECT host, COUNT(*) AS n_obs,"
+    "  floor(quantile_cont(latency_ms, 0.50) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS p50_ms,"
+    "  floor(quantile_cont(latency_ms, 0.95) * 1000000.0 + 0.5) / 1000000.0"
+    "   AS p95_ms,"
+    "  least(greatest(CAST(floor("
+    "   (floor(quantile_cont(latency_ms, 0.95) * 1000000.0 + 0.5) / 1000000.0)"
+    "   * 3) AS BIGINT), 100), 10000) AS delay_ms"
+    " FROM log GROUP BY host",
+)
+def latency_delay_q(spark, sf):
+    """Latency-derived politeness (plans/schedule.latency_aware_delay):
+    p95 of the synthesized per-host fetch-latency log × 3, clamped."""
+    from photon_spark.plans.schedule import latency_aware_delay
+
+    log = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 19).cast("string")).alias("host"),
+        (F.col("event_id") % 900 + 50).cast("bigint").alias("latency_ms"),
+    )
+    return latency_aware_delay(log)

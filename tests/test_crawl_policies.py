@@ -403,3 +403,25 @@ def test_cocitation_pairs_hand_graph(spark):
     # capped graph in-degrees: a=3 (s1,s2,s3), b=2 (s1,s2)
     # -> ppm = 2e6 // (3+2-2) = 666666
     assert rows == [("a.test", "b.test", 2, 666666)]
+
+
+def test_latency_aware_delay_clamps(spark):
+    """Hand log: exact interpolated percentiles, both clamp edges, and
+    the multiplier; a fast host floors at min_delay, a pathological one
+    ceils at max_delay."""
+    from photon_spark.plans.schedule import latency_aware_delay
+
+    rows = (
+        [("fast", v) for v in [10, 20, 30, 40]]       # p95=38.5 -> 115ms
+        + [("slow", v) for v in [4000, 5000, 6000]]   # p95=5900 -> clamp 10000
+        + [("tiny", v) for v in [5, 5]]               # p95=5 -> 15 -> clamp 100
+    )
+    df = spark.createDataFrame(rows, ["host", "latency_ms"])
+    out = {r["host"]: r.asDict() for r in latency_aware_delay(df).collect()}
+
+    assert out["fast"]["p50_ms"] == 25.0
+    assert out["fast"]["p95_ms"] == 38.5  # 10+0.95*3 steps interpolation
+    assert out["fast"]["delay_ms"] == 115
+    assert out["slow"]["delay_ms"] == 10000
+    assert out["tiny"]["delay_ms"] == 100
+    assert out["fast"]["n_obs"] == 4
