@@ -154,6 +154,8 @@ HEADLINE = [
     "kcore_peel_3rounds",
     "cocitation_host_pairs",
     "latency_aware_delay",
+    "curriculum_tiers",
+    "politeness_audit",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -672,3 +672,41 @@ def weighted_sample(
     )
     w = F.col(weight_col).cast("bigint")
     return df.filter(h * F.lit(int(max_weight)) < w * F.lit(1 << 32))
+
+
+def curriculum_tiers(
+    scored: DataFrame,
+    score_col: str,
+    n_tiers: int = 4,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum bucketing: assign every document to one of
+    ``n_tiers`` quality/perplexity tiers by EXACT score quantiles —
+    the staged-training input (easy→hard ordering over LM score, the
+    published curriculum-learning recipe shape) and the stratifier a
+    mixing policy samples per-tier from.
+
+    One (n_tiers−1)-scalar exact-percentile aggregation broadcast back
+    (length_percentile_gate's plan), then a narrow CASE — the corpus
+    never sorts globally. Tier 0 = lowest scores; boundaries are
+    half-open [q_{i-1}, q_i) with the top tier closed, so every row
+    lands in exactly one tier; 1e-6 floor-rounded cut points are
+    engine-identical.
+    """
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    cuts = scored.agg(
+        *[
+            r6(F.percentile(score_col, F.lit(i / n_tiers))).alias(f"q{i}")
+            for i in range(1, n_tiers)
+        ]
+    )
+    tier = F.lit(n_tiers - 1)
+    for i in range(n_tiers - 1, 0, -1):
+        tier = F.when(F.col(score_col) < F.col(f"q{i}"), F.lit(i - 1)).otherwise(
+            tier
+        )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        key_col,
+        score_col,
+        tier.cast("bigint").alias("tier"),
+    )

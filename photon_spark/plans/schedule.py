@@ -2082,3 +2082,46 @@ def latency_aware_delay(
             F.lit(max_delay_ms).cast("bigint"),
         ).alias("delay_ms"),
     )
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ms",
+    url_col: str = "url",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness COMPLIANCE audit over an executed fetch log: for each
+    host, how many consecutive-fetch gaps violated its delay policy —
+    the verification end of the politeness family (robots Crawl-delay /
+    latency_aware_delay / AIMD set the policy, politeness_spacing
+    shapes the schedule; this checks what actually ran, e.g. after
+    retries/speculation reordered work on a real cluster).
+
+    ONE lag() window per host over (ts, url) — a total order, so the
+    audit is deterministic under equal timestamps — plus a broadcast
+    join of the dimension-sized delay policy. A host's first fetch has
+    no predecessor and is never a violation. Output: (host, n_fetches,
+    n_violations, min_gap_ms) — min_gap NULL for single-fetch hosts.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ts_col).asc(), F.col(url_col).asc()
+    )
+    gaps = fetch_log.select(
+        host_col,
+        ts_col,
+        url_col,
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_ms"),
+    )
+    return (
+        gaps.join(F.broadcast(delays.select(host_col, delay_col)), host_col)
+        .groupBy(host_col)
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(
+                F.when(F.col("gap_ms") < F.col(delay_col), 1).otherwise(0)
+            ).alias("n_violations"),
+            F.min("gap_ms").alias("min_gap_ms"),
+        )
+    )

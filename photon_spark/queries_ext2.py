@@ -600,3 +600,60 @@ def latency_delay_q(spark, sf):
         (F.col("event_id") % 900 + 50).cast("bigint").alias("latency_ms"),
     )
     return latency_aware_delay(log)
+
+
+@q(
+    "curriculum_tiers",
+    "WITH s AS (SELECT doc_id, CAST(doc_id * 37 % 1000 AS BIGINT) AS score"
+    "   FROM documents),"
+    " c AS (SELECT"
+    "  floor(quantile_cont(score, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS q1,"
+    "  floor(quantile_cont(score, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS q2,"
+    "  floor(quantile_cont(score, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS q3"
+    "  FROM s)"
+    " SELECT doc_id, score, CAST(CASE WHEN score < q1 THEN 0"
+    "  WHEN score < q2 THEN 1 WHEN score < q3 THEN 2 ELSE 3 END AS BIGINT)"
+    "  AS tier FROM s, c",
+)
+def curriculum_q(spark, sf):
+    """Curriculum tier assignment (sampling.curriculum_tiers) over a
+    deterministic per-doc score — exact quartile cuts, half-open
+    buckets (duplicate scores at a boundary land together)."""
+    from photon_spark.operators.sampling import curriculum_tiers
+
+    scored = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") * 37 % 1000).cast("bigint").alias("score")
+    )
+    return curriculum_tiers(scored, "score", n_tiers=4)
+
+
+@q(
+    "politeness_audit",
+    "WITH log AS (SELECT 'h' || CAST(user_id % 13 AS VARCHAR) AS host,"
+    "   'u' || CAST(event_id AS VARCHAR) AS url, epoch_ms(ts) AS fetch_ms"
+    "   FROM events),"
+    " pol AS (SELECT DISTINCT 'h' || CAST(user_id % 13 AS VARCHAR) AS host,"
+    "   200 + (user_id % 13) * 50 AS delay_ms FROM events),"
+    " g AS (SELECT host, fetch_ms, fetch_ms - lag(fetch_ms) OVER ("
+    "   PARTITION BY host ORDER BY fetch_ms, url) AS gap_ms FROM log)"
+    " SELECT g.host, COUNT(*) AS n_fetches,"
+    "  SUM(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END) AS n_violations,"
+    "  MIN(gap_ms) AS min_gap_ms"
+    " FROM g JOIN pol ON pol.host = g.host GROUP BY g.host",
+)
+def politeness_audit_q(spark, sf):
+    """Politeness compliance audit (plans/schedule.politeness_audit)
+    over the events-derived fetch log vs a per-host delay policy."""
+    from photon_spark.plans.schedule import politeness_audit
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 13).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("bigint")).alias("fetch_ms"),
+    )
+    pol = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 13).cast("string")).alias("host"),
+        (F.lit(200) + (F.col("user_id") % 13) * 50).alias("delay_ms"),
+    ).distinct()
+    return politeness_audit(log, pol)

@@ -425,3 +425,42 @@ def test_latency_aware_delay_clamps(spark):
     assert out["slow"]["delay_ms"] == 10000
     assert out["tiny"]["delay_ms"] == 100
     assert out["fast"]["n_obs"] == 4
+
+
+def test_politeness_audit_hand_log(spark):
+    """Hand log: violations counted exactly, first fetch exempt,
+    equal-timestamp ordering deterministic by url, single-fetch host
+    reports NULL min_gap."""
+    from photon_spark.plans.schedule import politeness_audit
+
+    log = spark.createDataFrame(
+        [
+            ("a", "u1", 1000), ("a", "u2", 1200), ("a", "u3", 1250),
+            # gaps: 200 (ok at delay 150), 50 (violation)
+            ("b", "u1", 5000),
+            ("c", "u1", 100), ("c", "u2", 100),  # equal ts: gap 0 violation
+        ],
+        ["host", "url", "fetch_ms"],
+    )
+    pol = spark.createDataFrame(
+        [("a", 150), ("b", 100), ("c", 10)], ["host", "delay_ms"]
+    )
+    out = {r["host"]: r.asDict() for r in politeness_audit(log, pol).collect()}
+    assert out["a"]["n_violations"] == 1 and out["a"]["min_gap_ms"] == 50
+    assert out["b"]["n_violations"] == 0 and out["b"]["min_gap_ms"] is None
+    assert out["c"]["n_violations"] == 1 and out["c"]["min_gap_ms"] == 0
+    assert out["a"]["n_fetches"] == 3
+
+
+def test_curriculum_tiers_boundaries(spark):
+    """8 known scores, quartile cuts by hand; duplicate boundary scores
+    land in one tier; tier populations follow the half-open rule."""
+    from photon_spark.operators.sampling import curriculum_tiers
+
+    scores = [10, 10, 20, 30, 40, 50, 60, 70]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], ["doc_id", "score"]
+    )
+    out = {r["doc_id"]: r["tier"] for r in curriculum_tiers(df, "score").collect()}
+    # quantile_cont cuts: q1=17.5, q2=35, q3=52.5
+    assert [out[i] for i in range(8)] == [0, 0, 1, 1, 2, 2, 3, 3]
