@@ -156,6 +156,8 @@ HEADLINE = [
     "latency_aware_delay",
     "curriculum_tiers",
     "politeness_audit",
+    "web_hierarchy_rollup",
+    "lang_consistency_filter",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1447,3 +1447,57 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def lang_consistency(
+    documents: DataFrame,
+    body_col: str = "body",
+    threshold_pct: int = 12,
+) -> DataFrame:
+    """Paragraph-level language-consistency filter (code-switching
+    detection): classify every paragraph with the stopword-density
+    rule (`lang_id`'s 12% threshold in EXACT integer form:
+    n_stop·100 ≥ pct·n_tokens), take the doc-majority label, and
+    report what fraction of paragraphs agree — mixed-language pages
+    (boilerplate in one language wrapping content in another, forum
+    code-switching) score low and get filtered before they pollute a
+    monolingual corpus. Doc-level lang_id alone averages the mix away;
+    the paragraph grain is what catches it.
+
+    Whole pass is nested in-row HOFs over the paragraph array — zero
+    shuffle, zero Python. Majority ties break to 'en'
+    (deterministic). Output: (doc_id, n_paras, majority_lang,
+    n_majority, consistency_ppm); empty-body docs report 0 paragraphs
+    and ppm 0.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    paras = F.filter(
+        F.split(F.col(body_col), "\n"), lambda p: F.trim(p) != ""
+    )
+    is_en = lambda p: (  # noqa: E731
+        F.size(
+            F.filter(
+                F.split(p, " "), lambda t: F.array_contains(stop_arr, t)
+            )
+        )
+        * F.lit(100)
+        >= F.lit(threshold_pct) * F.size(F.split(p, " "))
+    )
+    flags = F.transform(paras, lambda p: is_en(p))
+    n_paras = F.size("flags")
+    n_en = F.size(F.filter("flags", lambda x: x))
+    n_other = n_paras - n_en
+    maj_en = n_en * 2 >= n_paras
+    n_majority = F.when(maj_en, n_en).otherwise(n_other)
+    return documents.withColumn("flags", flags).select(
+        "doc_id",
+        n_paras.cast("bigint").alias("n_paras"),
+        F.when(n_paras == 0, F.lit("en"))
+        .otherwise(F.when(maj_en, F.lit("en")).otherwise(F.lit("other")))
+        .alias("majority_lang"),
+        n_majority.cast("bigint").alias("n_majority"),
+        F.when(n_paras == 0, F.lit(0))
+        .otherwise(F.floor(n_majority * F.lit(1_000_000) / n_paras))
+        .cast("bigint")
+        .alias("consistency_ppm"),
+    )

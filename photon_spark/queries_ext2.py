@@ -657,3 +657,95 @@ def politeness_audit_q(spark, sf):
         (F.lit(200) + (F.col("user_id") % 13) * 50).alias("delay_ms"),
     ).distinct()
     return politeness_audit(log, pol)
+
+
+# ---------------------------------------------------------------------------
+# Web-hierarchy rollup: crawl-inventory stats at host, registrable
+# domain, and TLD grain in ONE Expand pass (the crawl-flavored use of
+# ROLLUP beside the TPC-H rollup/cube entries) — the quota/reporting
+# frame a per-TLD or per-domain crawl budget reads. grouping_id
+# disambiguates aggregation levels from genuine NULLs.
+
+
+@q(
+    "web_hierarchy_rollup",
+    "WITH inv AS (SELECT 'h' || CAST(o_orderkey % 97 AS VARCHAR) AS host,"
+    "   'd' || CAST(o_orderkey % 13 AS VARCHAR) AS domain,"
+    "   CASE WHEN o_orderkey % 3 = 0 THEN 'com' ELSE 'org' END AS tld,"
+    "   o_totalprice AS n_bytes FROM orders)"
+    " SELECT tld, domain, host, GROUPING(tld, domain, host) AS lvl,"
+    "  COUNT(*) AS n_pages,"
+    "  CAST(SUM(CAST(floor(n_bytes * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bytes_c"
+    " FROM inv GROUP BY ROLLUP (tld, domain, host)",
+)
+def web_rollup_q(spark, sf):
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    inv = o.select(
+        F.concat(F.lit("h"), (ok % 97).cast("string")).alias("host"),
+        F.concat(F.lit("d"), (ok % 13).cast("string")).alias("domain"),
+        F.when(ok % 3 == 0, F.lit("com")).otherwise(F.lit("org")).alias("tld"),
+        # fixed-decimal money → exact integer cents (the TPC-H entries'
+        # quantization convention)
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("bytes_c"),
+    )
+    return (
+        inv.rollup("tld", "domain", "host")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count("*").alias("n_pages"),
+            F.sum("bytes_c").alias("bytes_c"),
+        )
+        .select("tld", "domain", "host", "lvl", "n_pages", "bytes_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-consistency filter (textstats.lang_consistency): bodies =
+# the doc text (organic stopword density) + a planted German paragraph
+# on even doc_ids + a stopword-saturated English paragraph — so the
+# paragraph grain sees genuine mixing that a doc-level average hides.
+
+from photon_spark.queries import _STOP_SQL_LIST as _STOPS  # noqa: E402
+
+_LC_BODY_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("\nder die das und ein nicht mit sich auf werden"),
+    ).otherwise(F.lit("")),
+    F.lit("\nthe of and to in is it for on with"),
+)
+_LC_BODY_SQL = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
+    " 'der die das und ein nicht mit sich auf werden' ELSE '' END"
+    " || chr(10) || 'the of and to in is it for on with'"
+)
+
+
+@q(
+    "lang_consistency_filter",
+    f"WITH base AS (SELECT doc_id, {_LC_BODY_SQL} AS body FROM documents),"
+    " f AS (SELECT doc_id, list_transform("
+    "   list_filter(string_split(body, chr(10)), p -> trim(p) <> ''),"
+    f"  p -> len(list_filter(string_split(p, ' '),"
+    f"   t -> list_contains({_STOPS}, t))) * 100 >="
+    "    12 * len(string_split(p, ' '))) AS flags FROM base),"
+    " s AS (SELECT doc_id, len(flags) AS n_paras,"
+    "   len(list_filter(flags, x -> x)) AS n_en FROM f)"
+    " SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,"
+    "  CASE WHEN n_paras = 0 THEN 'en'"
+    "   WHEN n_en * 2 >= n_paras THEN 'en' ELSE 'other' END AS majority_lang,"
+    "  CAST(CASE WHEN n_en * 2 >= n_paras THEN n_en ELSE n_paras - n_en END"
+    "   AS BIGINT) AS n_majority,"
+    "  CAST(CASE WHEN n_paras = 0 THEN 0 ELSE floor("
+    "   (CASE WHEN n_en * 2 >= n_paras THEN n_en ELSE n_paras - n_en END)"
+    "   * 1000000 / n_paras) END AS BIGINT) AS consistency_ppm FROM s",
+)
+def lang_consistency_q(spark, sf):
+    from photon_spark.operators.textstats import lang_consistency
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _LC_BODY_SPARK().alias("body")
+    )
+    return lang_consistency(docs)

@@ -2584,3 +2584,30 @@ def test_sorted_neighborhood_pairs_exact(spark):
     ]
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "key", window=1)
+
+
+def test_lang_consistency_mixed_doc(spark):
+    """Hand bodies: pure-English doc fully consistent; half-German doc
+    scores 500000 with the tie broken to 'en'; German-majority doc
+    labels 'other'; empty body reports 0 paragraphs."""
+    from photon_spark.operators.textstats import lang_consistency
+
+    en = "the cat is on the mat and it is warm"
+    de = "der hund und die katze sind nicht hier heute"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en}\n{en}"),
+            (2, f"{en}\n{de}"),          # 1 en, 1 other -> tie -> en
+            (3, f"{de}\n{de}\n{en}"),    # other majority
+            (4, ""),
+            (5, f"{en}\n\n  \n{en}"),    # blank paragraphs ignored
+        ],
+        ["doc_id", "body"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in lang_consistency(docs).collect()}
+    assert out[1]["consistency_ppm"] == 1000000 and out[1]["majority_lang"] == "en"
+    assert out[2]["consistency_ppm"] == 500000 and out[2]["majority_lang"] == "en"
+    assert out[3]["majority_lang"] == "other" and out[3]["n_majority"] == 2
+    assert out[3]["consistency_ppm"] == 666666
+    assert out[4]["n_paras"] == 0 and out[4]["consistency_ppm"] == 0
+    assert out[5]["n_paras"] == 2 and out[5]["consistency_ppm"] == 1000000
