@@ -158,6 +158,7 @@ HEADLINE = [
     "politeness_audit",
     "web_hierarchy_rollup",
     "lang_consistency_filter",
+    "content_novelty_wave",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

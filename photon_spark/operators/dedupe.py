@@ -1059,3 +1059,62 @@ def sorted_neighborhood_pairs(
     return left.join(right, "rank").select(
         "id_a", "id_b", "key_a", "key_b", F.col("rank_dist").cast("bigint").alias("rank_dist")
     )
+
+
+def content_novelty(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    k: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Content-novelty score for a fetched wave: the fraction of each
+    new page's distinct k-word shingles NOT already in the corpus —
+    the crawl-VALUE signal a scheduler feeds back (ucb_host_allocation
+    with novelty as the yield column closes the loop: hosts serving
+    templated/syndicated copy stop earning fetches; discovery_saturation
+    says a host is running dry of URLs, this says it is running dry of
+    CONTENT).
+
+    Corpus side is distinct shingle hashes only — at 100 TB that is the
+    stored artifact (pass ``corpus_shingles``, one `sh` column,
+    bucketed by hash so the semi-join co-locates; the corpus text is
+    never re-read per wave). Plan: new-side explode → ONE left-semi
+    join against the corpus shingle table → one doc-keyed
+    map-side-combinable agg. Integer ppm; shingle-less docs score 0.
+
+    Output: (doc_id, n_shingles, n_known, novelty_ppm).
+    """
+    if corpus_shingles is None:
+        if corpus_docs is None:
+            raise ValueError("pass corpus_docs or corpus_shingles")
+        corpus_shingles = (
+            corpus_docs.select(
+                F.explode(shingles_col(F.col("text"), k)).alias("sh")
+            )
+            .distinct()
+        )
+    new_sh = new_docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+    )
+    known = new_sh.join(corpus_shingles, "sh", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_known"))
+    totals = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(known, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
+            F.when(F.col("n_shingles") == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col("n_shingles") - F.coalesce(F.col("n_known"), F.lit(0)))
+                    * F.lit(1_000_000)
+                    / F.col("n_shingles")
+                )
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -749,3 +749,39 @@ def lang_consistency_q(spark, sf):
         "doc_id", _LC_BODY_SPARK().alias("body")
     )
     return lang_consistency(docs)
+
+
+# ---------------------------------------------------------------------------
+# Content novelty (dedupe.content_novelty): every 10th doc plays the
+# fresh wave, the rest the corpus; the tiny shared vocabulary makes
+# shingle overlap organic and graded (novelty genuinely varies per doc).
+
+_NOV_SH = (
+    "list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),"
+    " i -> array_to_string(w[i+1:i+3], ' ')))"
+)
+
+
+@q(
+    "content_novelty_wave",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    f" sh AS (SELECT doc_id, {_NOV_SH} AS sh FROM toks),"
+    " cs AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0),"
+    " ns AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0),"
+    " tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ns GROUP BY doc_id),"
+    " kn AS (SELECT doc_id, COUNT(*) AS n_known FROM ns"
+    "   WHERE EXISTS (SELECT 1 FROM cs WHERE cs.s = ns.s) GROUP BY doc_id)"
+    " SELECT tot.doc_id, n_shingles, COALESCE(n_known, 0) AS n_known,"
+    "  CAST(CASE WHEN n_shingles = 0 THEN 0 ELSE floor("
+    "   (n_shingles - COALESCE(n_known, 0)) * 1000000 / n_shingles) END"
+    "   AS BIGINT) AS novelty_ppm"
+    " FROM tot LEFT JOIN kn ON tot.doc_id = kn.doc_id",
+)
+def novelty_q(spark, sf):
+    from photon_spark.operators.dedupe import content_novelty
+
+    docs = _t(spark, sf, "documents", spread=True)
+    return content_novelty(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        corpus_docs=docs.filter(F.col("doc_id") % 10 != 0),
+    )

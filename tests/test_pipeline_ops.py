@@ -2611,3 +2611,37 @@ def test_lang_consistency_mixed_doc(spark):
     assert out[3]["consistency_ppm"] == 666666
     assert out[4]["n_paras"] == 0 and out[4]["consistency_ppm"] == 0
     assert out[5]["n_paras"] == 2 and out[5]["consistency_ppm"] == 1000000
+
+
+def test_content_novelty_grades(spark):
+    """Verbatim copy scores 0, fresh text scores 1e6, a half-overlap doc
+    grades in between; precomputed corpus_shingles path is identical."""
+    from photon_spark.operators import dedupe
+    from photon_spark.operators.dedupe import content_novelty, shingles_col
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # verbatim
+            (2, "one two three four five six"),          # fresh
+            (3, "alpha beta gamma delta nine ten"),      # partial
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in content_novelty(new, corpus).collect()}
+    assert out[1]["novelty_ppm"] == 0
+    assert out[2]["novelty_ppm"] == 1000000
+    assert 0 < out[3]["novelty_ppm"] < 1000000
+    assert out[3]["n_known"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+
+    cs = corpus.select(
+        F.explode(shingles_col(F.col("text"))).alias("sh")
+    ).distinct()
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in content_novelty(new, corpus_shingles=cs).collect()
+    }
+    assert out == out2
