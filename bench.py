@@ -159,6 +159,7 @@ HEADLINE = [
     "web_hierarchy_rollup",
     "lang_consistency_filter",
     "content_novelty_wave",
+    "pipeline_content_tiers",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

@@ -1224,6 +1224,7 @@ def main_content(
     body_col: str = "body",
     min_words: int = 5,
     max_link_ppm: int = 300_000,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Line-based main-content extraction (the jusText / Arc90
     readability family, Pomikálek 2011): drop navigation, footer, and
@@ -1282,6 +1283,17 @@ def main_content(
             F.md5(
                 F.array_join(F.transform("kept", lambda p: p["txt"]), "\n")
             ).alias("content_md5"),
+            # the extracted prose itself, for downstream pipeline stages
+            # (off by default: the md5 keeps driver-gate rows narrow)
+            *(
+                [
+                    F.array_join(
+                        F.transform("kept", lambda p: p["txt"]), "\n"
+                    ).alias("content")
+                ]
+                if keep_text
+                else []
+            ),
         )
     )
 

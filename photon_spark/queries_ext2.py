@@ -785,3 +785,89 @@ def novelty_q(spark, sf):
         docs.filter(F.col("doc_id") % 10 == 0),
         corpus_docs=docs.filter(F.col("doc_id") % 10 != 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-pipeline composition: main-content extraction → paragraph
+# language gate → exact-quantile curriculum tiers → per-tier stats, all
+# four of this session's stages composed into ONE driver row set so
+# stage-interaction bugs (extraction changing the language-gate
+# universe, the gate changing the quantile population) are
+# hash-visible — the pipeline_retention_stats pattern. Bodies carry a
+# German paragraph on even doc_ids that SURVIVES extraction (plain
+# prose, no links) and must then be caught by the language gate.
+
+_PSO_BODY_SQL = (
+    "'<div><a href=\"/\">Home</a> <a href=\"/x\">About us</a></div>'"
+    " || chr(10) || text"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
+    "  'der hund und die katze laufen durch den garten heute' ELSE '' END"
+    " || chr(10) || 'the of and to in is it for on with here'"
+    " || chr(10) || 'Copyright 2026'"
+)
+
+
+@q(
+    "pipeline_content_tiers",
+    f"WITH base AS (SELECT doc_id, {_PSO_BODY_SQL} AS body FROM documents),"
+    " per AS (SELECT doc_id, list_transform(string_split(body, chr(10)),"
+    "   x -> struct_pack("
+    "    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),"
+    "      '\\s+', ' ', 'g')),"
+    "    link_chars := coalesce(list_sum(list_transform("
+    "      regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1),"
+    "      y -> length(y))), 0))) AS per FROM base),"
+    " ex AS (SELECT doc_id, array_to_string(list_transform(list_filter(per,"
+    "   p -> p.txt <> '' AND len(string_split(p.txt, ' ')) >= 5"
+    "   AND p.link_chars * 1000000 <= 300000 * length(p.txt)),"
+    "   p -> p.txt), chr(10)) AS content FROM per),"
+    " f AS (SELECT doc_id, content, list_transform(list_filter("
+    "   string_split(content, chr(10)), p -> trim(p) <> ''),"
+    "   p -> len(list_filter(string_split(p, ' '),"
+    f"   t -> list_contains({_STOPS}, t))) * 100 >="
+    "    12 * len(string_split(p, ' '))) AS flags FROM ex),"
+    " g AS (SELECT doc_id, CAST(length(content) AS BIGINT) AS score FROM ("
+    "   SELECT doc_id, content, len(flags) AS n_paras,"
+    "    len(list_filter(flags, x -> x)) AS n_en FROM f) s"
+    "  WHERE n_paras > 0 AND floor(n_en * 1000000 / n_paras) >= 600000),"
+    " c AS (SELECT"
+    "  floor(quantile_cont(score, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS q1,"
+    "  floor(quantile_cont(score, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS q2,"
+    "  floor(quantile_cont(score, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS q3"
+    "  FROM g)"
+    " SELECT CAST(CASE WHEN score < q1 THEN 0 WHEN score < q2 THEN 1"
+    "   WHEN score < q3 THEN 2 ELSE 3 END AS BIGINT) AS tier,"
+    "  COUNT(*) AS n_docs, SUM(score) AS sum_len"
+    " FROM g, c GROUP BY 1",
+)
+def pipeline_session_q(spark, sf):
+    from photon_spark.operators.sampling import curriculum_tiers
+    from photon_spark.operators.textstats import lang_consistency, main_content
+
+    body = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/x">About us</a></div>\n'),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\nder hund und die katze laufen durch den garten heute"),
+        ).otherwise(F.lit("")),
+        F.lit("\nthe of and to in is it for on with here"),
+        F.lit("\nCopyright 2026"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    mc = main_content(docs, keep_text=True)
+    lc = lang_consistency(
+        mc.select("doc_id", F.col("content").alias("body"))
+    ).filter(
+        (F.col("n_paras") > 0)
+        & (F.col("majority_lang") == "en")
+        & (F.col("consistency_ppm") >= 600_000)
+    )
+    gated = mc.join(lc.select("doc_id"), "doc_id").select(
+        "doc_id", F.length("content").cast("bigint").alias("score")
+    )
+    return (
+        curriculum_tiers(gated, "score")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_docs"), F.sum("score").alias("sum_len"))
+    )
