@@ -276,6 +276,34 @@ EXPECT: dict[str, dict] = {
     # projection over the per-wave eager checkpoint: the incremental
     # state contract keeps lineage O(1) across waves
     "host_opic_incremental": {"max_exchanges": 0},
+    # --- r3 continuation session ---
+    # edge log collapses via ONE pair-keyed partial agg; reciprocity +
+    # rollup run at host-pair dimension scale
+    "link_diversity_signals": {"codegen": True},
+    # per-row JVM HOFs only: the _t spread is the one allowed exchange
+    "main_content_extract": {"codegen": True, "max_exchanges": 1},
+    "kwic_snippets_term": {"codegen": True, "max_exchanges": 1},
+    "bitext_sentence_pairs": {"codegen": True, "max_exchanges": 1},
+    "lang_consistency_filter": {"codegen": True, "max_exchanges": 1},
+    # postings agg (by term,doc) + the two term-slice doc_id joins
+    "phrase_query_index": {"codegen": True},
+    # UCB: one host agg + 1-row total broadcast + dimension rank window
+    "ucb_host_budget": {"broadcast": True},
+    "latency_aware_delay": {"codegen": True},
+    "politeness_audit": {"broadcast": True},
+    "curriculum_tiers": {"broadcast": True},
+    "web_hierarchy_rollup": {"codegen": True},
+    # novelty: explode + ONE semi join + doc agg (+ _t spread)
+    "content_novelty_wave": {"codegen": True},
+    # triangle output is localCheckpointed (host_rank convention): the
+    # audited plan is the scan of that materialized dimension frame
+    "host_triangle_cc": {"max_exchanges": 0},
+    "cocitation_host_pairs": {"max_exchanges": 0},
+    "kcore_peel_3rounds": {"codegen": True},
+    "sorted_neighborhood_pairs": {"codegen": True},
+    "decontam_fuzzy_hits": {"codegen": True},
+    "pipeline_content_tiers": {"broadcast": True},
+    "mg_host_heavy_hitters": {"codegen": True},
 }
 
 
