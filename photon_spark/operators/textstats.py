@@ -1513,3 +1513,199 @@ def lang_consistency(
         .cast("bigint")
         .alias("consistency_ppm"),
     )
+
+
+def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease per document — the
+    classic readability gate quality pipelines run beside the Gopher
+    heuristics (too-low ease flags OCR junk / word salad, too-high
+    grade flags boilerplate legalese).
+
+    Syllables use the standard vowel-group heuristic (runs of
+    [aeiouy], min 1 per word). Both scores are emitted in EXACT
+    integer micro-units: every coefficient division is computed as
+    ``(a - a % b) / b`` (true integer division, positive operands) so
+    the floor happens in integer space and DuckDB's ``//`` reproduces
+    it bit-for-bit — no float rounding anywhere.
+
+    Whole pass is narrow in-row HOF work (split, regexp per token,
+    aggregate-sum): zero shuffle, zero Python, pipelines with the scan.
+    """
+    idiv = lambda a, b: ((a - a % b) / b).cast("bigint")  # noqa: E731
+    low = F.lower(F.col(text_col))
+    sents = F.filter(
+        F.split(F.regexp_replace(low, "([.!?])\\s+", "$1\x01"), "\x01"),
+        lambda s: F.trim(s) != "",
+    )
+    toks = F.filter(F.split(low, " "), lambda t: t != "")
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    out = documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    w = F.greatest(F.col("n_words"), F.lit(1))
+    s = F.greatest(F.col("n_sentences"), F.lit(1))
+    y = F.col("n_syllables")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        # FK grade = 0.39*(W/S) + 11.8*(Y/W) - 15.59, in micro
+        (idiv(F.lit(390000) * w, s) + idiv(F.lit(11800000) * y, w)
+         - F.lit(15590000)).cast("bigint").alias("fk_grade_micro"),
+        # Flesch ease = 206.835 - 1.015*(W/S) - 84.6*(Y/W), in micro
+        (F.lit(206835000) - idiv(F.lit(1015000) * w, s)
+         - idiv(F.lit(84600000) * y, w)).cast("bigint").alias("reading_ease_micro"),
+    )
+
+
+def char_entropy(
+    documents: DataFrame,
+    text_col: str = "text",
+    low_microbits: int = 2_000_000,
+    high_microbits: int = 5_500_000,
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    binary-junk gate: repeated-char floods and single-token spam sit
+    near 0 bits, natural language near 4, base64/hex blobs push past
+    5.5, so flagging outside [low, high] catches both failure modes.
+
+    In-row only: the per-doc alphabet is ``array_distinct`` of the
+    chars (SORTED, so the float fold order is pinned and the DuckDB
+    twin sums in the identical order), each char's count is a literal
+    replace length-diff (no explode — the corpus never shuffles), and
+    H = (ln L − Σ c·ln c / L) / ln 2 with one final floor(x·1e6 + 0.5)
+    (the ucb_host_budget ln precedent for cross-engine float parity).
+    Empty and single-char docs report exactly 0.
+    """
+    s = F.lower(F.col(text_col))
+    n = F.length(s).cast("bigint")
+    chars = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(s, F.lit("[\\s\\S]"), F.lit(0)))
+    )
+    cnts = F.transform(
+        chars, lambda c: (n - F.length(F.replace(s, c, F.lit("")))).cast("double")
+    )
+    sum_nlogn = F.aggregate(
+        cnts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    h_bits = (F.log(n.cast("double")) - sum_nlogn / n) / F.log(F.lit(2.0))
+    micro = F.when(n <= 1, F.lit(0)).otherwise(
+        F.floor(h_bits * 1000000.0 + 0.5)
+    ).cast("bigint")
+    return documents.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(chars).cast("bigint").alias("n_distinct_chars"),
+        micro.alias("entropy_microbits"),
+        ((micro < F.lit(low_microbits)) | (micro > F.lit(high_microbits))).alias(
+            "is_gibberish"
+        ),
+    )
+
+
+def stopword_discovery(
+    documents: DataFrame,
+    min_df_ppm: int = 300_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-driven stopword discovery: terms whose DOCUMENT
+    frequency clears ``min_df_ppm`` of the corpus — the
+    language-agnostic way to build the stopword lists lang_id/quality
+    gates consume (published lists only exist for a few hundred
+    languages; a 100-TB multilingual crawl needs them mined).
+
+    Per-doc term sets are deduped IN-ROW (``array_distinct`` before
+    the explode) so the shuffle carries at most |vocab_doc| rows per
+    doc and the term-keyed count is map-side combinable; the corpus
+    size joins back as a 1-row broadcast. df_ppm uses true integer
+    division; the final rank orders the (tiny) surviving list.
+    """
+    from pyspark.sql import Window
+
+    idiv = lambda a, b: ((a - a % b) / b).cast("bigint")  # noqa: E731
+    terms = documents.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+            )
+        ).alias("term")
+    ).groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = terms.crossJoin(F.broadcast(n_docs)).select(
+        "term", "df", idiv(F.col("df") * 1000000, F.col("n_docs")).alias("df_ppm")
+    ).filter(F.col("df_ppm") >= min_df_ppm)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return scored.select(
+        "term", "df", "df_ppm", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+def zipf_slope(
+    documents: DataFrame, top_n: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    one-row corpus-health check (natural language fits ln f ≈ a +
+    s·ln r with s ≈ −1; template floods and deduplication bugs bend
+    the curve, so the slope is a cheap drift monitor per crawl wave).
+
+    Term totals are one map-side-combinable agg; the top-``top_n``
+    cut is orderBy+limit (TakeOrdered — never a full sort) with a
+    deterministic (tf desc, term) tie-break. The least-squares fit
+    integerizes x=ln(rank), y=ln(tf) to micro FIRST (floor(x·1e6+.5)
+    per value), accumulates exact BIGINT sums, and performs the single
+    closed-form division in doubles — both engines see identical
+    integers and one identically-rounded IEEE divide.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    mic = lambda c: F.floor(F.log(c.cast("double")) * 1000000.0 + 0.5).cast(  # noqa: E731
+        "bigint"
+    )
+    ranked = tf.select(
+        mic(F.row_number().over(w)).alias("x"), mic(F.col("tf")).alias("y")
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den  # micro/micro — already the dimensionless slope
+    intercept_micro = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.floor(slope * 1000000.0 + 0.5).cast("bigint").alias("slope_micro"),
+        F.floor(intercept_micro + 0.5).cast("bigint").alias("intercept_micro"),
+    )

@@ -871,3 +871,161 @@ def pipeline_session_q(spark, sf):
         .groupBy("tier")
         .agg(F.count("*").alias("n_docs"), F.sum("score").alias("sum_len"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (textstats.readability): Flesch-Kincaid grade +
+# reading ease in exact integer micro-units. Bodies are the doc text
+# re-punctuated into 8-word sentences (the bitext chunking precedent —
+# sentence count varies with doc length, so W/S genuinely varies) plus
+# a planted vowel-free tail ('123 grr') driving the min-1-syllable
+# branch. Every coefficient division floors in integer space on both
+# engines (DuckDB `//` ≡ Spark (a - a%b)/b for the positive operands
+# here), so the hash match is bit-exact with zero float involvement.
+
+
+@q(
+    "readability_scores",
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " c AS (SELECT doc_id, list_transform(generate_series(0, (len(w)-1)//8),"
+    "   j -> array_to_string(w[j*8+1:j*8+8], ' ')) AS ch FROM base),"
+    " bod AS (SELECT doc_id, array_to_string(list_transform(ch, x -> x || '.'),"
+    "   ' ') || ' plus a tail with 123 grr words!' AS body FROM c),"
+    " t AS (SELECT doc_id, lower(body) AS low FROM bod),"
+    " sp AS (SELECT doc_id,"
+    "  len(list_filter(string_split(regexp_replace(low, '([.!?])\\s+',"
+    "   '\\1' || chr(1), 'g'), chr(1)), x -> trim(x) <> '')) AS n_sentences,"
+    "  list_filter(string_split(low, ' '), x -> x <> '') AS toks FROM t),"
+    " a AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,"
+    "  CAST(n_sentences AS BIGINT) AS n_sentences,"
+    "  CAST(coalesce(list_sum(list_transform(toks,"
+    "   x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)"
+    "   AS BIGINT) AS n_syllables FROM sp)"
+    " SELECT doc_id, n_words, n_sentences, n_syllables,"
+    "  390000 * greatest(n_words, 1) // greatest(n_sentences, 1)"
+    "   + 11800000 * n_syllables // greatest(n_words, 1) - 15590000"
+    "   AS fk_grade_micro,"
+    "  206835000 - 1015000 * greatest(n_words, 1) // greatest(n_sentences, 1)"
+    "   - 84600000 * n_syllables // greatest(n_words, 1) AS reading_ease_micro"
+    " FROM a",
+)
+def readability_q(spark, sf):
+    from photon_spark.operators.textstats import readability
+
+    toks = F.split(F.col("text"), " ")
+    idxs = F.sequence(
+        F.lit(0), F.floor((F.size(toks) - 1) / F.lit(8)).cast("int")
+    )
+    chunk = lambda j: F.concat_ws(" ", F.slice(toks, j * 8 + 1, 8))  # noqa: E731
+    body = F.concat(
+        F.array_join(
+            F.transform(idxs, lambda j: F.concat(chunk(j), F.lit("."))), " "
+        ),
+        F.lit(" plus a tail with 123 grr words!"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    return readability(docs, text_col="body")
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gibberish gate (textstats.char_entropy). Planted
+# failure modes: doc_id%7==0 becomes a repeated-char flood (entropy 0 →
+# low-side gibberish), doc_id%11==0 a 62-distinct-char uniform blob
+# (log2(62) ≈ 5.95 bits → high-side gibberish); everything else keeps
+# the organic word text (~4 bits, in-band). The per-doc alphabet is
+# SORTED on both engines so the float fold order is identical; the one
+# float → integer step is the shared floor(x·1e6 + 0.5).
+
+_ENT_BLOB = "abcdefghijklmnopqrstuvwxyz0123456789!@#$%^&*()-_=+[]{};:,.<>/?"
+
+
+@q(
+    "char_entropy_gate",
+    "WITH bod AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN repeat('a', 40)"
+    f"   WHEN doc_id % 11 = 0 THEN '{_ENT_BLOB}'"
+    "   ELSE text END AS body FROM documents),"
+    " t AS (SELECT doc_id, lower(body) AS s FROM bod),"
+    " b AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS n,"
+    "  list_sort(list_distinct(regexp_extract_all(s, '[\\s\\S]'))) AS chars"
+    "  FROM t),"
+    " e AS (SELECT doc_id, n, chars, coalesce(list_sum(list_transform(chars,"
+    "  c -> CAST(n - length(replace(s, c, '')) AS DOUBLE)"
+    "   * ln(CAST(n - length(replace(s, c, '')) AS DOUBLE)))), 0.0) AS snl"
+    "  FROM b),"
+    " m AS (SELECT doc_id, n, CAST(len(chars) AS BIGINT) AS n_distinct_chars,"
+    "  CASE WHEN n <= 1 THEN 0 ELSE CAST(floor((ln(CAST(n AS DOUBLE)) - snl / n)"
+    "   / ln(2.0) * 1000000.0 + 0.5) AS BIGINT) END AS entropy_microbits"
+    "  FROM e)"
+    " SELECT doc_id, n AS n_chars, n_distinct_chars, entropy_microbits,"
+    "  entropy_microbits < 2000000 OR entropy_microbits > 5500000 AS is_gibberish"
+    " FROM m",
+)
+def char_entropy_q(spark, sf):
+    from photon_spark.operators.textstats import char_entropy
+
+    body = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("a" * 40))
+        .when(F.col("doc_id") % 11 == 0, F.lit(_ENT_BLOB))
+        .otherwise(F.col("text"))
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    return char_entropy(docs, text_col="body")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-driven stopword discovery (textstats.stopword_discovery):
+# terms clearing 30% document frequency, ranked. In-row array_distinct
+# before the explode keeps the shuffle at |per-doc vocab| rows; the
+# corpus size arrives as a 1-row broadcast. Pure integer ppm.
+
+
+@q(
+    "stopword_discovery",
+    "WITH terms AS (SELECT unnest(list_distinct(list_filter("
+    "   string_split(lower(text), ' '), t -> t <> ''))) AS term"
+    "  FROM documents),"
+    " dfc AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),"
+    " nd AS (SELECT COUNT(*) AS n_docs FROM documents),"
+    " sc AS (SELECT term, df, df * 1000000 // n_docs AS df_ppm FROM dfc, nd"
+    "  WHERE df * 1000000 // n_docs >= 300000)"
+    " SELECT term, df, df_ppm,"
+    "  ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank FROM sc",
+)
+def stopword_discovery_q(spark, sf):
+    from photon_spark.operators.textstats import stopword_discovery
+
+    return stopword_discovery(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (textstats.zipf_slope): the one-row
+# corpus-health monitor. Both engines integerize ln(rank)/ln(tf) to
+# micro FIRST (shared floor-trick), accumulate exact BIGINT sums, and
+# perform the identical closed-form double divisions — so the hash
+# match pins the whole least-squares fit.
+
+
+@q(
+    "zipf_slope_corpus",
+    "WITH tf AS (SELECT term, COUNT(*) AS tf FROM ("
+    "   SELECT unnest(list_filter(string_split(lower(text), ' '),"
+    "    t -> t <> '')) AS term FROM documents) GROUP BY term"
+    "  ORDER BY tf DESC, term ASC LIMIT 64),"
+    " r AS (SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER ("
+    "   ORDER BY tf DESC, term ASC) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    "   AS x, CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    "   AS y FROM tf),"
+    " s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,"
+    "   SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM r)"
+    " SELECT CAST(n AS BIGINT) AS n_terms,"
+    "  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    "   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    "   AS slope_micro,"
+    "  CAST(floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+    "   / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "   / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_micro FROM s",
+)
+def zipf_q(spark, sf):
+    from photon_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(_t(spark, sf, "documents"), top_n=64)

@@ -285,10 +285,20 @@ EXPECT: dict[str, dict] = {
     "kwic_snippets_term": {"codegen": True, "max_exchanges": 1},
     "bitext_sentence_pairs": {"codegen": True, "max_exchanges": 1},
     "lang_consistency_filter": {"codegen": True, "max_exchanges": 1},
-    # postings agg (by term,doc) + the two term-slice doc_id joins
-    "phrase_query_index": {"codegen": True},
-    # UCB: one host agg + 1-row total broadcast + dimension rank window
-    "ucb_host_budget": {"broadcast": True},
+    # postings agg (by term,doc) + the two term-slice doc_id joins.
+    # Catalyst pushes each term filter BELOW the postings groupBy, so
+    # the 2-term + 3-term union plans 5 term-sliced partial aggs (each
+    # shuffling only one term's tokens) + the _t spread + 1 reused scan
+    # = 7 exchanges by design; all doc_id joins broadcast the term
+    # slice. On the bucketed-by-term index (plans/bucketing) the agg
+    # exchanges vanish — this audits the ad-hoc (unbucketed) path.
+    "phrase_query_index": {"codegen": True, "broadcast": True, "max_exchanges": 7},
+    # UCB: one host agg + 1-row total broadcast + dimension rank window;
+    # the audited registry query ALSO synthesizes the host universe from
+    # nation (2 more aggs) and runs the never-pulled anti-join + final
+    # single-partition rank sort = 7 exchanges, each at host-dimension
+    # (≤25-row) scale except the one events agg.
+    "ucb_host_budget": {"broadcast": True, "max_exchanges": 7},
     "latency_aware_delay": {"codegen": True},
     "politeness_audit": {"broadcast": True},
     "curriculum_tiers": {"broadcast": True},
@@ -301,9 +311,24 @@ EXPECT: dict[str, dict] = {
     "cocitation_host_pairs": {"max_exchanges": 0},
     "kcore_peel_3rounds": {"codegen": True},
     "sorted_neighborhood_pairs": {"codegen": True},
-    "decontam_fuzzy_hits": {"codegen": True},
+    # full LSH composition in one plan: corpus + bench shingle aggs
+    # (SortAggregate over exploded shingles), signature band explode,
+    # bucket-cap agg, then the two rescore joins — 9 exchanges across
+    # 4 aggregation stages, every join broadcast, band/bucket scans
+    # reused (ReusedExchange). The standalone minhash family audits
+    # the per-stage shapes; this entry pins the composition.
+    "decontam_fuzzy_hits": {"codegen": True, "broadcast": True, "max_exchanges": 9},
     "pipeline_content_tiers": {"broadcast": True},
     "mg_host_heavy_hitters": {"codegen": True},
+    # in-row HOF arithmetic only (split/regex/aggregate per doc): at
+    # most the _t single-file spread may exchange
+    "readability_scores": {"codegen": True, "max_exchanges": 1},
+    "char_entropy_gate": {"codegen": True, "max_exchanges": 1},
+    # per-doc-distinct term explode → one map-side-combinable df agg,
+    # 1-row corpus-size broadcast, dimension-scale final rank window
+    "stopword_discovery": {"codegen": True, "broadcast": True, "max_exchanges": 4},
+    # tf agg + TakeOrdered cut + 64-row rank window + 1-row sums agg
+    "zipf_slope_corpus": {"codegen": True, "max_exchanges": 5},
 }
 
 

@@ -2645,3 +2645,101 @@ def test_content_novelty_grades(spark):
         for r in content_novelty(new, corpus_shingles=cs).collect()
     }
     assert out == out2
+
+
+def test_readability_hand_values(spark):
+    """Hand-computed FK/ease micro scores: punctuated two-sentence doc,
+    vowel-free words hitting the min-1-syllable floor, empty doc."""
+    from photon_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat. on a mat."),  # W=6 S=2 Y=6
+            (2, "grr brr"),                 # W=2 S=1 Y=2 (min-1 floor)
+            (3, ""),                        # all-zero guards
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in readability(docs).collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_sentences"] == 2
+    assert out[1]["n_syllables"] == 6
+    # 390000*6//2 + 11800000*6//6 - 15590000
+    assert out[1]["fk_grade_micro"] == 1170000 + 11800000 - 15590000
+    # 206835000 - 1015000*6//2 - 84600000*6//6
+    assert out[1]["reading_ease_micro"] == 206835000 - 3045000 - 84600000
+    assert out[2]["n_syllables"] == 2       # no [aeiouy] → 1 per word
+    assert out[2]["fk_grade_micro"] == 780000 + 11800000 - 15590000
+    assert out[3]["n_words"] == 0 and out[3]["n_sentences"] == 0
+    assert out[3]["n_syllables"] == 0
+
+
+def test_char_entropy_bands(spark):
+    """Exact entropies: 0 bits (flood), 1 bit, 2 bits (band edge is
+    half-open: exactly low stays non-gibberish), case folding, and the
+    n<=1 guards."""
+    from photon_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),      # H=0 → gibberish (low)
+            (2, "ab"),        # H=1 → gibberish (low)
+            (3, "abcd"),      # H=2 → exactly low_microbits → kept
+            (4, "AbAb"),      # lowercased → H=1
+            (5, ""),          # n=0 → 0 → gibberish
+            (6, "x"),         # n=1 → 0 → gibberish
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_microbits"] == 0 and out[1]["is_gibberish"]
+    assert out[2]["entropy_microbits"] == 1000000 and out[2]["is_gibberish"]
+    assert out[3]["entropy_microbits"] == 2000000 and not out[3]["is_gibberish"]
+    assert out[4]["entropy_microbits"] == 1000000
+    assert out[4]["n_distinct_chars"] == 2
+    assert out[5]["entropy_microbits"] == 0 and out[5]["is_gibberish"]
+    assert out[6]["entropy_microbits"] == 0 and out[6]["is_gibberish"]
+
+
+def test_stopword_discovery_threshold_and_rank(spark):
+    """Document frequency (not term frequency): in-doc repeats count
+    once; the 30% ppm threshold is inclusive-exclusive as floored."""
+    from photon_spark.operators.textstats import stopword_discovery
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the"),   # 'the' twice in-doc → df +1 only
+            (2, "the dog"),
+            (3, "the bird cat"),
+            (4, "fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r["term"], r["df"], r["df_ppm"], r["rank"])
+        for r in stopword_discovery(docs).collect()
+    ]
+    assert sorted(rows) == [("cat", 2, 500000, 2), ("the", 3, 750000, 1)]
+
+
+def test_zipf_slope_perfect_law(spark):
+    """A corpus built as f(r) = 60/r (60 = lcm(1..6), so every rank's
+    frequency is integral) fits ln f = ln 60 - ln r exactly, so the
+    fitted slope is -1 and the intercept ln(60), both to micro
+    rounding; top_n cuts the fit population."""
+    from photon_spark.operators.textstats import zipf_slope
+
+    import math
+
+    text = " ".join(
+        ["w1"] * 60 + ["w2"] * 30 + ["w3"] * 20 + ["w4"] * 15
+        + ["w5"] * 12 + ["w6"] * 10
+    )
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = zipf_slope(docs).collect()[0]
+    assert out["n_terms"] == 6
+    assert abs(out["slope_micro"] + 1000000) <= 20
+    assert abs(out["intercept_micro"] - round(math.log(60) * 1e6)) <= 20
+
+    out3 = zipf_slope(docs, top_n=3).collect()[0]
+    assert out3["n_terms"] == 3
+    assert abs(out3["slope_micro"] + 1000000) <= 20
