@@ -710,3 +710,51 @@ def curriculum_tiers(
         score_col,
         tier.cast("bigint").alias("tier"),
     )
+
+
+def mad_outlier_gate(
+    documents: DataFrame, k: float = 3.0, by: str = "source"
+) -> DataFrame:
+    """Robust per-group length gating: median + MAD (median absolute
+    deviation) instead of mean + stddev, so a handful of mega-documents
+    can't drag the gate open the way they drag a stddev band
+    (length_percentile_gate is the corpus-global cousin; this is the
+    per-source robust variant curation recipes use when sources have
+    wildly different length regimes).
+
+    Keep rule: |n_tokens − median_g| ≤ k · MAD_g within each group g.
+    MAD = 0 (over half the group at one length) degenerates to keeping
+    exactly the modal length — the conservative reading.
+
+    Plan shape: two exact-percentile aggregations at GROUP grain (each
+    a partial-aggregating sort-based agg, no global sort), each joined
+    back via broadcast (group dimension ≪ corpus); the gate is a
+    narrow comparison. Both medians are micro-rounded through the
+    shared floor(x·1e6 + 0.5) so DuckDB's quantile_cont reproduces
+    them bit-for-bit, and every downstream float op (abs, k·mad,
+    the ≤) is the identical IEEE expression on both engines.
+    """
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    d = documents.select(
+        "doc_id",
+        by,
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    med = d.groupBy(by).agg(
+        r6(F.percentile("n_tokens", F.lit(0.5))).alias("med")
+    )
+    dev = d.join(F.broadcast(med), by).withColumn(
+        "dev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy(by).agg(r6(F.percentile("dev", F.lit(0.5))).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), by)
+        .select(
+            "doc_id",
+            by,
+            "n_tokens",
+            "med",
+            "mad",
+            (F.col("dev") <= F.lit(k) * F.col("mad")).alias("kept"),
+        )
+    )

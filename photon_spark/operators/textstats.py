@@ -1709,3 +1709,56 @@ def zipf_slope(
         F.floor(slope * 1000000.0 + 0.5).cast("bigint").alias("slope_micro"),
         F.floor(intercept_micro + 0.5).cast("bigint").alias("intercept_micro"),
     )
+
+
+def intradoc_line_dedup(
+    documents: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """In-document exact line deduplication — the RefinedWeb/MassiveText
+    intra-doc cleanup step (repeated nav strips, share bars, and
+    boilerplate lines inside ONE page) that corpus-level dedup never
+    sees: c4_span_dedup / exact_dedup compare ACROSS documents, this
+    removes repeats WITHIN one, keeping each line's first occurrence.
+
+    Keep rule per line i: non-blank after trim AND i is the first
+    index holding that exact line (``array_position`` = first-match,
+    identically 1-based in Spark and DuckDB, so the oracle mirrors
+    construction). O(L^2) per document over the line array — constant
+    in-row work, zero shuffle, zero Python; pipelines with the scan,
+    and the cleaned text feeds the same downstream gates as c4_clean.
+    """
+    lines = F.split(F.col(body_col), "\n")
+    idxs = F.sequence(F.lit(1), F.size(lines))
+    kept_idx = F.filter(
+        idxs,
+        lambda i: (F.trim(F.element_at(lines, i)) != "")
+        & (F.array_position(lines, F.element_at(lines, i)) == i),
+    )
+    nonblank = F.size(
+        F.filter(lines, lambda l: F.trim(l) != "")
+    ).cast("bigint")
+    kept = F.transform(kept_idx, lambda i: F.element_at(lines, i))
+    out = documents.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        nonblank.alias("n_nonblank"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("content_md5"),
+    )
+    removed = F.col("n_nonblank") - F.col("n_kept")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_nonblank",
+        "n_kept",
+        F.when(F.col("n_nonblank") == 0, F.lit(0))
+        .otherwise(
+            (
+                (removed * 1000000 - (removed * 1000000) % F.col("n_nonblank"))
+                / F.col("n_nonblank")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("removed_ppm"),
+        "content_md5",
+    )

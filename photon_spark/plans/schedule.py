@@ -2125,3 +2125,61 @@ def politeness_audit(
             F.min("gap_ms").alias("min_gap_ms"),
         )
     )
+
+
+def host_trap_ratio(
+    pages: DataFrame,
+    min_pages: int = 20,
+    ratio_threshold_ppm: int = 5_000_000,
+    url_col: str = "url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Host-level URL-space-explosion detection — the BEHAVIORAL trap
+    signal that complements trap_flags' per-URL syntax: a trap host
+    serves far more distinct URLs than distinct content (calendar
+    walks, session-id mints, faceted search), so the
+    pages-per-distinct-fingerprint ratio blows up even when every
+    individual URL looks clean. Flagged hosts get their frontier
+    budget cut (the adaptive_host_budgets / ucb_host_allocation input)
+    rather than their URLs pattern-filtered.
+
+    Per host: n_pages, n_content (distinct fingerprint),
+    ratio_ppm = n_pages·1e6 ÷ n_content (floored integer),
+    mean_depth_micro (path-segment depth), and the flag
+    ``is_trap = n_pages ≥ min_pages AND ratio_ppm ≥ threshold``.
+
+    ONE host-keyed aggregation (count-distinct runs as the standard
+    two-phase partial agg, no expand for a single distinct column);
+    depth is a scan-side parse_url expression. Output is
+    host-dimension scale. At 10^10 URLs the agg shuffles once on the
+    politeness partition key the frontier already uses.
+    """
+    h = with_host(pages, url_col)
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != "")).cast(
+        "bigint"
+    )
+    agg = h.select("host", F.col(fp_col).alias("_fp"), depth.alias("_d")).groupBy(
+        "host"
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("_fp").alias("n_content"),
+        F.sum("_d").alias("_sum_d"),
+    )
+    idiv = lambda a, b: ((a - a % b) / b).cast("bigint")  # noqa: E731
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_content",
+        idiv(F.col("n_pages") * 1000000, F.col("n_content")).alias("ratio_ppm"),
+        idiv(F.col("_sum_d") * 1000000, F.col("n_pages")).alias(
+            "mean_depth_micro"
+        ),
+        (
+            (F.col("n_pages") >= min_pages)
+            & (
+                idiv(F.col("n_pages") * 1000000, F.col("n_content"))
+                >= ratio_threshold_ppm
+            )
+        ).alias("is_trap"),
+    )

@@ -1029,3 +1029,122 @@ def zipf_q(spark, sf):
     from photon_spark.operators.textstats import zipf_slope
 
     return zipf_slope(_t(spark, sf, "documents"), top_n=64)
+
+
+# ---------------------------------------------------------------------------
+# In-document line dedup (textstats.intradoc_line_dedup): RefinedWeb /
+# MassiveText intra-doc cleanup — repeated nav/share/footer lines
+# WITHIN one page, which cross-document dedup never touches. Bodies
+# plant a share-bar line twice, a doc-text repeat on even doc_ids, a
+# blank + whitespace-only line, and a doubled footer — so keep-first,
+# blank-drop, and the parity-varying removal ratio all gate. The
+# oracle replays the identical first-occurrence-index construction
+# (list_position ≡ array_position, both 1-based first-match).
+
+
+@q(
+    "intradoc_line_dedup",
+    "WITH base AS (SELECT doc_id, 'share on social media' || chr(10) || text"
+    "   || CASE WHEN doc_id % 2 = 0 THEN chr(10) || text ELSE '' END"
+    "   || chr(10) || 'share on social media' || chr(10) || chr(10) || '  '"
+    "   || chr(10) || 'footer text here' || chr(10) || 'footer text here'"
+    "   AS body FROM documents),"
+    " l AS (SELECT doc_id, string_split(body, chr(10)) AS lines FROM base),"
+    " k AS (SELECT doc_id, lines, list_filter(generate_series(1, len(lines)),"
+    "   i -> trim(lines[i]) <> '' AND list_position(lines, lines[i]) = i)"
+    "   AS ki FROM l),"
+    " n AS (SELECT doc_id, lines, ki,"
+    "   len(list_filter(lines, x -> trim(x) <> '')) AS nb FROM k)"
+    " SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,"
+    "  CAST(nb AS BIGINT) AS n_nonblank, CAST(len(ki) AS BIGINT) AS n_kept,"
+    "  CAST(CASE WHEN nb = 0 THEN 0 ELSE"
+    "   (nb - len(ki)) * 1000000 // nb END AS BIGINT) AS removed_ppm,"
+    "  md5(array_to_string(list_transform(ki, i -> lines[i]), chr(10)))"
+    "   AS content_md5 FROM n",
+)
+def intradoc_dedup_q(spark, sf):
+    from photon_spark.operators.textstats import intradoc_line_dedup
+
+    body = F.concat(
+        F.lit("share on social media\n"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("\n"), F.col("text"))
+        ).otherwise(F.lit("")),
+        F.lit("\nshare on social media\n\n  \nfooter text here\nfooter text here"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    return intradoc_line_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length gate (sampling.mad_outlier_gate): median +
+# MAD instead of mean + stddev (length_percentile_gate's per-source
+# robust cousin). Medians are micro-rounded through the shared floor
+# trick on both engines; every downstream float op (abs, k·mad, ≤) is
+# the identical IEEE expression, so even boundary rows hash-match.
+
+
+@q(
+    "mad_outlier_gate",
+    "WITH d AS (SELECT doc_id, source,"
+    "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    "  FROM documents),"
+    " m AS (SELECT source, floor(quantile_cont(n_tokens, 0.5) * 1000000.0"
+    "   + 0.5) / 1000000.0 AS med FROM d GROUP BY source),"
+    " dv AS (SELECT d.doc_id, d.source, d.n_tokens, m.med,"
+    "   abs(d.n_tokens - m.med) AS dev FROM d JOIN m USING (source)),"
+    " md AS (SELECT source, floor(quantile_cont(dev, 0.5) * 1000000.0 + 0.5)"
+    "   / 1000000.0 AS mad FROM dv GROUP BY source)"
+    " SELECT dv.doc_id, dv.source, dv.n_tokens, dv.med, md.mad,"
+    "  dv.dev <= 3.0 * md.mad AS kept FROM dv JOIN md USING (source)",
+)
+def mad_gate_q(spark, sf):
+    from photon_spark.operators.sampling import mad_outlier_gate
+
+    return mad_outlier_gate(_t(spark, sf, "documents"), k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Host-level URL-space-explosion trap (plans/schedule.host_trap_ratio):
+# the behavioral companion to the per-URL syntactic trap_flags. Hosts
+# h0-h3 serve only 3 distinct fingerprints across all their URLs
+# (ratio blows up → trapped); the rest serve unique content. The Spark
+# side parses host + path depth out of REAL URLs; the oracle computes
+# the closed form the URLs were built from.
+
+
+@q(
+    "host_trap_ratio",
+    "WITH p AS (SELECT"
+    "   'h' || CAST(o_orderkey % 16 AS VARCHAR) || '.test' AS host,"
+    "   CASE WHEN o_orderkey % 16 < 4 THEN 'c' || CAST(o_orderkey % 3 AS VARCHAR)"
+    "    ELSE 'c' || CAST(o_orderkey AS VARCHAR) END AS fp,"
+    "   o_orderkey % 4 + 1 AS depth FROM orders),"
+    " a AS (SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT fp) AS n_content,"
+    "   SUM(depth) AS sd FROM p GROUP BY host)"
+    " SELECT host, n_pages, n_content,"
+    "  n_pages * 1000000 // n_content AS ratio_ppm,"
+    "  sd * 1000000 // n_pages AS mean_depth_micro,"
+    "  n_pages >= 20 AND n_pages * 1000000 // n_content >= 5000000 AS is_trap"
+    " FROM a",
+)
+def host_trap_q(spark, sf):
+    from photon_spark.plans.schedule import host_trap_ratio
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    hid = ok % 16
+    url = F.concat(
+        F.lit("http://h"),
+        hid.cast("string"),
+        F.lit(".test"),
+        F.expr("repeat('/d', cast(o_orderkey % 4 as int))"),
+        F.lit("/p"),
+        ok.cast("string"),
+    )
+    fp = F.when(hid < 4, F.concat(F.lit("c"), (ok % 3).cast("string"))).otherwise(
+        F.concat(F.lit("c"), ok.cast("string"))
+    )
+    pages = o.select(url.alias("url"), fp.alias("fingerprint"))
+    return host_trap_ratio(pages, min_pages=20, ratio_threshold_ppm=5_000_000)

@@ -329,6 +329,12 @@ EXPECT: dict[str, dict] = {
     "stopword_discovery": {"codegen": True, "broadcast": True, "max_exchanges": 4},
     # tf agg + TakeOrdered cut + 64-row rank window + 1-row sums agg
     "zipf_slope_corpus": {"codegen": True, "max_exchanges": 5},
+    # in-row first-occurrence-index HOFs: only _t's spread may exchange
+    "intradoc_line_dedup": {"codegen": True, "max_exchanges": 1},
+    # two source-grain percentile aggs, each broadcast back
+    "mad_outlier_gate": {"codegen": True, "broadcast": True, "max_exchanges": 4},
+    # one host agg with a single count-distinct (two-phase, no Expand)
+    "host_trap_ratio": {"codegen": True, "max_exchanges": 3},
 }
 
 

@@ -2743,3 +2743,83 @@ def test_zipf_slope_perfect_law(spark):
     out3 = zipf_slope(docs, top_n=3).collect()[0]
     assert out3["n_terms"] == 3
     assert abs(out3["slope_micro"] + 1000000) <= 20
+
+
+def test_intradoc_line_dedup_keep_first(spark):
+    """Duplicate lines keep their FIRST occurrence (order preserved in
+    the md5), blanks/whitespace-only lines drop without counting as
+    removals, and a clean doc removes nothing."""
+    import hashlib
+
+    from photon_spark.operators.textstats import intradoc_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nreal content one\nnav bar\n\n  \nreal content two"),
+            (2, "only line"),
+            (3, "a\na\na"),
+            (4, ""),
+        ],
+        ["doc_id", "body"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in intradoc_line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_nonblank"] == 4
+    assert out[1]["n_kept"] == 3 and out[1]["removed_ppm"] == 250000
+    want = hashlib.md5(
+        "nav bar\nreal content one\nreal content two".encode()
+    ).hexdigest()
+    assert out[1]["content_md5"] == want
+    assert out[2]["n_kept"] == 1 and out[2]["removed_ppm"] == 0
+    assert out[3]["n_kept"] == 1 and out[3]["removed_ppm"] == 666666
+    assert out[4]["n_kept"] == 0 and out[4]["removed_ppm"] == 0
+
+
+def test_mad_outlier_gate_robust_to_heavy_tail(spark):
+    """One mega-doc must NOT drag the gate open (the stddev failure
+    mode): with 5 docs of ~10 tokens and one of 500, median=10 and
+    MAD=1, so the 500-token doc is cut while a 13-token doc survives;
+    a second all-identical source hits the MAD=0 modal degenerate."""
+    from photon_spark.operators.sampling import mad_outlier_gate
+
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, "a", mk(9)), (2, "a", mk(10)), (3, "a", mk(10)),
+            (4, "a", mk(11)), (5, "a", mk(13)), (6, "a", mk(500)),
+            (7, "b", mk(7)), (8, "b", mk(7)), (9, "b", mk(8)),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in mad_outlier_gate(docs, k=3.0).collect()}
+    # source a: med=10.5, devs sorted [0.5,0.5,0.5,1.5,2.5,489.5] → mad=1.0
+    assert out[1]["med"] == 10.5 and out[1]["mad"] == 1.0
+    # band is |x − 10.5| ≤ 3: 9..13 survive, the 500-token doc is cut
+    assert out[2]["kept"] and out[5]["kept"] and out[6]["kept"] is False
+    assert out[1]["kept"] and out[4]["kept"]
+    # source b: med=7, mad=0 → only the modal length survives
+    assert out[7]["kept"] and out[8]["kept"] and out[9]["kept"] is False
+
+
+def test_host_trap_ratio_flags_explosion(spark):
+    """A host minting many URLs over few fingerprints trips the ratio
+    flag; a same-size host with unique content does not; a small host
+    with a high ratio is spared by min_pages."""
+    from photon_spark.plans.schedule import host_trap_ratio
+
+    rows = []
+    for k in range(40):  # trap.test: 40 urls, 2 contents, depth 2
+        rows.append((f"http://trap.test/a/p{k}", f"c{k % 2}"))
+    for k in range(40):  # ok.test: 40 urls, unique content
+        rows.append((f"http://ok.test/a/p{k}", f"u{k}"))
+    for k in range(4):   # tiny.test: ratio 4 but only 4 pages
+        rows.append((f"http://tiny.test/p{k}", "same"))
+    pages = spark.createDataFrame(rows, ["url", "fingerprint"])
+    out = {
+        r["host"]: r.asDict()
+        for r in host_trap_ratio(pages, min_pages=20, ratio_threshold_ppm=5_000_000).collect()
+    }
+    assert out["trap.test"]["is_trap"] and out["trap.test"]["ratio_ppm"] == 20_000_000
+    assert out["trap.test"]["mean_depth_micro"] == 2_000_000
+    assert not out["ok.test"]["is_trap"] and out["ok.test"]["ratio_ppm"] == 1_000_000
+    assert not out["tiny.test"]["is_trap"]
+    assert out["tiny.test"]["ratio_ppm"] == 4_000_000
