@@ -160,6 +160,18 @@ HEADLINE = [
     "lang_consistency_filter",
     "content_novelty_wave",
     "pipeline_content_tiers",
+    "readability_scores",
+    "char_entropy_gate",
+    "stopword_discovery",
+    "zipf_slope_corpus",
+    "intradoc_line_dedup",
+    "mad_outlier_gate",
+    "host_trap_ratio",
+    "script_detect_route",
+    "mojibake_gate",
+    "hard_negative_pairs",
+    "pipeline_ppl_mix",
+    "lpa_communities_3r",
 ]
 
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))

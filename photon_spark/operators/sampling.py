@@ -277,6 +277,7 @@ def mix_token_budget(
     weights: dict[str, float],
     total_budget: int,
     default_weight: float = 0.0,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budget data mixing: fill a global token budget from each
     source according to target mixture weights (the training-data
@@ -296,6 +297,11 @@ def mix_token_budget(
 
     Weights should be dyadic rationals (1/2, 1/4, ...) so
     floor(total_budget · w) is exact IEEE on every engine.
+
+    ``n_tokens_col``: reuse an already-computed token count instead of
+    re-splitting ``text`` — the composition hook (a pipeline that just
+    ran an LM scorer has the counts; re-deriving them re-reads the
+    corpus text for nothing).
     """
     from pyspark.sql import Window
 
@@ -303,7 +309,11 @@ def mix_token_budget(
     for src, wt in sorted(weights.items()):
         w_expr = F.when(F.col("source") == src, F.lit(float(wt))).otherwise(w_expr)
     budget = F.floor(w_expr * float(total_budget)).cast("bigint")
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_tokens = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(F.split(F.col("text"), " "))
+    )
     h = _hex_prefix(F.col("doc_id"), 8)
     win = (
         Window.partitionBy("source")
@@ -679,6 +689,7 @@ def curriculum_tiers(
     score_col: str,
     n_tiers: int = 4,
     key_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Curriculum bucketing: assign every document to one of
     ``n_tiers`` quality/perplexity tiers by EXACT score quantiles —
@@ -709,6 +720,10 @@ def curriculum_tiers(
         key_col,
         score_col,
         tier.cast("bigint").alias("tier"),
+        # passthrough for compositions: carrying sibling columns here
+        # avoids a self-join back onto the scored frame (which would
+        # re-derive its whole upstream plan)
+        *keep_cols,
     )
 
 

@@ -877,3 +877,53 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank_topk(cands, embeddings, queries, k, id_col)
+
+
+def hard_negative_mine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training — for each anchor,
+    the k most-similar vectors with a DIFFERENT label (the negatives
+    that actually move a contrastive loss; random negatives are too
+    easy). The batch twin of what dense-retrieval training loops (DPR,
+    sentence-transformers) run between epochs.
+
+    Same cost model as brute_force_topk: anchors broadcast, the corpus
+    scanned once with the label-mismatch predicate fused into the join
+    (wrong-label rows never reach scoring), vectorized numpy dot per
+    Arrow batch, one top-k window keyed on query_id. At corpus scale
+    the LSH/IVF variants replace the scan; this is the exact baseline
+    their recall is measured against.
+    """
+    corpus = with_unit_vectors(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("unit").alias("cv"),
+    )
+    qs = with_unit_vectors(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        F.col("unit").alias("qv"),
+    )
+    scored = corpus.join(
+        F.broadcast(qs),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("_qlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(_dot(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+    )

@@ -1762,3 +1762,122 @@ def intradoc_line_dedup(
         .alias("removed_ppm"),
         "content_md5",
     )
+
+
+def script_detect(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script classification — the multilingual-curation gate
+    that runs BEFORE word-level language ID (stopword/trigram lang_id
+    assumes you already know the script; OSCAR/CCNet-class pipelines
+    route documents by script first, and mixed-script docs are a spam
+    signal). Counts code points in the five big BMP script ranges
+    (Latin, Cyrillic, CJK unified, Arabic, Greek) via the
+    length-of-replace diff — no explode, no per-char arrays — then
+    picks the dominant script with a fixed deterministic tie order and
+    reports its share of all script-classified letters in ppm.
+
+    All ranges are BMP so Spark's UTF-16 ``length`` and DuckDB's
+    codepoint ``length`` agree; the whole pass is narrow scan-side
+    regexp work, zero shuffle.
+    """
+    s = F.col(text_col)
+    cnt = lambda pat: (  # noqa: E731
+        F.length(s) - F.length(F.regexp_replace(s, pat, ""))
+    ).cast("bigint")
+    latin = cnt("[A-Za-z]")
+    cyrillic = cnt("[\u0400-\u04ff]")
+    cjk = cnt("[\u4e00-\u9fff]")
+    arabic = cnt("[\u0600-\u06ff]")
+    greek = cnt("[\u0370-\u03ff]")
+    d = documents.select(
+        "doc_id",
+        latin.alias("n_latin"),
+        cyrillic.alias("n_cyrillic"),
+        cjk.alias("n_cjk"),
+        arabic.alias("n_arabic"),
+        greek.alias("n_greek"),
+    )
+    la, cy, cj, ar, gr = (
+        F.col("n_latin"),
+        F.col("n_cyrillic"),
+        F.col("n_cjk"),
+        F.col("n_arabic"),
+        F.col("n_greek"),
+    )
+    total = la + cy + cj + ar + gr
+    dom = (
+        F.when(total == 0, F.lit("none"))
+        .when((la >= cy) & (la >= cj) & (la >= ar) & (la >= gr), F.lit("latin"))
+        .when((cy >= cj) & (cy >= ar) & (cy >= gr), F.lit("cyrillic"))
+        .when((cj >= ar) & (cj >= gr), F.lit("cjk"))
+        .when(ar >= gr, F.lit("arabic"))
+        .otherwise(F.lit("greek"))
+    )
+    dom_n = F.greatest(la, cy, cj, ar, gr)
+    return d.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_cjk",
+        "n_arabic",
+        "n_greek",
+        dom.alias("dominant_script"),
+        F.when(total == 0, F.lit(0))
+        .otherwise(
+            ((dom_n * 1000000 - (dom_n * 1000000) % total) / total).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("dominant_ppm"),
+    )
+
+
+def mojibake_flags(
+    documents: DataFrame,
+    threshold_ppm: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-damage detection — the sanity gate for text that went
+    through a wrong charset round-trip: U+FFFD replacement characters
+    (decoder gave up), UTF-8-read-as-Latin-1 pairs (0xC3 + a
+    Latin-1-high code point: cafe with an acute e becomes
+    ``caf\u00c3\u00a9``), and the smart-punctuation mojibake prefix
+    (\u00e2\u20ac: curly quotes / dashes decoded wrong). Per doc: the
+    three marker counts, their total as ppm of characters, and
+    ``is_mojibake = ppm >= threshold`` — curation drops or re-decodes
+    flagged docs before they poison tokenizer training.
+
+    Narrow scan-side regexp counts, zero shuffle; every marker char is
+    BMP so both engines count identically.
+    """
+    s = F.col(text_col)
+    c = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(s, F.lit(pat), F.lit(0))
+    ).cast("bigint")
+    d = documents.select(
+        "doc_id",
+        F.length(s).cast("bigint").alias("n_chars"),
+        c("\ufffd").alias("n_replacement"),
+        c("\u00c3[\u0080-\u00ff]").alias("n_latin1_pairs"),
+        c("\u00e2\u20ac").alias("n_punct_mojibake"),
+    )
+    markers = (
+        F.col("n_replacement")
+        + F.col("n_latin1_pairs")
+        + F.col("n_punct_mojibake")
+    )
+    ppm = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(
+        (
+            (markers * 1000000 - (markers * 1000000) % F.col("n_chars"))
+            / F.col("n_chars")
+        ).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_replacement",
+        "n_latin1_pairs",
+        "n_punct_mojibake",
+        ppm.cast("bigint").alias("mojibake_ppm"),
+        (ppm >= threshold_ppm).alias("is_mojibake"),
+    )

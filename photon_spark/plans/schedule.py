@@ -2183,3 +2183,63 @@ def host_trap_ratio(
             )
         ).alias("is_trap"),
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the host graph — the cheap community detector beside the
+    exact structures (components = connectivity, k-core = density,
+    triangles = local clustering): mirror farms and link rings show up
+    as tight communities long before they merge into one component.
+
+    Deterministic variant: every node starts as its own label; each
+    round every node adopts its neighbors' modal label with ties
+    broken to the SMALLEST label (count desc, label asc) — no
+    randomness, so the result is reproducible and oracle-checkable by
+    unrolling rounds.
+
+    Per round: one label join onto the adjacency + one
+    (node, label)-keyed count agg (map-side combinable) + one
+    node-keyed top-1 window — O(rounds) shuffles at edge grain, the
+    same fixed-round cost model as kcore_peel/host_opic. Fixed small
+    ``rounds`` keeps lineage linear; for high-diameter use, checkpoint
+    between rounds like dup_components.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(u != v)
+        .select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        counted = nbr_labels.groupBy("node", "label").agg(
+            F.count("*").alias("n")
+        )
+        labels = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("host"), "label", "community_size"
+    )

@@ -1148,3 +1148,294 @@ def host_trap_q(spark, sf):
     )
     pages = o.select(url.alias("url"), fp.alias("fingerprint"))
     return host_trap_ratio(pages, min_pages=20, ratio_threshold_ppm=5_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script routing (textstats.script_detect): docs on doc_id%5==0
+# gain a Cyrillic run as long as their text (Cyrillic outvotes the
+# organic Latin), %7 (and not %5) a CJK run — so dominance genuinely
+# flips per doc and the tie-order CASE is exercised against real
+# counts. Both engines count via the length-of-replace diff over the
+# same BMP ranges (RE2 \x{....} ≡ Java \uXXXX classes).
+
+
+@q(
+    "script_detect_route",
+    "WITH bod AS (SELECT doc_id, text"
+    "   || CASE WHEN doc_id % 5 = 0 THEN repeat(chr(1076), length(text))"
+    "      ELSE '' END"
+    "   || CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0"
+    "      THEN repeat(chr(20013), length(text)) ELSE '' END AS body"
+    "  FROM documents),"
+    " c AS (SELECT doc_id,"
+    "  length(body) - length(regexp_replace(body, '[A-Za-z]', '', 'g'))"
+    "   AS n_latin,"
+    "  length(body) - length(regexp_replace(body,"
+    "   '[\\x{0400}-\\x{04ff}]', '', 'g')) AS n_cyrillic,"
+    "  length(body) - length(regexp_replace(body,"
+    "   '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,"
+    "  length(body) - length(regexp_replace(body,"
+    "   '[\\x{0600}-\\x{06ff}]', '', 'g')) AS n_arabic,"
+    "  length(body) - length(regexp_replace(body,"
+    "   '[\\x{0370}-\\x{03ff}]', '', 'g')) AS n_greek FROM bod)"
+    " SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,"
+    "  CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic + n_greek = 0"
+    "    THEN 'none'"
+    "   WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk"
+    "    AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'"
+    "   WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic"
+    "    AND n_cyrillic >= n_greek THEN 'cyrillic'"
+    "   WHEN n_cjk >= n_arabic AND n_cjk >= n_greek THEN 'cjk'"
+    "   WHEN n_arabic >= n_greek THEN 'arabic' ELSE 'greek' END"
+    "   AS dominant_script,"
+    "  CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic + n_greek = 0 THEN 0"
+    "   ELSE greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek) * 1000000"
+    "    // (n_latin + n_cyrillic + n_cjk + n_arabic + n_greek) END"
+    "   AS dominant_ppm FROM c",
+)
+def script_detect_q(spark, sf):
+    from photon_spark.operators.textstats import script_detect
+
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.repeat(F.lit("д"), F.length(F.col("text"))),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0),
+            F.repeat(F.lit("中"), F.length(F.col("text"))),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    return script_detect(docs, text_col="body")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake gate (textstats.mojibake_flags): planted damage — a
+# UTF-8-as-Latin-1 pair on doc_id%6==0, doubled U+FFFD on %9, the
+# smart-punctuation \x{00e2}\x{20ac} prefix on %11 (overlaps fire
+# multiple marker classes on the same doc); one marker over a few
+# hundred chars clears the 1000-ppm threshold, clean docs stay 0.
+
+
+@q(
+    "mojibake_gate",
+    "WITH bod AS (SELECT doc_id, text"
+    "   || CASE WHEN doc_id % 6 = 0 THEN ' caf' || chr(195) || chr(169)"
+    "      ELSE '' END"
+    "   || CASE WHEN doc_id % 9 = 0 THEN chr(65533) || chr(65533)"
+    "      ELSE '' END"
+    "   || CASE WHEN doc_id % 11 = 0 THEN chr(226) || chr(8364) || chr(8482)"
+    "      ELSE '' END AS body FROM documents),"
+    " c AS (SELECT doc_id, CAST(length(body) AS BIGINT) AS n_chars,"
+    "  CAST(len(regexp_extract_all(body, '\\x{fffd}')) AS BIGINT)"
+    "   AS n_replacement,"
+    "  CAST(len(regexp_extract_all(body,"
+    "   '\\x{00c3}[\\x{0080}-\\x{00ff}]')) AS BIGINT) AS n_latin1_pairs,"
+    "  CAST(len(regexp_extract_all(body, '\\x{00e2}\\x{20ac}')) AS BIGINT)"
+    "   AS n_punct_mojibake FROM bod)"
+    " SELECT doc_id, n_chars, n_replacement, n_latin1_pairs,"
+    "  n_punct_mojibake,"
+    "  CASE WHEN n_chars = 0 THEN 0 ELSE"
+    "   (n_replacement + n_latin1_pairs + n_punct_mojibake) * 1000000"
+    "    // n_chars END AS mojibake_ppm,"
+    "  CASE WHEN n_chars = 0 THEN 0 >= 1000 ELSE"
+    "   (n_replacement + n_latin1_pairs + n_punct_mojibake) * 1000000"
+    "    // n_chars >= 1000 END AS is_mojibake FROM c",
+)
+def mojibake_q(spark, sf):
+    from photon_spark.operators.textstats import mojibake_flags
+
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.lit(" cafÃ©")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.lit("��")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("â€™")
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", body.alias("body"))
+    return mojibake_flags(docs, threshold_ppm=1000, text_col="body")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (similarity.hard_negative_mine): per anchor, the
+# k most-similar DIFFERENT-label vectors — the contrastive-training
+# pair miner (DPR / sentence-transformers between-epoch step). Extends
+# the driver-green ann_cosine_topk oracle with the label-mismatch
+# predicate; the label exclusion is hash-visible because same-label
+# near-duplicates exist in the embeddings table (label = vec_id % 8).
+
+
+@q(
+    "hard_negative_pairs",
+    "WITH unit AS ("
+    "  SELECT vec_id, label, list_transform(embedding,"
+    "      x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,"
+    "          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u"
+    "  FROM embeddings"
+    "), qs AS ("
+    "  SELECT vec_id AS query_id, label AS qlabel, u AS qu FROM unit"
+    "   WHERE vec_id < 8"
+    "), scored AS ("
+    "  SELECT query_id, vec_id AS neighbor_id, label AS neighbor_label,"
+    "    round(list_sum(list_transform(range(1, len(u) + 1),"
+    "     i -> u[i] * qu[i])), 6) AS cosine"
+    "  FROM unit, qs WHERE vec_id <> query_id AND label <> qlabel)"
+    " SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM ("
+    "  SELECT query_id, neighbor_id, neighbor_label, cosine,"
+    "    row_number() OVER (PARTITION BY query_id"
+    "     ORDER BY cosine DESC, neighbor_id) AS rank"
+    "  FROM scored) t WHERE rank <= 5",
+)
+def hard_neg_q(spark, sf):
+    from photon_spark.operators.similarity import hard_negative_mine
+
+    emb = _t(spark, sf, "embeddings", spread=True)
+    return hard_negative_mine(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucketed data mixing — the DoReMi/CCNet-shaped composition:
+# corpus-trained unigram LM score → exact-quantile perplexity tiers →
+# tier-weighted greedy token-budget admission (dyadic weights, md5
+# order) → per-tier admission stats, all in ONE hash-gated row set so
+# stage interactions (LM scoring changing the quantile population, the
+# tiers changing each budget's admission frontier) are hash-visible.
+# Every stage reuses a driver-green piece (unigram_logprob,
+# curriculum_tiers, mix_token_budget) — the composition is the test.
+
+
+@q(
+    "pipeline_ppl_mix",
+    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+    "  FROM documents),"
+    " vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),"
+    " tot AS (SELECT COUNT(*) AS total FROM tk),"
+    " lp AS (SELECT tok, CAST(floor(ln(CAST(cnt AS DOUBLE)"
+    "  / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lpm"
+    "  FROM vocab, tot),"
+    " agg AS (SELECT doc_id, SUM(lpm) AS sum_micro, COUNT(*) AS n_tokens"
+    "  FROM tk JOIN lp USING (tok) GROUP BY doc_id),"
+    " sc AS (SELECT doc_id, floor(CAST(sum_micro AS DOUBLE)"
+    "  / (CAST(n_tokens AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)"
+    "  / 1000000.0 AS s FROM agg),"
+    " c AS (SELECT"
+    "  floor(quantile_cont(s, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS q1,"
+    "  floor(quantile_cont(s, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS q2,"
+    "  floor(quantile_cont(s, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS q3"
+    "  FROM sc),"
+    " ti AS (SELECT doc_id, CASE WHEN s < q1 THEN 0 WHEN s < q2 THEN 1"
+    "   WHEN s < q3 THEN 2 ELSE 3 END AS tier FROM sc, c),"
+    " m AS (SELECT d.doc_id, 't' || CAST(tier AS VARCHAR) AS source,"
+    "   len(string_split(d.text, ' ')) AS n_tokens,"
+    "   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS h,"
+    "   CAST(floor(CASE tier WHEN 3 THEN 0.5 WHEN 2 THEN 0.25"
+    "    WHEN 1 THEN 0.125 ELSE 0.0625 END * 4096.0) AS BIGINT)"
+    "    AS budget_tokens"
+    "  FROM documents d JOIN ti ON ti.doc_id = d.doc_id),"
+    " w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
+    "   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)"
+    " SELECT source, COUNT(*) AS n_admitted, SUM(n_tokens) AS sum_tokens,"
+    "  MAX(budget_tokens) AS budget_tokens"
+    " FROM w WHERE cum - n_tokens < budget_tokens GROUP BY source",
+)
+def ppl_mix_q(spark, sf):
+    from photon_spark.operators import textstats
+    from photon_spark.operators.sampling import curriculum_tiers, mix_token_budget
+
+    docs = _t(spark, sf, "documents", spread=True)
+    lp = textstats.unigram_logprob(docs)
+    # keep_cols carries n_tokens through the tier assignment and
+    # n_tokens_col reuses it in the mixer — the composition runs as ONE
+    # linear plan: no doc-keyed self-join, no re-read of document text
+    tiers = curriculum_tiers(
+        lp, "avg_logprob", n_tiers=4, keep_cols=("n_tokens",)
+    )
+    tagged = tiers.select(
+        "doc_id",
+        "n_tokens",
+        F.concat(F.lit("t"), F.col("tier").cast("string")).alias("source"),
+    )
+    mixed = mix_token_budget(
+        tagged,
+        weights={"t0": 0.0625, "t1": 0.125, "t2": 0.25, "t3": 0.5},
+        total_budget=4096,
+        default_weight=0.0,
+        n_tokens_col="n_tokens",
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("budget_tokens").alias("budget_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (plans/schedule.lpa_communities,
+# deterministic modal-label variant, 3 synchronous rounds). Planted
+# graph: two 12-host clusters (shifted-window edges, so propagation
+# takes real rounds to sweep them) joined by ONE bridge edge a0–b0 —
+# communities must stay separate even though the graph is one
+# connected component (exactly what components can't see). The oracle
+# unrolls the three rounds (kcore precedent); ties break to the
+# smallest label on both engines.
+
+_LPA_E_SQL = (
+    "SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ("
+    " SELECT 'a' || CAST(o_orderkey % 12 AS VARCHAR) AS u,"
+    "  'a' || CAST((o_orderkey // 7) % 12 AS VARCHAR) AS v FROM orders"
+    "  WHERE o_orderkey % 12 <> (o_orderkey // 7) % 12"
+    " UNION ALL SELECT 'b' || CAST(o_orderkey % 12 AS VARCHAR),"
+    "  'b' || CAST((o_orderkey // 7) % 12 AS VARCHAR) FROM orders"
+    "  WHERE o_orderkey % 12 <> (o_orderkey // 7) % 12"
+    " UNION ALL SELECT 'a0', 'b0' FROM orders WHERE o_orderkey % 500 = 0) t"
+)
+_LPA_ROUND = (
+    " c{i} AS (SELECT a.node, l.label, COUNT(*) AS n FROM adj a"
+    "  JOIN r{p} l ON l.node = a.nbr GROUP BY a.node, l.label),"
+    " r{i} AS (SELECT node, label FROM (SELECT node, label,"
+    "   ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label ASC)"
+    "    AS rk FROM c{i}) t WHERE rk = 1)"
+)
+
+
+@q(
+    "lpa_communities_3r",
+    f"WITH e AS ({_LPA_E_SQL}),"
+    " adj AS (SELECT u AS node, v AS nbr FROM e"
+    "  UNION ALL SELECT v, u FROM e),"
+    " r0 AS (SELECT DISTINCT node, node AS label FROM adj),"
+    + _LPA_ROUND.format(i=1, p=0)
+    + ","
+    + _LPA_ROUND.format(i=2, p=1)
+    + ","
+    + _LPA_ROUND.format(i=3, p=2)
+    + ","
+    " sz AS (SELECT label, COUNT(*) AS community_size FROM r3 GROUP BY label)"
+    " SELECT node AS host, r3.label, community_size FROM r3"
+    " JOIN sz USING (label)",
+)
+def lpa_q(spark, sf):
+    from photon_spark.plans.schedule import lpa_communities
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    mk = lambda p, k: F.concat(F.lit(p), k.cast("string"))  # noqa: E731
+    shifted = F.expr("(o_orderkey div 7) % 12")
+    intra = o.filter(ok % 12 != shifted)
+    a = intra.select(
+        mk("a", ok % 12).alias("src"), mk("a", shifted).alias("dst")
+    )
+    b = intra.select(
+        mk("b", ok % 12).alias("src"), mk("b", shifted).alias("dst")
+    )
+    bridge = o.filter(ok % 500 == 0).select(
+        F.lit("a0").alias("src"), F.lit("b0").alias("dst")
+    )
+    return lpa_communities(a.unionByName(b).unionByName(bridge), rounds=3)

@@ -1,0 +1,162 @@
+"""Measured throughput of the r3-continuation curation operators at
+corpus scale (default 10^6 synthesized docs, 10^7 URLs for the host
+trap, 2·10^5 vectors for hard negatives).
+
+SCALE.md §3d claims zero-/one-exchange shapes for these ops; this
+script runs them on deterministic synthesized inputs (expressions, no
+files) so the claims carry wall-clock numbers beside the plan audits.
+Per-op timing is an isolated action over a fresh lazy plan; min of
+reps is the steady state.
+
+Usage: python scripts/bench_curation_ops_scale.py [n_docs] [cores] [reps]
+Appends one JSON line to BENCH/curation_ops_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.operators.sampling import mad_outlier_gate
+    from photon_spark.operators.similarity import hard_negative_mine
+    from photon_spark.operators.textstats import (
+        char_entropy,
+        intradoc_line_dedup,
+        mojibake_flags,
+        readability,
+        script_detect,
+        stopword_discovery,
+        zipf_slope,
+    )
+    from photon_spark.plans.schedule import host_trap_ratio
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name="curation_ops_scale")
+
+    words = ("the quick brown fox jumps over lazy dog spark join merge "
+             "vector scan hash row batch filter column order data").split()
+    warr = F.array(*[F.lit(w) for w in words])
+    tok = lambda seed: warr[  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * 131 + seed), F.lit(len(words))).cast("int")
+    ]
+    sent = lambda s0: F.concat(  # noqa: E731
+        F.concat_ws(" ", *[tok(s0 * 17 + j) for j in range(9)]), F.lit(".")
+    )
+    src = F.concat(F.lit("h"), (F.col("id") % 1000).cast("string"))
+    # three 9-word sentences + a repeated share-bar line (intradoc
+    # target) + occasional planted mojibake / cyrillic run
+    body = F.concat_ws(
+        "\n",
+        F.lit("share on social media"),
+        F.concat_ws(" ", sent(1), sent(2), sent(3)),
+        F.lit("share on social media"),
+        F.when(F.col("id") % 11 == 0, F.lit("cafÃ© bar"))
+        .otherwise(sent(4)),
+        F.when(F.col("id") % 13 == 0, F.repeat(F.lit("д"), 120))
+        .otherwise(sent(5)),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), src.alias("source"), body.alias("text")
+    ).persist()
+    docs.count()  # materialize input so op timings exclude synth
+
+    def best(fn):
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t0)
+        return min(times)
+
+    results = {}
+
+    def doc_op(name, fn):
+        t = best(fn)
+        results[name] = {"sec": round(t, 3), "docs_per_s": round(n_docs / t)}
+
+    doc_op("readability", lambda: readability(docs)
+           .select(F.sum("fk_grade_micro")).collect())
+    doc_op("char_entropy", lambda: char_entropy(docs)
+           .select(F.sum("entropy_microbits")).collect())
+    doc_op("stopword_discovery", lambda: stopword_discovery(docs)
+           .select(F.count("*")).collect())
+    doc_op("zipf_slope", lambda: zipf_slope(docs).collect())
+    doc_op("intradoc_line_dedup", lambda: intradoc_line_dedup(
+        docs.select("doc_id", F.col("text").alias("body")))
+        .select(F.sum("n_kept")).collect())
+    doc_op("mad_outlier_gate", lambda: mad_outlier_gate(docs)
+           .select(F.sum(F.col("kept").cast("long"))).collect())
+    doc_op("script_detect", lambda: script_detect(docs)
+           .select(F.sum("dominant_ppm")).collect())
+    doc_op("mojibake_flags", lambda: mojibake_flags(docs)
+           .select(F.sum("mojibake_ppm")).collect())
+
+    # host trap at 10x URL grain: 10 URLs/doc-id over 10k hosts; the
+    # four trap hosts serve only 3 fingerprints
+    n_urls = n_docs * 10
+    u = spark.range(n_urls)
+    hid = F.col("id") % 10_000
+    urls = u.select(
+        F.concat(F.lit("http://t"), hid.cast("string"), F.lit(".test/a/b/p"),
+                 F.col("id").cast("string")).alias("url"),
+        F.when(hid < 4, F.concat(F.lit("c"), (F.col("id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("fingerprint"),
+    ).persist()
+    urls.count()
+    t = best(lambda: host_trap_ratio(urls)
+             .select(F.sum(F.col("is_trap").cast("long"))).collect())
+    results["host_trap_ratio"] = {
+        "sec": round(t, 3), "urls_per_s": round(n_urls / t), "n_urls": n_urls}
+    urls.unpersist()
+
+    # hard negatives: 200k synthetic 16-dim vectors, 8 labels, 8 anchors
+    n_vec = 200_000
+    dims = 16
+    vec = F.array(*[
+        (F.pmod(F.xxhash64(F.col("id") * 31 + d), F.lit(1000)).cast("double")
+         / 500.0 - 1.0)
+        for d in range(dims)
+    ])
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 8).cast("string").alias("label"),
+        vec.alias("embedding"),
+    ).persist()
+    emb.count()
+    t = best(lambda: hard_negative_mine(
+        emb, emb.filter(F.col("vec_id") < 8), k=10).collect())
+    results["hard_negative_mine"] = {
+        "sec": round(t, 3), "vecs_per_s": round(n_vec / t), "n_vecs": n_vec,
+        "n_queries": 8, "dims": dims}
+    emb.unpersist()
+    docs.unpersist()
+
+    line = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "n_docs": n_docs, "cores": cores, "reps": reps, "ops": results,
+    }
+    out = os.path.join(REPO, "BENCH", "curation_ops_scale.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -335,6 +335,23 @@ EXPECT: dict[str, dict] = {
     "mad_outlier_gate": {"codegen": True, "broadcast": True, "max_exchanges": 4},
     # one host agg with a single count-distinct (two-phase, no Expand)
     "host_trap_ratio": {"codegen": True, "max_exchanges": 3},
+    # both pure scan-side regexp counting: only _t's spread may exchange
+    "script_detect_route": {"codegen": True, "max_exchanges": 1},
+    "mojibake_gate": {"codegen": True, "max_exchanges": 1},
+    # anchors broadcast into the one corpus scan + the top-k window
+    "hard_negative_pairs": {"broadcast": True},
+    # the full LM→tiers→mix composition runs as ONE linear plan
+    # (keep_cols + n_tokens_col thread the counts through, so there is
+    # no doc-keyed self-join and no second text read): token explode
+    # agg, vocab/total aggs, doc regroup, quantile cut, per-tier
+    # window, final group — 9 exchanges, vocab join broadcast, token
+    # scan reused
+    "pipeline_ppl_mix": {"codegen": True, "broadcast": True, "max_exchanges": 10},
+    # 3 unrolled propagation rounds × (label join + modal agg + top-1
+    # window) + adjacency dedup + the size join — every post-round
+    # frame is host-dimension (the label joins broadcast); the
+    # edge-grain work is the one adjacency dedup
+    "lpa_communities_3r": {"codegen": True, "broadcast": True, "max_exchanges": 16},
 }
 
 

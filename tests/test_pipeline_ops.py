@@ -2823,3 +2823,99 @@ def test_host_trap_ratio_flags_explosion(spark):
     assert not out["ok.test"]["is_trap"] and out["ok.test"]["ratio_ppm"] == 1_000_000
     assert not out["tiny.test"]["is_trap"]
     assert out["tiny.test"]["ratio_ppm"] == 4_000_000
+
+
+def test_script_detect_dominance_and_ties(spark):
+    """Exact range counts, dominance flips, the fixed tie order
+    (latin >= beats cyrillic on equal counts), and the no-letters
+    'none' guard."""
+    from photon_spark.operators.textstats import script_detect
+
+    cyr = "\u0434" * 10       # Cyrillic de
+    cjk = "\u4e2d" * 4        # CJK zhong
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),            # latin only
+            (2, "hi " + cyr),              # cyrillic 10 vs latin 2
+            (3, "abcd " + cjk),            # tie 4-4 -> latin by order
+            (4, "1234 ..."),               # no letters -> none
+            (5, cjk + " " + cyr[:2]),      # cjk 4 vs cyr 2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in script_detect(docs).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["dominant_ppm"] == 1000000
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 10 and out[2]["n_latin"] == 2
+    assert out[2]["dominant_ppm"] == 833333               # 10/12
+    assert out[3]["dominant_script"] == "latin"           # tie order
+    assert out[4]["dominant_script"] == "none" and out[4]["dominant_ppm"] == 0
+    assert out[5]["dominant_script"] == "cjk" and out[5]["n_cjk"] == 4
+
+
+def test_mojibake_flags_markers(spark):
+    """Each marker class counts exactly; ppm uses the doc's own
+    length; the threshold is inclusive; clean and empty docs pass."""
+    from photon_spark.operators.textstats import mojibake_flags
+
+    latin1 = "caf\u00c3\u00a9"           # cafe via wrong decode
+    punct = "it\u00e2\u20ac\u2122s"     # curly apostrophe mojibake
+    repl = "bad\ufffd\ufffdtext"
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text here"),
+            (2, latin1),                  # 1 pair / 5 chars
+            (3, punct),                   # 1 prefix / 6 chars
+            (4, repl),                    # 2 replacements / 9 chars
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in mojibake_flags(docs).collect()}
+    assert out[1]["mojibake_ppm"] == 0 and not out[1]["is_mojibake"]
+    assert out[2]["n_latin1_pairs"] == 1 and out[2]["is_mojibake"]
+    assert out[2]["mojibake_ppm"] == 1000000 // 5
+    assert out[3]["n_punct_mojibake"] == 1 and out[3]["is_mojibake"]
+    assert out[4]["n_replacement"] == 2 and out[4]["is_mojibake"]
+    assert out[4]["mojibake_ppm"] == 2000000 // 9
+    assert out[5]["n_chars"] == 0 and not out[5]["is_mojibake"]
+
+
+def test_hard_negative_mine_excludes_same_label(spark):
+    """The same-label twin is MORE similar than any negative but must
+    never appear; the hardest (most-similar wrong-label) vector ranks
+    first; k truncates."""
+    from photon_spark.operators.similarity import hard_negative_mine
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [0.999, 0.045]),   # same-label near-twin -> excluded
+        (2, "b", [0.95, 0.3122]),   # hardest negative
+        (3, "b", [0.5, 0.866]),     # easier negative
+        (4, "c", [0.0, 1.0]),       # orthogonal negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = hard_negative_mine(emb, emb.filter("vec_id = 0"), k=2).collect()
+    got = [(r["rank"], r["neighbor_id"], r["neighbor_label"]) for r in out]
+    assert got == [(1, 2, "b"), (2, 3, "b")]
+    assert all(r["neighbor_label"] != "a" for r in out)
+
+
+def test_lpa_communities_two_cliques(spark):
+    """Two K4 cliques with one bridge stay TWO communities (one
+    connected component — exactly what components can't separate);
+    hand-traced 3-round propagation converges to labels a1/b1 with
+    deterministic min-label ties."""
+    from photon_spark.plans.schedule import lpa_communities
+
+    def clique(p):
+        ns = [f"{p}{i}" for i in range(1, 5)]
+        return [(x, y) for x in ns for y in ns if x < y]
+
+    edges = spark.createDataFrame(
+        clique("a") + clique("b") + [("a1", "b1")], ["src", "dst"]
+    )
+    out = {r["host"]: r.asDict() for r in lpa_communities(edges, rounds=3).collect()}
+    assert all(out[f"a{i}"]["label"] == "a1" for i in range(1, 5))
+    assert all(out[f"b{i}"]["label"] == "b1" for i in range(1, 5))
+    assert out["a1"]["community_size"] == 4 and out["b1"]["community_size"] == 4
