@@ -1590,28 +1590,54 @@ def char_entropy(
     H = (ln L − Σ c·ln c / L) / ln 2 with one final floor(x·1e6 + 0.5)
     (the ucb_host_budget ln precedent for cross-engine float parity).
     Empty and single-char docs report exactly 0.
+
+    The plan is LAYERED selects, not one: the alphabet and the entropy
+    each land in their own projection and are referenced (not
+    re-inlined) downstream — CollapseProject keeps multi-referenced
+    non-cheap expressions as-is, so the fold is evaluated once and,
+    critically, the GENERATED CODE stays small. The single-select form
+    inlined the fold three times (micro → gibberish band twice) and
+    cost ~37s of Janino compilation per fresh plan (measured, 1M docs:
+    compile 37.7s, execute 0.05s); the layered form compiles in ~1s
+    with identical output.
     """
     s = F.lower(F.col(text_col))
     n = F.length(s).cast("bigint")
     chars = F.array_sort(
-        F.array_distinct(F.regexp_extract_all(s, F.lit("[\\s\\S]"), F.lit(0)))
+        F.array_distinct(F.filter(F.split(s, ""), lambda c: c != ""))
+    )
+    base = documents.select(
+        "doc_id", n.alias("n_chars"), s.alias("_s"), chars.alias("_chars")
     )
     cnts = F.transform(
-        chars, lambda c: (n - F.length(F.replace(s, c, F.lit("")))).cast("double")
+        F.col("_chars"),
+        lambda c: (
+            F.col("n_chars") - F.length(F.replace(F.col("_s"), c, F.lit("")))
+        ).cast("double"),
     )
-    sum_nlogn = F.aggregate(
-        cnts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    sum_nlogn = F.aggregate(cnts, F.lit(0.0), lambda acc, c: acc + c * F.log(c))
+    nc = F.col("n_chars")
+    h_bits = (
+        F.log(nc.cast("double")) - sum_nlogn / nc
+    ) / F.log(F.lit(2.0))
+    micro = (
+        F.when(nc <= 1, F.lit(0))
+        .otherwise(F.floor(h_bits * 1000000.0 + 0.5))
+        .cast("bigint")
     )
-    h_bits = (F.log(n.cast("double")) - sum_nlogn / n) / F.log(F.lit(2.0))
-    micro = F.when(n <= 1, F.lit(0)).otherwise(
-        F.floor(h_bits * 1000000.0 + 0.5)
-    ).cast("bigint")
-    return documents.select(
+    scored = base.select(
         "doc_id",
-        n.alias("n_chars"),
-        F.size(chars).cast("bigint").alias("n_distinct_chars"),
+        "n_chars",
+        F.size(F.col("_chars")).cast("bigint").alias("n_distinct_chars"),
         micro.alias("entropy_microbits"),
-        ((micro < F.lit(low_microbits)) | (micro > F.lit(high_microbits))).alias(
+    )
+    e = F.col("entropy_microbits")
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "entropy_microbits",
+        ((e < F.lit(low_microbits)) | (e > F.lit(high_microbits))).alias(
             "is_gibberish"
         ),
     )
