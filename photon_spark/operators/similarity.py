@@ -253,47 +253,70 @@ def ivf_topk(
     ]
     centroids = init
     for _ in range(iters):
-        means = (
-            assign_cells(corpus, centroids)
-            .select("cell", F.posexplode("cv").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], [0.0] * len(centroids[0]))[r["pos"]] = r["m"]
+        # one fused Arrow pass per Lloyd round: assign (argmax matmul)
+        # and reduce (per-cell count + sum vector) inside the same
+        # batch, emitting ≤ cells rows per batch — the collect moves
+        # P·C·D scalars, never the corpus. The earlier shape
+        # (posexplode → groupBy(cell, pos)) shuffled N·D rows per
+        # round; partial aggregation happens in numpy here instead.
+        cents = np.asarray(centroids, dtype=np.float64)
+        bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+        def partials(batches: "pd.DataFrame"):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["cv"].to_numpy())
+                cell = np.argmax(m @ bc.value.T, axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    sub = m[cell == c]
+                    rows.append((int(c), len(sub), sub.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+        parts = corpus.select("cv").mapInPandas(
+            partials, "cell int, n long, s array<double>"
+        ).collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            c = r["cell"]
+            sums[c] = sums.get(c, 0) + np.asarray(r["s"])
+            counts[c] = counts.get(c, 0) + r["n"]
         new = []
         for i, old in enumerate(centroids):
-            v = by_cell.get(i)
-            if v is None:
+            if counts.get(i, 0) == 0:
                 new.append(old)  # empty cell keeps its centroid
                 continue
+            v = (sums[i] / counts[i]).tolist()
             n = sum(x * x for x in v) ** 0.5 or 1.0
             new.append([x / n for x in v])
         centroids = new
 
     indexed = assign_cells(corpus, centroids)
-    cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
 
-    # --- queries probe their n_probe nearest cells
+    # --- queries probe their n_probe nearest cells. numpy argsort
+    # (stable ⇒ ties break on the lower cell index, same contract as
+    # the former array_sort(struct(-dot, idx))) replaces an inline
+    # n_cells × dims literal expression tree that dominated fresh-plan
+    # codegen (13.5s first run at 16×64).
     qs = with_unit_vectors(queries).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
     )
-    qdots = F.array(
-        *[
-            F.struct((-_dot(F.col("qv"), cl)).alias("nd"), F.lit(i).alias("idx"))
-            for i, cl in enumerate(cent_lits)
-        ]
-    )
-    probed = qs.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(qdots), 1, n_probe), lambda s: s["idx"]
-            )
-        ),
-    )
+    cents = np.asarray(centroids, dtype=np.float64)
+    bcq = qs.sparkSession.sparkContext.broadcast(cents)
+    n_probe_eff = min(n_probe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(v.to_numpy())
+        nd = -(m @ bcq.value.T)
+        order = np.argsort(nd, axis=1, kind="stable")[:, :n_probe_eff]
+        return pd.Series(list(order.astype("int32")))
+
+    probed = qs.withColumn("cell", F.explode(probe_cells(F.col("qv"))))
 
     scored = indexed.join(F.broadcast(probed), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
