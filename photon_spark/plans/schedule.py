@@ -55,6 +55,9 @@ def priority_score(
     url_col: str = "url",
     host_ranks: DataFrame | None = None,
     max_authority_boost: int = 3,
+    first_wave_col: str | None = None,
+    current_wave: int | None = None,
+    max_age_boost: int = 8,
 ) -> DataFrame:
     """F4 priority producer (north-star: level-based BFS with
     intel/endpoint prioritization). The reference has NO ordering (set
@@ -74,6 +77,20 @@ def priority_score(
       than the frontier), so it always broadcasts: the boost joins
       without an exchange. Unranked hosts (new discoveries) boost 0.
 
+    * optional aging boost (+0..max_age_boost): given ``first_wave_col``
+      (the wave a URL was first admitted to the frontier) and
+      ``current_wave``, a URL deferred by the per-host budget gains one
+      point per waited wave: ``least(max_age_boost, current_wave −
+      first_wave)``. Starvation-freedom: with per-host budget B ≥ 1, a
+      URL whose static score trails its host's in-queue maximum by g ≤
+      max_age_boost strictly gains on every competitor admitted after
+      it, so it enters the host's top-B within O(g + queue_ahead/B)
+      waves instead of waiting forever behind an unbounded stream of
+      fresher high-score discoveries. The cap bounds the other
+      direction: stale residue (e.g. trap leftovers admitted before the
+      trap gate was enabled) can never outrank a fresh URL by more than
+      max_age_boost, whatever its age.
+
     Pure integer arithmetic on JVM expressions, reproducible in ANSI
     SQL (driver oracle). `schedule_wave` consumes the resulting
     `score` column (orderBy score desc, url asc — Q12 deterministic
@@ -84,6 +101,13 @@ def priority_score(
     slashes = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
     fuzz = F.when(url.contains("="), F.lit(4)).otherwise(F.lit(0))
     score = fuzz + F.greatest(F.lit(0), F.lit(3) - slashes)
+    if first_wave_col is not None:
+        if current_wave is None:
+            raise ValueError("aging needs current_wave alongside first_wave_col")
+        age = F.lit(int(current_wave)) - F.col(first_wave_col).cast("int")
+        score = score + F.least(
+            F.lit(int(max_age_boost)), F.greatest(F.lit(0), age)
+        )
     if host_ranks is not None:
         n_hosts = host_ranks.count()  # bounded scalar (one row per host)
         had_host = "host" in df.columns

@@ -1439,3 +1439,63 @@ def lpa_q(spark, sf):
         F.lit("a0").alias("src"), F.lit("b0").alias("dst")
     )
     return lpa_communities(a.unionByName(b).unionByName(bridge), rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# F4 priority aging (starvation-freedom): URLs deferred by the per-host
+# politeness budget gain one priority point per waited wave, capped at
+# max_age_boost (plans/schedule.priority_score first_wave_col /
+# current_wave). Same synthesized URL family as f4_priority_scoring,
+# plus a first-admitted wave (event_id % 3 against current wave 3, so
+# ages 1..3 all occur and interact with both static score terms); rank
+# is the order the politeness cap consumes. Bounded-wait property is
+# pytest-pinned (tests/test_crawl_policies.py).
+
+
+@q(
+    "f4_priority_aging",
+    "WITH urls AS (SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test' ||"
+    " CASE CAST(event_id % 4 AS INTEGER)"
+    "  WHEN 0 THEN '/'"
+    "  WHEN 1 THEN '/a/' || CAST(event_id AS VARCHAR)"
+    "  WHEN 2 THEN '/a/b/c/' || CAST(event_id AS VARCHAR)"
+    "  ELSE '/search?q=' || CAST(event_id AS VARCHAR) || '&id=2' END AS url,"
+    " 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,"
+    " CAST(event_id % 3 AS INTEGER) AS first_wave FROM events),"
+    " scored AS (SELECT url, host, first_wave,"
+    " CASE WHEN url LIKE '%=%' THEN 4 ELSE 0 END"
+    " + greatest(0, 3 - (length(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*(/.*)?$', 1))"
+    " - length(replace(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*(/.*)?$', 1), '/', ''))))"
+    " + least(8, greatest(0, 3 - first_wave)) AS score"
+    " FROM urls)"
+    " SELECT url, first_wave, score, row_number() OVER (PARTITION BY host"
+    " ORDER BY score DESC, url) AS rank FROM scored",
+)
+def f4_aging_q(spark, sf):
+    from pyspark.sql import Window
+
+    from photon_spark.plans.schedule import priority_score, with_host
+
+    ev = _t(spark, sf, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 20).cast("string"), F.lit(".test"),
+            F.when(F.col("event_id") % 4 == 0, F.lit("/"))
+            .when(F.col("event_id") % 4 == 1,
+                  F.concat(F.lit("/a/"), F.col("event_id").cast("string")))
+            .when(F.col("event_id") % 4 == 2,
+                  F.concat(F.lit("/a/b/c/"), F.col("event_id").cast("string")))
+            .otherwise(F.concat(F.lit("/search?q="), F.col("event_id").cast("string"),
+                                F.lit("&id=2"))),
+        ).alias("url"),
+        (F.col("event_id") % 3).cast("int").alias("first_wave"),
+    )
+    scored = with_host(
+        priority_score(urls, first_wave_col="first_wave", current_wave=3)
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("url"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "url", "first_wave", "score", "rank"
+    )

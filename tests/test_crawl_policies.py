@@ -464,3 +464,44 @@ def test_curriculum_tiers_boundaries(spark):
     out = {r["doc_id"]: r["tier"] for r in curriculum_tiers(df, "score").collect()}
     # quantile_cont cuts: q1=17.5, q2=35, q3=52.5
     assert [out[i] for i in range(8)] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_priority_aging_bounded_wait(spark):
+    """Starvation-freedom (plans/schedule.priority_score aging): one
+    host, per-host budget 1, one fresh fuzzable URL (static score 4+3=7
+    at root depth... use query URLs, static 4+2) arriving every wave.
+    A plain deep URL (static score 0) admitted at wave 0 never wins
+    without aging (every wave some static-4+ competitor outranks it);
+    with aging its score grows +1/wave so it is fetched within
+    static-gap+1 waves. Simulates the crawl loop's defer-and-retry:
+    each wave schedules top-1 and removes it from the queue."""
+    from photon_spark.plans.schedule import priority_score, schedule_wave
+
+    starved = ("http://h.test/a/b/c/d/e/starved-zzz", 0)  # static score 0
+
+    def run(waves: int, aging: bool) -> int | None:
+        queue = [starved]
+        for t in range(1, waves + 1):
+            queue.append((f"http://h.test/q{t}?id={t}", t))  # static 4+2
+            df = spark.createDataFrame(queue, ["url", "first_wave"])
+            kw = (
+                dict(first_wave_col="first_wave", current_wave=t)
+                if aging
+                else {}
+            )
+            top = schedule_wave(priority_score(df, **kw), budget=1).collect()
+            assert len(top) == 1
+            picked = top[0]["url"]
+            if picked == starved[0]:
+                return t
+            queue = [u for u in queue if u[0] != picked]
+        return None
+
+    assert run(10, aging=False) is None  # starves: fresh 6 beats 0 forever
+    # static gap is 6; aging adds +1/wave while the fresh arrival's age
+    # is 0 (service rate == arrival rate, so the only competitor each
+    # wave is that wave's fresh URL at score 6). Aged score reaches 6
+    # at wave 6 and the deterministic url-asc tie-break (Q12) settles
+    # the 6-vs-6 tie for the starved URL — bounded wait ≤ gap waves,
+    # within the max_age_boost cap of 8.
+    assert run(10, aging=True) == 6
