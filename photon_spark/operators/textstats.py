@@ -1907,3 +1907,75 @@ def mojibake_flags(
         ppm.cast("bigint").alias("mojibake_ppm"),
         (ppm >= threshold_ppm).alias("is_mojibake"),
     )
+
+
+def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
+    """Pairwise agreement audit between corpus quality gates — the
+    filter-ablation table every curation pipeline reads before
+    composing gates (two gates with kappa ≈ 1 are redundant; kappa ≈ 0
+    gates cut independent slices and compound; negative kappa flags
+    gates fighting each other).
+
+    ``flags``: one row per document with non-null boolean ``gate_cols``.
+    For every unordered gate pair emits the 2×2 confusion counts
+    (n11/n10/n01/n00), observed agreement po = (n11+n00)/n, and Cohen's
+    kappa = (po − pe)/(1 − pe) with pe from the marginals (pe = 1 —
+    both gates constant and identical — is defined as kappa 1). Both
+    ratios are floor-quantized to integer micro-units, the repo's
+    cross-engine-exact convention.
+
+    Scale shape: ONE aggregate over the flags frame computes all
+    G·(G−1)/2 · 4 counters map-side-combinably (a single reduced row —
+    G is tokenizer-metadata sized); the pair table is then unfolded
+    from that row with a literal struct array (explode multiplier =
+    number of pairs, no shuffle, no driver round-trip). pe is computed
+    from marginal FRACTIONS, not marginal-count products, so nothing
+    overflows at 10^10-document corpora.
+    """
+    pairs = [(a, b) for i, a in enumerate(gate_cols) for b in gate_cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("gate_agreement needs at least two gate columns")
+    aggs = []
+    for a, b in pairs:
+        pa, pb = F.col(a), F.col(b)
+        key = f"{a}__{b}"
+        aggs += [
+            F.sum((pa & pb).cast("long")).alias(f"{key}__n11"),
+            F.sum((pa & ~pb).cast("long")).alias(f"{key}__n10"),
+            F.sum(((~pa) & pb).cast("long")).alias(f"{key}__n01"),
+            F.sum(((~pa) & (~pb)).cast("long")).alias(f"{key}__n00"),
+        ]
+    row = flags.agg(*aggs)
+    items = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("gate_a"),
+                F.lit(b).alias("gate_b"),
+                F.col(f"{a}__{b}__n11").alias("n11"),
+                F.col(f"{a}__{b}__n10").alias("n10"),
+                F.col(f"{a}__{b}__n01").alias("n01"),
+                F.col(f"{a}__{b}__n00").alias("n00"),
+            )
+            for a, b in pairs
+        ]
+    )
+    out = row.select(F.explode(items).alias("p")).select("p.*")
+    n = (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")).cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa1 = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb1 = (F.col("n11") + F.col("n01")).cast("double") / n
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    kappa = F.when(F.lit(1.0) - pe == 0.0, F.lit(1.0)).otherwise(
+        (po - pe) / (F.lit(1.0) - pe)
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    return out.select(
+        "gate_a",
+        "gate_b",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        q6(po).alias("agree_micro"),
+        q6(kappa).alias("kappa_micro"),
+    )

@@ -1499,3 +1499,110 @@ def f4_aging_q(spark, sf):
     return scored.withColumn("rank", F.row_number().over(w)).select(
         "url", "first_wave", "score", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate agreement audit (textstats.gate_agreement): pairwise 2x2
+# confusion counts + observed agreement + Cohen's kappa between three
+# production gates (quality_score >= 0.5, the Gopher keep conjunction,
+# the char-entropy gibberish band) — the filter-ablation table read
+# before composing gates. The oracle rebuilds each gate from its
+# already-hash-verified SQL twin and mirrors the kappa float op
+# sequence exactly (marginal FRACTIONS, not count products — the same
+# overflow-safe form the Spark side uses).
+
+
+def _gate_agree_sql() -> str:
+    from photon_spark.queries import _STOP_SQL_LIST
+    from photon_spark.queries_ext import _QUALITY_EXPR_SQL
+
+    qexpr = _QUALITY_EXPR_SQL.format(stops=_STOP_SQL_LIST)
+
+    def pair(a, b, ca, cb):
+        return (
+            f" SELECT '{a}' AS gate_a, '{b}' AS gate_b,"
+            f" SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0 END) AS n11,"
+            f" SUM(CASE WHEN {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n10,"
+            f" SUM(CASE WHEN NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS n01,"
+            f" SUM(CASE WHEN NOT {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n00"
+            " FROM fl"
+        )
+
+    return (
+        f"WITH q AS (SELECT doc_id, ({qexpr}) >= 0.5 AS gq FROM documents),"
+        " n AS (SELECT doc_id, text, string_split(text, ' ') AS toks,"
+        "  len(string_split(text, ' ')) AS n_tokens,"
+        "  string_split(text, chr(10)) AS lines FROM documents),"
+        " narrow AS (SELECT doc_id, n_tokens,"
+        "  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,"
+        "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS dtf,"
+        "  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)"
+        "   / length(text) AS sr,"
+        "  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))"
+        "   AS DOUBLE) / n_tokens AS awf,"
+        "  CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'"
+        "   OR l LIKE chr(8226) || '%')) AS DOUBLE) / len(lines) AS blf,"
+        "  CAST(len(list_filter(lines, l -> l LIKE '%...'"
+        "   OR l LIKE '%' || chr(8230))) AS DOUBLE) / len(lines) AS elf FROM n),"
+        " top AS (SELECT doc_id, MAX(c) AS top_c FROM (SELECT doc_id, tok,"
+        "  COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM n) u"
+        "  GROUP BY doc_id, tok) g GROUP BY doc_id),"
+        " ggt AS (SELECT narrow.doc_id,"
+        "  (n_tokens >= 50 AND n_tokens <= 100000"
+        "   AND mwl >= 3.0 AND mwl <= 10.0 AND dtf < 0.5"
+        "   AND CAST(top_c AS DOUBLE) / n_tokens < 0.2 AND sr < 0.1"
+        "   AND awf >= 0.8 AND blf < 0.9 AND elf < 0.3) AS gg"
+        "  FROM narrow JOIN top ON narrow.doc_id = top.doc_id),"
+        " t AS (SELECT doc_id, lower(text) AS s FROM documents),"
+        " b AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS nn,"
+        "  list_sort(list_distinct(regexp_extract_all(s, '[\\s\\S]'))) AS chars"
+        "  FROM t),"
+        " e AS (SELECT doc_id, nn, coalesce(list_sum(list_transform(chars,"
+        "  c -> CAST(nn - length(replace(s, c, '')) AS DOUBLE)"
+        "   * ln(CAST(nn - length(replace(s, c, '')) AS DOUBLE)))), 0.0) AS snl"
+        "  FROM b),"
+        " m AS (SELECT doc_id, CASE WHEN nn <= 1 THEN 0 ELSE"
+        "  CAST(floor((ln(CAST(nn AS DOUBLE)) - snl / nn)"
+        "   / ln(2.0) * 1000000.0 + 0.5) AS BIGINT) END AS micro FROM e),"
+        " eet AS (SELECT doc_id,"
+        "  NOT (micro < 2000000 OR micro > 5500000) AS ge FROM m),"
+        " fl AS (SELECT q.doc_id, gq, gg, ge FROM q"
+        "  JOIN ggt ON q.doc_id = ggt.doc_id"
+        "  JOIN eet ON q.doc_id = eet.doc_id),"
+        " p AS (" + pair("g_quality", "g_gopher", "gq", "gg")
+        + " UNION ALL" + pair("g_quality", "g_entropy", "gq", "ge")
+        + " UNION ALL" + pair("g_gopher", "g_entropy", "gg", "ge") + "),"
+        " k AS (SELECT gate_a, gate_b, n11, n10, n01, n00,"
+        "  CAST(n11 + n00 AS DOUBLE)"
+        "   / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,"
+        "  CAST(n11 + n10 AS DOUBLE)"
+        "   / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS pa1,"
+        "  CAST(n11 + n01 AS DOUBLE)"
+        "   / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS pb1 FROM p),"
+        " k2 AS (SELECT *, pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1) AS pe FROM k)"
+        " SELECT gate_a, gate_b, n11, n10, n01, n00,"
+        "  CAST(floor(po * 1000000.0 + 0.5) AS BIGINT) AS agree_micro,"
+        "  CAST(floor((CASE WHEN 1.0 - pe = 0.0 THEN 1.0"
+        "   ELSE (po - pe) / (1.0 - pe) END) * 1000000.0 + 0.5) AS BIGINT)"
+        "   AS kappa_micro FROM k2"
+    )
+
+
+@q("gate_agreement_kappa", _gate_agree_sql())
+def gate_agree_q(spark, sf):
+    from photon_spark.operators import textstats
+
+    docs = _t(spark, sf, "documents", spread=True)
+    gq = textstats.quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.5).alias("g_quality")
+    )
+    gg = textstats.gopher_quality(docs).select(
+        "doc_id", F.col("gopher_keep").alias("g_gopher")
+    )
+    ge = textstats.char_entropy(docs).select(
+        "doc_id", (~F.col("is_gibberish")).alias("g_entropy")
+    )
+    flags = gq.join(gg, "doc_id").join(ge, "doc_id")
+    return textstats.gate_agreement(
+        flags, ["g_quality", "g_gopher", "g_entropy"]
+    )

@@ -2919,3 +2919,36 @@ def test_lpa_communities_two_cliques(spark):
     assert all(out[f"a{i}"]["label"] == "a1" for i in range(1, 5))
     assert all(out[f"b{i}"]["label"] == "b1" for i in range(1, 5))
     assert out["a1"]["community_size"] == 4 and out["b1"]["community_size"] == 4
+
+
+def test_gate_agreement_hand_kappa(spark):
+    """2x2 kappa by hand: flags [TTTFFF] vs [TTFFFT] give n11=2 n10=1
+    n01=1 n00=2, po=2/3, pe=1/2, kappa=1/3; a constant-identical pair
+    hits the pe=1 branch and reports kappa 1."""
+    from photon_spark.operators.textstats import gate_agreement
+
+    rows = [
+        (True, True, True),
+        (True, True, True),
+        (True, False, True),
+        (False, False, True),
+        (False, False, True),
+        (False, True, True),
+    ]
+    df = spark.createDataFrame(rows, ["ga", "gb", "gc"])
+    out = {
+        (r["gate_a"], r["gate_b"]): r.asDict()
+        for r in gate_agreement(df, ["ga", "gb", "gc"]).collect()
+    }
+    ab = out[("ga", "gb")]
+    assert (ab["n11"], ab["n10"], ab["n01"], ab["n00"]) == (2, 1, 1, 2)
+    assert ab["agree_micro"] == 666667  # floor(2/3*1e6+0.5)
+    assert ab["kappa_micro"] == 333333  # (2/3-1/2)/(1/2)
+    # gc is constant-True: against ga, pe = pa1*1 + (1-pa1)*0 = 0.5 -> po=0.5
+    ac = out[("ga", "gc")]
+    assert ac["kappa_micro"] == 0  # constant gate carries no information
+    # constant-identical pair (gc vs itself is not a pair; emulate with
+    # a second constant column): pe == 1 branch
+    df2 = spark.createDataFrame([(True, True)] * 4, ["x", "y"])
+    r = gate_agreement(df2, ["x", "y"]).collect()[0]
+    assert r["kappa_micro"] == 1000000 and r["agree_micro"] == 1000000
