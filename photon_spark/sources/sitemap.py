@@ -133,9 +133,10 @@ def sitemap_tree_locs(
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt.select("sm_url")).localCheckpoint(
-            eager=True
-        )
+        # no checkpoint on `seen`: it is a union of ≤ max_depth frames
+        # that are each already checkpointed (nxt above), so lineage
+        # stays bounded without paying one extra job per depth
+        seen = seen.unionByName(nxt.select("sm_url"))
         cur = nxt
     out = leaf_waves[0]
     for w in leaf_waves[1:]:
