@@ -1979,3 +1979,62 @@ def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
         q6(po).alias("agree_micro"),
         q6(kappa).alias("kappa_micro"),
     )
+
+
+def fleiss_kappa(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
+    """Multi-gate chance-corrected agreement — Fleiss' kappa (1971)
+    over G boolean gates treated as raters on two categories. The
+    single-number companion to the pairwise `gate_agreement` table:
+    one figure for "do these G gates mostly say the same thing".
+
+    One map-side-combinable aggregate (count, Σc, Σ(c²+(G−c)²) where c
+    = per-document true-gate count) feeds the closed forms
+    P̄ = (Σ(c²+(G−c)²) − N·G)/(N·G·(G−1)) and Pe = p² + (1−p)² with
+    p = Σc/(N·G); kappa = (P̄ − Pe)/(1 − Pe), the Pe = 1 degenerate
+    (all gates constant and identical) defined as 1. Micro-unit
+    quantized with the repo's cross-engine floor convention; every
+    input to the float section is an exact bigint, so the IEEE op
+    sequence (mirrored in the SQL twin) is deterministic.
+    """
+    g = len(gate_cols)
+    if g < 2:
+        raise ValueError("fleiss_kappa needs at least two gate columns")
+    ct = sum(F.col(c).cast("int") for c in gate_cols)
+    s = flags.select(ct.alias("ct")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ct").alias("sum_true"),
+        F.sum(
+            F.col("ct") * F.col("ct")
+            + (F.lit(g) - F.col("ct")) * (F.lit(g) - F.col("ct"))
+        ).alias("sum_sq"),
+    )
+    n = F.col("n_docs")
+    pbar = (F.col("sum_sq") - n * g).cast("double") / (
+        n.cast("double") * F.lit(float(g)) * F.lit(float(g - 1))
+    )
+    pt = F.col("sum_true").cast("double") / (n.cast("double") * F.lit(float(g)))
+    out = s.select(
+        "n_docs",
+        F.lit(g).alias("n_gates"),
+        pbar.alias("_pbar"),
+        pt.alias("_pt"),
+    ).select(
+        "n_docs",
+        "n_gates",
+        "_pbar",
+        (
+            F.col("_pt") * F.col("_pt")
+            + (F.lit(1.0) - F.col("_pt")) * (F.lit(1.0) - F.col("_pt"))
+        ).alias("_pe"),
+    )
+    kappa = F.when(F.lit(1.0) - F.col("_pe") == 0.0, F.lit(1.0)).otherwise(
+        (F.col("_pbar") - F.col("_pe")) / (F.lit(1.0) - F.col("_pe"))
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    return out.select(
+        "n_docs",
+        "n_gates",
+        q6(F.col("_pbar")).alias("pbar_micro"),
+        q6(F.col("_pe")).alias("pe_micro"),
+        q6(kappa).alias("fleiss_kappa_micro"),
+    )

@@ -1512,22 +1512,15 @@ def f4_aging_q(spark, sf):
 # overflow-safe form the Spark side uses).
 
 
-def _gate_agree_sql() -> str:
+def _gate_flags_with() -> str:
+    """Shared WITH-prefix ending at the per-document gate-flag frame
+    `fl(doc_id, gq, gg, ge)` — the three gates' already-hash-verified
+    SQL twins (quality ≥ 0.5, Gopher keep, char-entropy band), reused
+    by both agreement oracles."""
     from photon_spark.queries import _STOP_SQL_LIST
     from photon_spark.queries_ext import _QUALITY_EXPR_SQL
 
     qexpr = _QUALITY_EXPR_SQL.format(stops=_STOP_SQL_LIST)
-
-    def pair(a, b, ca, cb):
-        return (
-            f" SELECT '{a}' AS gate_a, '{b}' AS gate_b,"
-            f" SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0 END) AS n11,"
-            f" SUM(CASE WHEN {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n10,"
-            f" SUM(CASE WHEN NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS n01,"
-            f" SUM(CASE WHEN NOT {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n00"
-            " FROM fl"
-        )
-
     return (
         f"WITH q AS (SELECT doc_id, ({qexpr}) >= 0.5 AS gq FROM documents),"
         " n AS (SELECT doc_id, text, string_split(text, ' ') AS toks,"
@@ -1569,7 +1562,23 @@ def _gate_agree_sql() -> str:
         " fl AS (SELECT q.doc_id, gq, gg, ge FROM q"
         "  JOIN ggt ON q.doc_id = ggt.doc_id"
         "  JOIN eet ON q.doc_id = eet.doc_id),"
-        " p AS (" + pair("g_quality", "g_gopher", "gq", "gg")
+    )
+
+
+def _gate_agree_sql() -> str:
+    def pair(a, b, ca, cb):
+        return (
+            f" SELECT '{a}' AS gate_a, '{b}' AS gate_b,"
+            f" SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0 END) AS n11,"
+            f" SUM(CASE WHEN {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n10,"
+            f" SUM(CASE WHEN NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS n01,"
+            f" SUM(CASE WHEN NOT {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n00"
+            " FROM fl"
+        )
+
+    return (
+        _gate_flags_with()
+        + " p AS (" + pair("g_quality", "g_gopher", "gq", "gg")
         + " UNION ALL" + pair("g_quality", "g_entropy", "gq", "ge")
         + " UNION ALL" + pair("g_gopher", "g_entropy", "gg", "ge") + "),"
         " k AS (SELECT gate_a, gate_b, n11, n10, n01, n00,"
@@ -1604,5 +1613,53 @@ def gate_agree_q(spark, sf):
     )
     flags = gq.join(gg, "doc_id").join(ge, "doc_id")
     return textstats.gate_agreement(
+        flags, ["g_quality", "g_gopher", "g_entropy"]
+    )
+
+
+# Fleiss' kappa across ALL three gates at once (the pairwise table's
+# single-number companion); same shared flag CTEs, closed-form tail.
+
+
+def _fleiss_sql() -> str:
+    return (
+        _gate_flags_with()
+        + " c AS (SELECT doc_id, (CASE WHEN gq THEN 1 ELSE 0 END"
+        "  + CASE WHEN gg THEN 1 ELSE 0 END"
+        "  + CASE WHEN ge THEN 1 ELSE 0 END) AS ct FROM fl),"
+        " s AS (SELECT COUNT(*) AS n_docs, SUM(ct) AS sum_true,"
+        "  SUM(ct * ct + (3 - ct) * (3 - ct)) AS sum_sq FROM c),"
+        " f AS (SELECT n_docs,"
+        "  CAST(sum_sq - n_docs * 3 AS DOUBLE)"
+        "   / (CAST(n_docs AS DOUBLE) * 3.0 * 2.0) AS pbar,"
+        "  CAST(sum_true AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0) AS pt"
+        "  FROM s),"
+        " f2 AS (SELECT n_docs, pbar,"
+        "  pt * pt + (1.0 - pt) * (1.0 - pt) AS pe FROM f)"
+        " SELECT n_docs, 3 AS n_gates,"
+        "  CAST(floor(pbar * 1000000.0 + 0.5) AS BIGINT) AS pbar_micro,"
+        "  CAST(floor(pe * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,"
+        "  CAST(floor((CASE WHEN 1.0 - pe = 0.0 THEN 1.0"
+        "   ELSE (pbar - pe) / (1.0 - pe) END) * 1000000.0 + 0.5) AS BIGINT)"
+        "   AS fleiss_kappa_micro FROM f2"
+    )
+
+
+@q("gate_fleiss_kappa", _fleiss_sql())
+def gate_fleiss_q(spark, sf):
+    from photon_spark.operators import textstats
+
+    docs = _t(spark, sf, "documents", spread=True)
+    gq = textstats.quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.5).alias("g_quality")
+    )
+    gg = textstats.gopher_quality(docs).select(
+        "doc_id", F.col("gopher_keep").alias("g_gopher")
+    )
+    ge = textstats.char_entropy(docs).select(
+        "doc_id", (~F.col("is_gibberish")).alias("g_entropy")
+    )
+    flags = gq.join(gg, "doc_id").join(ge, "doc_id")
+    return textstats.fleiss_kappa(
         flags, ["g_quality", "g_gopher", "g_entropy"]
     )

@@ -352,6 +352,18 @@ EXPECT: dict[str, dict] = {
     # frame is host-dimension (the label joins broadcast); the
     # edge-grain work is the one adjacency dedup
     "lpa_communities_3r": {"codegen": True, "broadcast": True, "max_exchanges": 16},
+    # aged scoring is pure scan-side integer arithmetic + the one
+    # politeness-window exchange (same shape as f4_priority_scoring)
+    "f4_priority_aging": {"codegen": True, "max_exchanges": 2},
+    # 8 counted exchanges, all accounted for: gopher's two token-agg
+    # hash exchanges (inherent to top-token-frac), the SinglePartition
+    # leg of the one global counter agg, and the single-file RoundRobin
+    # spreads of the documents scan (one per gate frame, partially
+    # ReusedExchange'd). Every doc_id-level join is BROADCAST — the
+    # (doc_id, bool) flag frames never hash-shuffle.
+    "gate_agreement_kappa": {"codegen": True, "broadcast": True, "max_exchanges": 8},
+    # same flag frames, one closed-form aggregate tail
+    "gate_fleiss_kappa": {"codegen": True, "broadcast": True, "max_exchanges": 8},
 }
 
 

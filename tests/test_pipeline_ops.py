@@ -2952,3 +2952,25 @@ def test_gate_agreement_hand_kappa(spark):
     df2 = spark.createDataFrame([(True, True)] * 4, ["x", "y"])
     r = gate_agreement(df2, ["x", "y"]).collect()[0]
     assert r["kappa_micro"] == 1000000 and r["agree_micro"] == 1000000
+
+
+def test_fleiss_kappa_hand(spark):
+    """4 docs x 3 gates with true-counts 3,2,1,0: sum_sq=28, Pbar=2/3,
+    p=1/2, Pe=1/2, kappa=1/3; all-identical constant gates hit Pe=1."""
+    from photon_spark.operators.textstats import fleiss_kappa
+
+    rows = [
+        (True, True, True),
+        (True, True, False),
+        (True, False, False),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, ["ga", "gb", "gc"])
+    r = fleiss_kappa(df, ["ga", "gb", "gc"]).collect()[0]
+    assert r["n_docs"] == 4 and r["n_gates"] == 3
+    assert r["pbar_micro"] == 666667 and r["pe_micro"] == 500000
+    assert r["fleiss_kappa_micro"] == 333333
+    r2 = fleiss_kappa(
+        spark.createDataFrame([(True, True)] * 5, ["x", "y"]), ["x", "y"]
+    ).collect()[0]
+    assert r2["fleiss_kappa_micro"] == 1000000
