@@ -950,3 +950,47 @@ def hard_negative_mine(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of the n-gram decontaminators (`dedupe.ngram_decontaminate` exact,
+    `minhash_lsh_pairs_incremental` fuzzy): flag every corpus vector
+    whose cosine to ANY benchmark embedding reaches ``threshold``.
+    Catches paraphrased / reformatted eval leakage that token-overlap
+    methods miss (the public GSM8K/MMLU contamination-audit recipe:
+    embed both sides, threshold the max similarity).
+
+    Returns one row per corpus vector: (id, max_bench_cosine,
+    contaminated). Scale shape: benchmarks are eval-set-sized, so the
+    bench side BROADCASTS; the corpus is scanned once, the per-pair
+    cosines never materialize beyond each task (map-side partial MAX
+    collapses them to one row per corpus vector before the only
+    exchange). The JVM fold keeps the score bit-identical to the
+    DuckDB oracle — swap `_dot` for the numpy-matmul path of the
+    blocked/LSH ops when oracle portability is not needed and |bench|
+    is large.
+    """
+    c = with_unit_vectors(corpus).select(
+        F.col(id_col).alias("_cid"), F.col("unit").alias("cv")
+    )
+    b = with_unit_vectors(bench).select(F.col("unit").alias("bv"))
+    scored = c.join(F.broadcast(b)).select(
+        "_cid", F.round(_dot(F.col("cv"), F.col("bv")), 6).alias("cos")
+    )
+    return (
+        scored.groupBy("_cid")
+        .agg(F.max("cos").alias("max_bench_cosine"))
+        .select(
+            F.col("_cid").alias(id_col),
+            "max_bench_cosine",
+            (F.col("max_bench_cosine") >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )

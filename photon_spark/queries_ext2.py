@@ -1663,3 +1663,41 @@ def gate_fleiss_q(spark, sf):
     return textstats.fleiss_kappa(
         flags, ["g_quality", "g_gopher", "g_entropy"]
     )
+
+
+# Semantic decontamination (similarity.semantic_decontaminate): max
+# cosine of each corpus embedding to a broadcast benchmark set, flag at
+# threshold — the embedding-space sibling of decontam_hits (exact
+# 8-gram) and decontam_fuzzy_hits (MinHash). Disjoint id split keeps
+# the oracle free of self-pairs.
+@q(
+    "decontam_semantic_flags",
+    """
+WITH unit AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), bench AS (
+  SELECT u AS bu FROM unit WHERE vec_id < 25
+), corpus AS (
+  SELECT vec_id, u FROM unit WHERE vec_id >= 25
+), scored AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(range(1, len(u) + 1), i -> u[i] * bu[i])), 6) AS cos
+  FROM corpus, bench
+)
+SELECT vec_id, MAX(cos) AS max_bench_cosine,
+  MAX(cos) >= 0.3 AS contaminated
+FROM scored GROUP BY vec_id
+""",
+)
+def decontam_semantic_q(spark, sf):
+    from photon_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings", spread=True)
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        threshold=0.3,
+    )

@@ -364,6 +364,9 @@ EXPECT: dict[str, dict] = {
     "gate_agreement_kappa": {"codegen": True, "broadcast": True, "max_exchanges": 8},
     # same flag frames, one closed-form aggregate tail
     "gate_fleiss_kappa": {"codegen": True, "broadcast": True, "max_exchanges": 8},
+    # bench side broadcasts; map-side partial MAX collapses pair scores
+    # to one row per corpus vector before the single agg exchange
+    "decontam_semantic_flags": {"codegen": True, "broadcast": True, "max_exchanges": 2},
 }
 
 

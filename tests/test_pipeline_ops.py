@@ -2974,3 +2974,30 @@ def test_fleiss_kappa_hand(spark):
         spark.createDataFrame([(True, True)] * 5, ["x", "y"]), ["x", "y"]
     ).collect()[0]
     assert r2["fleiss_kappa_micro"] == 1000000
+
+
+def test_semantic_decontaminate_planted(spark):
+    """A corpus vector equal to a benchmark vector flags at cosine 1;
+    an orthogonal one reports cosine 0 and stays clean; an in-between
+    vector lands exactly at its analytic cosine."""
+    from photon_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # parallel to bench 0 -> cos 1
+            (11, [0.0, 0.0, 5.0]),   # orthogonal to both -> cos 0
+            (12, [1.0, 1.0, 0.0]),   # cos 1/sqrt(2) to both
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[10]["contaminated"] and out[10]["max_bench_cosine"] == 1.0
+    assert not out[11]["contaminated"] and out[11]["max_bench_cosine"] == 0.0
+    assert not out[12]["contaminated"]
+    assert abs(out[12]["max_bench_cosine"] - 0.707107) < 1e-9
