@@ -3,7 +3,7 @@
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
 photon_spark/queries.py + queries_ext.py + queries_ext2.py hold the
-registry (200 queries, 189 with colocated DuckDB oracle SQL —
+registry (204 queries, 193 with colocated DuckDB oracle SQL —
 including the complete TPC-H 22; aliases matched on both sides;
 COVERAGE.md maps them to SURVEY.md §2 rows). Registry order is
 gate-aware: the first 50 entries are all oracled and rotate
