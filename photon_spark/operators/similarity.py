@@ -217,6 +217,12 @@ def ivf_topk(
     — the per-query candidate set shrinks from |corpus| to the probed
     cells' population, and the only wide ops are that equi-join and the
     final per-query top-k window.
+
+    Determinism caveat: cell choice and centroid updates use numpy
+    matmul (SIMD / pairwise summation), so dot products can differ in
+    the last ulp across BLAS builds and flip argmax on exact-tie
+    corpora. Results are deterministic per platform, not bit-identical
+    across platforms — unlike the former JVM sequential-fold path.
     """
     import numpy as np
 
@@ -277,6 +283,10 @@ def ivf_topk(
         parts = corpus.select("cv").mapInPandas(
             partials, "cell int, n long, s array<double>"
         ).collect()
+        # the collect fully consumed this round's broadcast; drop it so
+        # long-lived sessions don't accumulate one block per Lloyd round
+        # (only assign_cells'/bcq's broadcasts outlive the return)
+        bc.unpersist()
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
         for r in parts:
@@ -980,7 +990,13 @@ def semantic_decontaminate(
         F.col(id_col).alias("_cid"), F.col("unit").alias("cv")
     )
     b = with_unit_vectors(bench).select(F.col("unit").alias("bv"))
-    scored = c.join(F.broadcast(b)).select(
+    # LEFT join on an always-true condition: identical to the inner
+    # cross join whenever bench is non-empty, but an (accidentally)
+    # empty benchmark frame still yields one row per corpus vector
+    # with max_bench_cosine NULL / contaminated false, instead of
+    # silently emitting nothing — an empty eval set must stay
+    # distinguishable from "no output at all".
+    scored = c.join(F.broadcast(b), F.lit(True), "left").select(
         "_cid", F.round(_dot(F.col("cv"), F.col("bv")), 6).alias("cos")
     )
     return (
@@ -989,8 +1005,8 @@ def semantic_decontaminate(
         .select(
             F.col("_cid").alias(id_col),
             "max_bench_cosine",
-            (F.col("max_bench_cosine") >= F.lit(threshold)).alias(
-                "contaminated"
-            ),
+            F.coalesce(
+                F.col("max_bench_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )

@@ -1935,7 +1935,7 @@ def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
     pairs = [(a, b) for i, a in enumerate(gate_cols) for b in gate_cols[i + 1 :]]
     if not pairs:
         raise ValueError("gate_agreement needs at least two gate columns")
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for a, b in pairs:
         pa, pb = F.col(a), F.col(b)
         key = f"{a}__{b}"
@@ -1955,11 +1955,29 @@ def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
                 F.col(f"{a}__{b}__n10").alias("n10"),
                 F.col(f"{a}__{b}__n01").alias("n01"),
                 F.col(f"{a}__{b}__n00").alias("n00"),
+                F.col("__n_rows").alias("n_total"),
             )
             for a, b in pairs
         ]
     )
     out = row.select(F.explode(items).alias("p")).select("p.*")
+    # Fail fast on the documented non-null precondition: three-valued
+    # boolean logic makes every SUM above skip NULL gate rows, so a
+    # quietly-NULL column would yield inconsistent pair totals. Cheap —
+    # evaluated on the G·(G−1)/2 output rows only.
+    n_long = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    n11_checked = F.when(n_long == F.col("n_total"), F.col("n11")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("gate_agreement: NULL gate values in pair ("),
+                F.col("gate_a"),
+                F.lit(", "),
+                F.col("gate_b"),
+                F.lit(") — 2x2 counts would exclude rows"),
+            )
+        )
+    )
+    out = out.withColumn("n11", n11_checked).drop("n_total")
     n = (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")).cast("double")
     po = (F.col("n11") + F.col("n00")).cast("double") / n
     pa1 = (F.col("n11") + F.col("n10")).cast("double") / n

@@ -1349,8 +1349,12 @@ def quality_clf(spark, sf):
     " CAST(floor(CASE WHEN source = 'src0' THEN 0.5"
     "  WHEN source = 'src1' THEN 0.25 ELSE 0.015625 END * 4096.0) AS BIGINT)"
     "  AS budget_tokens FROM documents),"
-    " c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
-    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM s)"
+    # DuckDB types SUM OVER as HUGEINT (int128); cast to BIGINT so the
+    # driver's typed value hash matches Spark's bigint (same convention
+    # as recrawl_schedule's score cast).
+    " c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source"
+    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+    "  AS cum_tokens FROM s)"
     " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
     " WHERE cum_tokens - n_tokens < budget_tokens",
 )
@@ -1427,8 +1431,10 @@ def robots_rfc_q(spark, sf):
     " s AS (SELECT doc_id, d.source, len(string_split(text, ' ')) AS n_tokens,"
     "  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h, b.budget_tokens"
     "  FROM documents d JOIN b ON d.source = b.source),"
-    " c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
-    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM s)"
+    # HUGEINT→BIGINT cast for driver hash parity (see mix_token_budget).
+    " c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source"
+    "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+    "  AS cum_tokens FROM s)"
     " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
     " WHERE cum_tokens - n_tokens < budget_tokens",
 )

@@ -3001,3 +3001,30 @@ def test_semantic_decontaminate_planted(spark):
     assert not out[11]["contaminated"] and out[11]["max_bench_cosine"] == 0.0
     assert not out[12]["contaminated"]
     assert abs(out[12]["max_bench_cosine"] - 0.707107) < 1e-9
+    # an EMPTY benchmark frame still yields one row per corpus vector
+    # (max_bench_cosine NULL, contaminated false) — it must stay
+    # distinguishable from "no output at all"
+    empty = semantic_decontaminate(
+        corpus, bench.filter("vec_id < 0"), threshold=0.9
+    ).collect()
+    assert len(empty) == 3
+    assert all(
+        r["max_bench_cosine"] is None and r["contaminated"] is False
+        for r in empty
+    )
+
+
+def test_gate_agreement_null_fail_fast(spark):
+    """NULL gate values violate the documented non-null precondition;
+    the 2x2 sums would silently skip those rows, so the operator must
+    raise instead of emitting inconsistent pair totals."""
+    import pytest
+    from photon_spark.operators.textstats import gate_agreement
+
+    df = spark.createDataFrame(
+        [(True, True), (None, False), (False, True)],
+        "ga boolean, gb boolean",
+    )
+    with pytest.raises(Exception) as ei:
+        gate_agreement(df, ["ga", "gb"]).collect()
+    assert "NULL gate values" in str(ei.value)
