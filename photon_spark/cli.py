@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seeds-file", default=None,
                    help="file of extra seed URLs, one per line (the wayback-as-seeds "
                         "adapter: feed it a CDX dump — reference --wayback)")
+    p.add_argument("--wayback", action="store_true",
+                   help="fetch archive.org CDX URLs for the target host as extra "
+                        "seeds (reference --wayback; needs network)")
     p.add_argument("-c", "--cookie", default=None, help="cookie string (reference -c)")
     p.add_argument("--header", action="append", default=[], metavar="'Name: value'",
                    help="custom request header, repeatable; replaces the default "
@@ -136,6 +139,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from photon_spark.sources.wayback import load_seeds_file
 
         seeds = seeds + load_seeds_file(args.seeds_file)
+    if args.wayback:
+        from urllib.parse import urlparse
+
+        from photon_spark.sources.wayback import fetch_wayback_seeds
+
+        seeds = seeds + fetch_wayback_seeds(urlparse(args.url).netloc)
     cfg = EngineConfig(
         crawl_level=args.level,
         only_urls=args.only_urls,

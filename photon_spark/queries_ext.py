@@ -5471,3 +5471,82 @@ from photon_spark import queries_ext2  # noqa: E402,F401
 
 for _name in _TAIL:
     Q[_name] = Q.pop(_name)
+
+# Round-4 window promotion (VERDICT r3 items 1–2). The driver verifies
+# the FIRST 50 registry entries each round; every r3-window entry came
+# back green, so all 50 park and the window refills with entries that
+# have never had a driver row. Composition:
+#   * mix_token_budget / temperature_mix STAY — their r3 rows were
+#     rows+schema-green but hash-false (DuckDB HUGEINT window-sum vs
+#     Spark bigint); the oracle now casts to BIGINT and the fix needs
+#     a fully-green driver row.
+#   * the judge-named r3-local cohort (f4_priority_aging, the
+#     kappa/agreement family, lpa_communities_3r, readability_scores,
+#     char_entropy_gate, decontam_semantic_flags + decontam_fuzzy_hits,
+#     sitemap_url_hints) jumps the queue.
+#   * the rest fills in registry order with never-driver-checked
+#     oracled entries (TPC-H remainder, host-graph family, recrawl/
+#     hygiene family). The ~36 still-unchecked oracled entries rotate
+#     in next round. First 50 stay all-oracled (asserted below).
+_FRONT_R4 = (
+    "mix_token_budget",
+    "temperature_mix",
+    "f4_priority_aging",
+    "gate_agreement_kappa",
+    "gate_fleiss_kappa",
+    "lpa_communities_3r",
+    "readability_scores",
+    "char_entropy_gate",
+    "decontam_semantic_flags",
+    "decontam_fuzzy_hits",
+    "sitemap_url_hints",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "mm_strip_metadata",
+    "range_join_counts",
+    "hits_host_scores",
+    "sample_k_per_group",
+    "dedup_incremental_pairs",
+    "sitemap_tree_locs",
+    "bigram_logprob",
+    "keyword_scan_counts",
+    "retry_backoff_schedule",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q22_dormant_rich_customers",
+    "q15_top_supplier",
+    "q8_market_share",
+    "pipeline_retention_stats",
+    "q13_order_distribution",
+    "q9_product_profit",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "mirror_host_pairs",
+    "url_param_significance",
+    "host_trustrank",
+    "host_opic",
+    "shark_relevance_scores",
+    "host_spam_mass",
+    "dust_rules_mined",
+    "url_dust_canonicalize",
+    "host_opic_incremental",
+    "discovery_saturation",
+    "hreflang_confirmed_pairs",
+    "recrawl_unified",
+    "html_directive_flags",
+    "redirect_resolution",
+)
+assert len(_FRONT_R4) == 50, len(_FRONT_R4)
+_missing = [n for n in _FRONT_R4 if n not in Q]
+assert not _missing, f"unknown registry names in _FRONT_R4: {_missing}"
+_rest = [n for n in Q if n not in set(_FRONT_R4)]
+_reordered = {n: Q[n] for n in (*_FRONT_R4, *_rest)}
+Q.clear()
+Q.update(_reordered)
+assert all(Q[n][1] is not None for n in _FRONT_R4), (
+    "front-50 must be all-oracled"
+)

@@ -35,6 +35,35 @@ def cdx_query_url(host: str, mode: str = "host", today: date | None = None) -> s
     )
 
 
+def fetch_wayback_seeds(
+    host: str,
+    transport=None,
+    mode: str = "host",
+    today: date | None = None,
+) -> tuple[str, ...]:
+    """Production S4: issue the pinned CDX query and parse the response
+    into seeds (reference plugins/wayback.py:16-22: the JSON payload is
+    a list of rows whose FIRST row is the column header — skipped — and
+    each remaining row's first field is the original URL).
+
+    ``transport(url: str) -> str`` returns the response body; default
+    is a requests GET (imported lazily — the sandbox has no network, so
+    tests inject a canned CDX response). Runs on the DRIVER before the
+    crawl: seed lists are CLI-sized, never distributed work.
+    """
+    import json
+
+    if transport is None:
+        def transport(url: str) -> str:  # pragma: no cover - needs net
+            import requests
+
+            return requests.get(url, timeout=30).text
+
+    body = transport(cdx_query_url(host, mode=mode, today=today))
+    parsed = json.loads(body)[1:]
+    return tuple(item[0] for item in parsed)
+
+
 def load_seeds_file(path: str) -> tuple[str, ...]:
     """One URL per line (blank lines and #-comments skipped) — the
     shape a wayback CDX dump or any external seed source lands in."""

@@ -78,6 +78,64 @@ def test_parse_headers_and_cdx_query():
     )
 
 
+def test_fetch_wayback_seeds_parses_cdx(monkeypatch):
+    """Production S4: the canned CDX payload (header row + one URL per
+    row, reference plugins/wayback.py:16-22) parses into the seeds the
+    reference's time_machine would return, and the transport receives
+    the pinned query URL."""
+    import datetime
+
+    from photon_spark.sources.wayback import cdx_query_url, fetch_wayback_seeds
+
+    asked = []
+
+    def canned(url: str) -> str:
+        asked.append(url)
+        return (
+            '[["original"],'
+            '["http://example.com/a"],'
+            '["http://example.com/b?q=1"]]'
+        )
+
+    today = datetime.date(2026, 8, 17)
+    seeds = fetch_wayback_seeds("example.com", transport=canned, today=today)
+    assert seeds == ("http://example.com/a", "http://example.com/b?q=1")
+    assert asked == [cdx_query_url("example.com", today=today)]
+    # header-only payload (no captures in window) → empty seed tuple
+    assert fetch_wayback_seeds("x.org", transport=lambda u: '[["original"]]') == ()
+
+
+def test_cli_wayback_flag_merges_seeds(spark, tmp_path, monkeypatch):
+    """--wayback fetches CDX seeds for the target host and merges them
+    like -s/--seeds-file (reference photon.py --wayback path)."""
+    from photon_spark import cli as cli_mod
+    from photon_spark.sources import wayback as wb
+
+    monkeypatch.setattr(
+        wb,
+        "fetch_wayback_seeds",
+        lambda host, transport=None, mode="host", today=None: (
+            ("http://h0.fixture.test/d2.html",) if host == "h0.fixture.test" else ()
+        ),
+    )
+    pages_path = str(tmp_path / "pages_wb.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out_wb")
+    rc = cli_mod.main(
+        ["-u", ROOT, "--pages", pages_path, "-o", out_dir, "--wayback",
+         "--partitions", "4", "--salts", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    golden = oracle_crawl(
+        page_bodies(), ROOT, crawl_level=2,
+        seeds=("http://h0.fixture.test/d2.html",),
+    ).datasets
+    with open(os.path.join(out_dir, "internal.txt")) as f:
+        got = set(f.read().splitlines())
+    assert got == {ln for v in golden["internal"] for ln in v.splitlines()}
+
+
 def test_cli_seeds_file_and_http_fetcher(spark, tmp_path):
     """--seeds-file merges extra seeds (wayback-as-seeds shape) and
     --http swaps the fetch stage; crawl results equal the oracle with
