@@ -28,6 +28,7 @@ snapshot dir), --resume.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -45,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wayback", action="store_true",
                    help="fetch archive.org CDX URLs for the target host as extra "
                         "seeds (reference --wayback; needs network)")
+    p.add_argument("--clone", action="store_true",
+                   help="mirror fetched pages to <output>/mirror with the "
+                        "reference's --clone path layout (corrected mode: the "
+                        "reference's writer is broken on Py3 and disables "
+                        "extraction, Q7 — this one composes)")
     p.add_argument("-c", "--cookie", default=None, help="cookie string (reference -c)")
     p.add_argument("--header", action="append", default=[], metavar="'Name: value'",
                    help="custom request header, repeatable; replaces the default "
@@ -188,6 +194,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         write_results_table(result, args.output)
     else:
         write_txt(result, args.output)
+    if args.clone:
+        # K3 corrected mode: mirror every fetched page (Q7 — the
+        # reference's --clone is broken on Py3 AND disables extraction;
+        # here it composes with everything else). Bodies come from the
+        # same source the crawl used: the HTTP stage when --http, else
+        # the pages-table join.
+        from pyspark.sql import functions as F
+
+        from photon_spark.config import DUMMY
+        from photon_spark.sinks import write_mirror
+
+        waves = result.waves.select("url", "level")
+        if fetcher is not None:
+            fetched = fetcher(waves).select("url", "body")
+        else:
+            from photon_spark.crawl import body_expr
+
+            body = pages.select(
+                F.col("doc_id"), body_expr().alias("body")
+            )
+            fetched = waves.join(body, waves.url == body.doc_id, "left").select(
+                waves.url, F.coalesce(F.col("body"), F.lit(DUMMY)).alias("body")
+            )
+        write_mirror(fetched, os.path.join(args.output, "mirror"))
     if args.export:
         export(result, args.output, args.export)
     if args.stdout_set:

@@ -22,7 +22,7 @@ from photon_spark.operators.extract import (
     entropy_udf,
     normalize_scripts_col,
 )
-from photon_spark.queries import _DOC_URL_SQL, _STOP_SQL_LIST, _t, q
+from photon_spark.queries import _ANN_SQL, _DOC_URL_SQL, _STOP_SQL_LIST, _t, q
 
 # ---------------------------------------------------------------------------
 # S2 — robots.txt rule extraction (reference core/zap.py:24-43)
@@ -548,13 +548,19 @@ def fp_winnow(spark, sf):
     return textstats.winnow_fingerprints(_t(spark, sf, "documents", spread=True), k=8, w=4)
 
 
-# IVF ANN — k-means cells + probed exact re-rank. The deterministic
-# Lloyd iterations have no tractable SQL twin → rows-only here; recall
-# and the n_probe==n_cells ≡ brute-force equivalence are pytest-pinned.
-@q("ann_ivf_topk", None)
+# IVF ANN — k-means cells + probed exact re-rank. Oracled the same way
+# sq8/pq are: at n_probe == n_cells every cell is probed, the exact
+# re-rank covers the whole corpus and the result EQUALS brute force
+# (the property the pytest pins), so the brute-force SQL is a valid
+# twin — the Lloyd centroids only partition work, never change output.
+# The approximate-probe path (n_probe=4) keeps its measured-recall
+# pytest and is benched in scripts/bench_ann_quality.py.
+@q("ann_ivf_topk", _ANN_SQL)
 def ann_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings", spread=True)
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=16
+    )
 
 
 @q(
@@ -660,9 +666,43 @@ def lang_ngram(spark, sf):
 
 
 # LSH-blocked embedding near-dup — the unbounded-corpus path (no label
-# column needed). Recall < 1 by design ⇒ rows-only here; precision and
-# recall are pytest-pinned against exact global pairs.
-@q("dedup_embedding_lsh", None)
+# column needed). The hyperplanes are md5-derived (similarity._plane:
+# int(md5(f"{p}:{d}")[:8], 16) / 2^31 - 1), so DuckDB can replicate the
+# WHOLE approximate pipeline — sign bits, 8-bit band keys, the
+# 2..max_bucket bucket filter, cross-band pair dedup, exact rounded
+# cosine — making this an exact twin of the approximation itself, not
+# a recall bound. Float caveat: the engine signs numpy-matmul dots, the
+# oracle a sequential fold; a flip needs |dot| within one ulp of 0,
+# never observed at any SF (and the recall pytests still pin the
+# approximate guarantees independently).
+@q(
+    "dedup_embedding_lsh",
+    "WITH unit AS (SELECT vec_id, list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,"
+    " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u FROM embeddings),"
+    " planes AS (SELECT p, list_transform(range(0, 64),"
+    "  d -> CAST(concat('0x', substring(md5(p || ':' || d), 1, 8)) AS BIGINT)"
+    "       / 2147483648.0 - 1.0) AS pl"
+    "  FROM range(0, 32) t(p)),"
+    " bits AS (SELECT vec_id, CAST(p // 8 AS INT) AS band, p,"
+    "  CASE WHEN list_sum(list_transform(range(1, 65), i -> u[i] * pl[i])) >= 0"
+    "   THEN '1' ELSE '0' END AS bit FROM unit, planes),"
+    " bsig AS (SELECT vec_id, band, string_agg(bit, '' ORDER BY p) AS key"
+    "  FROM bits GROUP BY vec_id, band),"
+    " ok AS (SELECT band, key FROM bsig GROUP BY band, key"
+    "  HAVING count(*) BETWEEN 2 AND 200),"
+    " cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+    "  FROM bsig a JOIN ok USING (band, key)"
+    "  JOIN bsig b ON a.band = b.band AND a.key = b.key"
+    "   AND a.vec_id < b.vec_id)"
+    " SELECT vec_a, vec_b, cosine FROM ("
+    "  SELECT vec_a, vec_b,"
+    "   floor(list_sum(list_transform(range(1, len(ua.u) + 1),"
+    "    i -> ua.u[i] * ub.u[i])) * 1000000.0 + 0.5) / 1000000.0 AS cosine"
+    "  FROM cand JOIN unit ua ON cand.vec_a = ua.vec_id"
+    "  JOIN unit ub ON cand.vec_b = ub.vec_id) t"
+    " WHERE cosine >= 0.3",
+)
 def emb_neardup_lsh(spark, sf):
     return similarity.cosine_near_dup_pairs_lsh(
         _t(spark, sf, "embeddings", spread=True), threshold=0.3

@@ -67,6 +67,68 @@ def to_stdout(result: CrawlResult, dataset: str) -> str:
     return "".join(v + "\n" for v in sorted(result.to_sets()[dataset]))
 
 
+def mirror_relpath(url: str) -> str:
+    """K3 path mapping — the reference's --clone directory
+    reconstruction (core/mirror.py:6-37), byte-for-byte, including its
+    quirks: basename without a dot gains '.html' (mirror.py:30-31),
+    the site root becomes index.html (and a dot-less ROOT collects the
+    .html trail too: 'index.html.html'), the query string is appended
+    to the FILENAME (mirror.py:36-37), and intermediate directories
+    drop the FIRST path segment equal to the basename — list.remove
+    semantics (mirror.py:11-14: '/a/b/a' keeps 'b/a', not 'a/b').
+    Pure function so the Spark sink and tests share one kernel."""
+    clean = url.replace("http://", "").replace("https://", "").rstrip("/")
+    parts = clean.split("?")[0].split("/")
+    root = parts[0]
+    webpage = parts[-1]
+    parts.remove(root)
+    try:
+        parts.remove(webpage)
+    except ValueError:
+        pass
+    suffix = "".join(d + "/" for d in parts)
+    trail = ""
+    if "." not in webpage:
+        trail += ".html"
+    name = "index.html" if webpage == root else webpage
+    if len(url.split("?")) > 1:
+        trail += "?" + url.split("?")[1]
+    return root + "_mirror/" + suffix + name + trail
+
+
+def write_mirror(fetched, output_dir: str) -> None:
+    """K3 corrected-mode mirror sink (--clone). The reference's mirror
+    is broken on Python 3 — core/mirror.py:38-39 writes bytes to a
+    text-mode file, and because mirror runs first in extractor
+    (photon.py:242-243) the swallowed TypeError silently disables all
+    extraction (Q7). This sink keeps the reference's PATH semantics
+    (mirror_relpath) and fixes only the write.
+
+    ``fetched``: (url, body) rows; the 'dummy' sentinel is skipped like
+    mirror.py:5. Scale shape: files are written from EXECUTORS
+    (foreachPartition — no driver collect, no bound on page count); on
+    a cluster point output_dir at a shared filesystem. Same-path
+    collisions overwrite, matching the reference's sequential
+    last-write-wins."""
+    from photon_spark.config import DUMMY
+
+    base = os.path.abspath(output_dir)
+    os.makedirs(base, exist_ok=True)
+
+    def write_partition(rows):
+        for row in rows:
+            body = row["body"]
+            if body == DUMMY or body is None:
+                continue
+            rel = mirror_relpath(row["url"])
+            path = os.path.join(base, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(body)
+
+    fetched.select("url", "body").foreachPartition(write_partition)
+
+
 def write_corpus_shards(
     documents,
     out_dir: str,

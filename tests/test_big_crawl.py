@@ -10,6 +10,10 @@ from fixtures.gen import BIG_ROOT, big_site_df
 from photon_spark.config import EngineConfig
 from photon_spark.crawl import run_crawl
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 11k-page synthetic site crawl
+
 
 def test_big_site_full_discovery(spark):
     n = 11111  # 1 + 10 + 100 + 1000 + 10000 — exactly 5 fanout-10 levels

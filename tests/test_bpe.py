@@ -65,6 +65,7 @@ def corpus_df(spark):
     return spark.createDataFrame(rows, "doc_id string, text string")
 
 
+@pytest.mark.slow
 def test_train_matches_reference(spark, corpus_df):
     got = bpe.bpe_train(corpus_df, k=16)
     want = _ref_train(CORPUS, k=16)

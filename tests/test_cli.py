@@ -4,6 +4,8 @@ semantics: non-empty datasets only, sorted, trailing newline)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -105,6 +107,7 @@ def test_fetch_wayback_seeds_parses_cdx(monkeypatch):
     assert fetch_wayback_seeds("x.org", transport=lambda u: '[["original"]]') == ()
 
 
+@pytest.mark.slow
 def test_cli_wayback_flag_merges_seeds(spark, tmp_path, monkeypatch):
     """--wayback fetches CDX seeds for the target host and merges them
     like -s/--seeds-file (reference photon.py --wayback path)."""
@@ -190,6 +193,7 @@ def test_make_http_fetcher_plumbs_headers(spark):
     assert h["X-Tok"] == "abc" and h["Cookie"] == "c=1"
 
 
+@pytest.mark.slow
 def test_cli_csv_export(spark, tmp_path):
     """K2 CSV shape (reference plugins/exporter.py:16-24): one row per
     dataset, row = [name] + values."""
@@ -213,6 +217,7 @@ def test_cli_csv_export(spark, tmp_path):
         assert set(rows.get(name, [])) == vals, name
 
 
+@pytest.mark.slow
 def test_cli_warns_transport_flags_without_http(spark, tmp_path, capsys):
     """--header/--cookie/--user-agent without --http never reach a wire;
     the CLI must say so instead of silently ignoring them (r2 ADVICE)."""
@@ -240,6 +245,7 @@ def test_cli_warns_transport_flags_without_http(spark, tmp_path, capsys):
     assert "no effect without" not in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_spark_submit_pyfiles_deployment(spark, tmp_path):
     """The north-rule deployment path: `spark-submit --py-files
     photon_spark.zip cli.py ...` in a FRESH JVM (no repo on

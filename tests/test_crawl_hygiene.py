@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from photon_spark.plans.frontier import apply_canonical, canonical_targets
@@ -273,6 +275,7 @@ def test_hreflang_edges_and_confirmation(spark):
     ]
 
 
+@pytest.mark.slow
 def test_nofollow_gate_in_crawl(spark):
     from fixtures.gen import PAGES_SCHEMA
     from photon_spark.config import EngineConfig

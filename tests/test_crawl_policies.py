@@ -6,6 +6,8 @@ frontier.dust_rules (exact mined rules, decoy immunity, group cap)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -57,6 +59,7 @@ def test_opic_matches_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-4
 
 
+@pytest.mark.slow
 def test_opic_dangling_cash_recirculates(spark):
     # 0 -> 1, 1 dangling: without the virtual-page redistribution the
     # system bleeds cash into node 1 and node 0 starves at its seed
@@ -192,6 +195,7 @@ def test_apply_dust_rules_conflicts_resolve_to_min(spark):
     assert got["canonical_url"] == "http://h.test/aa/p"
 
 
+@pytest.mark.slow
 def test_opic_update_incremental_equals_batch(spark):
     from photon_spark.plans.schedule import opic_init, opic_scores, opic_update
 
@@ -210,6 +214,7 @@ def test_opic_update_incremental_equals_batch(spark):
         assert abs(inc[h] - batch[h]) < 2e-6, (h, inc[h], batch[h])
 
 
+@pytest.mark.slow
 def test_opic_update_conserves_cash_across_discovery(spark):
     from photon_spark.plans.schedule import opic_init, opic_update
 
@@ -466,6 +471,7 @@ def test_curriculum_tiers_boundaries(spark):
     assert [out[i] for i in range(8)] == [0, 0, 1, 1, 2, 2, 3, 3]
 
 
+@pytest.mark.slow
 def test_priority_aging_bounded_wait(spark):
     """Starvation-freedom (plans/schedule.priority_score aging): one
     host, per-host budget 1, one fresh fuzzable URL (static score 4+3=7

@@ -91,6 +91,7 @@ def test_bloom_path_identical(spark, fixture_pages):
     assert_match(eng, ora)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sharded", "cuckoo"])
 def test_alternate_seen_filters_identical(spark, fixture_pages, kind):
     """Every seen-filter variant (sharded bloom, cuckoo) must yield the

@@ -5,6 +5,8 @@ deterministic UA rotation)."""
 
 from __future__ import annotations
 
+import pytest
+
 from fixtures.gen import ROOT, page_bodies, pages_df
 from photon_spark.config import DUMMY
 from photon_spark.crawl import run_crawl
@@ -192,6 +194,7 @@ def test_fetch_stage_redirect_and_error_paths(spark):
     assert rows["http://x.test/dead"]["status"] == 0
 
 
+@pytest.mark.slow
 def test_http_crawl_equals_join_crawl(spark):
     """Full crawl through the HTTP stage == full crawl through the
     pages-table join, dataset for dataset."""

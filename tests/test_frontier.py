@@ -88,6 +88,7 @@ def test_host_partition_locality(spark):
     assert all(r["n"] == 1 for r in per_host)
 
 
+@pytest.mark.slow
 def test_resume_from_snapshot(spark, fixture_pages, tmp_path):
     """Kill after wave 0, resume, final state identical to a full run."""
     from fixtures.gen import ROOT
@@ -137,6 +138,7 @@ def test_robots_gate(spark):
     }
 
 
+@pytest.mark.slow
 def test_crawl_respect_robots(spark):
     """respect_robots=True keeps /private out of the fetched set while
     the default crawl (reference parity) fetches it."""
@@ -157,6 +159,7 @@ def test_crawl_respect_robots(spark):
     assert default_fetched - gated_fetched == {ROOT + "/private"}
 
 
+@pytest.mark.slow
 def test_store_commits_are_deltas(spark, fixture_pages, tmp_path):
     """Each wave commit holds only that wave's new rows (append-only
     snapshots), and load(w) is snapshot-as-of semantics."""
@@ -181,6 +184,7 @@ def test_store_commits_are_deltas(spark, fixture_pages, tmp_path):
     assert s1 == total_internal
 
 
+@pytest.mark.slow
 def test_store_compact_expire(spark, fixture_pages, tmp_path):
     """Iceberg-style maintenance: compact() rewrites the snapshot into
     a consolidated base without changing any table's contents; pre-base
@@ -231,6 +235,7 @@ def test_store_compact_expire(spark, fixture_pages, tmp_path):
     assert table_sets(store.load(spark, last)) == before
 
 
+@pytest.mark.slow
 def test_crawl_with_auto_compaction(spark, fixture_pages, tmp_path):
     """compact_every=1 (compact+expire after every committed wave) must
     not change the crawl's final datasets, wave membership, or counts —
@@ -261,6 +266,7 @@ def test_crawl_with_auto_compaction(spark, fixture_pages, tmp_path):
     assert resumed.processed_count == full.processed_count
 
 
+@pytest.mark.slow
 def test_sharded_bloom_zero_loss_10m(spark):
     """The 10^10 story's bucketed variant: per-bucket bloom shards over
     bucket(N, xxhash64(url)) must stay EXACT (no lost URLs) at 10^7
@@ -305,6 +311,7 @@ def test_sharded_bloom_routes_by_bucket(spark):
     assert set(np.unique(buckets)) <= set(sharded.shards.keys())
 
 
+@pytest.mark.slow
 def test_store_fresh_start_resets_previous_lineage(spark, fixture_pages, tmp_path):
     """A fresh (resume=False) crawl into a reused store root must NOT
     union the previous run's deltas into its snapshots (r1 ADVICE:
@@ -549,6 +556,7 @@ def test_sharded_cuckoo_undersized_expected_degrades_not_fails(spark):
     assert ck.might_contain(hashes).all()
 
 
+@pytest.mark.slow
 def test_crawl_with_bucketed_seen_store(spark, fixture_pages, tmp_path):
     """bucket_seen>0: compact() writes the `processed` base BUCKETED on
     url and the wave loop dedups against (bucketed base ∪ broadcast
@@ -649,6 +657,7 @@ def test_schedule_wave_per_host_budget_override(spark):
     assert counts == {"h0.test": 2, "h1.test": 10, "h2.test": 10}
 
 
+@pytest.mark.slow
 def test_crawl_delay_politeness(spark, tmp_path):
     """Opt-in Crawl-delay: with window 60s and 'Crawl-delay: 30' in
     robots.txt the crawled host schedules ≤2 URLs per wave; without the
@@ -791,6 +800,7 @@ def test_priority_score_authority_boost(spark):
     assert got3["http://mega.test/a"] == 2 + 1  # capped
 
 
+@pytest.mark.slow
 def test_crawl_with_authority_priority(spark, fixture_pages):
     """run_crawl(host_ranks=...) + use_priority: the crawl completes
     with the identical final datasets (priority reorders within a
@@ -962,6 +972,7 @@ def test_trap_flags_heuristics_and_edges(spark):
     assert got[urls[7]] == (2, 1, 1, False, False, False, False)
 
 
+@pytest.mark.slow
 def test_crawl_trap_gate_skips_fetch_keeps_dataset(spark):
     """cfg.trap_gate drops trap-shaped candidates BEFORE scheduling
     (they are never fetched) while the `internal` dataset still
@@ -1037,6 +1048,7 @@ def test_snapshot_diff_statuses(spark):
     }
 
 
+@pytest.mark.slow
 def test_crawl_robots_agent_group_selection(spark):
     """robots_agent picks the crawler's own User-agent group for
     gating: a /private Disallow living in a DIFFERENT bot's group does

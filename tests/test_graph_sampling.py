@@ -3,6 +3,8 @@ sample_k_per_group (cardinality, determinism, partition invariance)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import random
 
@@ -138,6 +140,7 @@ def test_edge_guards(spark):
 # trust_rank — seed-personalized authority
 
 
+@pytest.mark.slow
 def test_trustrank_demotes_unreachable_farm(spark):
     from photon_spark.plans.schedule import trust_rank
 
@@ -192,6 +195,7 @@ def test_trustrank_isolated_component_exactly_zero(spark):
 # broadcast_state=False — the >10^8-host escape hatch
 
 
+@pytest.mark.slow
 def test_broadcast_state_off_parity(spark):
     """The five iterative graph operators must return IDENTICAL rows
     with broadcast_state=False (no hints; AQE picks the join strategy
@@ -238,6 +242,7 @@ def test_broadcast_state_off_parity(spark):
     )
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_dir_parity(spark, tmp_path):
     """checkpoint_dir swaps the final localCheckpoint for a reliable
     parquet round-trip (the dup_components convention): identical rows,

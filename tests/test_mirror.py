@@ -1,0 +1,99 @@
+"""K3 --clone mirror sink, corrected mode (reference core/mirror.py:4-39;
+Q7: the reference's writer is broken on Py3 — bytes into a text-mode
+file — and silently disables extraction; this sink keeps its PATH
+semantics byte-for-byte and fixes only the write)."""
+
+from __future__ import annotations
+
+import os
+
+from fixtures.gen import ROOT, page_bodies, pages_df
+from photon_spark.sinks import mirror_relpath, write_mirror
+
+
+def test_mirror_relpath_reference_semantics():
+    """Hand-computed expectations for every mirror.py quirk."""
+    # site root → <host>_mirror/index.html (host has dots → no trail)
+    assert mirror_relpath("http://h0.fixture.test") == (
+        "h0.fixture.test_mirror/index.html"
+    )
+    # dot-less host root: index.html gains the '.html' trail too
+    # (mirror.py:30-33 applies both rules independently)
+    assert mirror_relpath("http://localhost") == (
+        "localhost_mirror/index.html.html"
+    )
+    # plain page with extension
+    assert mirror_relpath("https://a.com/x.html") == "a.com_mirror/x.html"
+    # nested directories are recreated
+    assert mirror_relpath("http://a.com/d1/d2/p.html") == (
+        "a.com_mirror/d1/d2/p.html"
+    )
+    # dot-less basename gains .html (mirror.py:30-31)
+    assert mirror_relpath("http://a.com/notes") == "a.com_mirror/notes.html"
+    # query string lands in the FILENAME (mirror.py:36-37)
+    assert mirror_relpath("http://a.com/s.php?q=1&id=2") == (
+        "a.com_mirror/s.php?q=1&id=2"
+    )
+    # dot-less basename + query: trail is '.html' + '?' + query
+    assert mirror_relpath("http://a.com/search?q=1") == (
+        "a.com_mirror/search.html?q=1"
+    )
+    # trailing slash is stripped first (mirror.py:6)
+    assert mirror_relpath("http://a.com/d/") == "a.com_mirror/d.html"
+    # list.remove quirk (mirror.py:11-14): '/a/b/a' drops the FIRST
+    # segment equal to the basename — dirs become 'b/a', not 'a/b'
+    assert mirror_relpath("http://h.com/a/b/a") == "h.com_mirror/b/a/a.html"
+
+
+def test_write_mirror_fixture_site(spark, tmp_path):
+    """Distributed write: every non-dummy fixture page lands at its
+    mirror path with the exact body; dummy rows produce no file."""
+    from photon_spark.config import DUMMY
+
+    bodies = page_bodies()
+    rows = [(u, b) for u, b in sorted(bodies.items())] + [
+        ("http://h0.fixture.test/gone.html", DUMMY)
+    ]
+    fetched = spark.createDataFrame(rows, "url string, body string")
+    out = str(tmp_path / "mirror")
+    write_mirror(fetched, out)
+
+    for url, body in bodies.items():
+        path = os.path.join(out, mirror_relpath(url))
+        assert os.path.isfile(path), url
+        with open(path, encoding="utf-8") as f:
+            assert f.read() == body
+    assert not os.path.exists(
+        os.path.join(out, mirror_relpath("http://h0.fixture.test/gone.html"))
+    )
+
+
+def test_cli_clone_flag(spark, tmp_path):
+    """--clone mirrors the fetched wave set under <output>/mirror and
+    leaves extraction intact (Q7 corrected: datasets still written)."""
+    from photon_spark.cli import main
+
+    pages_path = str(tmp_path / "pages_cl.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out_cl")
+    rc = main(
+        ["-u", ROOT, "--pages", pages_path, "-o", out_dir, "--clone",
+         "--partitions", "4", "--salts", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    # extraction intact (the reference's --clone kills it, Q7)
+    assert os.path.isfile(os.path.join(out_dir, "internal.txt"))
+    # the crawled root + a level-1 page are mirrored with real bodies
+    root_file = os.path.join(out_dir, "mirror", mirror_relpath(ROOT))
+    assert os.path.isfile(root_file)
+    with open(root_file, encoding="utf-8") as f:
+        assert f.read() == page_bodies()[ROOT]
+    a_file = os.path.join(
+        out_dir, "mirror", mirror_relpath(ROOT + "/a.html")
+    )
+    assert os.path.isfile(a_file)
+    # a scheduled-but-absent URL (dummy body) must NOT appear
+    for dirpath, _dirs, files in os.walk(os.path.join(out_dir, "mirror")):
+        for fn in files:
+            assert "gone" not in fn

@@ -59,6 +59,7 @@ def test_simhash_locality(docs):
     assert ham < ham_far                         # near-dup closer than unrelated
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_vs_brute_force(spark):
     sf = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -280,6 +281,7 @@ def test_dup_components_chain_logarithmic_rounds(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.slow
 def test_dup_components_reliable_checkpoint(tmp_path, spark):
     """checkpoint_dir variant: identical keepers to the localCheckpoint
     path, and the returned frame survives a forced lineage recompute
@@ -509,6 +511,7 @@ def test_redact_pii(spark):
     assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 1)
 
 
+@pytest.mark.slow
 def test_embedding_lsh_neardup_precision_and_recall(spark):
     """LSH-blocked near-dup vs exact global pairs: every emitted pair
     is real (precision 1.0), and recall matches the measured
@@ -2041,6 +2044,7 @@ def test_global_order_rank_dense_and_deterministic(spark):
 # product-quantized ANN
 
 
+@pytest.mark.slow
 def test_pq_codes_shape_and_rerank_equals_brute(spark):
     import numpy as np
 

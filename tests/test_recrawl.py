@@ -60,6 +60,7 @@ VERSIONS = {
 }
 
 
+@pytest.mark.slow
 def test_fresh_first_then_policy_revisits(spark):
     res = run_recrawl(
         spark,
@@ -95,6 +96,7 @@ def test_fresh_first_then_policy_revisits(spark):
     assert changer["etag"] == f'"{A_CHANGER}-v{v}"'
 
 
+@pytest.mark.slow
 def test_politeness_budget_per_wave(spark):
     # 6 URLs on one host, k=2 -> no wave schedules more than 2
     urls = tuple(f"http://one.test/p{i}" for i in range(6))
@@ -128,6 +130,7 @@ def test_304_bandwidth_accounting(spark):
         assert m["n_modified"] == 0
 
 
+@pytest.mark.slow
 def test_no_starvation_of_stale_statics(spark):
     # one host, 3 statics + 1 every-wave changer, k=2: the changer may
     # take a slot every wave, but the least-recently-checked backstop
@@ -168,6 +171,7 @@ def test_failed_fetch_keeps_state_and_retries(spark):
     assert (A_S1, 0) not in obs  # failures observe nothing
 
 
+@pytest.mark.slow
 def test_store_resume_identity(spark, tmp_path):
     origin = _origin(VERSIONS)
     uni = _universe(spark, URLS)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from photon_spark.sources.sitemap import sitemap_tree_locs
@@ -62,6 +64,7 @@ def test_dangling_and_body_gate(spark):
     assert got == [("q1", 1)]
 
 
+@pytest.mark.slow
 def test_depth_cap_stops(spark):
     pages = _pages(
         spark,
@@ -166,6 +169,7 @@ def _mini_site(spark, flat=False):
     return df, host
 
 
+@pytest.mark.slow
 def test_crawl_sitemap_recursive_opt_in(spark):
     from photon_spark.config import EngineConfig
     from photon_spark.crawl import run_crawl
@@ -193,6 +197,7 @@ def test_crawl_sitemap_recursive_opt_in(spark):
     assert internal_default - internal_rec == set()
 
 
+@pytest.mark.slow
 def test_crawl_sitemap_recursive_flat_noop(spark):
     """On a flat-sitemap site, recursive mode is a no-op: identical
     dataset contents."""

@@ -7,6 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
+pytestmark = pytest.mark.slow  # streaming restart/watermark twins are end-to-end micro-batch runs
+
 
 def test_streaming_tumbling_counts_match_batch(spark, tmp_path):
     sf = "/root/testdata/sf0.001"

@@ -130,6 +130,7 @@ def test_media_records_become_media_spans(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crawl_over_warc_matches_pages_table(spark, fixture_pages, warc_dir):
     """The headline: crawling the WARC-ingested web reproduces the
     crawl over the native span-document table exactly (URL-seen set,
