@@ -55,8 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--header", action="append", default=[], metavar="'Name: value'",
                    help="custom request header, repeatable; replaces the default "
                         "header set like the reference's --headers editor")
+    p.add_argument("--headers-edit", action="store_true",
+                   help="open $EDITOR to type request headers interactively "
+                        "(reference --headers prompt, core/prompt.py); parsed "
+                        "like --header lines and merged after them")
     p.add_argument("--user-agent", default=None,
                    help="comma-separated user-agent pool (reference --user-agent)")
+    p.add_argument("--proxy", default=None, metavar="IP:PORT|DOMAIN:PORT|FILE",
+                   help="proxy (or file of proxies, one per line) rotated "
+                        "per-request on the --http path (reference --proxy, "
+                        "core/utils.py proxy_type)")
     p.add_argument("--http", action="store_true",
                    help="fetch via live HTTP (mapInPandas requests stage) instead of "
                         "the --pages table join")
@@ -99,6 +107,28 @@ def parse_headers(pairs: list[str]) -> dict[str, str] | None:
     return out or None
 
 
+def prompt_headers(default: str | None = None, editor: str | None = None) -> str:
+    """T14 — the reference's interactive headers prompt
+    (core/prompt.py:6-22): open a temp file (pre-filled with
+    ``default``) in the user's editor, return the stripped content.
+    Differences from the reference, both deliberate: $EDITOR is
+    honored (the reference hardcodes nano) and the child runs via
+    subprocess instead of fork+execvp — same observable contract
+    (blocks until the editor exits, then reads the file back)."""
+    import os
+    import subprocess
+    import tempfile
+
+    editor = editor or os.environ.get("EDITOR", "nano")
+    with tempfile.NamedTemporaryFile(mode="r+", suffix=".txt") as tmp:
+        if default:
+            tmp.write(default)
+            tmp.flush()
+        subprocess.call([editor, tmp.name])
+        tmp.seek(0)
+        return tmp.read().strip()
+
+
 def make_http_fetcher(
     headers: dict[str, str] | None = None,
     cookie: str | None = None,
@@ -106,9 +136,10 @@ def make_http_fetcher(
     transport_factory=None,
     delay: float = 0.0,
     timeout: float = 6.0,
+    proxies: list[dict] | None = None,
 ):
     """Fetcher for run_crawl(..., fetcher=...) backed by the production
-    HTTP stage, with the CLI's header/cookie/UA plumbing applied.
+    HTTP stage, with the CLI's header/cookie/UA/proxy plumbing applied.
     `transport_factory` is injectable for tests (no network here)."""
     from photon_spark.sources.fetch_http import DEFAULT_USER_AGENTS, fetch_stage
 
@@ -121,6 +152,7 @@ def make_http_fetcher(
             user_agents=user_agents or DEFAULT_USER_AGENTS,
             headers=headers,
             cookie=cookie,
+            proxies=proxies,
         )
 
     return fetcher
@@ -167,12 +199,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         sitemap_recursive=args.sitemap_recursive,
     )
     fetcher = None
-    if not args.http and (args.header or args.cookie or args.user_agent):
+    if not args.http and (
+        args.header or args.cookie or args.user_agent or args.proxy
+        or args.headers_edit
+    ):
         # these flags only reach the wire through the HTTP fetch stage;
         # the --pages table join has no transport to apply them to
         print(
-            "warning: --header/--cookie/--user-agent have no effect without "
-            "--http (the --pages path reads a parquet table, not the wire)",
+            "warning: --header/--headers-edit/--cookie/--user-agent/--proxy "
+            "have no effect without --http (the --pages path reads a parquet "
+            "table, not the wire)",
             file=sys.stderr,
         )
     if args.http:
@@ -181,8 +217,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.user_agent
             else None
         )  # photon.py:199-200: comma-separated pool
+        header_lines = list(args.header)
+        if args.headers_edit:
+            # reference photon.py:168-174: prompt, then extract_headers
+            header_lines += prompt_headers().splitlines()
+        proxies = None
+        if args.proxy:
+            from photon_spark.sources.fetch_http import parse_proxy
+
+            try:
+                proxies = parse_proxy(args.proxy)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         fetcher = make_http_fetcher(
-            headers=parse_headers(args.header), cookie=args.cookie, user_agents=uas
+            headers=parse_headers(header_lines), cookie=args.cookie,
+            user_agents=uas, proxies=proxies,
         )
     store = CrawlStore(args.store) if args.store else None
     result = run_crawl(

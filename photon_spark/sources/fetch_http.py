@@ -97,18 +97,71 @@ def build_headers(
     return headers
 
 
-def requests_transport() -> Transport:
+_PROXY_IP_RE = (
+    r"((http|socks5):\/\/.)?(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}):(\d{1,5})"
+)
+_PROXY_DOMAIN_RE = (
+    r"((http|socks5):\/\/.)?[-a-zA-Z0-9@:%._\+~#=]{2,256}\.[a-z]{2,6}:(\d{1,5})"
+)
+
+
+def parse_proxy(value: str) -> list[dict]:
+    """T15 — the reference's --proxy argparse type (core/utils.py
+    proxy_type:165-180 + is_proxy_list:148-162): IP:PORT or DOMAIN:PORT
+    (optionally http:// or socks5://-prefixed), or a FILE of such lines
+    (non-matching lines are reported and skipped). Each proxy becomes
+    the requests-style ``{"http": p, "https": p}`` dict. Invalid input
+    raises ValueError (the CLI maps it to an argparse error, exactly
+    where ArgumentTypeError lands in the reference)."""
+    import os
+    import re
+
+    if re.match(_PROXY_IP_RE, value) or re.match(_PROXY_DOMAIN_RE, value):
+        return [{"http": value, "https": value}]
+    if os.path.isfile(value):
+        proxies = []
+        with open(value) as f:
+            for line in f:
+                line = line.strip()
+                if re.match(_PROXY_IP_RE, line) or re.match(
+                    _PROXY_DOMAIN_RE, line
+                ):
+                    proxies.append({"http": line, "https": line})
+                elif line:
+                    print("%s ignored" % line)
+        if proxies:
+            return proxies
+    raise ValueError("Proxy should follow IP:PORT or DOMAIN:PORT format")
+
+
+def pick_proxy(url: str, proxies: list[dict] | None) -> dict | None:
+    """Deterministic stand-in for requester.py:55 random.choice over
+    the proxy pool — crc32(url), same convention as pick_user_agent
+    (reproducible runs; builtin hash is siphash-salted)."""
+    if not proxies:
+        return None
+    return proxies[zlib.crc32(url.encode("utf-8", "ignore")) % len(proxies)]
+
+
+def requests_transport(proxies: list[dict] | None = None) -> Transport:
     """Production transport: persistent requests.Session per partition
     (connection reuse), ≤3 redirects like the reference
-    (requester.py:8-9). Imported lazily — absent/offline environments
-    use an injected transport instead."""
+    (requester.py:8-9), optional per-request proxy rotation
+    (requester.py:55 `proxies=random.choice(proxies)` — deterministic
+    here, see pick_proxy). Imported lazily — absent/offline
+    environments use an injected transport instead."""
     import requests  # deferred: not needed in the sandbox
 
     session = requests.Session()
     session.max_redirects = 3
 
     def do(url: str, headers: Mapping[str, str], timeout: float):
-        resp = session.get(url, headers=dict(headers), timeout=timeout)
+        resp = session.get(
+            url,
+            headers=dict(headers),
+            timeout=timeout,
+            proxies=pick_proxy(url, proxies),
+        )
         return resp.status_code, resp.headers.get("Content-Type", ""), resp.text
 
     return do
@@ -171,13 +224,20 @@ def fetch_stage(
     user_agents: tuple[str, ...] = DEFAULT_USER_AGENTS,
     headers: Mapping[str, str] | None = None,
     cookie: str | None = None,
+    proxies: list[dict] | None = None,
 ) -> DataFrame:
     """(url, level) wave → (url, level, status, body); body is the
     'dummy' sentinel for non-text responses and failures. Run AFTER
     schedule_wave so partitions are host-local (politeness + connection
     reuse). `headers` replaces the default header set (reference
-    requester.py:37); `cookie` maps the reference -c flag."""
-    factory = transport_factory or requests_transport
+    requester.py:37); `cookie` maps the reference -c flag; `proxies`
+    maps --proxy (T15) and only applies to the default production
+    transport — an injected transport owns its own plumbing."""
+    factory = transport_factory or (
+        (lambda: requests_transport(proxies=proxies))
+        if proxies
+        else requests_transport
+    )
     custom = dict(headers) if headers else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

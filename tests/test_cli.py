@@ -80,6 +80,59 @@ def test_parse_headers_and_cdx_query():
     )
 
 
+def test_parse_proxy_reference_shapes(tmp_path):
+    """T15 --proxy parsing (reference core/utils.py proxy_type:165-180,
+    is_proxy_list:148-162): IP:PORT, DOMAIN:PORT, scheme-prefixed,
+    file-of-proxies with non-matching lines skipped, invalid raises."""
+    import pytest
+
+    from photon_spark.sources.fetch_http import parse_proxy
+
+    assert parse_proxy("10.0.0.1:8080") == [
+        {"http": "10.0.0.1:8080", "https": "10.0.0.1:8080"}
+    ]
+    assert parse_proxy("proxy.example.com:3128") == [
+        {"http": "proxy.example.com:3128", "https": "proxy.example.com:3128"}
+    ]
+    assert parse_proxy("http://10.0.0.1:8080")[0]["http"] == "http://10.0.0.1:8080"
+    assert parse_proxy("socks5://proxy.example.org:1080")[0]["https"] == (
+        "socks5://proxy.example.org:1080"
+    )
+    pf = tmp_path / "proxies.txt"
+    pf.write_text("10.1.1.1:3128\nnot a proxy\nsocks5://p.example.io:1080\n")
+    got = parse_proxy(str(pf))
+    assert [p["http"] for p in got] == ["10.1.1.1:3128", "socks5://p.example.io:1080"]
+    with pytest.raises(ValueError):
+        parse_proxy("no-port-here")
+
+
+def test_prompt_headers_editor(tmp_path, monkeypatch):
+    """T14 interactive headers prompt (reference core/prompt.py:6-22):
+    the editor writes into the temp file, prompt_headers returns the
+    stripped content, and the composition with parse_headers yields the
+    header dict the reference's extract_headers would."""
+    from photon_spark.cli import parse_headers, prompt_headers
+
+    editor = tmp_path / "fake_editor.sh"
+    editor.write_text(
+        "#!/bin/sh\nprintf 'X-Api: key1,\\nAccept: text/html\\n' >> \"$1\"\n"
+    )
+    editor.chmod(0o755)
+
+    got = prompt_headers(editor=str(editor))
+    assert parse_headers(got.splitlines()) == {
+        "X-Api": "key1",
+        "Accept": "text/html",
+    }
+    # $EDITOR is honored when no explicit editor is passed
+    monkeypatch.setenv("EDITOR", str(editor))
+    assert "X-Api" in prompt_headers()
+    # the default pre-fill seeds the buffer (reference prompt(default=...))
+    assert prompt_headers(default="Base: v", editor=str(editor)).startswith(
+        "Base: v"
+    )
+
+
 def test_fetch_wayback_seeds_parses_cdx(monkeypatch):
     """Production S4: the canned CDX payload (header row + one URL per
     row, reference plugins/wayback.py:16-22) parses into the seeds the

@@ -206,6 +206,83 @@ def test_redirect_cap_and_content_type_gate_on_wire(spark, site):
         _FixtureHandler.chain_len = 3
 
 
+class _ProxyHandler(BaseHTTPRequestHandler):
+    """Minimal HTTP forward proxy: a proxied GET arrives with an
+    ABSOLUTE request-URI (RFC 9112 §3.2.2) — recording it proves the
+    request really went through the proxy, and serving from a canned
+    map means the 'origin' host needs no DNS at all."""
+
+    bodies: dict[str, str] = {}
+    seen_uris: list[str] = []
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        with self.lock:
+            self.seen_uris.append(self.path)
+        body = self.bodies.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        data = body.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def test_proxy_plumbing_on_wire(spark):
+    """T15 (reference core/utils.py:165-180 + requester.py:55): the
+    production transport routes through the configured proxy — the
+    proxy sees the absolute request-URI for a host that resolves
+    nowhere, which only works if requests actually used it."""
+    from photon_spark.sources.fetch_http import parse_proxy, pick_proxy
+
+    _ProxyHandler.bodies = {
+        "http://phantom.fixture.test/p1": "<html>via proxy 1</html>",
+        "http://phantom.fixture.test/p2": "<html>via proxy 2</html>",
+    }
+    _ProxyHandler.seen_uris = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _ProxyHandler)
+    pport = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        proxies = parse_proxy(f"127.0.0.1:{pport}")
+        assert proxies == [
+            {"http": f"127.0.0.1:{pport}", "https": f"127.0.0.1:{pport}"}
+        ]
+        wave = spark.createDataFrame(
+            [
+                ("http://phantom.fixture.test/p1", 0),
+                ("http://phantom.fixture.test/p2", 0),
+            ],
+            "url string, level int",
+        )
+        rows = {
+            r["url"]: r
+            for r in fetch_stage(
+                wave,
+                transport_factory=lambda: requests_transport(proxies=proxies),
+            ).collect()
+        }
+        assert "via proxy 1" in rows["http://phantom.fixture.test/p1"]["body"]
+        assert "via proxy 2" in rows["http://phantom.fixture.test/p2"]["body"]
+        assert set(_ProxyHandler.seen_uris) == set(_ProxyHandler.bodies)
+    finally:
+        server.shutdown()
+    # deterministic rotation: crc32(url) picks a stable pool member
+    pool = [{"http": "a:1"}, {"http": "b:2"}, {"http": "c:3"}]
+    picks = [pick_proxy(f"http://x.test/{i}", pool) for i in range(50)]
+    assert picks == [pick_proxy(f"http://x.test/{i}", pool) for i in range(50)]
+    assert len({id(p) for p in picks}) > 1  # the pool actually rotates
+    assert pick_proxy("http://x.test/", None) is None
+
+
 def test_cookie_rides_to_the_wire(spark, site):
     """Reference -c/--cookie (photon.py:60, requester.py:50): the
     configured cookie must arrive in the socket-level request."""
