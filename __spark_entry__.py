@@ -3,13 +3,13 @@
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
 photon_spark/queries.py + queries_ext.py + queries_ext2.py hold the
-registry (204 queries, 195 with colocated DuckDB oracle SQL —
+registry (206 queries, 196 with colocated DuckDB oracle SQL —
 including the complete TPC-H 22; aliases matched on both sides;
 COVERAGE.md maps them to SURVEY.md §2 rows). Registry order is
 gate-aware: the first 50 entries are all oracled and rotate
 round-to-round (queries_ext._TAIL parks already-driver-verified +
 rows-only entries last, queries_ext._FRONT_R4 pins this round's
-window; the 9 remaining rows-only entries — xxhash/sketch/iterative
+window; the 10 remaining rows-only entries — xxhash/sketch/iterative
 ops with no DuckDB twin — have recall/error-bound pytests instead).
 """
 

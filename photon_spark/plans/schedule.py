@@ -1758,6 +1758,130 @@ def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
 
 
+class _KLLCompactors:
+    """Driver-free compactor-stack quantile summary — the KLL/MRL shape
+    (Karnin, Lang & Liberty 2016 "Optimal Quantile Approximation in
+    Streams"; fixed per-level capacity like Manku-Rajagopalan-Lindsay
+    1998). Level h holds items of weight 2^h; a full level sorts, keeps
+    every OTHER item (deterministic alternating start parity instead of
+    KLL's coin flip — reproducible runs, same role), and promotes the
+    kept half with doubled weight. ``k`` must be even: then each
+    compaction preserves total weight EXACTLY, so the merged summary's
+    total weight equals the true count and rank queries need no
+    normalization."""
+
+    def __init__(self, k: int):
+        if k < 2 or k % 2:
+            raise ValueError("k must be even and >= 2")
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.flips: list[int] = [0]
+
+    def add(self, v: float, level: int = 0) -> None:
+        while len(self.levels) <= level:
+            self.levels.append([])
+            self.flips.append(0)
+        self.levels[level].append(v)
+        if len(self.levels[level]) >= self.k:
+            self._compact(level)
+
+    def _compact(self, h: int) -> None:
+        buf = sorted(self.levels[h])
+        off = self.flips[h] % 2
+        self.flips[h] += 1
+        self.levels[h] = []
+        for v in buf[off::2]:
+            self.add(v, h + 1)
+        # the discarded half's weight moved onto the promoted half
+        # (k even ⇒ both halves have exactly k/2 items)
+
+    def items(self):
+        for h, buf in enumerate(self.levels):
+            w = 1 << h
+            for v in buf:
+                yield v, w
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable approximate quantiles — the rank-query member of the
+    sketch family (HLL counts distinct, CMS/MG count keys, KLL ranks
+    values). Exact global quantiles need a full sort of the corpus;
+    this is the 10^10-row path: each partition folds its stream into a
+    ≤ levels·k compactor summary (mapInPandas, size independent of
+    input), the bounded summaries merge level-wise in ONE
+    single-partition task (never through the driver — same
+    shuffle-collapse shape as cms_sketch/misra_gries), and the rank
+    query runs as a window over the ≤ levels·k merged rows.
+
+    Quantile rule (pinned for the oracle): for each q, the smallest
+    value whose cumulative weight reaches ceil(q·N), ties on value
+    broken by taking the value itself (duplicates collapse in the
+    cumsum). With ``k`` even, compaction preserves total weight exactly
+    (N = true row count); with ``k`` > the total row count the sketch
+    never compacts and the answer is the EXACT order statistic — the
+    oracled regime. In the compaction regime the deterministic
+    alternating parity gives a reproducible summary whose rank error is
+    pytest-bounded (≤ ~1.5% at k=256 on 100k adversarially-ordered
+    rows, tests/test_pipeline_ops.py).
+
+    Returns (q double, value double, n bigint).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    qs = sorted(set(quantiles))
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("quantiles must lie in (0, 1]")
+
+    def summarize(batches):
+        sk = _KLLCompactors(k)
+        for pdf in batches:
+            for v in pdf[col].dropna().to_numpy():
+                sk.add(float(v))
+        rows = list(sk.items())
+        if rows:
+            yield pd.DataFrame(rows, columns=["v", "w"])
+
+    partials = df.select(col).mapInPandas(summarize, schema="v double, w long")
+
+    def merge(batches):
+        sk = _KLLCompactors(k)
+        for pdf in batches:
+            for v, w in zip(pdf["v"].to_numpy(), pdf["w"].to_numpy()):
+                level = int(w).bit_length() - 1
+                sk.add(float(v), level)
+        rows = list(sk.items())
+        if rows:
+            yield pd.DataFrame(rows, columns=["v", "w"])
+
+    # the partial summaries are bounded (P · levels · k rows), so the
+    # single-partition merge task is dimension-scale, not a corpus
+    # hazard — the same argument as misra_gries' final window
+    merged = partials.repartition(1).mapInPandas(merge, schema="v double, w long")
+
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = merged.select(
+        "v", F.sum("w").over(w_cum).alias("cw")
+    )
+    total = merged.agg(F.sum("w").alias("n"))
+    targets = spark.createDataFrame([(q,) for q in qs], "q double")
+    return (
+        targets.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(ranked),
+            F.col("cw") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("v").alias("value"))
+        .select("q", "value", F.col("n").cast("bigint").alias("n"))
+    )
+
+
 def ucb_host_allocation(
     log: DataFrame,
     host_col: str = "host",

@@ -253,6 +253,45 @@ def mg_heavy_q(spark, sf):
     return misra_gries(ev, "host", k=16)
 
 
+# KLL/MRL quantile sketch — the rank-query member of the sketch family
+# (HLL distinct, CMS/MG heavy keys, KLL value ranks). Oracled in its
+# EXACT regime (k=8192 > |documents| at every SF ⇒ zero compactions ⇒
+# the pinned rank rule min{v : cumweight(≤v) ≥ ceil(q·n)} is the exact
+# order statistic — same covering convention as ann_sq8/pq/ivf); the
+# compaction regime runs on events below (rows-only + error-bound
+# pytest).
+@q(
+    "kll_doc_quantiles",
+    "WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS v"
+    "  FROM documents),"
+    " r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,"
+    "  count(*) OVER () AS n FROM d),"
+    # CAST: unnest of a decimal-literal list is DECIMAL in DuckDB
+    # ('0.10'), Spark's q is double ('0.1') — hash parity needs double
+    " t AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])"
+    "  AS DOUBLE) AS q)"
+    " SELECT q, min(v) AS value, CAST(n AS BIGINT) AS n"
+    " FROM t JOIN r ON rn >= ceil(q * n) GROUP BY q, n",
+)
+def kll_docs_q(spark, sf):
+    from photon_spark.plans.schedule import kll_quantiles
+
+    docs = _t(spark, sf, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("v")
+    )
+    return kll_quantiles(docs, "v", k=8192)
+
+
+@q("kll_event_quantiles", None)  # rows-only: compaction engages (k=256 < n)
+def kll_events_q(spark, sf):
+    """KLL in its approximate regime over the events value stream —
+    real compactions at every SF (10k–100k rows vs k=256). Rank-error
+    bound and merge behavior pytest-pinned in test_pipeline_ops.py."""
+    from photon_spark.plans.schedule import kll_quantiles
+
+    return kll_quantiles(_t(spark, sf, "events").select("value"), "value", k=256)
+
+
 # ---------------------------------------------------------------------------
 # UCB1 bandit fetch-budget allocation (plans/schedule.ucb_host_allocation).
 # Log: one pull per event on hosts h(user_id%23) with integer yield

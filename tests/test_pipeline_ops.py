@@ -3032,3 +3032,59 @@ def test_gate_agreement_null_fail_fast(spark):
     with pytest.raises(Exception) as ei:
         gate_agreement(df, ["ga", "gb"]).collect()
     assert "NULL gate values" in str(ei.value)
+
+
+def test_kll_kernel_weight_preserved_and_bounded():
+    """_KLLCompactors: total weight equals the item count after any
+    number of compactions (k even ⇒ exact halving), and the summary
+    size stays O(levels·k) regardless of stream length."""
+    from photon_spark.plans.schedule import _KLLCompactors
+
+    sk = _KLLCompactors(8)
+    n = 10_000
+    for i in range(n):
+        sk.add(float((i * 7919) % 1000))  # adversarial-ish order
+    items = list(sk.items())
+    assert sum(w for _, w in items) == n
+    assert len(items) <= 8 * len(sk.levels)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _KLLCompactors(7)  # odd k would leak weight at each compaction
+
+
+def test_kll_exact_regime_matches_order_statistics(spark):
+    """k > n ⇒ zero compactions ⇒ every quantile is the exact order
+    statistic min{v : rank(v) >= ceil(q*n)} — the oracled regime."""
+    from photon_spark.plans.schedule import kll_quantiles
+
+    vals = [float((i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["q"]: (r["value"], r["n"])
+        for r in kll_quantiles(df, "v", quantiles=(0.1, 0.5, 0.9, 1.0), k=1024).collect()
+    }
+    s = sorted(vals)
+    import math
+
+    for q in (0.1, 0.5, 0.9, 1.0):
+        want = s[math.ceil(q * len(s)) - 1]
+        assert got[q] == (want, 500), q
+
+
+def test_kll_compaction_regime_rank_error_bounded(spark):
+    """k=256 on 100k SORTED rows (adversarial for alternating-parity
+    compaction): every reported quantile's true rank stays within 1.5%
+    of target, and total weight still equals the exact row count."""
+    from pyspark.sql import functions as F
+
+    from photon_spark.plans.schedule import kll_quantiles
+
+    n = 100_000
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+    rows = kll_quantiles(df, "v", k=256).collect()
+    assert all(r["n"] == n for r in rows)
+    for r in rows:
+        true_rank = r["value"] + 1  # value i has rank i+1 in 0..n-1
+        target = -(-r["q"] * n // 1)  # ceil
+        assert abs(true_rank - target) <= 0.015 * n, (r["q"], true_rank, target)
