@@ -1831,12 +1831,15 @@ def kll_quantiles(
 
     Returns (q double, value double, n bigint).
     """
-    import pandas as pd
+    partials = kll_partials(df.select(col), col, k)
+    merged = kll_merge(partials, k)
+    return kll_rank_query(merged, quantiles)
 
-    spark = df.sparkSession
-    qs = sorted(set(quantiles))
-    if not qs or not all(0.0 < q <= 1.0 for q in qs):
-        raise ValueError("quantiles must lie in (0, 1]")
+
+def kll_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition compactor summaries → (v double, w long) rows,
+    ≤ levels·k per partition regardless of input size."""
+    import pandas as pd
 
     def summarize(batches):
         sk = _KLLCompactors(k)
@@ -1847,7 +1850,15 @@ def kll_quantiles(
         if rows:
             yield pd.DataFrame(rows, columns=["v", "w"])
 
-    partials = df.select(col).mapInPandas(summarize, schema="v double, w long")
+    return df.select(col).mapInPandas(summarize, schema="v double, w long")
+
+
+def kll_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Level-wise merge of (v, w) summaries into one summary. The
+    inputs are bounded (P · levels · k rows), so the single-partition
+    task is dimension-scale, not a corpus hazard — the same argument
+    as misra_gries' final window. Weight-exact: total w is preserved."""
+    import pandas as pd
 
     def merge(batches):
         sk = _KLLCompactors(k)
@@ -1859,17 +1870,23 @@ def kll_quantiles(
         if rows:
             yield pd.DataFrame(rows, columns=["v", "w"])
 
-    # the partial summaries are bounded (P · levels · k rows), so the
-    # single-partition merge task is dimension-scale, not a corpus
-    # hazard — the same argument as misra_gries' final window
-    merged = partials.repartition(1).mapInPandas(merge, schema="v double, w long")
+    return partials.repartition(1).mapInPandas(merge, schema="v double, w long")
 
+
+def kll_rank_query(
+    merged: DataFrame, quantiles: tuple[float, ...]
+) -> DataFrame:
+    """Rank query over a bounded (v, w) summary: for each q the
+    smallest v whose cumulative weight reaches ceil(q·N)."""
+    qs = sorted(set(quantiles))
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("quantiles must lie in (0, 1]")
     w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = merged.select(
-        "v", F.sum("w").over(w_cum).alias("cw")
-    )
+    ranked = merged.select("v", F.sum("w").over(w_cum).alias("cw"))
     total = merged.agg(F.sum("w").alias("n"))
-    targets = spark.createDataFrame([(q,) for q in qs], "q double")
+    targets = merged.sparkSession.createDataFrame(
+        [(q,) for q in qs], "q double"
+    )
     return (
         targets.crossJoin(F.broadcast(total))
         .join(

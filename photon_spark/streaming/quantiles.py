@@ -1,0 +1,93 @@
+"""Streaming quantile monitor — a KLL compactor summary maintained
+over a value stream with ``foreachBatch`` (the rank-query sibling of
+StreamingHeavyHitters' CMS maintainer).
+
+KLL is MERGEABLE rather than linear: the stream state is a valid
+summary of the union (total weight preserved EXACTLY — k even halves
+each compaction — so reported n always equals the true row count), but
+its compaction history differs from a one-shot batch sketch, so cell
+identity is only guaranteed while no compaction has fired. The parity
+contract is therefore two-tier (pytest-pinned, tests/test_streaming.py):
+
+* exact regime (rows so far ≤ k): stored summary ≡ the batch sketch of
+  the concatenated input, row-identical, and quantiles are exact order
+  statistics;
+* compaction regime: n stays exact and every reported quantile's rank
+  error stays within the same bound the batch pytest pins.
+
+State is a parquet table of (v double, w long) rows — ≤ levels·k,
+tiny, write-then-swap atomic (StreamingScheduler's pattern), readable
+mid-stream by ``quantiles()`` at any time: the crawl-operations
+"latency/size percentile RIGHT NOW" gauge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from photon_spark.plans.schedule import (
+    kll_merge,
+    kll_partials,
+    kll_rank_query,
+)
+
+
+class StreamingQuantiles:
+    """foreachBatch KLL maintainer with parquet-backed summary state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        value_col: str = "value",
+        k: int = 256,
+    ):
+        self.spark = spark
+        self.value_col = value_col
+        self.k = k
+        self._path = os.path.join(state_dir, "kll_summary")
+
+    def summary(self) -> DataFrame | None:
+        if os.path.isdir(self._path) and any(
+            f.endswith(".parquet") for f in os.listdir(self._path)
+        ):
+            return self.spark.read.parquet(self._path)
+        return None
+
+    def quantiles(
+        self, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+    ) -> DataFrame:
+        """Rank queries against the CURRENT stored summary (empty
+        frame with the right schema before the first batch)."""
+        s = self.summary()
+        if s is None:
+            return self.spark.createDataFrame(
+                [], "q double, value double, n bigint"
+            )
+        return kll_rank_query(s, qs)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        inc = kll_partials(batch_df, self.value_col, self.k)
+        prev = self.summary()
+        if prev is not None:
+            inc = inc.unionByName(prev)
+        merged = kll_merge(inc, self.k)
+        # write-then-swap so a concurrent quantiles() never reads a
+        # torn summary (same discipline as CrawlStore's manifest)
+        tmp = self._path + f"._b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self._path):
+            import shutil
+
+            shutil.rmtree(self._path)
+        os.replace(tmp, self._path)
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        """Start the maintainer on a readStream of value rows."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -979,3 +979,87 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # fetch 2 (a@40s): ext 11 (50s) yes, ext 12 (35s) before -> no
     # fetch 3 (b@10s): ext 13 (b@55s) 45s later -> no
     assert got == {(1, 10), (2, 11)}
+
+
+def test_streaming_quantiles_two_tier_parity(spark, tmp_path):
+    """StreamingQuantiles (KLL maintainer): exact regime — after two
+    micro-batches totalling <= k rows the stored summary is
+    row-identical to the batch sketch of the union and quantiles are
+    exact order statistics; n always equals the true row count."""
+    import math
+
+    from photon_spark.plans.schedule import kll_merge, kll_partials
+    from photon_spark.streaming.quantiles import StreamingQuantiles
+
+    vals = [float((i * 37) % 101) for i in range(200)]
+    src = tmp_path / "kq_src"
+    src.mkdir()
+    half = len(vals) // 2
+    for part, chunk in (("a=0", vals[:half]), ("a=1", vals[half:])):
+        spark.createDataFrame(
+            [(v,) for v in chunk], "value double"
+        ).coalesce(1).write.parquet(str(src / part))
+
+    sq = StreamingQuantiles(spark, str(tmp_path / "kq_state"), k=512)
+    assert sq.quantiles().count() == 0  # pre-stream: empty, right schema
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    q = sq.attach(stream, str(tmp_path / "kq_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # exact regime: stored summary == batch sketch of the union
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    want = sorted(
+        (r["v"], r["w"])
+        for r in kll_merge(kll_partials(df, "value", 512), 512).collect()
+    )
+    got = sorted((r["v"], r["w"]) for r in sq.summary().collect())
+    assert got == want
+    s = sorted(vals)
+    out = {r["q"]: (r["value"], r["n"]) for r in sq.quantiles((0.5, 0.9)).collect()}
+    for qq in (0.5, 0.9):
+        assert out[qq] == (s[math.ceil(qq * len(s)) - 1], len(s))
+
+
+def test_streaming_quantiles_compaction_regime_bounds(spark, tmp_path):
+    """Compaction regime (k=64 << n): n stays EXACT across micro-batch
+    merges (weight-exact halving) and every reported quantile's true
+    rank lands within 5% of target on a 10k sorted stream."""
+    from photon_spark.streaming.quantiles import StreamingQuantiles
+
+    n = 10_000
+    vals = [float(i) for i in range(n)]
+    src = tmp_path / "kq2_src"
+    src.mkdir()
+    third = n // 3
+    for i, chunk in enumerate(
+        (vals[:third], vals[third: 2 * third], vals[2 * third:])
+    ):
+        spark.createDataFrame(
+            [(v,) for v in chunk], "value double"
+        ).coalesce(1).write.parquet(str(src / f"a={i}"))
+
+    sq = StreamingQuantiles(spark, str(tmp_path / "kq2_state"), k=64)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    q = sq.attach(stream, str(tmp_path / "kq2_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sq.quantiles((0.25, 0.5, 0.9)).collect()
+    assert rows and all(r["n"] == n for r in rows)
+    for r in rows:
+        true_rank = r["value"] + 1
+        target = -(-r["q"] * n // 1)
+        assert abs(true_rank - target) <= 0.05 * n, (r["q"], true_rank)
