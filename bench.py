@@ -88,6 +88,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "bpe_pair_counts",
     "cms_host_heavy_hitters",
+    "kll_event_quantiles",  # r4: sketch family's rank-query member
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
     "chunk_passages_rag",

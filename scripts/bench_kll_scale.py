@@ -1,0 +1,112 @@
+"""KLL quantile sketch at 10^7 values — scale + scaling-pair evidence.
+
+SCALE.md claims the sketch replaces the full-sort quantile path with
+per-partition bounded summaries and a dimension-scale merge; this
+measures kll_quantiles on a synthesized 10M-value stream (deterministic
+expression, no files) at two parallelism levels, reporting throughput
+at both plus the pair efficiency (the same two-cluster-size protocol as
+bench_scaling.py), and cross-checks the reported quantiles against the
+exact order statistics computed by a full sort.
+
+Usage: python scripts/bench_kll_scale.py [n_values] [low_cores] [high_cores] [k]
+Appends one JSON line to BENCH/kll_scale.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from photon_spark.session import get_spark
+from photon_spark.plans.schedule import kll_quantiles
+
+spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="kll_scale_{cores}")
+spark.range(1000).selectExpr("sum(id)").collect()
+# deterministic value stream: xxhash-derived uniform in [0, 1e6)
+df = spark.range({n}).select(
+    (F.pmod(F.xxhash64("id"), F.lit(1000000))).cast("double").alias("v")
+)
+best = float("inf")
+rows = None
+for _ in range(3):
+    t0 = time.time()
+    rows = kll_quantiles(df, "v", k={k}).collect()
+    best = min(best, time.time() - t0)
+print("CHILD_RESULT " + json.dumps({{
+    "cores": {cores}, "sec": round(best, 2),
+    "vals_per_s": round({n} / best),
+    "rows": [[r["q"], r["value"], r["n"]] for r in rows],
+}}))
+spark.stop()
+"""
+
+
+def run_child(cores: int, n: int, k: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n=n, k=k)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+
+    r_low = run_child(low, n, k)
+    r_high = run_child(high, n, k)
+    eff = (r_high["vals_per_s"] / r_low["vals_per_s"]) / (high / low)
+
+    # exact-rank cross-check on the high run's answers (error vs the
+    # closed-form rank of a pmod-uniform stream is not closed-form, so
+    # recompute true ranks with a one-off exact pass at the same n)
+    from pyspark.sql import functions as F
+
+    from photon_spark.session import get_spark
+
+    spark = get_spark(cores=high, shuffle_partitions=high, app_name="kll_verify")
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000000))).cast("double").alias("v")
+    )
+    checks = []
+    for q, value, total in r_high["rows"]:
+        true_rank = df.filter(F.col("v") <= value).count()
+        target = -(-q * n // 1)
+        checks.append(
+            {"q": q, "rank_err_frac": round(abs(true_rank - target) / n, 5),
+             "n_exact": total == n}
+        )
+    spark.stop()
+
+    rec = {
+        "ts": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "n_values": n, "k": k,
+        "low": r_low, "high": r_high,
+        "efficiency": round(eff, 3), "pass": eff >= 0.8,
+        "rank_checks": checks,
+    }
+    path = os.path.join(REPO, "BENCH", "kll_scale.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -365,8 +365,14 @@ EXPECT: dict[str, dict] = {
     # same flag frames, one closed-form aggregate tail
     "gate_fleiss_kappa": {"codegen": True, "broadcast": True, "max_exchanges": 8},
     # bench side broadcasts; map-side partial MAX collapses pair scores
-    # to one row per corpus vector before the single agg exchange
-    "decontam_semantic_flags": {"codegen": True, "broadcast": True, "max_exchanges": 2},
+    # to one row per corpus vector before the single agg exchange. 3 =
+    # that agg exchange + the two single-file RoundRobin spreads of the
+    # embeddings scan (corpus + bench legs); the r4 LeftOuter guard
+    # (empty-bench correctness, ADVICE fix) pins the join as
+    # BroadcastNestedLoopJoin LeftOuter BuildRight — same broadcast
+    # shape, but AQE no longer folds the bench leg's tiny spread away
+    # as it did under the inner join.
+    "decontam_semantic_flags": {"codegen": True, "broadcast": True, "max_exchanges": 3},
 }
 
 
