@@ -129,7 +129,11 @@ def a2(spark, sf):
 # F3 — per-host politeness window (reference semantics: SURVEY.md §2.3)
 @q(
     "f3_politeness_window",
-    "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id,"
+    # CAST ... AS INTEGER: DuckDB row_number() is BIGINT, Spark's is
+    # INT — keep the oracle's Arrow output type byte-equal to the
+    # Spark schema (registry-wide contract, tests/test_registry.py).
+    "SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn"
+    " FROM (SELECT user_id, event_id,"
     " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
     " FROM events) t WHERE rn <= 3",
 )
@@ -555,7 +559,8 @@ def q5(spark, sf):
 
 @q(
     "topk_per_group",
-    "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey,"
+    "SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn"
+    " FROM (SELECT o_custkey, o_orderkey,"
     " row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,"
     " o_orderkey) AS rn FROM orders) t WHERE rn <= 2",
 )
@@ -669,7 +674,7 @@ WITH unit AS (
     round(list_sum(list_transform(range(1, len(u) + 1), i -> u[i] * qu[i])), 6) AS cosine
   FROM unit, qs WHERE vec_id <> query_id
 )
-SELECT query_id, rank, neighbor_id, cosine FROM (
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
   SELECT query_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored) t WHERE rank <= 5
@@ -692,7 +697,8 @@ def ann_lsh(spark, sf):
 
 @q(
     "embed_centroids",
-    "SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c"
+    "SELECT label, CAST(i - 1 AS INTEGER) AS pos,"
+    " round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c"
     " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"
     " GROUP BY label, i",
 )
@@ -721,7 +727,8 @@ def langid(spark, sf):
     "quality_score",
     # floor(x*1e6+0.5)/1e6 mirrors the Spark side exactly — see
     # textstats.quality_score on the half-boundary rounding hazard.
-    f"SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,"
+    f"SELECT doc_id, n_chars,"
+    f" CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,"
     f" floor((least(length(text) / 500.0, 1.0) * 0.4"
     f" + least(((length(text) - (len(string_split(text, ' ')) - 1))"
     f"   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3"
@@ -737,7 +744,8 @@ def quality(spark, sf):
 
 @q(
     "token_count",
-    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens"
+    " FROM documents",
 )
 def tokcount(spark, sf):
     return textstats.token_count(_t(spark, sf, "documents"))

@@ -527,9 +527,10 @@ def split_counts(spark, sf):
 
 @q(
     "token_count_bpe",
-    "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
-    " len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
-    " AS n_bpe_tokens FROM documents",
+    "SELECT doc_id,"
+    " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,"
+    " CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+    "  AS INTEGER) AS n_bpe_tokens FROM documents",
 )
 def tok_bpe(spark, sf):
     return textstats.token_count_bpe(_t(spark, sf, "documents"))
@@ -631,8 +632,9 @@ def semdedup(spark, sf):
     " - length(replace(regexp_extract(url,"
     " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*(/.*)?$', 1), '/', '')))) AS score"
     " FROM urls)"
-    " SELECT url, score, row_number() OVER (PARTITION BY host"
-    " ORDER BY score DESC, url) AS rank FROM scored",
+    " SELECT url, CAST(score AS INTEGER) AS score,"
+    " CAST(row_number() OVER (PARTITION BY host"
+    " ORDER BY score DESC, url) AS INTEGER) AS rank FROM scored",
 )
 def f4_priority(spark, sf):
     from photon_spark.plans.schedule import priority_score, with_host
@@ -792,7 +794,7 @@ def dd_containment(spark, sf):
 # per-source prefix-sum, shard = tokens-before-doc div budget.
 @q(
     "pack_shards_by_source",
-    "SELECT doc_id, source, n_tokens,"
+    "SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,"
     " CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS shard FROM ("
     " SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,"
     " SUM(len(string_split(text, ' '))) OVER (PARTITION BY source"
@@ -1032,8 +1034,9 @@ def _c4_body_df(spark, sf):
     "   len(string_split(regexp_replace(clean_text,"
     "    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))) END"
     "   AS n_sentences FROM c)"
-    " SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,"
-    "  n_sentences,"
+    " SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,"
+    "  CAST(len(kept) AS INTEGER) AS n_kept_lines,"
+    "  CAST(n_sentences AS INTEGER) AS n_sentences,"
     "  (n_sentences >= 3 AND NOT contains(lower(text), 'lorem ipsum')"
     "   AND NOT contains(text, '{')) AS c4_keep,"
     "  clean_text FROM s",
@@ -1058,7 +1061,7 @@ def c4_clean_q(spark, sf):
     "  FROM s WHERE len(sents) >= 3),"
     " sp AS (SELECT doc_id, i AS span_idx,"
     "  md5(array_to_string(sents[i:i+2], ' ')) AS span_md5 FROM ex)"
-    " SELECT doc_id, span_idx, span_md5,"
+    " SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, span_md5,"
     "  (row_number() OVER (PARTITION BY span_md5"
     "   ORDER BY doc_id, span_idx) = 1) AS span_keep FROM sp",
 )
@@ -1205,7 +1208,7 @@ def decontam_hits(spark, sf):
 # per-group window), so the hash gate doubles as an equality proof.
 @q(
     "pack_shards_twophase",
-    "SELECT doc_id, source, n_tokens,"
+    "SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,"
     " CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS shard FROM ("
     " SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,"
     " SUM(len(string_split(text, ' '))) OVER (PARTITION BY source"
@@ -1352,7 +1355,8 @@ def url_blocklist(spark, sf):
     "   AS lo_bound,"
     "  floor(quantile_cont(n_tokens, 0.95) * 1000000.0 + 0.5) / 1000000.0"
     "   AS hi_bound FROM d)"
-    " SELECT doc_id, n_tokens, lo_bound, hi_bound,"
+    " SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,"
+    " lo_bound, hi_bound,"
     " n_tokens >= lo_bound AND n_tokens <= hi_bound AS kept FROM d, b",
 )
 def length_gate(spark, sf):
@@ -1373,7 +1377,8 @@ def length_gate(spark, sf):
     "   * 2654435761 % 4096) / 4096.0 - 0.5))"
     "  / len(string_split(text, ' ')) * 1000000.0 + 0.5) / 1000000.0"
     "  AS clf_score FROM documents)"
-    " SELECT doc_id, n_tokens, clf_score, clf_score >= 0.0 AS kept FROM s",
+    " SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,"
+    " clf_score, clf_score >= 0.0 AS kept FROM s",
 )
 def quality_clf(spark, sf):
     return textstats.quality_classifier_linear(_t(spark, sf, "documents"))
@@ -1395,7 +1400,8 @@ def quality_clf(spark, sf):
     " c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source"
     "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
     "  AS cum_tokens FROM s)"
-    " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
+    " SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,"
+    " cum_tokens, budget_tokens FROM c"
     " WHERE cum_tokens - n_tokens < budget_tokens",
 )
 def mix_budget(spark, sf):
@@ -1475,7 +1481,8 @@ def robots_rfc_q(spark, sf):
     " c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source"
     "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
     "  AS cum_tokens FROM s)"
-    " SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens FROM c"
+    " SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,"
+    " cum_tokens, budget_tokens FROM c"
     " WHERE cum_tokens - n_tokens < budget_tokens",
 )
 def temp_mix_q(spark, sf):
@@ -3066,8 +3073,10 @@ def bpe_train_q(spark, sf):
     "   + 57600000000 AS hi"
     "  FROM range(60) t(i)),"
     " p AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)"
+    # outer CAST: SUM(BIGINT) is HUGEINT in DuckDB → decimal128 at the
+    # driver's typed hash (VERDICT r4 #1); Spark emits BIGINT
     " SELECT win_id, COUNT(*) AS n_events,"
-    "  SUM(CAST(FLOOR(value*100) AS BIGINT)) AS value_cents"
+    "  CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents"
     " FROM p JOIN w ON p.ts_us >= w.lo AND p.ts_us <= w.hi"
     " GROUP BY win_id",
 )
@@ -3352,7 +3361,8 @@ def compression_ratio_q(spark, sf):
     "   AS last_fail_wave,"
     "  MAX(CASE WHEN ok THEN 1 ELSE 0 END) AS succ FROM a GROUP BY url)"
     " SELECT url, n_failures,"
-    "  last_fail_wave + least(1 << n_failures, 16) AS next_wave"
+    "  CAST(last_fail_wave + least(1 << n_failures, 16) AS INTEGER)"
+    "   AS next_wave"
     " FROM g WHERE succ = 0 AND n_failures >= 1 AND n_failures < 4",
 )
 def retry_backoff_q(spark, sf):
@@ -3383,10 +3393,10 @@ def retry_backoff_q(spark, sf):
 @q(
     "q12_late_shipment_priority",
     "SELECT l_linestatus,"
-    " SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
-    "  THEN 1 ELSE 0 END) AS high_line_count,"
-    " SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
-    "  THEN 1 ELSE 0 END) AS low_line_count"
+    " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+    " CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count"
     " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
     " WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY"
     " GROUP BY l_linestatus",
@@ -3497,7 +3507,8 @@ def q18(spark, sf):
     " avg_bal AS (SELECT AVG(c_acctbal) AS a FROM in_scope"
     "   WHERE c_acctbal > 0.0)"
     " SELECT code, COUNT(*) AS numcust,"
-    "  SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS totacctbal_centi"
+    "  CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    "   AS totacctbal_centi"
     " FROM in_scope, avg_bal"
     " WHERE c_acctbal > a"
     "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
@@ -3540,8 +3551,8 @@ def q22(spark, sf):
 @q(
     "q15_top_supplier",
     "WITH rev AS (SELECT l_suppkey AS supplier_no,"
-    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
-    "   AS BIGINT)) AS total_rev"
+    "  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "   AS BIGINT)) AS BIGINT) AS total_rev"
     "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
     "   AND l_shipdate < TIMESTAMP '1996-04-01'"
     "  GROUP BY l_suppkey)"
@@ -3711,7 +3722,7 @@ def _pipeline_sql() -> str:
         f"    < '{test_t}' THEN 'test'"
         "   ELSE 'train' END AS split FROM surv)"
         " SELECT split, COUNT(*) AS n_docs,"
-        "  SUM(n_tokens) AS sum_tokens FROM sp GROUP BY split"
+        "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM sp GROUP BY split"
     )
 
 
@@ -3785,10 +3796,10 @@ def q13_dist(spark, sf):
     "q9_product_profit",
     "SELECT n_name AS nation,"
     "  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,"
-    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
     "       AS BIGINT)"
     "    - CAST(floor(p_retailprice * l_quantity * 10000 + 0.5)"
-    "       AS BIGINT)) AS profit_ti"
+    "       AS BIGINT)) AS BIGINT) AS profit_ti"
     " FROM lineitem JOIN part ON p_partkey = l_partkey"
     " JOIN supplier ON s_suppkey = l_suppkey"
     " JOIN orders ON o_orderkey = l_orderkey"
@@ -3925,8 +3936,8 @@ def q2_mincost(spark, sf):
 
 _Q11_VAL = (
     "SELECT l_partkey AS partkey,"
-    "  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
-    "   AS BIGINT)) AS value_ti"
+    "  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    "   AS BIGINT)) AS BIGINT) AS value_ti"
     " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
     " JOIN nation ON s_nationkey = n_nationkey"
     " JOIN region ON n_regionkey = r_regionkey"
@@ -4246,9 +4257,10 @@ def mirror_hosts_q(spark, sf):
     "   COUNT(DISTINCT val) AS n_vals, COUNT(DISTINCT fp) AS n_fps"
     "  FROM ev2 GROUP BY 1, 2, 3)"
     " SELECT host, param,"
-    "  SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS multi_groups,"
-    "  SUM(CASE WHEN n_vals >= 2 AND n_fps = 1 THEN 1 ELSE 0 END)"
-    "   AS clean_groups,"
+    "  CAST(SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS multi_groups,"
+    "  CAST(SUM(CASE WHEN n_vals >= 2 AND n_fps = 1 THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS clean_groups,"
     "  (SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) >= 2"
     "   AND SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END)"
     "    = SUM(CASE WHEN n_vals >= 2 AND n_fps = 1 THEN 1 ELSE 0 END))"

@@ -35,7 +35,8 @@ from photon_spark.queries import _t, q
     " rec AS (SELECT a.d, COUNT(*) AS n_recip FROM hp a"
     "   WHERE EXISTS (SELECT 1 FROM hp b WHERE b.s = a.d AND b.d = a.s)"
     "   GROUP BY a.d),"
-    " agg AS (SELECT d, SUM(n_links) AS n_inlinks, COUNT(*) AS n_ref_hosts,"
+    " agg AS (SELECT d, CAST(SUM(n_links) AS BIGINT) AS n_inlinks,"
+    "   COUNT(*) AS n_ref_hosts,"
     "   COUNT(DISTINCT s % 13) AS n_ref_domains,"
     "   SUM(CASE WHEN s % 13 = d % 13 THEN n_links ELSE 0 END) AS n_nep"
     "  FROM hp GROUP BY d)"
@@ -115,7 +116,8 @@ _MC_BODY_SQL = (
     " k AS (SELECT doc_id, per, list_filter(per, p -> p.txt <> ''"
     "   AND len(string_split(p.txt, ' ')) >= 5"
     "   AND p.link_chars * 1000000 <= 300000 * length(p.txt)) AS kept FROM per)"
-    " SELECT doc_id, len(per) AS n_lines, len(kept) AS n_kept,"
+    " SELECT doc_id, CAST(len(per) AS INTEGER) AS n_lines,"
+    "  CAST(len(kept) AS INTEGER) AS n_kept,"
     "  CAST(floor(len(kept) * 1000000 / len(per)) AS BIGINT) AS kept_ppm,"
     "  md5(array_to_string(list_transform(kept, p -> p.txt), chr(10)))"
     "   AS content_md5 FROM k",
@@ -308,10 +310,11 @@ def kll_events_q(spark, sf):
     " per AS (SELECT host, COUNT(*) AS n_pulls, SUM(n_new) AS ty"
     "   FROM log GROUP BY host),"
     " tot AS (SELECT SUM(n_pulls) AS n_total FROM per),"
-    " sc AS (SELECT host, n_pulls, ty * 1000000 // n_pulls AS mean_micro,"
-    "   ty * 1000000 // n_pulls + CAST(floor(sqrt(2.0 * ln(CAST(n_total AS"
+    " sc AS (SELECT host, n_pulls,"
+    "   CAST(ty * 1000000 // n_pulls AS BIGINT) AS mean_micro,"
+    "   CAST(ty * 1000000 // n_pulls + CAST(floor(sqrt(2.0 * ln(CAST(n_total AS"
     "   DOUBLE)) / CAST(n_pulls AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
-    "   AS ucb_micro FROM per, tot),"
+    "   AS BIGINT) AS ucb_micro FROM per, tot),"
     " uni AS (SELECT DISTINCT 'h' || CAST(n_nationkey % 25 AS VARCHAR)"
     "   AS host FROM nation),"
     " allh AS (SELECT * FROM sc UNION ALL"
@@ -676,7 +679,8 @@ def curriculum_q(spark, sf):
     " g AS (SELECT host, fetch_ms, fetch_ms - lag(fetch_ms) OVER ("
     "   PARTITION BY host ORDER BY fetch_ms, url) AS gap_ms FROM log)"
     " SELECT g.host, COUNT(*) AS n_fetches,"
-    "  SUM(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END) AS n_violations,"
+    "  CAST(SUM(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_violations,"
     "  MIN(gap_ms) AS min_gap_ms"
     " FROM g JOIN pol ON pol.host = g.host GROUP BY g.host",
 )
@@ -876,7 +880,7 @@ _PSO_BODY_SQL = (
     "  FROM g)"
     " SELECT CAST(CASE WHEN score < q1 THEN 0 WHEN score < q2 THEN 1"
     "   WHEN score < q3 THEN 2 ELSE 3 END AS BIGINT) AS tier,"
-    "  COUNT(*) AS n_docs, SUM(score) AS sum_len"
+    "  COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_len"
     " FROM g, c GROUP BY 1",
 )
 def pipeline_session_q(spark, sf):
@@ -1164,7 +1168,7 @@ def mad_gate_q(spark, sf):
     "   SUM(depth) AS sd FROM p GROUP BY host)"
     " SELECT host, n_pages, n_content,"
     "  n_pages * 1000000 // n_content AS ratio_ppm,"
-    "  sd * 1000000 // n_pages AS mean_depth_micro,"
+    "  CAST(sd * 1000000 // n_pages AS BIGINT) AS mean_depth_micro,"
     "  n_pages >= 20 AND n_pages * 1000000 // n_content >= 5000000 AS is_trap"
     " FROM a",
 )
@@ -1326,7 +1330,8 @@ def mojibake_q(spark, sf):
     "    round(list_sum(list_transform(range(1, len(u) + 1),"
     "     i -> u[i] * qu[i])), 6) AS cosine"
     "  FROM unit, qs WHERE vec_id <> query_id AND label <> qlabel)"
-    " SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM ("
+    " SELECT query_id, CAST(rank AS INTEGER) AS rank,"
+    "  neighbor_id, neighbor_label, cosine FROM ("
     "  SELECT query_id, neighbor_id, neighbor_label, cosine,"
     "    row_number() OVER (PARTITION BY query_id"
     "     ORDER BY cosine DESC, neighbor_id) AS rank"
@@ -1380,7 +1385,8 @@ def hard_neg_q(spark, sf):
     "  FROM documents d JOIN ti ON ti.doc_id = d.doc_id),"
     " w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source"
     "   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)"
-    " SELECT source, COUNT(*) AS n_admitted, SUM(n_tokens) AS sum_tokens,"
+    " SELECT source, COUNT(*) AS n_admitted,"
+    "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,"
     "  MAX(budget_tokens) AS budget_tokens"
     " FROM w WHERE cum - n_tokens < budget_tokens GROUP BY source",
 )
@@ -1509,8 +1515,9 @@ def lpa_q(spark, sf):
     " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*(/.*)?$', 1), '/', ''))))"
     " + least(8, greatest(0, 3 - first_wave)) AS score"
     " FROM urls)"
-    " SELECT url, first_wave, score, row_number() OVER (PARTITION BY host"
-    " ORDER BY score DESC, url) AS rank FROM scored",
+    " SELECT url, first_wave, CAST(score AS INTEGER) AS score,"
+    " CAST(row_number() OVER (PARTITION BY host"
+    " ORDER BY score DESC, url) AS INTEGER) AS rank FROM scored",
 )
 def f4_aging_q(spark, sf):
     from pyspark.sql import Window
@@ -1607,11 +1614,14 @@ def _gate_flags_with() -> str:
 def _gate_agree_sql() -> str:
     def pair(a, b, ca, cb):
         return (
+            # CAST: DuckDB types SUM(int) as HUGEINT → Arrow decimal128,
+            # which the driver's typed hash treats as != Spark's BIGINT
+            # (VERDICT r4 #1) — cast every integer SUM output to BIGINT.
             f" SELECT '{a}' AS gate_a, '{b}' AS gate_b,"
-            f" SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0 END) AS n11,"
-            f" SUM(CASE WHEN {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n10,"
-            f" SUM(CASE WHEN NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS n01,"
-            f" SUM(CASE WHEN NOT {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS n00"
+            f" CAST(SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0 END) AS BIGINT) AS n11,"
+            f" CAST(SUM(CASE WHEN {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS BIGINT) AS n10,"
+            f" CAST(SUM(CASE WHEN NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS BIGINT) AS n01,"
+            f" CAST(SUM(CASE WHEN NOT {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS BIGINT) AS n00"
             " FROM fl"
         )
 

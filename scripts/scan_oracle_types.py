@@ -1,0 +1,100 @@
+"""Scan every oracle SQL for cross-engine output-type drift.
+
+The driver's correctness gate hashes TYPED values: DuckDB types
+SUM(integer) as HUGEINT which surfaces in Arrow as decimal128(38,0),
+while the Spark twin emits BIGINT (int64) — bit-identical values,
+hash mismatch (VERDICT r3/r4, 15 instances). This script runs every
+oracle through DuckDB's Arrow output at LIMIT-0 cost and compares
+each column's Arrow type against the Spark DataFrame schema, so the
+whole class is visible in one pass instead of one window rotation at
+a time.
+
+Usage: python scripts/scan_oracle_types.py [sf_dir]
+Exit 1 if any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def spark_to_arrow_names(dt) -> set[str]:
+    """Acceptable pyarrow type names for a Spark dtype simpleString."""
+    s = dt.simpleString()
+    if s == "bigint":
+        return {"int64"}
+    if s == "int":
+        return {"int32"}
+    if s == "smallint":
+        return {"int16"}
+    if s == "tinyint":
+        return {"int8"}
+    if s == "double":
+        return {"double"}
+    if s == "float":
+        return {"float"}
+    if s == "string":
+        return {"string", "large_string"}
+    if s == "boolean":
+        return {"bool"}
+    if s == "date":
+        return {"date32[day]"}
+    if s.startswith("decimal"):
+        p_s = s[s.index("(") :]
+        return {f"decimal128{p_s}"}
+    if s.startswith("timestamp"):
+        return {"timestamp"}  # prefix-matched below
+    if s.startswith("array"):
+        return {"list", "large_list"}  # prefix-matched below
+    return {s}
+
+
+def arrow_matches(arrow_t, allowed: set[str]) -> bool:
+    name = str(arrow_t)
+    if name in allowed:
+        return True
+    return any(name.startswith(a) for a in allowed if a in ("timestamp", "list", "large_list"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import duckdb
+
+    import __spark_entry__ as e
+    from photon_spark.session import get_spark
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    spark = get_spark(cores=4, shuffle_partitions=4, app_name="scan_oracle_types")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    bad = []
+    for name, sql in oracles.items():
+        spark_schema = {f.name: f.dataType for f in queries[name](spark, sf_dir).schema}
+        tbl = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").arrow()
+        for field in tbl.schema:
+            if field.name not in spark_schema:
+                bad.append((name, field.name, str(field.type), "<missing in spark>"))
+                continue
+            allowed = spark_to_arrow_names(spark_schema[field.name])
+            if not arrow_matches(field.type, allowed):
+                bad.append((name, field.name, str(field.type), sorted(allowed)))
+    for row in bad:
+        print("MISMATCH", *row)
+    print(f"scanned {len(oracles)} oracles; {len(bad)} column mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
