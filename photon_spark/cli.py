@@ -125,8 +125,11 @@ def prompt_headers(default: str | None = None, editor: str | None = None) -> str
             tmp.write(default)
             tmp.flush()
         subprocess.call([editor, tmp.name])
-        tmp.seek(0)
-        return tmp.read().strip()
+        # Re-open by PATH: editors that save via rename (vim with
+        # backupcopy=auto) replace the inode, leaving the original fd
+        # pointing at the pre-edit content (ADVICE r4).
+        with open(tmp.name, encoding="utf-8") as edited:
+            return edited.read().strip()
 
 
 def make_http_fetcher(
@@ -238,6 +241,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     result = run_crawl(
         spark, pages, args.url, cfg=cfg, store=store, resume=args.resume,
         fetcher=fetcher,
+        # --clone over HTTP reuses the bodies the crawl fetched instead
+        # of a second full network pass (ADVICE r4)
+        keep_bodies=bool(args.clone and fetcher is not None),
     )
 
     if args.parquet_results:
@@ -257,7 +263,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         waves = result.waves.select("url", "level")
         if fetcher is not None:
-            fetched = fetcher(waves).select("url", "body")
+            # Bodies fetched during the crawl are persisted on
+            # result.fetched_bodies — no second network pass. Waves
+            # not covered there (e.g. --resume continuing a store from
+            # an earlier process) are re-fetched, but routed through
+            # schedule_wave first: fetch_stage documents host-
+            # partitioning + politeness as its precondition.
+            kept = result.fetched_bodies
+            missing = waves
+            if kept is not None:
+                missing = waves.join(
+                    kept.select("url"), "url", "left_anti"
+                )
+            from photon_spark.plans.schedule import schedule_wave
+
+            refetched = fetcher(
+                schedule_wave(
+                    missing,
+                    budget=cfg.per_host_budget,
+                    partitions=cfg.shuffle_partitions,
+                ).select("url", "level")
+            ).select("url", "body")
+            fetched = (
+                kept.unionByName(refetched) if kept is not None
+                else refetched
+            )
         else:
             from photon_spark.crawl import body_expr
 

@@ -51,6 +51,12 @@ class CrawlResult:
     waves: DataFrame                    # (url, level)
     metrics: list[dict] = field(default_factory=list)
     processed_count: int = 0            # includes the 'dummy' sentinel
+    # (url, body) of every page fetched during the crawl — populated
+    # only under run_crawl(keep_bodies=True); lets --clone mirror the
+    # bodies the crawl already fetched instead of re-fetching the whole
+    # URL set over the network (ADVICE r4). Persisted + materialized,
+    # so consuming it triggers no re-fetch.
+    fetched_bodies: Optional[DataFrame] = None
 
     @property
     def results(self) -> DataFrame:
@@ -160,6 +166,7 @@ def run_crawl(
     use_bloom: bool = False,
     fetcher=None,
     host_ranks: Optional[DataFrame] = None,
+    keep_bodies: bool = False,
 ) -> Optional[CrawlResult]:
     """Run a crawl over the ``pages`` span-document table.
 
@@ -357,6 +364,7 @@ def run_crawl(
     # loses the eager ext materialization / exchange reuse — see
     # BENCH/BASELINE.md session notes.)
     fast_path = store is None
+    kept_bodies: list[DataFrame] = []
 
     for level in range(start_wave, cfg.crawl_level):
         t0 = time.time()
@@ -440,10 +448,14 @@ def run_crawl(
             host_budgets=host_budgets,
         ).select("url", "level").persist()
         fetched = fetch(scheduled)
-        if cfg.nofollow_gate:
-            # the wave's bodies feed two consumers (extract + the
-            # directive parse) — persist once, same lifecycle as ext
+        if cfg.nofollow_gate or keep_bodies:
+            # the wave's bodies feed extra consumers (directive parse
+            # and/or the --clone mirror) — persist once; the ext
+            # lineage collect below populates the cache, so a later
+            # read of kept bodies never re-runs the fetch stage
             fetched = fetched.persist()
+        if keep_bodies:
+            kept_bodies.append(fetched.select("url", "body"))
         ext = extract_wave(fetched, cfg, main_url)
         if cfg.nofollow_gate:
             from photon_spark.operators.extract import html_directives
@@ -593,6 +605,11 @@ def run_crawl(
             extract_endpoints(sfetched)
             .select(F.explode("endpoints").alias("value"))
             .distinct()
+            # persist: endpoints is consumed by multiple downstream
+            # actions (txt writer, counts, exports); without the cache
+            # each action replays the JS second-pass FETCH — a second
+            # network hit per script URL per action under --http
+            .persist()
         )
         processed_count += scripts.count()
 
@@ -620,9 +637,15 @@ def run_crawl(
         "keys": acc["keys"].select("value").distinct(),
     }
     body.unpersist()
+    fetched_bodies = None
+    if kept_bodies:
+        fetched_bodies = kept_bodies[0]
+        for kb in kept_bodies[1:]:
+            fetched_bodies = fetched_bodies.unionByName(kb)
     return CrawlResult(
         datasets=datasets,
         waves=acc["waves"],
         metrics=metrics,
         processed_count=processed_count,
+        fetched_bodies=fetched_bodies,
     )

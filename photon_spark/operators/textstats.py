@@ -1939,11 +1939,14 @@ def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
     for a, b in pairs:
         pa, pb = F.col(a), F.col(b)
         key = f"{a}__{b}"
+        # coalesce(0): SUM over zero rows is NULL, which would trip the
+        # NULL-precondition check below on a legitimately EMPTY input
+        # (ADVICE r4) — an empty frame has consistent all-zero counts.
         aggs += [
-            F.sum((pa & pb).cast("long")).alias(f"{key}__n11"),
-            F.sum((pa & ~pb).cast("long")).alias(f"{key}__n10"),
-            F.sum(((~pa) & pb).cast("long")).alias(f"{key}__n01"),
-            F.sum(((~pa) & (~pb)).cast("long")).alias(f"{key}__n00"),
+            F.coalesce(F.sum((pa & pb).cast("long")), F.lit(0)).alias(f"{key}__n11"),
+            F.coalesce(F.sum((pa & ~pb).cast("long")), F.lit(0)).alias(f"{key}__n10"),
+            F.coalesce(F.sum(((~pa) & pb).cast("long")), F.lit(0)).alias(f"{key}__n01"),
+            F.coalesce(F.sum(((~pa) & (~pb)).cast("long")), F.lit(0)).alias(f"{key}__n00"),
         ]
     row = flags.agg(*aggs)
     items = F.array(
@@ -1979,9 +1982,13 @@ def gate_agreement(flags: DataFrame, gate_cols: list[str]) -> DataFrame:
     )
     out = out.withColumn("n11", n11_checked).drop("n_total")
     n = (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")).cast("double")
-    po = (F.col("n11") + F.col("n00")).cast("double") / n
-    pa1 = (F.col("n11") + F.col("n10")).cast("double") / n
-    pb1 = (F.col("n11") + F.col("n01")).cast("double") / n
+    # try_divide-equivalent guard: an empty input has n == 0, where the
+    # rates (and so kappa) are undefined → NULL, same as the SQL twin's
+    # SUM()-over-zero-rows arithmetic (ANSI mode would otherwise raise).
+    _safe = lambda num: F.when(n == 0.0, F.lit(None)).otherwise(num / n)  # noqa: E731
+    po = _safe((F.col("n11") + F.col("n00")).cast("double"))
+    pa1 = _safe((F.col("n11") + F.col("n10")).cast("double"))
+    pb1 = _safe((F.col("n11") + F.col("n01")).cast("double"))
     pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
     kappa = F.when(F.lit(1.0) - pe == 0.0, F.lit(1.0)).otherwise(
         (po - pe) / (F.lit(1.0) - pe)

@@ -112,8 +112,10 @@ def write_mirror(fetched, output_dir: str) -> None:
     last-write-wins."""
     from photon_spark.config import DUMMY
 
-    base = os.path.abspath(output_dir)
-    os.makedirs(base, exist_ok=True)
+    os.makedirs(output_dir, exist_ok=True)
+    # realpath (not abspath): the escape check below compares against
+    # resolved paths, so a symlinked output_dir must not false-reject.
+    base = os.path.realpath(output_dir)
 
     def write_partition(rows):
         for row in rows:
@@ -122,8 +124,17 @@ def write_mirror(fetched, output_dir: str) -> None:
                 continue
             rel = mirror_relpath(row["url"])
             path = os.path.join(base, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w", encoding="utf-8") as f:
+            # Crawled URLs are hostile input: a page linking
+            # /a/../../../../etc/cron.d/x would otherwise resolve
+            # outside output_dir and let remote content write
+            # arbitrary files on every executor. The reference shares
+            # the flaw (core/mirror.py joins unsanitized); corrected
+            # mode refuses any path that escapes the base dir.
+            real = os.path.realpath(path)
+            if os.path.commonpath([base, real]) != base:
+                continue
+            os.makedirs(os.path.dirname(real), exist_ok=True)
+            with open(real, "w", encoding="utf-8") as f:
                 f.write(body)
 
     fetched.select("url", "body").foreachPartition(write_partition)

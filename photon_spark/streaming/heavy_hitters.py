@@ -62,7 +62,19 @@ class StreamingHeavyHitters:
             )
         return cms_estimate(s, keys, self.key_col, self.depth, self.width)
 
+    def _last_batch(self) -> int:
+        try:
+            with open(os.path.join(self._path, "_last_batch")) as f:
+                return int(f.read())
+        except (OSError, ValueError):
+            return -1
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Replay guard (same contract as StreamingQuantiles): a
+        # re-delivered batch_id after restart must not double-count
+        # into the sketch; the marker swaps atomically with the state.
+        if batch_id <= self._last_batch():
+            return
         inc = cms_sketch(batch_df, self.key_col, self.depth, self.width)
         prev = self.sketch()
         if prev is not None:
@@ -75,6 +87,8 @@ class StreamingHeavyHitters:
         # sketch (same discipline as CrawlStore's manifest)
         tmp = self._path + f"._b{batch_id}"
         inc.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
         final = self._path
         if os.path.isdir(final):
             import shutil

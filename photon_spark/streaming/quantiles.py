@@ -68,7 +68,20 @@ class StreamingQuantiles:
             )
         return kll_rank_query(s, qs)
 
+    def _last_batch(self) -> int:
+        try:
+            with open(os.path.join(self._path, "_last_batch")) as f:
+                return int(f.read())
+        except (OSError, ValueError):
+            return -1
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Replay guard: after a failure/restart foreachBatch re-delivers
+        # the last batch_id; folding it twice would inflate n and skew
+        # quantiles. The applied-batch marker swaps atomically WITH the
+        # summary, so state and marker can't diverge.
+        if batch_id <= self._last_batch():
+            return
         inc = kll_partials(batch_df, self.value_col, self.k)
         prev = self.summary()
         if prev is not None:
@@ -78,6 +91,8 @@ class StreamingQuantiles:
         # torn summary (same discipline as CrawlStore's manifest)
         tmp = self._path + f"._b{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
         if os.path.isdir(self._path):
             import shutil
 

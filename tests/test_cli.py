@@ -341,3 +341,73 @@ def test_spark_submit_pyfiles_deployment(spark, tmp_path):
         f"{k}={len(v)}" for k, v in sorted(golden.items()) if v
     )
     assert counts_line == f"datasets: {want}"
+
+
+def test_cli_clone_http_fetches_each_url_once(spark, tmp_path, monkeypatch):
+    """--clone with --http must reuse the bodies fetched during the
+    crawl (ADVICE r4: it previously re-fetched every crawled URL in a
+    second full network pass that also bypassed schedule_wave). The
+    transport logs every fetch to a file (visible across Python worker
+    processes); after a --clone run each crawled URL appears exactly
+    once and the mirror holds the fetched bodies."""
+    import photon_spark.cli as cli_mod
+    from photon_spark.sinks import mirror_relpath
+
+    log = tmp_path / "fetch_log.txt"
+    log.write_text("")
+    logpath = str(log)
+
+    real_make = cli_mod.make_http_fetcher
+
+    def factory():
+        from fixtures.gen import page_bodies as _pb
+
+        bodies = _pb()
+
+        def do(url, headers, t):
+            with open(logpath, "a") as f:
+                f.write(url + "\n")
+            # like a real server, '/' and '' resolve to the same page
+            # (ROOT and ROOT+'/' share one mirror path — last-write-
+            # wins must be content-identical, as on a live site)
+            b = bodies.get(url)
+            if b is None and url.endswith("/"):
+                b = bodies.get(url.rstrip("/"))
+            if b is None:
+                return 404, "text/html", ""
+            return 200, "text/html", b
+
+        return do
+
+    monkeypatch.setattr(
+        cli_mod,
+        "make_http_fetcher",
+        lambda **kw: real_make(**{**kw, "transport_factory": factory}),
+    )
+
+    pages_path = str(tmp_path / "pages_clone.parquet")
+    pages_df(spark).write.parquet(pages_path)
+    out_dir = str(tmp_path / "out_clone")
+    rc = cli_mod.main(
+        [
+            "-u", ROOT,
+            "--pages", pages_path,
+            "-o", out_dir,
+            "--http",
+            "--clone",
+            "--partitions", "4",
+            "--salts", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    fetched = open(logpath).read().splitlines()
+    dupes = {u for u in fetched if fetched.count(u) > 1}
+    assert not dupes, f"re-fetched during --clone: {sorted(dupes)}"
+
+    bodies = page_bodies()
+    root_mirror = os.path.join(out_dir, "mirror", mirror_relpath(ROOT))
+    assert os.path.isfile(root_mirror)
+    with open(root_mirror, encoding="utf-8") as f:
+        assert f.read() == bodies[ROOT]

@@ -97,3 +97,40 @@ def test_cli_clone_flag(spark, tmp_path):
     for dirpath, _dirs, files in os.walk(os.path.join(out_dir, "mirror")):
         for fn in files:
             assert "gone" not in fn
+
+
+def test_write_mirror_rejects_path_escape(spark, tmp_path):
+    """Hostile crawl content must not write outside output_dir: a URL
+    whose path resolves through '..' past the mirror base is skipped
+    (the reference's mirror shares the traversal flaw — corrected-mode
+    hardening, ADVICE r4)."""
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    out = str(tmp_path / "mirror")
+    evil = "http://h0.fixture.test/a/../../../../victim/pwned"
+    rows = [(evil, "owned"), ("http://h0.fixture.test/ok.html", "fine")]
+    fetched = spark.createDataFrame(rows, "url string, body string")
+    write_mirror(fetched, out)
+
+    assert not (victim / "pwned.html").exists()
+    assert not (victim / "pwned").exists()
+    # nothing above the base dir got written anywhere
+    assert os.path.isfile(
+        os.path.join(out, mirror_relpath("http://h0.fixture.test/ok.html"))
+    )
+
+
+def test_write_mirror_symlinked_output_dir(spark, tmp_path):
+    """A symlinked output_dir must not false-reject legitimate pages
+    (the escape check compares realpaths on both sides)."""
+    realdir = tmp_path / "real"
+    realdir.mkdir()
+    link = tmp_path / "link"
+    link.symlink_to(realdir)
+    fetched = spark.createDataFrame(
+        [("http://h0.fixture.test/ok.html", "fine")], "url string, body string"
+    )
+    write_mirror(fetched, str(link))
+    assert os.path.isfile(
+        os.path.join(str(realdir), mirror_relpath("http://h0.fixture.test/ok.html"))
+    )

@@ -3034,6 +3034,23 @@ def test_gate_agreement_null_fail_fast(spark):
     assert "NULL gate values" in str(ei.value)
 
 
+def test_gate_agreement_empty_input_all_zero_counts(spark):
+    """An EMPTY flags frame is legitimate (e.g. a fully-filtered
+    shard): counts are all zero and kappa degenerates to 1.0 via the
+    pe==1 branch — it must NOT trip the NULL-precondition check
+    (ADVICE r4: SUM over zero rows is NULL before the coalesce)."""
+    from photon_spark.operators.textstats import gate_agreement
+
+    df = spark.createDataFrame([], "ga boolean, gb boolean")
+    rows = gate_agreement(df, ["ga", "gb"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (0, 0, 0, 0)
+    # rates/kappa are undefined over zero rows -> NULL (same as the
+    # SQL twin's SUM-over-zero-rows arithmetic)
+    assert r["agree_micro"] is None and r["kappa_micro"] is None
+
+
 def test_kll_kernel_weight_preserved_and_bounded():
     """_KLLCompactors: total weight equals the item count after any
     number of compactions (k even ⇒ exact halving), and the summary

@@ -1063,3 +1063,45 @@ def test_streaming_quantiles_compaction_regime_bounds(spark, tmp_path):
         true_rank = r["value"] + 1
         target = -(-r["q"] * n // 1)
         assert abs(true_rank - target) <= 0.05 * n, (r["q"], true_rank)
+
+
+def test_streaming_quantiles_replay_idempotent(spark, tmp_path):
+    """A re-delivered batch_id (foreachBatch replay after restart)
+    must be a no-op: n and the summary stay exactly what one
+    application produced (ADVICE r4 — the maintainer previously folded
+    the replayed batch in twice, inflating n)."""
+    from photon_spark.streaming.quantiles import StreamingQuantiles
+
+    vals = [float(i) for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sq = StreamingQuantiles(spark, str(tmp_path / "kqr_state"), k=512)
+    sq.process_batch(df, 0)
+    once = sorted((r["v"], r["w"]) for r in sq.summary().collect())
+    sq.process_batch(df, 0)  # replayed delivery
+    again = sorted((r["v"], r["w"]) for r in sq.summary().collect())
+    assert again == once
+    out = sq.quantiles((0.5,)).collect()[0]
+    assert out["n"] == len(vals)
+    # a genuinely new batch still applies
+    sq.process_batch(df, 1)
+    assert sq.quantiles((0.5,)).collect()[0]["n"] == 2 * len(vals)
+
+
+def test_streaming_cms_replay_idempotent(spark, tmp_path):
+    """Same replay contract for the CMS maintainer: re-delivering the
+    last batch_id must not double-count."""
+    from photon_spark.streaming.heavy_hitters import StreamingHeavyHitters
+
+    rows = [(f"host{k % 7}",) for k in range(50)]
+    df = spark.createDataFrame(rows, "host string")
+    hh = StreamingHeavyHitters(
+        spark, str(tmp_path / "hhr_state"), depth=4, width=256
+    )
+    hh.process_batch(df, 0)
+    once = {(r["i"], r["bucket"]): r["c"] for r in hh.sketch().collect()}
+    hh.process_batch(df, 0)  # replayed delivery
+    again = {(r["i"], r["bucket"]): r["c"] for r in hh.sketch().collect()}
+    assert again == once
+    hh.process_batch(df, 1)
+    doubled = {(r["i"], r["bucket"]): r["c"] for r in hh.sketch().collect()}
+    assert doubled == {k: 2 * v for k, v in once.items()}
