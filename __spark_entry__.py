@@ -3,14 +3,17 @@
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
 photon_spark/queries.py + queries_ext.py + queries_ext2.py hold the
-registry (206 queries, 196 with colocated DuckDB oracle SQL —
-including the complete TPC-H 22; aliases matched on both sides;
-COVERAGE.md maps them to SURVEY.md §2 rows). Registry order is
-gate-aware: the first 50 entries are all oracled and rotate
-round-to-round (queries_ext._TAIL parks already-driver-verified +
-rows-only entries last, queries_ext._FRONT_R4 pins this round's
-window; the 10 remaining rows-only entries — xxhash/sketch/iterative
-ops with no DuckDB twin — have recall/error-bound pytests instead).
+registry (206 queries, 197 with colocated DuckDB oracle SQL —
+including the complete TPC-H 22; aliases matched on both sides; every
+oracle's Arrow output types asserted equal to the Spark schema by
+tests/test_registry.py; COVERAGE.md maps them to SURVEY.md §2 rows).
+Registry order is gate-aware and rotates round-to-round
+(queries_ext._TAIL parks already-driver-verified entries last,
+queries_ext._FRONT_R5 pins this round's window: the 9 r4 hash-false
+re-gates + the 41 remaining never-gated entries, one of them the
+documented rows-only cms_host_heavy_hitters; the 9 rows-only entries —
+xxhash/sketch/iterative ops with no DuckDB twin — have
+recall/error-bound pytests instead).
 """
 
 from __future__ import annotations

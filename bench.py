@@ -88,7 +88,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "bpe_pair_counts",
     "cms_host_heavy_hitters",
-    "kll_event_quantiles",  # r4: sketch family's rank-query member
+    "kll_event_quantiles",  # r4 sketch rank-query member; r5: exact-k oracled config
     "bm25_retrieval_topk",
     "crawl_snapshot_diff",
     "chunk_passages_rag",
@@ -318,6 +318,7 @@ def bench_big_crawl(spark, n_pages: int = 11111) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = os.getloadavg()
 
     from pyspark.sql import functions as F
 
@@ -339,12 +340,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn, _ = Q[name]
-        # min of 2: the first run doubles as the query's own warmup
-        # (codegen, broadcast build, file listing); the min is the
-        # steady-state cost — a long-running crawl's regime — and it
-        # damps the sandbox's load-dependent noise between rounds
+        # one untimed warmup (codegen, broadcast build, file listing)
+        # + min of 3 timed runs: the min is the steady-state cost — a
+        # long-running crawl's regime — and three samples damp the
+        # sandbox's load-dependent noise (r4: builder/driver readings
+        # diverged ~25% under min-of-2-with-cold-first)
+        fn(spark, sf_dir).count()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -357,15 +360,47 @@ def main() -> None:
     # "ann_ivf_topk") keeps its own series here.
     from photon_spark.operators import similarity
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # read hoisted out of the timed loop (r4 verdict: timing the file
+    # listing inflated this series' floor ~1-2s); the series measures
+    # the IVF pipeline, not spark.read
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+
+    def ivf_probe4():
         similarity.ivf_topk(
             emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
         ).count()
+
+    ivf_probe4()  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ivf_probe4()
         best = min(best, time.time() - t0)
+    emb.unpersist()
     queries["ann_ivf_probe4"] = round(best, 3)
+    total += best
+
+    # KLL compaction regime (k=256 « n — real compactions): the
+    # registry entry moved to the covering-k oracled config in r5, so
+    # the approximate scale path keeps its own series here (the
+    # ann_ivf_probe4 precedent).
+    from photon_spark.plans.schedule import kll_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    ev.count()
+
+    def kll_compact():
+        kll_quantiles(ev.select("value"), "value", k=256).count()
+
+    kll_compact()  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        kll_compact()
+        best = min(best, time.time() - t0)
+    ev.unpersist()
+    queries["kll_event_compact256"] = round(best, 3)
     total += best
 
     frontier = bench_frontier(spark, FRONTIER_URLS)
@@ -390,6 +425,11 @@ def main() -> None:
                 "crawl_pages_per_s": big["pages_per_s"],
                 "big_crawl_detail": big,
                 "cores": cores,
+                # ambient machine load bracketing the run — a reading
+                # taken under competing load is identifiable as such
+                # (r4: builder/driver suite readings diverged 25%)
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

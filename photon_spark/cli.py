@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="proxy (or file of proxies, one per line) rotated "
                         "per-request on the --http path (reference --proxy, "
                         "core/utils.py proxy_type)")
+    p.add_argument("--vet-proxies", action="store_true",
+                   help="probe each proxy before the crawl and drop dead "
+                        "ones (reference photon.py:126-136 is_good_proxy; "
+                        "opt-in: needs live internet)")
     p.add_argument("--http", action="store_true",
                    help="fetch via live HTTP (mapInPandas requests stage) instead of "
                         "the --pages table join")
@@ -233,6 +237,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
+            if args.vet_proxies:
+                # reference photon.py:126-136 startup vetting; opt-in
+                # here because the probe needs live internet (the one
+                # documented T15 divergence, SURVEY §2.3)
+                from photon_spark.sources.fetch_http import vet_proxies
+
+                print("testing proxies, can take a while...",
+                      file=sys.stderr)
+                good = vet_proxies(proxies)
+                for p in proxies:
+                    if p not in good:
+                        print(f"proxy {p['http']} doesn't seem to work "
+                              "or timedout", file=sys.stderr)
+                if not good:
+                    print("error: no working proxies", file=sys.stderr)
+                    return 2
+                proxies = good
         fetcher = make_http_fetcher(
             headers=parse_headers(header_lines), cookie=args.cookie,
             user_agents=uas, proxies=proxies,

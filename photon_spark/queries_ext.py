@@ -5524,81 +5524,83 @@ from photon_spark import queries_ext2  # noqa: E402,F401
 for _name in _TAIL:
     Q[_name] = Q.pop(_name)
 
-# Round-4 window promotion (VERDICT r3 items 1–2). The driver verifies
-# the FIRST 50 registry entries each round; every r3-window entry came
-# back green, so all 50 park and the window refills with entries that
-# have never had a driver row. Composition:
-#   * mix_token_budget / temperature_mix STAY — their r3 rows were
-#     rows+schema-green but hash-false (DuckDB HUGEINT window-sum vs
-#     Spark bigint); the oracle now casts to BIGINT and the fix needs
-#     a fully-green driver row.
-#   * the judge-named r3-local cohort (f4_priority_aging, the
-#     kappa/agreement family, lpa_communities_3r, readability_scores,
-#     char_entropy_gate, decontam_semantic_flags + decontam_fuzzy_hits,
-#     sitemap_url_hints) jumps the queue.
-#   * the rest fills in registry order with never-driver-checked
-#     oracled entries (TPC-H remainder, host-graph family, recrawl/
-#     hygiene family). The ~36 still-unchecked oracled entries rotate
-#     in next round. First 50 stay all-oracled (asserted below).
-_FRONT_R4 = (
-    "mix_token_budget",
-    "temperature_mix",
-    "f4_priority_aging",
+# Round-5 window promotion (VERDICT r4 items 1-2). Every r4-window
+# entry parks; the window refills with (a) the 9 r4 hash-false rows —
+# adjudicated bit-exact-correct, failing only on the DuckDB-HUGEINT
+# output type, whose oracles now CAST to BIGINT and need a fully-green
+# driver row — and (b) 40 oracled entries that have NEVER been in a
+# driver window (incl. kll_event_quantiles, oracled this round via the
+# covering-k exact regime, and the r4-oracled ann_ivf_topk /
+# dedup_embedding_lsh), and (c) ONE never-gated rows-only entry
+# (cms_host_heavy_hitters — the driver records its weaker rows-only
+# check; its value contract lives in the CMS linearity/overcount
+# pytests). That burns 45 of the 46-entry verification backlog; the
+# remaining 5 rows-only entries rotate in r6.
+_FRONT_R5 = (
+    # (a) the 9 re-gates after the registry-wide HUGEINT cast sweep
     "gate_agreement_kappa",
-    "gate_fleiss_kappa",
-    "lpa_communities_3r",
-    "readability_scores",
-    "char_entropy_gate",
-    "decontam_semantic_flags",
-    "decontam_fuzzy_hits",
-    "sitemap_url_hints",
-    "q10_returned_items",
-    "q19_disjunctive_revenue",
-    "mm_strip_metadata",
     "range_join_counts",
-    "hits_host_scores",
-    "sample_k_per_group",
-    "dedup_incremental_pairs",
-    "sitemap_tree_locs",
-    "bigram_logprob",
-    "keyword_scan_counts",
-    "retry_backoff_schedule",
     "q12_late_shipment_priority",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
     "q22_dormant_rich_customers",
     "q15_top_supplier",
-    "q8_market_share",
     "pipeline_retention_stats",
-    "q13_order_distribution",
     "q9_product_profit",
-    "q2_min_cost_supplier",
     "q11_important_stock",
-    "q16_supplier_cnt",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "mirror_host_pairs",
     "url_param_significance",
-    "host_trustrank",
-    "host_opic",
-    "shark_relevance_scores",
-    "host_spam_mass",
-    "dust_rules_mined",
-    "url_dust_canonicalize",
-    "host_opic_incremental",
-    "discovery_saturation",
-    "hreflang_confirmed_pairs",
-    "recrawl_unified",
-    "html_directive_flags",
-    "redirect_resolution",
+    # (b) never-driver-gated oracled entries
+    "soft404_flags",
+    "http_freshness_lifetime",
+    "canonical_rewrite",
+    "surt_cdx_index",
+    "recrawl_cold_schedule",
+    "link_diversity_signals",
+    "main_content_extract",
+    "phrase_query_index",
+    "bitext_sentence_pairs",
+    "kll_doc_quantiles",
+    "ucb_host_budget",
+    "kwic_snippets_term",
+    "host_triangle_cc",
+    "sorted_neighborhood_pairs",
+    "kcore_peel_3rounds",
+    "cocitation_host_pairs",
+    "latency_aware_delay",
+    "curriculum_tiers",
+    "politeness_audit",
+    "web_hierarchy_rollup",
+    "lang_consistency_filter",
+    "content_novelty_wave",
+    "pipeline_content_tiers",
+    "stopword_discovery",
+    "zipf_slope_corpus",
+    "intradoc_line_dedup",
+    "mad_outlier_gate",
+    "host_trap_ratio",
+    "script_detect_route",
+    "mojibake_gate",
+    "hard_negative_pairs",
+    "pipeline_ppl_mix",
+    "sample_hash_deterministic",
+    "split_assign_counts",
+    "dedup_containment_verify",
+    "dedup_retention",
+    "dedup_retention_quality",
+    "dedup_embedding_lsh",
+    "ann_ivf_topk",
+    "kll_event_quantiles",
+    # (c) rows-only backlog entry (weaker driver check, deliberate)
+    "cms_host_heavy_hitters",
 )
-assert len(_FRONT_R4) == 50, len(_FRONT_R4)
-_missing = [n for n in _FRONT_R4 if n not in Q]
-assert not _missing, f"unknown registry names in _FRONT_R4: {_missing}"
-_rest = [n for n in Q if n not in set(_FRONT_R4)]
-_reordered = {n: Q[n] for n in (*_FRONT_R4, *_rest)}
+assert len(_FRONT_R5) == 50, len(_FRONT_R5)
+_missing = [n for n in _FRONT_R5 if n not in Q]
+assert not _missing, f"unknown registry names in _FRONT_R5: {_missing}"
+_rest = [n for n in Q if n not in set(_FRONT_R5)]
+_reordered = {n: Q[n] for n in (*_FRONT_R5, *_rest)}
 Q.clear()
 Q.update(_reordered)
-assert all(Q[n][1] is not None for n in _FRONT_R4), (
-    "front-50 must be all-oracled"
-)
+_ROWS_ONLY_IN_WINDOW = frozenset({"cms_host_heavy_hitters"})
+assert all(
+    Q[n][1] is not None
+    for n in _FRONT_R5
+    if n not in _ROWS_ONLY_IN_WINDOW
+), "front-50 must be oracled except the documented rows-only backlog"

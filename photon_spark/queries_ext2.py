@@ -284,14 +284,33 @@ def kll_docs_q(spark, sf):
     return kll_quantiles(docs, "v", k=8192)
 
 
-@q("kll_event_quantiles", None)  # rows-only: compaction engages (k=256 < n)
+@q(
+    "kll_event_quantiles",
+    # covering-k twin (kll_doc_quantiles precedent, VERDICT r4 #7):
+    # with k ≥ n the sketch never compacts, so every quantile is the
+    # exact ceil(q·n) order statistic — SQL-expressible. The
+    # COMPACTION regime (k=256 « n, real rank error) keeps its
+    # error-bound + merge pytests in test_pipeline_ops.py and its own
+    # bench series (kll_event_compact256 in bench.py).
+    "WITH d AS (SELECT value AS v FROM events),"
+    " r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,"
+    "  count(*) OVER () AS n FROM d),"
+    " t AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])"
+    "  AS DOUBLE) AS q)"
+    " SELECT q, min(v) AS value, CAST(n AS BIGINT) AS n"
+    " FROM t JOIN r ON rn >= ceil(q * n) GROUP BY q, n",
+)
 def kll_events_q(spark, sf):
-    """KLL in its approximate regime over the events value stream —
-    real compactions at every SF (10k–100k rows vs k=256). Rank-error
-    bound and merge behavior pytest-pinned in test_pipeline_ops.py."""
+    """KLL over the events value stream in the exact regime: k=2^17
+    covers every testdata SF (≤100k rows), making the rank queries
+    exact order statistics (the oracled configuration). The sketch
+    code path is identical to the compaction regime — only the
+    compaction trigger differs."""
     from photon_spark.plans.schedule import kll_quantiles
 
-    return kll_quantiles(_t(spark, sf, "events").select("value"), "value", k=256)
+    return kll_quantiles(
+        _t(spark, sf, "events").select("value"), "value", k=131072
+    )
 
 
 # ---------------------------------------------------------------------------

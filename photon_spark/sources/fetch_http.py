@@ -143,6 +143,39 @@ def pick_proxy(url: str, proxies: list[dict] | None) -> dict | None:
     return proxies[zlib.crc32(url.encode("utf-8", "ignore")) % len(proxies)]
 
 
+def is_good_proxy(
+    proxy: dict,
+    probe=None,
+    probe_url: str = "http://example.com",
+    timeout: float = 3.0,
+) -> bool:
+    """T15 liveness probe — the reference's is_good_proxy
+    (core/utils.py:197-205): one GET through the proxy; ANY exception
+    (connect timeout included) means dead. ``probe`` is the injectable
+    transport half — ``probe(url, proxies_dict, timeout)`` returning
+    anything / raising — so tests (and offline sandboxes) never touch
+    the network; the default builds the requests call the reference
+    makes."""
+    if probe is None:
+        def probe(url, pip, t):  # pragma: no cover - live network path
+            import requests
+
+            requests.get(url, proxies=pip, timeout=t)
+    try:
+        probe(probe_url, proxy, timeout)
+    except Exception:
+        return False
+    return True
+
+
+def vet_proxies(proxies: list[dict], probe=None, timeout: float = 3.0) -> list[dict]:
+    """The reference's startup vetting loop (photon.py:126-136): keep
+    the proxies that answer the probe, preserving order. Driver-side
+    and bounded by the pool size (a proxy POOL is operator config, not
+    data — never worth a Spark job)."""
+    return [p for p in proxies if is_good_proxy(p, probe=probe, timeout=timeout)]
+
+
 def requests_transport(proxies: list[dict] | None = None) -> Transport:
     """Production transport: persistent requests.Session per partition
     (connection reuse), ≤3 redirects like the reference

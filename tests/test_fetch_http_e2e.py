@@ -299,3 +299,58 @@ def test_cookie_rides_to_the_wire(spark, site):
         _FixtureHandler.seen_headers["/a.html"].get("Cookie")
         == "sid=e2e-cookie"
     )
+
+
+def test_is_good_proxy_liveness_probe_on_wire():
+    """T15 completion (reference core/utils.py:197-205 +
+    photon.py:126-136): a live loopback proxy passes the probe, a
+    closed port fails it, and vet_proxies keeps exactly the live ones
+    in order. Uses the real requests path — bytes leave the process."""
+    import socket
+
+    from photon_spark.sources.fetch_http import is_good_proxy, vet_proxies
+
+    _ProxyHandler.bodies = {"http://example.com/": "<html>probe ok</html>"}
+    _ProxyHandler.seen_uris = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _ProxyHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        live = f"127.0.0.1:{server.server_address[1]}"
+        # grab a port that is closed (bind+close, nothing listening)
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        dead_port = s.getsockname()[1]
+        s.close()
+        dead = f"127.0.0.1:{dead_port}"
+
+        live_p = {"http": f"http://{live}", "https": f"http://{live}"}
+        dead_p = {"http": f"http://{dead}", "https": f"http://{dead}"}
+
+        assert is_good_proxy(live_p, probe_url="http://example.com/") is True
+        assert is_good_proxy(dead_p, probe_url="http://example.com/") is False
+        assert vet_proxies([dead_p, live_p]) == [live_p]
+        # the probe really went through the proxy: absolute-URI seen
+        assert "http://example.com/" in _ProxyHandler.seen_uris
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_is_good_proxy_injected_probe():
+    """The injectable-transport half: any raise — timeout or not —
+    means dead (the reference's two except arms both return False)."""
+    from photon_spark.sources.fetch_http import is_good_proxy
+
+    seen = []
+
+    def ok_probe(url, pip, t):
+        seen.append((url, pip, t))
+
+    def boom(url, pip, t):
+        raise ConnectionError("refused")
+
+    p = {"http": "http://10.0.0.1:8080", "https": "http://10.0.0.1:8080"}
+    assert is_good_proxy(p, probe=ok_probe, timeout=1.5) is True
+    assert seen == [("http://example.com", p, 1.5)]
+    assert is_good_proxy(p, probe=boom) is False

@@ -32,10 +32,17 @@ def test_every_query_has_unique_callable(registry):
 
 def test_front_50_all_oracled_and_rotating(registry):
     """The driver verifies the FIRST 50 entries; they must all carry
-    oracle SQL (rows-only entries park past the window)."""
+    oracle SQL except the documented rows-only backlog entry admitted
+    for its (weaker) driver rows-check (r5: cms_host_heavy_hitters —
+    the last never-gated entries are rows-only, so burning the backlog
+    means letting one in per round)."""
     qs, oracles = registry
     names = list(qs)
-    missing = [n for n in names[:50] if n not in oracles]
+    allowed_rows_only = {"cms_host_heavy_hitters"}
+    missing = [
+        n for n in names[:50]
+        if n not in oracles and n not in allowed_rows_only
+    ]
     assert not missing, f"front-50 entries without oracle SQL: {missing}"
 
 
@@ -55,7 +62,9 @@ def test_rows_only_entries_are_the_documented_set(registry):
         "lang_id_ngram",
         "ann_lsh_topk",
         "a3_approx_cardinality",
-        "kll_event_quantiles",
+        # kll_event_quantiles left this set in r5: its registry entry
+        # is the covering-k exact regime (oracled); the compaction
+        # regime keeps its error-bound pytests + bench series
     }
 
 
