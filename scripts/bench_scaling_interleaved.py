@@ -1,0 +1,131 @@
+"""Window-robust scaling protocol (VERDICT r4 item 3).
+
+The r4 problem: N-core and 4N-core legs ran in disjoint time windows,
+so one turbo/loaded window could sink or inflate a reading, and five
+fresh 8→32 readings disagreed (0.29-0.79) with the standing 0.965.
+Fix prescribed by the judge: interleave the legs alternately
+(A/B/A/B/A/B in one invocation — 3 adjacent pairs), report the MEDIAN
+pair efficiency, and record load + steal alongside each leg so an
+outlier window is identifiable in the record.
+
+Each leg is its own JVM (separate subprocess — same as a separate
+cluster size); within a leg: one untimed warmup wave then min of
+`inner_reps` timed waves (steady-state estimator). Input is identical
+across all legs (same generator seed, same n_urls).
+
+Usage:
+    python scripts/bench_scaling_interleaved.py [n_urls] [low] [high] [pairs]
+Defaults: 64_000_000 8 32 3. Appends the full record to
+BENCH/scaling_interleaved.jsonl and prints one JSON report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from photon_spark.session import get_spark
+from bench import bench_frontier
+
+spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="scaling_i{cores}")
+spark.range(1000).selectExpr("sum(id)").collect()   # JVM warmup
+r = bench_frontier(spark, {n_urls}, reps={inner_reps}, include_bloom=False)
+print("CHILD_RESULT " + json.dumps(r))
+spark.stop()
+"""
+
+
+def read_steal() -> int:
+    """Cumulative steal jiffies from /proc/stat (0 if unavailable)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def run_leg(cores: int, n_urls: int, inner_reps: int) -> dict:
+    load0 = os.getloadavg()
+    steal0 = read_steal()
+    code = CHILD.format(
+        repo=REPO, cores=cores, n_urls=n_urls, inner_reps=inner_reps
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    result = None
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            result = json.loads(line[len("CHILD_RESULT "):])
+    if result is None:
+        raise RuntimeError(f"leg failed (cores={cores}):\n{out.stderr[-3000:]}")
+    result["cores"] = cores
+    result["loadavg_at_start"] = [round(x, 2) for x in load0]
+    result["loadavg_at_end"] = [round(x, 2) for x in os.getloadavg()]
+    result["steal_jiffies_delta"] = read_steal() - steal0
+    return result
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    inner_reps = 2
+
+    pairs = []
+    for i in range(n_pairs):
+        r_low = run_leg(low, n_urls, inner_reps)
+        r_high = run_leg(high, n_urls, inner_reps)
+        ratio = r_high["urls_per_s"] / r_low["urls_per_s"]
+        eff = ratio / (high / low)
+        pair = {
+            "pair": i + 1,
+            "low": r_low,
+            "high": r_high,
+            "speedup": round(ratio, 3),
+            "efficiency": round(eff, 3),
+        }
+        pairs.append(pair)
+        print(
+            f"pair {i + 1}: {low}c {r_low['urls_per_s']:,.0f}/s "
+            f"-> {high}c {r_high['urls_per_s']:,.0f}/s  "
+            f"eff {eff:.3f}  load {r_low['loadavg_at_start'][0]}"
+            f"/{r_high['loadavg_at_start'][0]}",
+            file=sys.stderr,
+        )
+
+    effs = [p["efficiency"] for p in pairs]
+    report = {
+        "protocol": "interleaved A/B, median pair (VERDICT r4 #3)",
+        "n_urls": n_urls,
+        "low_cores": low,
+        "high_cores": high,
+        "inner_reps": inner_reps,
+        "pairs": pairs,
+        "efficiencies": effs,
+        "median_efficiency": round(statistics.median(effs), 3),
+        "target": 0.8,
+        "pass": statistics.median(effs) >= 0.8,
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_interleaved.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()
