@@ -1,0 +1,135 @@
+"""Host-capability probe: does THIS box scale a trivially-parallel
+CPU/memory workload from N to 4N workers?
+
+Spark-free control experiment for the scaling protocol
+(VERDICT r4 #3): if an embarrassingly-parallel workload with zero
+shuffles, zero JVM, zero Python-worker IPC also fails (T_N/T_4N)/4
+≥ 0.8, the ceiling is the host (vCPU steal / memory bandwidth /
+hypervisor contention), not the engine's plan shape.
+
+Two probes, each run as K separate OS processes (no GIL interaction):
+  * cpu: zlib.crc32 over a 1 MiB buffer in a tight loop (integer/ALU
+    bound, tiny working set — measures deliverable CPU cycles);
+  * mem: numpy copy of a 256 MiB float64 array (streaming
+    read+write — measures aggregate memory bandwidth).
+
+Interleaved A/B x `pairs` like the frontier protocol; steal jiffies
+and loadavg recorded per leg. Appends to BENCH/host_probe.jsonl.
+
+Usage: python scripts/probe_host_scaling.py [low] [high] [pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import statistics
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORK_SECONDS = 6.0
+
+
+def _cpu_worker(stop_t, out):
+    import zlib
+
+    buf = os.urandom(1 << 20)
+    n = 0
+    while time.time() < stop_t:
+        zlib.crc32(buf)
+        n += 1
+    out.append(n)
+
+
+def _mem_worker(stop_t, out):
+    import numpy as np
+
+    a = np.ones(1 << 25)  # 256 MiB of float64
+    b = np.empty_like(a)  # preallocated: pure streaming read+write,
+    n = 0                 # no per-iteration mmap/page-zeroing artifact
+    while time.time() < stop_t:
+        np.copyto(b, a)
+        n += 1
+    out.append(n)
+
+
+def read_steal() -> int:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def run_leg(kind: str, workers: int) -> dict:
+    target = _cpu_worker if kind == "cpu" else _mem_worker
+    load0 = os.getloadavg()
+    steal0 = read_steal()
+    with mp.Manager() as mgr:
+        out = mgr.list()
+        stop_t = time.time() + WORK_SECONDS
+        procs = [
+            mp.Process(target=target, args=(stop_t, out))
+            for _ in range(workers)
+        ]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        elapsed = time.time() - t0
+        total = sum(out)
+    unit = "MiB" if kind == "cpu" else "x256MiB"
+    return {
+        "workers": workers,
+        "ops_total": total,
+        "ops_per_s": round(total / elapsed, 1),
+        "unit": f"{unit}/s aggregate",
+        "elapsed": round(elapsed, 2),
+        "loadavg_at_start": [round(x, 2) for x in load0],
+        "steal_jiffies_delta": read_steal() - steal0,
+    }
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    report = {"low": low, "high": high, "probes": {}}
+    for kind in ("cpu", "mem"):
+        run_leg(kind, low)  # warmup (page-in, numpy import)
+        pairs = []
+        for i in range(n_pairs):
+            r_low = run_leg(kind, low)
+            r_high = run_leg(kind, high)
+            eff = (r_high["ops_per_s"] / r_low["ops_per_s"]) / (high / low)
+            pairs.append(
+                {"pair": i + 1, "low": r_low, "high": r_high,
+                 "efficiency": round(eff, 3)}
+            )
+            print(
+                f"{kind} pair {i+1}: {low}w {r_low['ops_per_s']:,.0f} -> "
+                f"{high}w {r_high['ops_per_s']:,.0f}  eff {eff:.3f}  "
+                f"steal {r_low['steal_jiffies_delta']}"
+                f"/{r_high['steal_jiffies_delta']}",
+                file=sys.stderr,
+            )
+        effs = [p["efficiency"] for p in pairs]
+        report["probes"][kind] = {
+            "pairs": pairs,
+            "median_efficiency": round(statistics.median(effs), 3),
+        }
+    report["ts"] = datetime.now(timezone.utc).isoformat()
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "BENCH", "host_probe.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()
