@@ -5506,7 +5506,11 @@ _TAIL = (
     "quantile_values",
     "having_repeat_customers",
     "rollup_lineitem_counts",
-    # rows-only (no SQL twin; recall/error-bound pytests instead):
+    # rows-only (no SQL twin; recall/error-bound pytests instead) —
+    # except dedup_embedding_lsh / ann_ivf_topk (oracled r4) and
+    # cms_host_heavy_hitters (promoted into the r5 window below for
+    # the driver's rows-only check); _FRONT_R5 pulls those three
+    # forward, so their position here is moot:
     "cms_host_heavy_hitters",
     "dedup_simhash",
     "lang_id_ngram",
