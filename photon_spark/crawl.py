@@ -605,12 +605,16 @@ def run_crawl(
             extract_endpoints(sfetched)
             .select(F.explode("endpoints").alias("value"))
             .distinct()
-            # persist: endpoints is consumed by multiple downstream
-            # actions (txt writer, counts, exports); without the cache
-            # each action replays the JS second-pass FETCH — a second
-            # network hit per script URL per action under --http
-            .persist()
         )
+        if fetcher is not None:
+            # endpoints is consumed by multiple downstream actions
+            # (txt writer, counts, exports); without the cache each
+            # action replays the JS second-pass FETCH — a second
+            # network hit per script URL per action. Only under a real
+            # fetcher: the sandbox pages-join recompute is cheap and
+            # the unconditional persist measurably slowed the crawl
+            # loop (~1s/run, r5 A/B probe).
+            endpoints = endpoints.persist()
         processed_count += scripts.count()
 
         fuzzable = (
