@@ -3,7 +3,7 @@
 entry(): flagship crawl-wave pipeline on sf0.001.
 queries()/oracle_sql(): one entry per implemented operator family —
 photon_spark/queries.py + queries_ext.py + queries_ext2.py hold the
-registry (206 queries, 197 with colocated DuckDB oracle SQL —
+registry (206 queries, 198 with colocated DuckDB oracle SQL —
 including the complete TPC-H 22; aliases matched on both sides; every
 oracle's Arrow output types asserted equal to the Spark schema by
 tests/test_registry.py; COVERAGE.md maps them to SURVEY.md §2 rows).
@@ -11,7 +11,7 @@ Registry order is gate-aware and rotates round-to-round
 (queries_ext._TAIL parks already-driver-verified entries last,
 queries_ext._FRONT_R5 pins this round's window: the 9 r4 hash-false
 re-gates + the 41 remaining never-gated entries, one of them the
-documented rows-only cms_host_heavy_hitters; the 9 rows-only entries —
+documented rows-only cms_host_heavy_hitters; the 8 rows-only entries —
 xxhash/sketch/iterative ops with no DuckDB twin — have
 recall/error-bound pytests instead).
 """

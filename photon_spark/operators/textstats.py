@@ -76,6 +76,8 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
     Complements `lang_id` (stopword density): trigram profiles work on
     unsegmented/agglutinative text where token heuristics fail.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -102,7 +104,10 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
                     if score > best:
                         best_lang, best = lang, score
                 preds.append(best_lang if best >= 0.05 else "unknown")
-                scores.append(round(best, 6))
+                # floor(x*1e6+0.5)/1e6, not round(): the repo-wide
+                # cross-engine rounding convention (Python round() is
+                # banker's at halves; DuckDB's isn't)
+                scores.append(math.floor(best * 1000000.0 + 0.5) / 1000000.0)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "pred_lang": preds, "ngram_score": scores}
             )

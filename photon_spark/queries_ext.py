@@ -659,10 +659,48 @@ def f4_priority(spark, sf):
     )
 
 
-# n-gram language ID — trigram-profile argmax (rows-only: the
-# per-language profile scoring has no tractable SQL twin; planted-text
-# classification is pytest-pinned).
-@q("lang_id_ngram", None)
+# n-gram language ID — trigram-profile argmax. Oracled r5: the
+# profiles are a 54-gram constant, so the scoring is one
+# unnest-trigram join + per-doc argmax in SQL; Python-side ties break
+# to the lexicographically-first language (strict > over sorted
+# langs), mirrored by ROW_NUMBER ordered (hits DESC, lang ASC); the
+# raw-score 0.05 gate and floor-1e-6 score rounding are identical
+# IEEE-double expressions on both engines. Test tables are pure-ASCII
+# so lower() agrees cross-engine (checked r5); planted-text
+# classification stays pytest-pinned.
+
+
+def _lang_ngram_sql() -> str:
+    from photon_spark.operators.textstats import LANG_TRIGRAM_PROFILES
+
+    vals = ", ".join(
+        f"('{lang}', '{g}')"
+        for lang in sorted(LANG_TRIGRAM_PROFILES)
+        for g in sorted(set(LANG_TRIGRAM_PROFILES[lang]))
+    )
+    return (
+        "WITH d AS (SELECT doc_id,"
+        "  ' ' || lower(coalesce(text, '')) || ' ' AS t FROM documents),"
+        " dd AS (SELECT doc_id, t, len(t) AS n FROM d),"
+        " grams AS (SELECT doc_id, n - 2 AS total, substring(t, i, 3) AS gram"
+        "  FROM dd, unnest(generate_series(1, n - 2)) AS u(i)"
+        "  WHERE n >= 3),"
+        f" prof(lang, gram) AS (VALUES {vals}),"
+        " hits AS (SELECT doc_id, total, lang, COUNT(*) AS h"
+        "  FROM grams JOIN prof USING (gram) GROUP BY doc_id, total, lang),"
+        " best AS (SELECT doc_id, lang, h, total, ROW_NUMBER() OVER ("
+        "  PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rk FROM hits),"
+        " pick AS (SELECT doc_id, lang, CAST(h AS DOUBLE) / total AS s"
+        "  FROM best WHERE rk = 1)"
+        " SELECT dd.doc_id,"
+        "  CASE WHEN p.s >= 0.05 THEN p.lang ELSE 'unknown' END AS pred_lang,"
+        "  floor(coalesce(p.s, 0.0) * 1000000.0 + 0.5) / 1000000.0"
+        "   AS ngram_score"
+        " FROM dd LEFT JOIN pick p USING (doc_id)"
+    )
+
+
+@q("lang_id_ngram", _lang_ngram_sql())
 def lang_ngram(spark, sf):
     return textstats.lang_id_ngram(_t(spark, sf, "documents", spread=True))
 
@@ -5507,10 +5545,11 @@ _TAIL = (
     "having_repeat_customers",
     "rollup_lineitem_counts",
     # rows-only (no SQL twin; recall/error-bound pytests instead) —
-    # except dedup_embedding_lsh / ann_ivf_topk (oracled r4) and
+    # except dedup_embedding_lsh / ann_ivf_topk (oracled r4),
+    # lang_id_ngram (oracled r5 — constant-profile trigram argmax) and
     # cms_host_heavy_hitters (promoted into the r5 window below for
-    # the driver's rows-only check); _FRONT_R5 pulls those three
-    # forward, so their position here is moot:
+    # the driver's rows-only check); _FRONT_R5 pulls those forward,
+    # so their position here is moot:
     "cms_host_heavy_hitters",
     "dedup_simhash",
     "lang_id_ngram",

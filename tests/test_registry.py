@@ -59,7 +59,8 @@ def test_rows_only_entries_are_the_documented_set(registry):
         "mg_host_heavy_hitters",
         "cms_host_heavy_hitters",
         "dedup_simhash",
-        "lang_id_ngram",
+        # lang_id_ngram left this set in r5: the 54-gram profile
+        # constant made the trigram argmax SQL-expressible
         "ann_lsh_topk",
         "a3_approx_cardinality",
         # kll_event_quantiles left this set in r5: its registry entry
